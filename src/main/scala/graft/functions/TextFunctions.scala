@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline operators
+  * (SURVEY.md §2.10): tokenization, language-ID heuristic, quality
+  * scoring, document fingerprinting, shingling for MinHash.
+  *
+  * Everything here is a composition of built-in `functions._` so it stays
+  * inside whole-stage codegen — no Scala UDFs. Each primitive has an exact
+  * ANSI-SQL twin used in `SparkEntry.oracleSql` so the DuckDB oracle can
+  * verify it value-for-value.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization: `split(trim(text), "\s+")`. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** Word n-gram shingles (default 3), joined with single spaces.
+    * `transform(sequence(...))` keeps it codegen'd and avoids an explode
+    * until the caller chooses to. Documents with fewer than n words yield
+    * an empty array. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(w) - lit(n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n)))))
+  }
+
+  /** Count of exact occurrences of `word` in the token array. */
+  def wordOccurrences(w: Column, word: String): Column =
+    size(filter(w, x => x === word))
+
+  /** Marker-word language-ID heuristic (deterministic, oracle-mirrorable):
+    * score each language by stopword hits over the token array, predict
+    * the argmax with fixed priority en > de > fr > es, else "und". */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"))
+
+  def langScore(w: Column, lang: String): Column =
+    langMarkers.toMap.apply(lang)
+      .map(m => wordOccurrences(w, m))
+      .reduce(_ + _)
+
+  /** Argmax with fixed priority en > de > fr > es; "und" when no marker
+    * hits. Mirrored as a CASE chain in the oracle SQL. */
+  def langId(text: Column): Column = {
+    val w = words(text)
+    val en = langScore(w, "en")
+    val de = langScore(w, "de")
+    val fr = langScore(w, "fr")
+    val es = langScore(w, "es")
+    val best = greatest(en, de, fr, es)
+    when(best <= 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(fr === best, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Quality score in [0,1]: mix of length, alpha-density and stopword
+    * density signals. Pure double arithmetic in a fixed evaluation order
+    * so the DuckDB twin is bit-identical. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val alphaChars = length(regexp_replace(text, "[^a-z]", "")).cast("double")
+    val stopHits = langScore(words(text), "en").cast("double")
+    val lenSignal = least(nTokens / lit(64.0), lit(1.0))
+    val alphaSignal = alphaChars / nChars
+    val stopSignal = least(stopHits * lit(8.0) / nTokens, lit(1.0))
+    lit(0.4) * lenSignal + lit(0.3) * alphaSignal + lit(0.3) * stopSignal
+  }
+
+  /** Document fingerprint: md5 of case-folded, whitespace-collapsed text.
+    * (The rolling-hash variant lives in the MinHash pipeline; this is the
+    * canonical-form exact-dup key.) */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")).cast("binary"))
+
+  /** Salted MinHash over md5 hex strings: min over shingles of
+    * md5(i || ':' || shingle). Lexicographic min over hex strings is
+    * engine-agnostic, which makes the DuckDB oracle exact. The production
+    * path at 100 TB would swap md5 for xxhash64 (cheaper), same shape. */
+  def minhashOverShingles(shingle: Column, salt: Int): Column =
+    md5(concat(lit(s"$salt:"), shingle).cast("binary"))
+}

@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational core: the operator families of SURVEY.md §2 (projections,
+  * filters, joins, aggregations, sorts/limits) exercised over the driver
+  * testdata, each with an exact DuckDB oracle.
+  *
+  * Scale notes (100 TB): aggregations are plain `groupBy` (partial
+  * map-side combine for free), dimension joins are explicitly
+  * `broadcast()`, fact-fact joins shuffle on their keys and rely on AQE
+  * for skew. Filters/projections are expressed declaratively so Catalyst
+  * pushes them into the parquet scan.
+  */
+object CoreQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact decimal sum surfaced as double (same form as the SQL twin). */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- A-family: grouped aggregation (TPC-H Q1 shape; SURVEY §2.5 A1) ----
+    GraftQuery(
+      "q1_pricing_summary",
+      "Grouped aggregation with map-side partial agg; filter pushed to scan.",
+      (spark, dir) => {
+        val li = Tables.table(spark, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- F/P-family: filter + projection, fully pushed down (§2.2, §2.3) ----
+    GraftQuery(
+      "q2_filter_project",
+      "Conjunctive filter + narrow projection; PushedFilters+ReadSchema at the scan.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+        ORDER BY o_orderkey""")),
+
+    // ---- J-family: multi-join with broadcast dims (§2.4) ----
+    GraftQuery(
+      "q3_revenue_by_nation",
+      "Fact-fact shuffle join (lineitem x orders) + broadcast dim joins; grouped revenue.",
+      (spark, dir) => {
+        val li = Tables.table(spark, dir, "lineitem")
+        val o = Tables.table(spark, dir, "orders")
+        val c = Tables.table(spark, dir, "customer")
+        val n = Tables.table(spark, dir, "nation")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name""")),
+
+    // ---- O-family: top-k (sort + limit, §2.6) ----
+    GraftQuery(
+      "q4_top_customers",
+      "Top-10 by aggregate; TakeOrderedAndProject avoids a global sort.",
+      (spark, dir) => {
+        val o = Tables.table(spark, dir, "orders")
+        val c = Tables.table(spark, dir, "customer")
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(dsum(col("o_totalprice")).as("total_spend"))
+          .orderBy(col("total_spend").desc, col("c_custkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY total_spend DESC, c_custkey
+        LIMIT 10""")),
+
+    // ---- A5: ordered distinct (§2.5) ----
+    GraftQuery(
+      "q5_distinct_segments",
+      "DISTINCT via aggregate; tiny result, still shuffle-partial-agg shaped.",
+      (spark, dir) =>
+        Tables.table(spark, dir, "customer")
+          .select(col("c_mktsegment")).distinct().orderBy(col("c_mktsegment")),
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")),
+
+    // ---- P11/F4: CASE routing (Faust line-derivation / topic router) ----
+    GraftQuery(
+      "q6_case_route",
+      "Chained when/otherwise (reference consumers/faust_stream.py:55-63 shape).",
+      (spark, dir) =>
+        Tables.table(spark, dir, "events")
+          .select(
+            when(col("event_type") === "error", lit("alert"))
+              .when(col("event_type").isin("signup", "purchase"), lit("business"))
+              .otherwise(lit("other")).as("route"))
+          .groupBy(col("route")).agg(count(lit(1)).as("n"))
+          .orderBy(col("route")),
+      Some("""
+        SELECT CASE WHEN event_type = 'error' THEN 'alert'
+                    WHEN event_type IN ('signup','purchase') THEN 'business'
+                    ELSE 'other' END AS route,
+               COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY route""")),
+
+    // ---- P6: string split + element pick (birthYear shape) ----
+    GraftQuery(
+      "q7_split_priority",
+      "split+getItem (reference sparkpykafkajoin.py:102-105 shape).",
+      (spark, dir) =>
+        Tables.table(spark, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            split(col("o_orderpriority"), "-").getItem(0).as("prio_code"),
+            split(col("o_orderpriority"), "-").getItem(1).as("prio_name"))
+          .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey,
+               split_part(o_orderpriority, '-', 1) AS prio_code,
+               split_part(o_orderpriority, '-', 2) AS prio_name
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ---- P16: JSON field extraction (§2.2) ----
+    GraftQuery(
+      "q8_json_props",
+      "get_json_object over the events.props JSON column, then aggregate.",
+      (spark, dir) =>
+        Tables.table(spark, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- P5: base64 round-trip (STEDI unbase64 shape) ----
+    GraftQuery(
+      "q9_base64_roundtrip",
+      "base64/unbase64 round-trip (reference sparkpykafkajoin.py:85-87 shape).",
+      (spark, dir) =>
+        Tables.table(spark, dir, "documents")
+          .select(
+            col("doc_id"),
+            // Spark's base64 emits MIME-chunked output (\r\n every 76
+            // chars); strip to the canonical unchunked form DuckDB emits.
+            regexp_replace(base64(col("text").cast("binary")), "\r\n", "").as("enc"),
+            unbase64(base64(col("text").cast("binary"))).cast("string").as("dec"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               base64(CAST(text AS BLOB)) AS enc,
+               CAST(from_base64(base64(CAST(text AS BLOB))) AS VARCHAR) AS dec
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- A2: latest-per-key (Faust KTable upsert, batch analog) ----
+    GraftQuery(
+      "q10_latest_per_user",
+      "Last-write-wins per key via max_by on a unique monotone id (§2.5 A2).",
+      (spark, dir) =>
+        Tables.table(spark, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            max(col("event_id")).as("last_event_id"),
+            max_by(col("event_type"), col("event_id")).as("last_type"),
+            max_by(col("value"), col("event_id")).as("last_value"))
+          .orderBy(col("user_id")),
+      Some("""
+        SELECT user_id,
+               MAX(event_id) AS last_event_id,
+               arg_max(event_type, event_id) AS last_type,
+               arg_max("value", event_id) AS last_value
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- A1: KSQL turnstile COUNT(*) contract, uppercase names (§3.2) ----
+    GraftQuery(
+      "q11_turnstile_count",
+      "COUNT(*) GROUP BY key with the KSQL uppercase output contract (STATION_ID/COUNT).",
+      (spark, dir) =>
+        Tables.table(spark, dir, "events")
+          .groupBy(col("user_id").as("STATION_ID"))
+          .agg(count(lit(1)).as("COUNT"))
+          .orderBy(col("STATION_ID")),
+      Some("""
+        SELECT user_id AS STATION_ID, COUNT(*) AS "COUNT"
+        FROM events GROUP BY user_id ORDER BY STATION_ID""")),
+
+    // ---- window functions (extension; running aggregate) ----
+    GraftQuery(
+      "q12_running_spend",
+      "Running decimal sum per customer ordered by (date, key); rows-frame window.",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.table(spark, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- anti join (customers without orders) ----
+    GraftQuery(
+      "q13_customers_without_orders",
+      "left_anti join; broadcast the distinct key set at scale when small.",
+      (spark, dir) => {
+        val c = Tables.table(spark, dir, "customer")
+        val o = Tables.table(spark, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- semi join (suppliers with any lineitem) ----
+    GraftQuery(
+      "q14_active_suppliers",
+      "left_semi join (EXISTS).",
+      (spark, dir) => {
+        val s = Tables.table(spark, dir, "supplier")
+        val li = Tables.table(spark, dir, "lineitem")
+        s.join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        ORDER BY s_suppkey""")),
+
+    // ---- SQL-over-temp-view entry (P10: DSL and SQL share one catalog) ----
+    GraftQuery(
+      "q15_sql_mixed",
+      "spark.sql over temp views registered from DataFrames (§3.1 semantics).",
+      (spark, dir) => {
+        Tables.registerAll(spark, dir)
+        spark.sql("""
+          SELECT n_name, COUNT(*) AS n_customers
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""")
+      },
+      Some("""
+        SELECT n_name, COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name"""))
+  )
+}

@@ -1,0 +1,21 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable engine query: a DataFrame program plus (where SQL can
+  * express it) an exact ANSI-SQL twin the driver runs in DuckDB.
+  *
+  * Contract notes (driver compare):
+  *  - column names must match between the Spark result and the oracle —
+  *    every computed column is aliased identically on both sides;
+  *  - results are made row-deterministic with a trailing ORDER BY on a
+  *    unique key, so hashing is stable regardless of partitioning;
+  *  - double aggregates are computed in exact decimal and cast to double
+  *    at the end on BOTH sides, so there is no float-summation-order
+  *    divergence between Spark and DuckDB.
+  */
+final case class GraftQuery(
+    name: String,
+    doc: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

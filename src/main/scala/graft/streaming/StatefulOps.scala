@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators (SURVEY.md §2.5 A1/A2, §2.8).
+  *
+  * Two implementations of the Faust/KSQL "continuously updated keyed
+  * table":
+  *  - declarative (`groupBy.agg(last/max_by)`) — preferred: Catalyst
+  *    plans StateStoreRestore/Save with partial aggregation, scales by
+  *    hash-partitioning on the key;
+  *  - `mapGroupsWithState` — for genuinely imperative per-key state the
+  *    declarative form can't express.
+  */
+object StatefulOps {
+
+  /** A1: streaming COUNT(*) per key (KSQL turnstile table). Run with
+    * `outputMode(Update)` for changelog semantics. */
+  def countByKey(df: DataFrame, key: String, keyAlias: String, cntAlias: String): DataFrame =
+    df.groupBy(col(key).as(keyAlias)).agg(count(lit(1)).as(cntAlias))
+
+  /** A2 declarative: latest value per key ordered by a monotone column.
+    * `max_by` is a declarative aggregate -> partial agg + state store. */
+  def latestPerKey(df: DataFrame, key: String, ord: String): DataFrame = {
+    val others = df.columns.filter(c => c != key && c != ord).toSeq
+    df.groupBy(col(key))
+      .agg(max(col(ord)).as(ord), others.map(c => max_by(col(c), col(ord)).as(c)): _*)
+  }
+
+  /** A2 imperative: last-write-wins upsert via mapGroupsWithState —
+    * the direct Faust-table counterpart (faust_stream.py:41-46,71).
+    * Emits the current table row for each key touched in the batch. */
+  def upsertLatest[K: Encoder, V: Encoder](
+      ds: Dataset[(K, V)]): Dataset[(K, V)] = {
+    implicit val tupleEnc: Encoder[(K, V)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[(K, V), (K, V)](GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(K, V)], state: GroupState[(K, V)]) =>
+          var latest = if (state.exists) state.get else null.asInstanceOf[(K, V)]
+          rows.foreach(r => latest = r)
+          state.update(latest)
+          latest
+      }
+  }
+}
