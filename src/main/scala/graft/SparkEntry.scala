@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   val registry: Seq[GraftQuery] =
-    CoreQueries.all
+    CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * STEDI-analog composition: parse -> filter -> split -> join -> agg. */

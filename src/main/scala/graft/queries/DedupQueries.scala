@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+
+/** Near-dedup operator verification: MinHash signatures, LSH candidate
+  * pairs, n-gram Jaccard ground truth, SimHash. All constructions are
+  * engine-agnostic (md5 hex, lexicographic minima, integer-arithmetic
+  * thresholds) so the DuckDB oracles are exact, not approximate.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB CTE: distinct word-trigram shingles per doc. */
+  private val shingleCte: String = raw"""
+    WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+    S AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+          FROM W)"""
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q20_minhash_signature",
+      "8-hash salted-md5 MinHash signature over word-trigram shingles.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        Dedup.minhashSignature(d, "doc_id", "text", nHashes = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(shingleCte + raw"""
+        SELECT doc_id,
+               min(md5('0:' || g)) AS h0, min(md5('1:' || g)) AS h1,
+               min(md5('2:' || g)) AS h2, min(md5('3:' || g)) AS h3,
+               min(md5('4:' || g)) AS h4, min(md5('5:' || g)) AS h5,
+               min(md5('6:' || g)) AS h6, min(md5('7:' || g)) AS h7
+        FROM S GROUP BY doc_id ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q21_lsh_candidates",
+      "LSH banding (4 bands x 2 rows) over the MinHash signature; bucket join.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val sig = Dedup.minhashSignature(d, "doc_id", "text", nHashes = 8)
+        Dedup.lshCandidates(sig, "doc_id", nHashes = 8, rowsPerBand = 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(shingleCte + raw""",
+        SIG AS (
+          SELECT doc_id,
+                 min(md5('0:' || g)) AS h0, min(md5('1:' || g)) AS h1,
+                 min(md5('2:' || g)) AS h2, min(md5('3:' || g)) AS h3,
+                 min(md5('4:' || g)) AS h4, min(md5('5:' || g)) AS h5,
+                 min(md5('6:' || g)) AS h6, min(md5('7:' || g)) AS h7
+          FROM S GROUP BY doc_id),
+        B AS (
+          SELECT doc_id, t.b AS band,
+                 CASE t.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                          WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS bv
+          FROM SIG, unnest([0, 1, 2, 3]) AS t(b))
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM B x JOIN B y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+        ORDER BY id_a, id_b""")),
+
+    GraftQuery(
+      "q22_jaccard_pairs",
+      "n-gram Jaccard >= 1/2 via integer arithmetic (all-pairs ground truth).",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        Dedup.jaccardPairs(d, "doc_id", "text", p = 1, q = 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(shingleCte + raw""",
+        N AS (SELECT doc_id, count(*) AS n FROM S GROUP BY doc_id),
+        P AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS common
+              FROM S x JOIN S y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+        SELECT id_a, id_b, common, na.n + nb.n - common AS uni
+        FROM P JOIN N na ON P.id_a = na.doc_id JOIN N nb ON P.id_b = nb.doc_id
+        WHERE common * 2 >= (na.n + nb.n - common) * 1
+        ORDER BY id_a, id_b""")),
+
+    GraftQuery(
+      "q23_simhash",
+      "32-bit SimHash from md5-nibble sign sums (integer arithmetic end-to-end).",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        Dedup.simhash32(d, "doc_id", "text").orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH W AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS wd FROM documents),
+        H AS (SELECT doc_id, md5(wd) AS h FROM W),
+        B AS (
+          SELECT doc_id, t.k AS k,
+                 SUM(CASE WHEN substr(h, CAST(t.k AS INTEGER), 1)
+                          IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+          FROM H, unnest(range(1, 33)) AS t(k)
+          GROUP BY doc_id, t.k)
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN CAST(POW(2, k - 1) AS BIGINT) ELSE 0 END) AS simhash
+        FROM B GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+
+/** Embedding similarity + multimodal plumbing verification.
+  *
+  * Float caveat: DuckDB's `list_cosine_similarity` computes in float32
+  * while our Catalyst expression accumulates in float64, so oracle
+  * outputs are id-only and thresholds/top-k cuts were margin-checked
+  * against the testdata (min |cos - 0.45| >= 1e-4, min rank-3/4 gap
+  * >= 3.5e-4 at every SF — orders of magnitude above float32 error).
+  */
+object SimilarityQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q24_embedding_near_dups",
+      "Cosine near-dup pairs (>= 0.45) over embeddings; brute-force ground truth.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        Dedup.embeddingNearDups(e, "vec_id", "embedding", threshold = 0.45)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        ORDER BY id_a, id_b""")),
+
+    GraftQuery(
+      "q25_ann_topk",
+      "Brute-force cosine top-3 per query (vec_id % 50 = 0), broadcast queries.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH P AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_cosine_similarity(a.embedding, b.embedding) AS c
+          FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id % 50 = 0),
+        R AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+          FROM P)
+        SELECT query_id, rank, neighbor_id FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q26_multimodal_features",
+      "Binary media column + metadata struct + stub feature extraction.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val media = Multimodal.pack(d, "doc_id", "text", "image")
+        Multimodal.decodeFeaturesExpr(media).orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               CAST(640 + octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,
+               CAST(360 + octet_length(CAST(text AS BLOB)) % 360 AS INTEGER) AS height,
+               md5(text) AS checksum
+        FROM documents ORDER BY media_id"""))
+  )
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.dedup.Dedup
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.10):
+  * token stats, language-ID, quality scoring, fingerprint dedup. Every
+  * oracle mirrors the Spark expression tree exactly (same operation
+  * order, explicit double casts) so values are bit-identical.
+  */
+object TextQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q16_text_stats",
+      "Token counting + character-class stats, pure codegen'd expressions.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        d.select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha"),
+          (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+            / length(col("text")).cast("double")).as("alpha_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+               CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) AS alpha_ratio
+        FROM documents ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q17_lang_id",
+      "Marker-word language-ID heuristic (n-gram/stopword scoring, argmax).",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        d.select(col("doc_id"), col("lang"),
+            TextFunctions.langId(col("text")).as("lang_pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH W AS (
+          SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        S AS (
+          SELECT doc_id, lang,
+                 len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and')) + len(list_filter(w, x -> x = 'of')) AS en,
+                 len(list_filter(w, x -> x = 'der')) + len(list_filter(w, x -> x = 'die')) + len(list_filter(w, x -> x = 'und')) AS de,
+                 len(list_filter(w, x -> x = 'le')) + len(list_filter(w, x -> x = 'la')) + len(list_filter(w, x -> x = 'et')) AS fr,
+                 len(list_filter(w, x -> x = 'el')) + len(list_filter(w, x -> x = 'los')) + len(list_filter(w, x -> x = 'y')) AS es
+          FROM W)
+        SELECT doc_id, lang,
+               CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+                    WHEN en = greatest(en, de, fr, es) THEN 'en'
+                    WHEN de = greatest(en, de, fr, es) THEN 'de'
+                    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM S ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q18_quality_score",
+      "Per-document quality score: length/alpha-density/stopword-density mix.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        d.select(col("doc_id"),
+            TextFunctions.qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH W AS (
+          SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        S AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(w) AS DOUBLE) AS n_tokens,
+                 CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                 CAST(len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and')) + len(list_filter(w, x -> x = 'of')) AS DOUBLE) AS stop_hits
+          FROM W)
+        SELECT doc_id,
+               CAST(0.4 AS DOUBLE) * least(n_tokens / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+               + CAST(0.3 AS DOUBLE) * (n_alpha / n_chars)
+               + CAST(0.3 AS DOUBLE) * least(stop_hits * CAST(8.0 AS DOUBLE) / n_tokens, CAST(1.0 AS DOUBLE)) AS quality
+        FROM S ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q19_dedup_exact",
+      "Exact dedup on canonical-form fingerprint (16-byte shuffle key).",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        Dedup.exactGroups(d, "doc_id", "text").orderBy(col("fp"))
+      },
+      Some(raw"""
+        SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY fp"""))
+  )
+}

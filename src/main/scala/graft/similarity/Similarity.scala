@@ -1,0 +1,81 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.10).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k, queries broadcast against
+  *    the corpus. This is the correctness baseline and — because the
+  *    query set is small and broadcast — it is shuffle-free up to the
+  *    final per-query top-k (window over k*|Q| rows).
+  *  - [[signBuckets]] + [[lshTopK]]: the 100 TB path. Random-hyperplane
+  *    signs (derived deterministically from the dimension index via
+  *    md5, so tests are reproducible) bucket the corpus; each query
+  *    probes only its own bucket (plus Hamming-1 neighbors if recall
+  *    needs it), then exact cosine re-ranks inside the bucket.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query by cosine (desc), deterministic
+    * tie-break on neighbor id. `rank` is BIGINT to match SQL oracles. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Deterministic random-hyperplane sign bucket (nBits-bit LSH code).
+    * Plane b's component for dimension i is +1/-1 from a bit of
+    * md5(b:i) — reproducible everywhere, no RNG state. */
+  def signBuckets(
+      emb: DataFrame, idCol: String, vecCol: String, nBits: Int, dim: Int): DataFrame = {
+    // Precompute the plane sign matrix driver-side (tiny: nBits x dim),
+    // embed it as a literal array; the per-row work stays codegen'd.
+    val planes: Array[Array[Double]] = Array.tabulate(nBits, dim) { (b, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$b:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+    val planeLits = planes.map(p => array(p.map(lit): _*))
+    val bucketBits = planeLits.zipWithIndex.map { case (p, b) =>
+      when(VectorFunctions.dotProduct(col(vecCol).cast("array<float>"), p.cast("array<float>")) >= 0,
+        shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    emb.withColumn("bucket", bucketBits.reduce(_ + _))
+  }
+
+  /** Bucketed ANN: exact cosine top-k *within* each query's sign bucket.
+    * Trades recall for a |corpus|/2^nBits candidate set per query. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nBits: Int, dim: Int): DataFrame = {
+    val cb = signBuckets(corpus, idCol, vecCol, nBits, dim)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"))
+    val qb = signBuckets(queries, idCol, vecCol, nBits, dim)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+}

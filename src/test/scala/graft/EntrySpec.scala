@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract smoke: every registered query runs at sf0.001, entry
+  * returns rows, and the oracle map stays consistent with the registry. */
+class EntrySpec extends SparkSpec {
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys; SQL is single-line") {
+    val qk = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
+    assert(SparkEntry.oracleSql.values.forall(s => !s.contains("\n")))
+  }
+
+  test("every registered query executes and returns rows at sf0.001") {
+    val empties = Set("q13_customers_without_orders") // legitimately 0 rows at tiny SF
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf001).count()
+      assert(empties.contains(name) || n > 0, s"$name returned 0 rows")
+    }
+  }
+}
+
+/** Property-based invariants (SURVEY.md §5.4), via ScalaCheck's own
+  * runner (no scalatestplus bridge in the offline dependency set). */
+class PropertySpec extends AnyFunSuite {
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+  lazy val spark = GraftSession.local("graft-props")
+
+  private def check(prop: Prop, n: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("base64 encode/decode identity (P5 parity)") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(20, Gen.alphaNumStr.suchThat(_.nonEmpty))) {
+      xs: List[String] =>
+        val out = xs.toDF("s")
+          .selectExpr("CAST(unbase64(base64(CAST(s AS BINARY))) AS STRING) AS r")
+          .collect().map(_.getString(0)).toList
+        out == xs
+    })
+  }
+
+  test("split(birthDay,'-')[0] equals substring year for ISO dates (P6)") {
+    import spark.implicits._
+    val dateGen = for {
+      y <- Gen.choose(1900, 2100); m <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+    } yield f"$y%04d-$m%02d-$d%02d"
+    check(Prop.forAll(Gen.listOfN(30, dateGen)) { ds: List[String] =>
+      val out = ds.toDF("birthDay").selectExpr(
+        "split(birthDay, '-')[0] AS a", "substring(birthDay, 1, 4) AS b").collect()
+      out.forall(r => r.getString(0) == r.getString(1))
+    })
+  }
+
+  test("join row-count invariant: |A join B on key| <= |A| * max-multiplicity(B)") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(30, Gen.choose(0, 9)), Gen.listOfN(30, Gen.choose(0, 9))) {
+      (as: List[Int], bs: List[Int]) =>
+        val joined = as.toDF("k").join(bs.toDF("k"), "k").count()
+        val maxMult = bs.groupBy(identity).map(_._2.size).maxOption.getOrElse(0)
+        joined <= as.size.toLong * maxMult
+    }, n = 5)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (3L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+      (4L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactGroups collapses exact duplicates to min id") {
+    val out = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keep_id = min(1,2)
+  }
+
+  test("minhash signatures: identical docs identical, near-dups mostly equal") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", nHashes = 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(sig(1L) == sig(2L))
+    val agree13 = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    val agree14 = sig(1L).zip(sig(4L)).count { case (a, b) => a == b }
+    assert(agree13 > agree14)
+    assert(agree14 == 0)
+  }
+
+  test("lshCandidates surfaces exact and near dups, not disjoint docs") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", nHashes = 8)
+    val pairs = Dedup.lshCandidates(sig, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccardPairs integer threshold finds planted near-dups in testdata") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", p = 1, q = 2).collect()
+    assert(pairs.nonEmpty)
+    // every pair satisfies common*2 >= uni
+    assert(pairs.forall(r => r.getLong(2) * 2 >= r.getLong(3)))
+  }
+
+  test("simhash32: equal docs equal, near-dups closer in Hamming distance") {
+    val sh = Dedup.simhash32(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+  }
+
+  test("embeddingNearDups finds high-cosine pairs only") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

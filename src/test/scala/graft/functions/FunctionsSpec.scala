@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  private def vecDf = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("id", "a", "b")
+  }
+
+  test("cosineSim: identical=1, orthogonal=0, scaled=1, zero-vector=0") {
+    val out = vecDf
+      .select(col("id"), VectorFunctions.cosineSim(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+    assert(math.abs(out(3L) - 1.0) < 1e-12)
+    assert(out(4L) == 0.0)
+  }
+
+  test("dotProduct and l2Norm") {
+    val row = vecDf.filter(col("id") === 3)
+      .select(
+        VectorFunctions.dotProduct(col("a"), col("b")),
+        VectorFunctions.l2Norm(col("a")))
+      .collect()(0)
+    assert(math.abs(row.getDouble(0) - 18.0) < 1e-12)
+    assert(math.abs(row.getDouble(1) - 3.0) < 1e-12)
+  }
+
+  test("null input propagates null") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
+    val r = df.select(VectorFunctions.cosineSim(col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("expression survives codegen inside a filter+project pipeline") {
+    // exercise the doGenCode path in a multi-operator stage
+    val n = vecDf.filter(VectorFunctions.cosineSim(col("a"), col("b")) > 0.5)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(n == Set(1L, 3L))
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+
+  test("words/tokenCount/shingles with edge cases") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "  x   y  "), // ragged whitespace
+      (3L, "one two")    // fewer words than shingle width
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextFunctions.tokenCount(col("text")).as("n"),
+        TextFunctions.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[String](2))).toList
+    assert(out(0) == ((1L, 4, Seq("a b c", "b c d"))))
+    assert(out(1)._2 == 2)
+    assert(out(2)._3 == Seq.empty)
+  }
+
+  test("langId picks marker-dominant language, und when none") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of note"),
+      (2L, "der hund und die katze"),
+      (3L, "xyzzy plugh")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("fingerprint is whitespace/case canonical") {
+    import spark.implicits._
+    val df = Seq(("A  B\tC", "a b c")).toDF("x", "y")
+    val r = df.select(
+      TextFunctions.fingerprint(col("x")),
+      TextFunctions.fingerprint(col("y"))).collect()(0)
+    assert(r.getString(0) == r.getString(1))
+  }
+
+  test("qualityScore is in [0,1] on real docs") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val mm = d.select(
+      min(TextFunctions.qualityScore(col("text"))),
+      max(TextFunctions.qualityScore(col("text")))).collect()(0)
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+}

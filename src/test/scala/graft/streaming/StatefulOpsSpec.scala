@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** Streaming table semantics (SURVEY.md §2.5 A1/A2, §2.8): update-mode
+  * counts and last-write-wins keyed state over MemoryStream. */
+class StatefulOpsSpec extends SparkSpec {
+
+  test("countByKey in update mode emits changelog rows per batch (A1/KSQL)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val counts = StatefulOps.countByKey(in.toDF().toDF("station_id", "line"),
+      "station_id", "STATION_ID", "COUNT")
+
+    val q = counts.writeStream.format("memory").queryName("ts_counts")
+      .outputMode("complete").start()
+    try {
+      in.addData((100, "red"), (100, "red"), (101, "blue"))
+      q.processAllAvailable()
+      val m1 = spark.table("ts_counts").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(m1 == Map(100 -> 2L, 101 -> 1L))
+
+      in.addData((100, "red"))
+      q.processAllAvailable()
+      val m2 = spark.table("ts_counts").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(m2 == Map(100 -> 3L, 101 -> 1L))
+    } finally q.stop()
+  }
+
+  test("upsertLatest keeps last write per key across batches (A2/Faust table)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val latest = StatefulOps.upsertLatest(in.toDS())
+
+    val q = latest.writeStream.format("memory").queryName("latest_tbl")
+      .outputMode("update").start()
+    try {
+      in.addData((1, "v1"), (2, "a"))
+      q.processAllAvailable()
+      in.addData((1, "v2"))
+      q.processAllAvailable()
+      // update-mode memory sink appends updates; last update for key 1 is v2
+      val rows = spark.table("latest_tbl").collect().map(r => (r.getInt(0), r.getString(1)))
+      assert(rows.contains((1, "v2")))
+      assert(rows.contains((2, "a")))
+    } finally q.stop()
+  }
+
+  test("latestPerKey declarative variant matches imperative on batch data") {
+    import spark.implicits._
+    val df = Seq((1, 10L, "old"), (1, 20L, "new"), (2, 5L, "x"))
+      .toDF("k", "ord", "v")
+    val out = StatefulOps.latestPerKey(df, "k", "ord").collect()
+      .map(r => (r.getInt(0), r.getString(2))).toMap
+    assert(out == Map(1 -> "new", 2 -> "x"))
+  }
+}
