@@ -92,4 +92,16 @@ object TextFunctions {
     * path at 100 TB would swap md5 for xxhash64 (cheaper), same shape. */
   def minhashOverShingles(shingle: Column, salt: Int): Column =
     md5(concat(lit(s"$salt:"), shingle).cast("binary"))
+
+  /** P13: the reference's topic-name normalization chain
+    * (producers/models/station.py:21-28): lower, then literal replaces
+    * "/"->"_and_", " "->"_", "-"->"_", "'"->"". */
+  def topicName(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(c), "/", "_and_"),
+          " ", "_"),
+        "-", "_"),
+      "'", "")
 }

@@ -302,6 +302,25 @@ object CoreQueries {
       Some("""
         SELECT n_name, COUNT(*) AS n_customers
         FROM customer JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY n_name ORDER BY n_name"""))
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- P13 + P15: topic-name normalization chain + epoch-millis key ----
+    GraftQuery(
+      "q27_topic_normalize",
+      "lower + literal-replace chain (station.py:21-28 shape) + unix_millis keys.",
+      (spark, dir) =>
+        Tables.table(spark, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            graft.functions.TextFunctions.topicName(col("o_orderpriority")).as("topic"),
+            // o_orderdate is TIMESTAMP_NTZ in the parquet; interpret as
+            // UTC instant (session TZ) to match DuckDB's epoch_ms.
+            unix_millis(col("o_orderdate").cast("timestamp")).as("key_ms"))
+          .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey,
+               replace(replace(replace(replace(lower(o_orderpriority), '/', '_and_'), ' ', '_'), '-', '_'), '''', '') AS topic,
+               epoch_ms(o_orderdate) AS key_ms
+        FROM orders ORDER BY o_orderkey"""))
   )
 }

@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Avro (de)serialization for the CTA topics (SURVEY.md §2.1 S4, §2.7 K3).
+  *
+  * The environment ships core Avro (`avro-1.12.1.jar`) but not the
+  * `spark-avro` module, so `from_avro`/`to_avro` are unavailable; these
+  * typed codecs decode plain-framed Avro binary into case-class columns
+  * via `GenericDatumReader`. Schema-registry 5-byte framing is out of
+  * scope (SURVEY.md §7 risk register).
+  *
+  * Schemas mirror the reference's data contracts:
+  * arrival_value.json / turnstile_value.json / weather_value.json /
+  * *_key.json under kafka-streaming-pipeline/producers/models/schemas/.
+  *
+  * Scale note: the codec caches parsed `Schema`/reader per JVM (TrieMap
+  * keyed by schema text), so executor tasks pay parse cost once, and the
+  * UDF closure captures only the schema string (always serializable).
+  */
+object AvroCodec {
+
+  // --- data contracts (reference schemas, §FIXTURES.md 2.1-2.3) ---
+
+  case class ArrivalValue(
+      station_id: Int, train_id: String, direction: String, line: String,
+      train_status: String, prev_station_id: Option[Int], prev_direction: Option[String])
+
+  case class TurnstileValue(station_id: Int, station_name: String, line: String)
+
+  case class WeatherValue(temperature: Float, status: String)
+
+  case class EventKey(timestamp: Long)
+
+  val arrivalValueSchema: String =
+    """{"type":"record","name":"arrival","namespace":"graft.cta",
+      |"fields":[
+      |{"name":"station_id","type":"int"},
+      |{"name":"train_id","type":"string"},
+      |{"name":"direction","type":"string"},
+      |{"name":"line","type":"string"},
+      |{"name":"train_status","type":"string"},
+      |{"name":"prev_station_id","type":["null","int"],"default":null},
+      |{"name":"prev_direction","type":["null","string"],"default":null}
+      |]}""".stripMargin
+
+  val turnstileValueSchema: String =
+    """{"type":"record","name":"turnstile","namespace":"graft.cta",
+      |"fields":[
+      |{"name":"station_id","type":"int"},
+      |{"name":"station_name","type":"string"},
+      |{"name":"line","type":"string"}
+      |]}""".stripMargin
+
+  val weatherValueSchema: String =
+    """{"type":"record","name":"weather","namespace":"graft.cta",
+      |"fields":[
+      |{"name":"temperature","type":"float"},
+      |{"name":"status","type":{"type":"enum","name":"WeatherStatus",
+      |"symbols":["sunny","partly_cloudy","cloudy","windy","precipitation"]}}
+      |]}""".stripMargin
+
+  val eventKeySchema: String =
+    """{"type":"record","name":"key","namespace":"graft.cta",
+      |"fields":[{"name":"timestamp","type":"long"}]}""".stripMargin
+
+  // --- per-JVM schema cache ---
+
+  private val schemaCache = TrieMap.empty[String, Schema]
+  private def schema(json: String): Schema =
+    schemaCache.getOrElseUpdate(json, new Schema.Parser().parse(json))
+
+  def decodeRecord(json: String, bytes: Array[Byte]): GenericRecord = {
+    val s = schema(json)
+    val reader = new GenericDatumReader[GenericRecord](s)
+    reader.read(null, DecoderFactory.get.binaryDecoder(bytes, null))
+  }
+
+  def encodeRecord(json: String)(fill: GenericData.Record => Unit): Array[Byte] = {
+    val s = schema(json)
+    val rec = new GenericData.Record(s)
+    fill(rec)
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get.binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](s).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  private def str(r: GenericRecord, f: String): String = {
+    val v = r.get(f); if (v == null) null else v.toString
+  }
+
+  // --- typed decoders as Columns ---
+
+  val decodeArrival: Column => Column = {
+    val sj = arrivalValueSchema
+    val f = udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else {
+        val r = AvroCodec.decodeRecord(sj, bytes)
+        ArrivalValue(
+          r.get("station_id").asInstanceOf[Int], str(r, "train_id"),
+          str(r, "direction"), str(r, "line"), str(r, "train_status"),
+          Option(r.get("prev_station_id")).map(_.asInstanceOf[Int]),
+          Option(str(r, "prev_direction")))
+      }
+    }
+    c => f(c)
+  }
+
+  val decodeTurnstile: Column => Column = {
+    val sj = turnstileValueSchema
+    val f = udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else {
+        val r = AvroCodec.decodeRecord(sj, bytes)
+        TurnstileValue(r.get("station_id").asInstanceOf[Int],
+          str(r, "station_name"), str(r, "line"))
+      }
+    }
+    c => f(c)
+  }
+
+  val decodeWeather: Column => Column = {
+    val sj = weatherValueSchema
+    val f = udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else {
+        val r = AvroCodec.decodeRecord(sj, bytes)
+        // enum -> symbol name (P14: Spark has no enum type)
+        WeatherValue(r.get("temperature").asInstanceOf[Float], str(r, "status"))
+      }
+    }
+    c => f(c)
+  }
+
+  val decodeEventKey: Column => Column = {
+    val sj = eventKeySchema
+    val f = udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else {
+        val r = AvroCodec.decodeRecord(sj, bytes)
+        EventKey(r.get("timestamp").asInstanceOf[Long])
+      }
+    }
+    c => f(c)
+  }
+
+  // --- typed encoders (K3 sink side) ---
+
+  val encodeTurnstile: Column => Column = {
+    val sj = turnstileValueSchema
+    val f = udf { t: TurnstileValue =>
+      if (t == null) null
+      else encodeRecord(sj) { r =>
+        r.put("station_id", t.station_id)
+        r.put("station_name", t.station_name)
+        r.put("line", t.line)
+      }
+    }
+    c => f(c)
+  }
+
+  val encodeEventKey: Column => Column = {
+    val sj = eventKeySchema
+    val f = udf { k: EventKey =>
+      if (k == null) null else encodeRecord(sj)(r => r.put("timestamp", k.timestamp))
+    }
+    c => f(c)
+  }
+}

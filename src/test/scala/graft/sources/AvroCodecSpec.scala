@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.avro.generic.GenericData
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Avro decode/encode vs the reference's CTA schemas (FIXTURES.md §2). */
+class AvroCodecSpec extends SparkSpec {
+
+  test("arrival round-trip incl. nullable-union fields (S4)") {
+    import spark.implicits._
+    val bytes = AvroCodec.encodeRecord(AvroCodec.arrivalValueSchema) { r =>
+      r.put("station_id", 40900)
+      r.put("train_id", "BL001")
+      r.put("direction", "a")
+      r.put("line", "blue")
+      r.put("train_status", "in_service")
+      r.put("prev_station_id", null)
+      r.put("prev_direction", null)
+    }
+    val df = Seq(Tuple1(bytes)).toDF("value")
+    val row = df.select(AvroCodec.decodeArrival(col("value")).as("v"))
+      .select("v.*").collect()(0)
+    assert(row.getInt(0) == 40900)
+    assert(row.getString(3) == "blue")
+    assert(row.isNullAt(5) && row.isNullAt(6))
+  }
+
+  test("weather decode maps enum to symbol name (P14)") {
+    import spark.implicits._
+    val schema = new org.apache.avro.Schema.Parser().parse(AvroCodec.weatherValueSchema)
+    val bytes = AvroCodec.encodeRecord(AvroCodec.weatherValueSchema) { r =>
+      r.put("temperature", 71.5f)
+      r.put("status", new GenericData.EnumSymbol(schema.getField("status").schema(), "partly_cloudy"))
+    }
+    val row = Seq(Tuple1(bytes)).toDF("value")
+      .select(AvroCodec.decodeWeather(col("value")).as("v")).select("v.*").collect()(0)
+    assert(row.getFloat(0) == 71.5f)
+    assert(row.getString(1) == "partly_cloudy")
+  }
+
+  test("turnstile encode/decode and key stamping round-trip (K3)") {
+    import spark.implicits._
+    val df = Seq((1234567890123L, 40900, "N/Clark Stop", "red"))
+      .toDF("ms", "station_id", "station_name", "line")
+    val packed = df.select(
+      AvroCodec.encodeEventKey(struct(col("ms").as("timestamp"))).as("key"),
+      AvroCodec.encodeTurnstile(
+        struct(col("station_id"), col("station_name"), col("line"))).as("value"))
+    val row = packed.select(
+      AvroCodec.decodeEventKey(col("key")).as("k"),
+      AvroCodec.decodeTurnstile(col("value")).as("v"))
+      .select("k.timestamp", "v.station_id", "v.station_name", "v.line").collect()(0)
+    assert(row.getLong(0) == 1234567890123L)
+    assert(row.getInt(1) == 40900)
+    assert(row.getString(2) == "N/Clark Stop")
+  }
+}

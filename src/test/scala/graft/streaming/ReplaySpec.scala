@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.functions.TextFunctions
+
+class ReplaySpec extends SparkSpec {
+
+  test("events parquet replayed as a stream aggregates like batch (S8)") {
+    val batch = Tables.table(spark, sf001, "events")
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // file stream source needs a directory: stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = Replay.eventsStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    val agg = stream.groupBy(col("event_type")).count()
+    val q = agg.writeStream.format("memory").queryName("replay_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("replay_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("routedWrite partitions output by route value (F4 topic router)") {
+    val tmp = java.nio.file.Files.createTempDirectory("routed").toString
+    val df = Tables.table(spark, sf001, "events")
+      .withColumn("route",
+        when(col("event_type") === "error", "alerts").otherwise("rest"))
+    Replay.routedWrite(df, "route", tmp)
+    val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("route=alerts", "route=rest"))
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == df.count())
+  }
+
+  test("topicName normalization chain matches reference semantics (P13)") {
+    import spark.implicits._
+    val out = Seq("Addison/Kimball Stop-1 O'Hare").toDF("s")
+      .select(TextFunctions.topicName(col("s"))).collect()(0).getString(0)
+    assert(out == "addison_and_kimball_stop_1_ohare")
+  }
+}
