@@ -1,24 +1,52 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): runs every registered query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  * Methodology:
+  *  - one generic warmup (parquet scan + shuffle + window + codegen)
+  *    so JIT/class-loading of engine machinery isn't billed to the
+  *    first query;
+  *  - each query is executed ONCE, fully materialized via
+  *    `queryExecution.toRdd.count()` — a plain Dataset.count() would
+  *    let the optimizer prune projections and sorts, under-reporting
+  *    the real work.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.local("graft-bench")
+
+    warmup(spark, sfDir)
+
+    val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try q.run(spark, sfDir).queryExecution.toRdd.count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Exercise scan/shuffle/window/codegen paths once, cheaply. */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    try {
+      val n = Tables.table(spark, sfDir, "nation")
+      n.groupBy(col("n_regionkey")).count().queryExecution.toRdd.count()
+      spark.range(1000)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+        .queryExecution.toRdd.count()
+    } catch { case _: Throwable => () }
   }
 }

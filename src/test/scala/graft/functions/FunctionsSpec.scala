@@ -90,6 +90,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getString(0) == r.getString(1))
   }
 
+  test("langIdByDoc (aggregate form) matches langId (per-row form) on real docs") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val perRow = d.select(col("doc_id"), TextFunctions.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val agg = TextAnalysis.langIdByDoc(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(agg == perRow)
+  }
+
+  test("qualityByDoc (aggregate form) matches qualityScore bit-for-bit") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val perRow = d.select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val agg = TextAnalysis.qualityByDoc(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(agg == perRow)
+  }
+
+  test("shingleTable (window form) matches per-row shingles") {
+    import spark.implicits._
+    val d = graft.Tables.table(spark, sf001, "documents").limit(100)
+    val viaWindow = graft.dedup.Dedup.shingleTable(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaHof = d.select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("g")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaWindow == viaHof)
+  }
+
   test("qualityScore is in [0,1] on real docs") {
     val d = graft.Tables.table(spark, sf001, "documents")
     val mm = d.select(
