@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct, L2Norm, RollingHash}
+
+/** SQL-surface registration for graft's custom Catalyst expressions, so
+  * `spark.sql("SELECT cosine_similarity(a, b) ...")` works alongside the
+  * Column API.
+  *
+  * Two paths:
+  *  - [[GraftExtensions]]: `SparkSessionExtensions` injector for
+  *    cluster-wide setup (`spark.sql.extensions=graft.GraftExtensions`);
+  *  - [[GraftFunctions.register]]: runtime registration on an existing
+  *    session (what tests and `SparkEntry.queries` use — the driver owns
+  *    session construction, so extensions can't be assumed).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftFunctions._
+  override def apply(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
+}
+
+object GraftFunctions {
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "l2_norm" -> (es => L2Norm(es(0))),
+    "rolling_hash" -> (es => RollingHash(es(0))))
+
+  /** Idempotently register the graft functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, es => builder(es), "scala_udf")
+    }
+}

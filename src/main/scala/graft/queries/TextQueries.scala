@@ -23,6 +23,9 @@ object TextQueries {
         d.select(
           col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          // BPE-ish segmentation: letter runs / digit runs / single marks
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("bpeish_tokens"),
           length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha"),
           (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
             / length(col("text")).cast("double")).as("alpha_ratio"))
@@ -31,6 +34,7 @@ object TextQueries {
       Some(raw"""
         SELECT doc_id,
                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpeish_tokens,
                CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
                CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
                  / CAST(length(text) AS DOUBLE) AS alpha_ratio
@@ -100,6 +104,19 @@ object TextQueries {
       Some(raw"""
         SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
                min(doc_id) AS keep_id, count(*) AS n_copies
-        FROM documents GROUP BY 1 ORDER BY fp"""))
+        FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    GraftQuery(
+      "q28_rolling_hash",
+      "64-bit polynomial rolling-hash fingerprint (custom codegen'd " +
+        "Expression; wrapping arithmetic is not portable SQL, so this " +
+        "takes the driver's rows-only check, cross-checked in ScalaTest).",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        d.select(col("doc_id"),
+            graft.functions.RollingHash.rollingHash(col("text")).as("rhash"))
+          .orderBy(col("doc_id"))
+      },
+      None)
   )
 }

@@ -29,6 +29,19 @@ object StatefulOps {
       .agg(max(col(ord)).as(ord), others.map(c => max_by(col(c), col(ord)).as(c)): _*)
   }
 
+  /** Watermarked windowed aggregation (tumbling when slide == window).
+    * The reference keeps only global per-key aggregates (SURVEY.md §2.8
+    * "windows: none"); this is the bounded-state variant the 100 TB
+    * design runs instead — state is evicted once the watermark passes a
+    * window's end, so state size is O(active windows), not O(keys seen
+    * ever). */
+  def windowedCounts(
+      df: DataFrame, tsCol: String, keyCol: String,
+      windowDur: String, slideDur: String, watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur, slideDur), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
   /** A2 imperative: last-write-wins upsert via mapGroupsWithState —
     * the direct Faust-table counterpart (faust_stream.py:41-46,71).
     * Emits the current table row for each key touched in the batch. */

@@ -51,6 +51,36 @@ class VectorExpressionsSpec extends SparkSpec {
   }
 }
 
+class RollingHashSpec extends SparkSpec {
+
+  private def jvmRef(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+
+  test("rolling_hash matches the JVM reference implementation") {
+    import spark.implicits._
+    val samples = Seq("", "a", "hello world", "the quick brown fox", "ünïcödé")
+    val out = samples.toDF("s")
+      .select(col("s"), RollingHash.rollingHash(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach(s => assert(out(s) == jvmRef(s), s"mismatch for '$s'"))
+  }
+
+  test("custom expressions are SQL-callable after GraftFunctions.register") {
+    graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("abc", Array(1.0f, 0.0f), Array(1.0f, 0.0f)))
+      .toDF("s", "a", "b").createOrReplaceTempView("graft_fn_test")
+    val row = spark.sql(
+      """SELECT rolling_hash(s) AS rh, cosine_similarity(a, b) AS cs,
+        |       dot_product(a, b) AS dp, l2_norm(a) AS n
+        |FROM graft_fn_test""".stripMargin).collect()(0)
+    assert(row.getLong(0) == jvmRef("abc"))
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(row.getDouble(3) - 1.0) < 1e-12)
+  }
+}
+
 class TextFunctionsSpec extends SparkSpec {
 
   test("words/tokenCount/shingles with edge cases") {

@@ -52,6 +52,32 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked tumbling-window counts: append mode emits closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = StatefulOps.windowedCounts(
+      in.toDF().toDF("ts", "k"), "ts", "k", "1 hour", "1 hour", "10 minutes")
+
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), "a"), (ts(5), "a"), (ts(30), "b"))
+      q.processAllAvailable()
+      // advance the watermark past the first hour with a sentinel event
+      in.addData((ts(24 * 60), "zz"))
+      q.processAllAvailable()
+      in.addData((ts(48 * 60), "zz"))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .filter(_.getString(1) != "zz")
+        .map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(("a", 2L), ("b", 1L)))
+    } finally q.stop()
+  }
+
   test("latestPerKey declarative variant matches imperative on batch data") {
     import spark.implicits._
     val df = Seq((1, 10L, "old"), (1, 20L, "new"), (2, 5L, "x"))
