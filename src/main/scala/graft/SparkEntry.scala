@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   val registry: Seq[GraftQuery] =
-    CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
+    CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ ExtendedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * STEDI-analog composition: parse -> filter -> split -> join -> agg. */

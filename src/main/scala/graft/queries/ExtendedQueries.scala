@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.stedi.Stedi
+
+/** Coverage beyond the reference's own surface: distinct counting, set
+  * operations, ROLLUP (all free from Catalyst — the queries prove the
+  * engine exposes them correctly against the oracle), and a synthesized
+  * end-to-end STEDI run whose oracle derives the expected output
+  * independently of the decode chain.
+  */
+object ExtendedQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q29_distinct_counts",
+      "Exact COUNT(DISTINCT) pair + row count in one aggregation.",
+      (spark, dir) =>
+        Tables.table(spark, dir, "lineitem").agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")),
+      Some("""
+        SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem""")),
+
+    GraftQuery(
+      "q30_set_ops",
+      "UNION / INTERSECT / EXCEPT over two key sets, tagged into one result.",
+      (spark, dir) => {
+        val a = Tables.table(spark, dir, "customer")
+          .filter(col("c_acctbal") > 5000.0).select(col("c_custkey").as("k"))
+        val b = Tables.table(spark, dir, "orders")
+          .filter(col("o_totalprice") > 300000.0).select(col("o_custkey").as("k"))
+        val u = a.union(b).distinct().select(lit("union").as("op"), col("k"))
+        val i = a.intersect(b).select(lit("intersect").as("op"), col("k"))
+        val e = a.except(b).select(lit("except").as("op"), col("k"))
+        u.union(i).union(e).orderBy(col("op"), col("k"))
+      },
+      Some("""
+        WITH A AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0),
+             B AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000.0)
+        SELECT 'union' AS op, k FROM (SELECT k FROM A UNION SELECT k FROM B)
+        UNION ALL SELECT 'intersect' AS op, k FROM (SELECT k FROM A INTERSECT SELECT k FROM B)
+        UNION ALL SELECT 'except' AS op, k FROM (SELECT k FROM A EXCEPT SELECT k FROM B)
+        ORDER BY op, k""")),
+
+    GraftQuery(
+      "q31_rollup",
+      "ROLLUP hierarchy totals; NULLS FIRST pinned on both sides.",
+      (spark, dir) =>
+        Tables.table(spark, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    GraftQuery(
+      "q32_stedi_end_to_end",
+      "Full STEDI decode chain (JSON-in-base64-in-JSON -> unbase64 -> " +
+        "split -> stream-stream-shaped join) over payloads synthesized " +
+        "from `customer`; the oracle derives the expected output " +
+        "independently, so the whole chain is cross-checked.",
+      (spark, dir) => {
+        val c = Tables.table(spark, dir, "customer")
+        val base = c.select(
+          col("c_name"),
+          concat(lower(translate(col("c_name"), "#", ".")), lit("@test.com")).as("email"),
+          concat((lit(1950) + col("c_custkey") % 50).cast("string"), lit("-01-15")).as("birthDay"),
+          col("c_acctbal").cast("string").as("score"))
+        val customerJson = concat(
+          lit("{\"customerName\":\""), col("c_name"),
+          lit("\",\"email\":\""), col("email"),
+          lit("\",\"phone\":\"5551212\",\"birthDay\":\""), col("birthDay"),
+          lit("\"}"))
+        val enc = regexp_replace(base64(customerJson.cast("binary")), "\r\n", "")
+        val redisRaw = base.select(
+          lit("k").as("key"),
+          concat(
+            lit("{\"key\":\"Q3VzdG9tZXI=\",\"existType\":\"NONE\",\"Ch\":false,\"Incr\":false,"
+              + "\"zSetEntries\":[{\"element\":\""), enc,
+            lit("\",\"score\":\"0.0\"}]}")).as("value"))
+        val riskRaw = base.select(
+          lit("k").as("key"),
+          concat(
+            lit("{\"customer\":\""), col("email"),
+            lit("\",\"score\":\""), col("score"),
+            lit("\",\"riskDate\":\"2020-01-01T00:00:00.000Z\"}")).as("value"))
+        Stedi.pipeline(redisRaw, riskRaw).orderBy(col("customer"))
+      },
+      Some("""
+        WITH B AS (
+          SELECT lower(translate(c_name, '#', '.')) || '@test.com' AS email,
+                 CAST(1950 + c_custkey % 50 AS VARCHAR) AS birthYear,
+                 CAST(c_acctbal AS VARCHAR) AS score
+          FROM customer)
+        SELECT email AS customer, score, email, birthYear
+        FROM B ORDER BY customer"""))
+  )
+}

@@ -59,6 +59,41 @@ object Similarity {
     emb.withColumn("bucket", bucketBits.reduce(_ + _))
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    * corpus into `nLists` cells; each query probes only its own cell and
+    * is exact-cosine re-ranked inside it. The classic IVF-Flat layout —
+    * at 100 TB the cell assignment is a write-time partition key, so a
+    * query touches |corpus|/nLists rows. Deterministic via fixed seed.
+    * Single-probe (nProbe=1) — recall rises with multi-probe the same
+    * way as for the sign-LSH variant. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nLists: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val cFeat = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("features", array_to_vector(col("c_vec")))
+    val model = new KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
+      .fit(cFeat)
+    val cCells = model.transform(cFeat)
+      .select(col("neighbor_id"), col("c_vec"), col("prediction").as("cell"))
+    val qFeat = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("features", array_to_vector(col("q_vec")))
+    val qCells = model.transform(qFeat)
+      .select(col("query_id"), col("q_vec"), col("prediction").as("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cCells.join(broadcast(qCells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Bucketed ANN: exact cosine top-k *within* each query's sign bucket.
     * Trades recall for a |corpus|/2^nBits candidate set per query. */
   def lshTopK(

@@ -38,6 +38,20 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
+  test("ivfTopK is deterministic and overlaps brute force") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val r1 = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 3, nLists = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val r2 = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 3, nLists = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r1 == r2)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = r1.map(t => (t._1, t._3))
+    assert((exact & approx).nonEmpty)
+  }
+
   test("lshTopK recall vs brute force is nontrivial at nBits=4") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)
