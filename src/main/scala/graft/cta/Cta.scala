@@ -73,6 +73,27 @@ object Cta {
         others.map(c => max_by(col(c), col(ord)).as(c)): _*)
   }
 
+  /** J2: the web consumer's per-station UI state — turnstile summary
+    * keyed back into the transformed-stations dim (reference
+    * consumers/models/line.py:48-55,68-75 maintains this as a mutable
+    * dict; here it's a broadcast-dim left join so stations with no
+    * turnstile events yet still render, count defaulting to 0 like the
+    * UI's initial state (station.py:24). */
+  def stationStatus(transformed: DataFrame, summary: DataFrame): DataFrame =
+    transformed.join(
+        broadcast(summary),
+        transformed("station_id") === summary("STATION_ID"),
+        "left")
+      .select(
+        transformed("station_id"), col("station_name"), col("order"), col("line"),
+        coalesce(col("COUNT"), lit(0L)).as("num_turnstile_entries"))
+
+  /** A4: first-row extraction after an equality filter (reference
+    * turnstile_hardware.py:22-33 `iloc[0]` pattern). */
+  def firstRowFor(df: DataFrame, keyCol: String, key: Int, orderCol: String): Option[org.apache.spark.sql.Row] =
+    df.filter(col(keyCol) === key).orderBy(col(orderCol)).limit(1)
+      .collect().headOption
+
   /** Stations CSV batch source (S5; reference producers/simulation.py:35-37
     * reads the same file with pandas), ordered by `order` (O1). */
   def readStationsCsv(spark: SparkSession, path: String): Dataset[Station] = {

@@ -50,6 +50,25 @@ class CtaSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 20L, "new"), (2, 5L, "only")))
   }
 
+  test("stationStatus joins summary into the stations dim, 0 for quiet stations (J2)") {
+    import spark.implicits._
+    val transformed = Cta.transformStations(stations.toDF())
+    val turnstiles = Seq((100, "A", "red"), (100, "A", "red"), (101, "B", "blue"))
+      .toDF("station_id", "station_name", "line")
+    val status = Cta.stationStatus(transformed, Cta.turnstileSummary(turnstiles))
+    val m = status.collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(m == Map(100 -> 2L, 101 -> 1L, 102 -> 0L, 103 -> 0L))
+  }
+
+  test("firstRowFor returns the first matching row (A4 iloc[0] pattern)") {
+    import spark.implicits._
+    val df = Seq((7, 2, "second"), (7, 1, "first"), (8, 1, "other"))
+      .toDF("station_id", "ord", "v")
+    val row = Cta.firstRowFor(df, "station_id", 7, "ord")
+    assert(row.exists(_.getString(2) == "first"))
+    assert(Cta.firstRowFor(df, "station_id", 99, "ord").isEmpty)
+  }
+
   test("readStationsCsv loads and orders by order column (S5/O1)") {
     val tmp = java.nio.file.Files.createTempDirectory("stations").toFile
     val f = new java.io.File(tmp, "stations.csv")

@@ -81,6 +81,46 @@ class RollingHashSpec extends SparkSpec {
   }
 }
 
+class TopKAggregatorSpec extends SparkSpec {
+
+  test("typed top-k aggregator matches window-ranked top-k (UDAF surface)") {
+    import spark.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val exactWindow = graft.similarity.Similarity
+      .bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"),
+        VectorFunctions.cosineSim(col("q_vec"), col("c_vec")).as("cos"),
+        col("neighbor_id"))
+      .as[(Long, Double, Long)]
+    val topkUdaf = new TopKAggregator(3).toColumn
+    val viaAgg = scored
+      .groupByKey(_._1)
+      .mapValues { case (_, cos, id) => (cos, id) }
+      .agg(topkUdaf.name("ids"))
+      .collect()
+      .flatMap { case (qid, ids) =>
+        ids.zipWithIndex.map { case (id, i) => (qid, (i + 1).toLong, id) }
+      }.toSet
+    assert(viaAgg == exactWindow)
+  }
+
+  test("approx_count_distinct tracks exact within 5% (HLL++, §2.10)") {
+    val li = graft.Tables.table(spark, sf001, "lineitem")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect()(0)
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+}
+
 class TextFunctionsSpec extends SparkSpec {
 
   test("words/tokenCount/shingles with edge cases") {
