@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join-at-scale techniques (builder prompt: bucketing for co-located
+  * joins, salting for skew). These are the 100 TB plays the relational
+  * queries rely on implicitly via AQE; here they are explicit, testable
+  * operators.
+  */
+object ScaleJoins {
+
+  /** Write `df` as a bucketed (and optionally sorted) external table:
+    * both sides of a join bucketed by the join key with the same bucket
+    * count read back with compatible HashPartitioning, so the join plans
+    * with NO exchange — at 100 TB this converts the biggest fact-fact
+    * shuffle into a local zip of pre-shuffled files. */
+  def writeBucketed(
+      df: DataFrame, table: String, path: String,
+      bucketCols: Seq[String], nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w: DataFrameWriter[Row] = df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+
+  /** Co-located inner join of two bucketed tables on their bucket key. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable),
+      col(leftKey) === col(rightKey))
+
+  /** Salted inner equi-join for skewed keys: each left row gets a salt
+    * in [0, saltFactor); the (small-ish) right side is replicated once
+    * per salt value, so a hot key's rows spread over `saltFactor`
+    * reducers instead of one. Result is identical to the plain join.
+    * (AQE's skewJoin does this adaptively for sort-merge joins; the
+    * explicit form also covers aggregation-free pipelines and fixed
+    * plans.) */
+  def saltedInnerJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, saltFactor: Int): DataFrame = {
+    val saltedLeft = left.withColumn(
+      "_salt", pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+    val explodedRight = right.withColumn(
+      "_salt", explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    saltedLeft.join(explodedRight,
+        saltedLeft(leftKey) === explodedRight(rightKey) &&
+          saltedLeft("_salt") === explodedRight("_salt"))
+      .drop("_salt")
+  }
+}

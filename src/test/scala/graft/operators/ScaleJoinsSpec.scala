@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+class ScaleJoinsSpec extends SparkSpec {
+
+  test("bucketed join on the bucket key plans with no shuffle exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("buckets")
+    val li = Tables.table(spark, sf001, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables.table(spark, sf001, "orders").select("o_orderkey", "o_totalprice")
+    ScaleJoins.writeBucketed(li, "li_b", s"$tmp/li", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+    ScaleJoins.writeBucketed(o, "o_b", s"$tmp/o", Seq("o_orderkey"), 8, Seq("o_orderkey"))
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = ScaleJoins.bucketedJoin(spark, "li_b", "o_b", "l_orderkey", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == li.count()) // every lineitem has its order
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // skew: 5000 rows on key 1, a few on others
+    val left = (Seq.fill(5000)(1) ++ Seq(2, 3, 4)).map(k => (k, s"v$k")).toDF("k", "v")
+    val right = Seq((1, "dim1"), (2, "dim2"), (5, "dim5")).toDF("rk", "d")
+    val plain = left.join(right, col("k") === col("rk"))
+    val salted = ScaleJoins.saltedInnerJoin(left, right, "k", "rk", saltFactor = 8)
+    assert(salted.count() == plain.count())
+    val sd = salted.groupBy(col("k")).count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pd = plain.groupBy(col("k")).count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sd == pd)
+  }
+}
