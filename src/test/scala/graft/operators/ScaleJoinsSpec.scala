@@ -25,6 +25,19 @@ class ScaleJoinsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned layout prunes partitions at the scan (PartitionFilters)") {
+    val tmp = java.nio.file.Files.createTempDirectory("parted").toString
+    Tables.table(spark, sf001, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val pruned = spark.read.parquet(tmp)
+      .filter(col("event_type") === "error").select("event_id")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    val expected = Tables.table(spark, sf001, "events")
+      .filter(col("event_type") === "error").count()
+    assert(pruned.count() == expected)
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     // skew: 5000 rows on key 1, a few on others

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.stedi.Stedi
+
+/** §2.8 state-semantics evidence: the reference's no-watermark
+  * stream-stream join keeps ALL rows of both sides in the state store
+  * forever (sparkpykafkajoin.py:128-130); the watermarked variant
+  * bounds state. Both behaviors observed via stateOperators metrics. */
+class StreamStateSpec extends SparkSpec {
+
+  private def riskJson(email: String) =
+    s"""{"customer":"$email","score":"1.0","riskDate":"2020-01-01T00:00:00.000Z"}"""
+
+  test("no-watermark stream-stream join accumulates state monotonically (J1 parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val riskIn = MemoryStream[(String, String)]
+    val custIn = MemoryStream[(String, String)]
+    val risk = Stedi.customerRisk(riskIn.toDF().toDF("key", "value"))
+    // customers side: already-decoded (email, birthYear) shape
+    val cust = custIn.toDF().toDF("email", "birthYear")
+    val joined = Stedi.joinRiskWithCustomers(risk, cust)
+
+    val q = joined.writeStream.format("memory").queryName("state_join")
+      .outputMode("append").start()
+    def stateRows: Long = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).maxOption.getOrElse(0L)
+    try {
+      riskIn.addData(("k", riskJson("a@x.com")))
+      custIn.addData(("a@x.com", "1990"))
+      q.processAllAvailable()
+      val rows1 = stateRows
+
+      riskIn.addData(("k", riskJson("b@x.com")))
+      custIn.addData(("b@x.com", "1991"))
+      q.processAllAvailable()
+      val rows2 = stateRows
+
+      assert(rows2 > rows1, s"state should grow: $rows1 -> $rows2")
+      assert(spark.table("state_join").count() == 2)
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink receives each micro-batch exactly once (K5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val cp = java.nio.file.Files.createTempDirectory("fb_cp").toString
+    val q = KafkaSinks.foreachBatch(
+      in.toDF(), cp, org.apache.spark.sql.streaming.OutputMode.Append()) {
+      (df, batchId) => seen.add((batchId, df.count()))
+    }.start()
+    try {
+      in.addData(1, 2, 3)
+      q.processAllAvailable()
+      in.addData(4)
+      q.processAllAvailable()
+      val batches = seen.toArray(Array.empty[(Long, Long)]).toList.sortBy(_._1)
+      assert(batches.map(_._2) == List(3L, 1L))
+      assert(batches.map(_._1) == batches.map(_._1).distinct)
+    } finally q.stop()
+  }
+}
