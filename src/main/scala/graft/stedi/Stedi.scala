@@ -51,8 +51,16 @@ object Stedi {
     castKafkaStrings(redisRaw)
       .withColumn("value", from_json(col("value"), redisServer))
       .select(col("value.*"))
-      .select(element_at(col("zSetEntries"), 1).getField("element").as("encodedCustomer"))
-      .withColumn("customer", unbase64(col("encodedCustomer")).cast("string"))
+      // reference semantics: SQL `zSetEntries[0]` under non-ANSI Spark 3
+      // yields NULL when the array is empty; Spark 4 runs ANSI by default
+      // where element_at throws — try_element_at preserves the original
+      // null-on-missing behavior.
+      .select(try_element_at(col("zSetEntries"), lit(1)).getField("element").as("encodedCustomer"))
+      // unbase64 throws on malformed input under Spark 4 ANSI;
+      // try_to_binary(.., 'base64') keeps the reference's tolerant
+      // null-on-garbage behavior (decodes valid payloads identically).
+      .withColumn("customer",
+        try_to_binary(col("encodedCustomer"), lit("base64")).cast("string"))
       .withColumn("customer", from_json(col("customer"), customer))
       .select(col("customer.*"))
       .filter(col("email").isNotNull && col("birthDay").isNotNull)
