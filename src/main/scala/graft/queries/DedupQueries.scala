@@ -102,6 +102,35 @@ object DedupQueries {
           GROUP BY doc_id, t.k)
         SELECT doc_id,
                SUM(CASE WHEN s > 0 THEN CAST(POW(2, k - 1) AS BIGINT) ELSE 0 END) AS simhash
-        FROM B GROUP BY doc_id ORDER BY doc_id"""))
+        FROM B GROUP BY doc_id ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q33_simhash_near_dups",
+      "SimHash pairs with Hamming <= 2 via block-partition bucketing " +
+        "(exact, no O(n^2) scan); oracle is the brute-force cross join.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        Dedup.simhashNearDups(d, "doc_id", "text", maxHamming = 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(raw"""
+        WITH W AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS wd FROM documents),
+        H AS (SELECT doc_id, md5(wd) AS h FROM W),
+        B AS (
+          SELECT doc_id, t.k AS k,
+                 SUM(CASE WHEN substr(h, CAST(t.k AS INTEGER), 1)
+                          IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+          FROM H, unnest(range(1, 33)) AS t(k)
+          GROUP BY doc_id, t.k),
+        SH AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN s > 0 THEN CAST(POW(2, k - 1) AS BIGINT) ELSE 0 END) AS simhash
+          FROM B GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM SH a JOIN SH b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        ORDER BY id_a, id_b"""))
   )
 }

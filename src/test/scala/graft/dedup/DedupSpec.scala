@@ -57,6 +57,22 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
   }
 
+  test("simhashNearDups block-partition result equals brute-force hamming filter") {
+    val d = graft.Tables.table(spark, sf001, "documents").limit(200)
+    val viaBlocks = Dedup.simhashNearDups(d, "doc_id", "text", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = Dedup.simhash32(d, "doc_id", "text")
+    val a = sh.toDF("id_a", "sh_a")
+    val b = sh.toDF("id_b", "sh_b")
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("h"))
+      .filter(col("h") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaBlocks == brute)
+    assert(brute.nonEmpty)
+  }
+
   test("embeddingNearDups finds high-cosine pairs only") {
     import spark.implicits._
     val emb = Seq(
