@@ -1,0 +1,41 @@
+package graft
+
+/** Custom planner work: the decision record.
+  *
+  * The builder preference order for operators Spark lacks is
+  * (a) compose built-ins, (b) custom `Expression`, (c) custom
+  * `LogicalPlan` + `Rule` + `SparkStrategy` + `SparkPlan`, (d)
+  * `mapPartitions`. Round-1 outcome per operator family:
+  *
+  *  - Every operator the reference exercises (SURVEY.md §2) is
+  *    expressible with built-in Catalyst operators — tier (a). The
+  *    reference's only join is the stream-stream equi-join, which Spark
+  *    plans natively as `StreamingSymmetricHashJoinExec`.
+  *  - North-star scalar kernels that built-ins cannot express
+  *    efficiently are tier (b) codegen'd Expressions:
+  *    [[graft.functions.CosineSimilarity]], [[graft.functions.DotProduct]],
+  *    [[graft.functions.L2Norm]], [[graft.functions.RollingHash]];
+  *    plus a typed UDAF, [[graft.functions.TopKAggregator]].
+  *  - Whole-operator semantics that look like candidates for tier (c)
+  *    turned out to have better tier-(a) formulations:
+  *      - per-key top-k: Spark already rewrites `row_number <= k` into
+  *        `WindowGroupLimit` (partial group-limit before the shuffle),
+  *        so a custom TopK physical operator would duplicate it — the
+  *        bounded-heap [[graft.functions.TopKAggregator]] covers the
+  *        Dataset-API path;
+  *      - LSH/SimHash candidate generation: bucket-group + in-bucket
+  *        pair explosion ([[graft.dedup.Dedup]]) keeps the pipeline
+  *        single-pass with plain aggregates — a custom join strategy
+  *        would add no pruning the buckets don't already provide;
+  *      - ANN: sign-LSH and IVF re-rank inside bucket/cell joins that
+  *        broadcast the (small) query side — again plain operators.
+  *  - Tier (d) `mapPartitions` is used exactly once, deliberately: the
+  *    multimodal batch decode ([[graft.multimodal.Multimodal]]), whose
+  *    per-record codec calls are opaque to Catalyst by nature.
+  *
+  * When a future round adds an operator Spark genuinely cannot express
+  * (e.g. an as-of join against a versioned dimension), it lands here
+  * with the `SparkSessionExtensions` wiring already in place
+  * ([[graft.GraftExtensions]]).
+  */
+package object plans

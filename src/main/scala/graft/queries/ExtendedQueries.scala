@@ -108,6 +108,41 @@ object ExtendedQueries {
                  CAST(c_acctbal AS VARCHAR) AS score
           FROM customer)
         SELECT email AS customer, score, email, birthYear
-        FROM B ORDER BY customer"""))
+        FROM B ORDER BY customer""")),
+
+    GraftQuery(
+      "q34_session_windows",
+      "session_window (30-min gap) per user over events; oracle is the " +
+        "classic gaps-and-islands formulation - cross-checks Spark's " +
+        "native session windows against an independent derivation.",
+      (spark, dir) =>
+        Tables.table(spark, dir, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            col("user_id"),
+            unix_millis(col("sw.start")).as("session_start_ms"),
+            unix_millis(col("sw.end")).as("session_end_ms"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("session_start_ms")),
+      Some("""
+        WITH E AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        L AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM E),
+        S AS (
+          SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM L)
+        SELECT user_id,
+               epoch_ms(min(ts)) AS session_start_ms,
+               epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS session_end_ms,
+               COUNT(*) AS n_events
+        FROM S GROUP BY user_id, sid
+        ORDER BY user_id, session_start_ms"""))
   )
 }

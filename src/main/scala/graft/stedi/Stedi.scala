@@ -79,12 +79,21 @@ object Stedi {
   def joinRiskWithCustomers(risk: DataFrame, customers: DataFrame): DataFrame =
     risk.join(customers, expr("customer = email"))
 
-  /** Watermarked variant for the 100 TB design: bounds join state. Both
-    * inputs must carry an event-time column named `ts`. */
+  /** Watermarked variant for the 100 TB design: bounds join state.
+    * The risk side must carry event-time `ts`, the customers side
+    * `cust_ts`. Note the event-time RANGE constraint in the join
+    * condition — for stream-stream inner joins a watermark alone does
+    * not let Spark evict state; the range tells it how long each side's
+    * rows can still match, after which state is dropped. */
   def joinRiskWithCustomersWatermarked(
-      risk: DataFrame, customers: DataFrame, delay: String): DataFrame =
+      risk: DataFrame, customers: DataFrame,
+      delay: String, joinWindow: String): DataFrame =
     risk.withWatermark("ts", delay)
-      .join(customers.withWatermark("ts", delay), expr("customer = email"))
+      .join(
+        customers.withWatermark("cust_ts", delay),
+        expr(s"""customer = email
+                 AND ts >= cust_ts - INTERVAL $joinWindow
+                 AND ts <= cust_ts + INTERVAL $joinWindow"""))
 
   /** Kafka sink projection (K1): key=email, value=JSON of all columns. */
   def toKafkaOutput(joined: DataFrame): DataFrame =

@@ -8,9 +8,12 @@ import org.apache.spark.sql.Row
   *
   * These produce standard streaming DataFrames with binary key/value —
   * the same shape the reference's jobs consume — so every transform in
-  * `graft.stedi` / `graft.cta` composes directly. No Kafka broker exists
-  * in the test environment; unit tests drive the same transforms through
-  * `MemoryStream` (identical logical plans downstream of the source).
+  * `graft.stedi` / `graft.cta` composes directly. Deployment note: the
+  * `kafka` format needs the `spark-sql-kafka-0-10` connector on the
+  * classpath (`--packages org.apache.spark:spark-sql-kafka-0-10_2.13`);
+  * neither the connector nor a broker ships in this test environment,
+  * so unit tests drive the same transforms through `MemoryStream`
+  * (identical logical plans downstream of the source).
   */
 object KafkaSources {
 

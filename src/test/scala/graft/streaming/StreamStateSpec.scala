@@ -45,6 +45,68 @@ class StreamStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked join with time-range condition evicts state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val riskIn = MemoryStream[(java.sql.Timestamp, String, String)]
+    val custIn = MemoryStream[(java.sql.Timestamp, String, String)]
+    val joined = Stedi.joinRiskWithCustomersWatermarked(
+      riskIn.toDF().toDF("ts", "customer", "score"),
+      custIn.toDF().toDF("cust_ts", "email", "birthYear"),
+      delay = "10 minutes", joinWindow = "10 minutes")
+
+    val q = joined.writeStream.format("memory").queryName("wm_join")
+      .outputMode("append").start()
+    try {
+      riskIn.addData((ts(0), "a@x.com", "1.0"))
+      custIn.addData((ts(1), "a@x.com", "1990"))
+      q.processAllAvailable()
+      // advance the watermark far past the join window, twice (eviction
+      // happens the batch after the watermark moves)
+      riskIn.addData((ts(48 * 60), "zz@x.com", "9.9"))
+      custIn.addData((ts(48 * 60), "zz2@x.com", "1999"))
+      q.processAllAvailable()
+      riskIn.addData((ts(72 * 60), "zz@x.com", "9.9"))
+      custIn.addData((ts(72 * 60), "zz2@x.com", "1999"))
+      q.processAllAvailable()
+
+      val totals = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      assert(totals.nonEmpty)
+      assert(totals.last < totals.max,
+        s"state should shrink after watermark passes: ${totals.toList}")
+      assert(spark.table("wm_join").count() == 1) // only the in-window match
+    } finally q.stop()
+  }
+
+  test("streaming session windows close and emit after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val in = MemoryStream[(java.sql.Timestamp, Int)]
+    val agg = in.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), 1), (ts(10), 1), (ts(120), 1)) // one 2-event session, one 1-event
+      q.processAllAvailable()
+      in.addData((ts(24 * 60), 99))
+      q.processAllAvailable()
+      in.addData((ts(48 * 60), 99))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .filter(_.getInt(0) == 1).map(_.getLong(1)).sorted.toList
+      assert(rows == List(1L, 2L), s"got $rows")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink receives each micro-batch exactly once (K5)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
