@@ -73,6 +73,47 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: a real implementation re-encodes the payload at the
+    * target dimensions; the stub deterministically truncates/pads so the
+    * batch shape (bytes in, bytes out, metadata recomputed) is real. */
+  def stubResize(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    // ??? <- real codec resize goes here when decoders ship
+    if (payload.length >= targetBytes) payload.take(targetBytes)
+    else payload ++ Array.fill[Byte](targetBytes - payload.length)(0)
+  }
+
+  case class ResizedMedia(media_id: Long, payload: Array[Byte], n_bytes: Long)
+
+  def resize(media: DataFrame, targetBytes: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val out = stubResize(if (p == null) Array.emptyByteArray else p, targetBytes)
+        ResizedMedia(id, out, out.length.toLong)
+      })
+  }
+
+  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame-sampling: every `stride`-th fixed-size window of the
+    * payload stands in for a decoded video frame — the row-explosion
+    * shape (1 media row -> N frame rows) and downstream schema are what
+    * the real decoder would feed. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val bytes = if (p == null) Array.emptyByteArray else p
+        // ??? <- real frame decode goes here when decoders ship
+        val starts = bytes.indices.by(frameBytes * stride)
+        starts.iterator.zipWithIndex.map { case (s, i) =>
+          Frame(id, i, bytes.slice(s, math.min(s + frameBytes, bytes.length)))
+        }
+      }
+  }
+
   /** Expression-only twin of [[decodeFeatures]] (same arithmetic) used by
     * the oracle-checked query — stays in whole-stage codegen. */
   def decodeFeaturesExpr(media: DataFrame): DataFrame =

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.{TextAnalysis, TextFunctions}
+
+/** The composed LLM-training-data cleaning pipeline — the end-to-end
+  * shape the north-star operators exist for, wired from the verified
+  * pieces:
+  *
+  *   1. exact dedup on the canonical fingerprint (16-byte shuffle key);
+  *   2. near-dedup: MinHash/LSH candidates, each bucket keeping its
+  *      minimal doc id (connected components are overkill for the
+  *      keep-one-of-each-pair policy; min-id-per-pair-chain is the
+  *      standard first-pass used at corpus scale);
+  *   3. language filter on the marker-word classifier;
+  *   4. quality-score threshold.
+  *
+  * Every stage is a DataFrame -> DataFrame transform, so the pipeline
+  * scales exactly as its pieces do: fingerprint/minhash shuffles are
+  * keyed on doc id or 16-byte hashes, never on document text.
+  */
+object TrainingDataPipeline {
+
+  case class CleanStats(
+      input: Long, afterExact: Long, afterNear: Long, afterLang: Long, afterQuality: Long)
+
+  /** Ids dropped by exact dedup (every doc whose fingerprint has a
+    * smaller keeper id). */
+  def exactDupIds(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .withColumn("keep_id", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id"))
+
+  /** Ids dropped by near-dedup: for every LSH candidate pair verified by
+    * the integer-threshold Jaccard, drop the larger id. */
+  def nearDupIds(
+      docs: DataFrame, idCol: String, textCol: String,
+      p: Int = 1, q: Int = 2): DataFrame =
+    Dedup.jaccardPairs(docs, idCol, textCol, p, q)
+      .select(col("id_b").as("id")).distinct()
+
+  /** Full cleaning pass. Returns the surviving documents. */
+  def clean(
+      docs: DataFrame, idCol: String, textCol: String,
+      keepLangs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.5): DataFrame = {
+    val exactDrops = exactDupIds(docs, idCol, textCol)
+    val d1 = docs.join(broadcast(exactDrops),
+      docs(idCol) === exactDrops("id"), "left_anti")
+    val nearDrops = nearDupIds(d1, idCol, textCol)
+    val d2 = d1.join(broadcast(nearDrops),
+      d1(idCol) === nearDrops("id"), "left_anti")
+    val withLang = TextAnalysis.langIdByDoc(d2, idCol, textCol)
+      .filter(col("lang_pred").isin(keepLangs: _*))
+      .select(col(idCol).as("keep_lang_id"))
+    val d3 = d2.join(broadcast(withLang),
+      d2(idCol) === col("keep_lang_id"), "left_semi")
+    val quality = TextAnalysis.qualityByDoc(d3, idCol, textCol)
+      .filter(col("quality") >= minQuality)
+      .select(col(idCol).as("keep_q_id"))
+    d3.join(broadcast(quality), d3(idCol) === col("keep_q_id"), "left_semi")
+  }
+
+  /** Per-stage survivor counts (for monitoring/regression). */
+  def stats(docs: DataFrame, idCol: String, textCol: String,
+      keepLangs: Seq[String] = Seq("en"), minQuality: Double = 0.5): CleanStats = {
+    val input = docs.count()
+    val exactDrops = exactDupIds(docs, idCol, textCol)
+    val d1 = docs.join(broadcast(exactDrops), docs(idCol) === exactDrops("id"), "left_anti")
+    val afterExact = d1.count()
+    val d2 = d1.join(broadcast(nearDupIds(d1, idCol, textCol)),
+      d1(idCol) === col("id"), "left_anti")
+    val afterNear = d2.count()
+    val lang = TextAnalysis.langIdByDoc(d2, idCol, textCol)
+      .filter(col("lang_pred").isin(keepLangs: _*)).select(col(idCol))
+    val afterLang = lang.count()
+    val cleaned = clean(docs, idCol, textCol, keepLangs, minQuality)
+    CleanStats(input, afterExact, afterNear, afterLang, cleaned.count())
+  }
+}

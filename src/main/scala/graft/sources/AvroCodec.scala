@@ -84,6 +84,13 @@ object AvroCodec {
     reader.read(null, DecoderFactory.get.binaryDecoder(bytes, null))
   }
 
+  /** Tolerant decode: corrupt/truncated payloads yield null instead of
+    * failing the task (PERMISSIVE-mode analog of from_json; a poisoned
+    * record must not kill a 1000-executor job). */
+  def decodeRecordOrNull(json: String, bytes: Array[Byte]): GenericRecord =
+    try decodeRecord(json, bytes)
+    catch { case scala.util.control.NonFatal(_) => null }
+
   def encodeRecord(json: String)(fill: GenericData.Record => Unit): Array[Byte] = {
     val s = schema(json)
     val rec = new GenericData.Record(s)
@@ -104,9 +111,9 @@ object AvroCodec {
   val decodeArrival: Column => Column = {
     val sj = arrivalValueSchema
     val f = udf { bytes: Array[Byte] =>
-      if (bytes == null) null
+      val r = if (bytes == null) null else AvroCodec.decodeRecordOrNull(sj, bytes)
+      if (r == null) null
       else {
-        val r = AvroCodec.decodeRecord(sj, bytes)
         ArrivalValue(
           r.get("station_id").asInstanceOf[Int], str(r, "train_id"),
           str(r, "direction"), str(r, "line"), str(r, "train_status"),
@@ -120,9 +127,9 @@ object AvroCodec {
   val decodeTurnstile: Column => Column = {
     val sj = turnstileValueSchema
     val f = udf { bytes: Array[Byte] =>
-      if (bytes == null) null
+      val r = if (bytes == null) null else AvroCodec.decodeRecordOrNull(sj, bytes)
+      if (r == null) null
       else {
-        val r = AvroCodec.decodeRecord(sj, bytes)
         TurnstileValue(r.get("station_id").asInstanceOf[Int],
           str(r, "station_name"), str(r, "line"))
       }
@@ -133,9 +140,9 @@ object AvroCodec {
   val decodeWeather: Column => Column = {
     val sj = weatherValueSchema
     val f = udf { bytes: Array[Byte] =>
-      if (bytes == null) null
+      val r = if (bytes == null) null else AvroCodec.decodeRecordOrNull(sj, bytes)
+      if (r == null) null
       else {
-        val r = AvroCodec.decodeRecord(sj, bytes)
         // enum -> symbol name (P14: Spark has no enum type)
         WeatherValue(r.get("temperature").asInstanceOf[Float], str(r, "status"))
       }
@@ -146,9 +153,9 @@ object AvroCodec {
   val decodeEventKey: Column => Column = {
     val sj = eventKeySchema
     val f = udf { bytes: Array[Byte] =>
-      if (bytes == null) null
+      val r = if (bytes == null) null else AvroCodec.decodeRecordOrNull(sj, bytes)
+      if (r == null) null
       else {
-        val r = AvroCodec.decodeRecord(sj, bytes)
         EventKey(r.get("timestamp").asInstanceOf[Long])
       }
     }

@@ -16,6 +16,21 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getString(2).length == 32)
   }
 
+  test("resize stub normalizes payload size, frame sampling explodes rows") {
+    val d = graft.Tables.table(spark, sf001, "documents").limit(20)
+    val media = Multimodal.pack(d, "doc_id", "text", "video")
+    val resized = Multimodal.resize(media, targetBytes = 64).collect()
+    assert(resized.forall(_.n_bytes == 64L))
+    assert(resized.forall(_.payload.length == 64))
+
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+    val perMedia = frames.groupBy(col("media_id")).count().collect()
+    assert(perMedia.forall(_.getLong(1) >= 1))
+    // stride 2 with 32-byte frames: ~len/64 frames per doc
+    val total = frames.count()
+    assert(total > 20, s"expected row explosion, got $total")
+  }
+
   test("mapPartitions decode (mapInPandas analog) matches the expression twin") {
     val d = graft.Tables.table(spark, sf001, "documents").limit(50)
     val media = Multimodal.pack(d, "doc_id", "text", "image")

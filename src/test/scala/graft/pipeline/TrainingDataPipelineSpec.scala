@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrainingDataPipelineSpec extends SparkSpec {
+
+  test("clean drops exact dups, near dups, off-language and low-quality docs") {
+    import spark.implicits._
+    val the20 = Array.fill(20)("the cat and dog of note").mkString(" ")
+    val docs = Seq(
+      (1L, the20),                                     // keeper (en, long, quality)
+      (2L, the20),                                     // exact dup of 1
+      (3L, the20 + " extra tail words here"),          // near dup of 1
+      (4L, "der hund und die katze " * 20),            // german -> lang filter
+      (5L, "x")                                        // low quality
+    ).toDF("doc_id", "text")
+    val kept = TrainingDataPipeline.clean(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
+  test("stats are monotonically non-increasing across stages on real docs") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val s = TrainingDataPipeline.stats(d, "doc_id", "text",
+      keepLangs = Seq("en", "und"), minQuality = 0.0)
+    assert(s.input == 500)
+    assert(s.afterExact <= s.input)
+    assert(s.afterNear <= s.afterExact)
+    assert(s.afterLang <= s.afterNear)
+    assert(s.afterQuality <= s.afterLang)
+    assert(s.afterNear < s.input) // planted near-dups exist in testdata
+    assert(s.afterQuality > 0)
+  }
+
+  test("exactDupIds drops exactly the non-minimal ids of each fingerprint group") {
+    import spark.implicits._
+    val docs = Seq((10L, "a b c"), (11L, "a  b\tc"), (12L, "unique here"))
+      .toDF("doc_id", "text")
+    val drops = TrainingDataPipeline.exactDupIds(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(drops == Set(11L)) // whitespace-canonical dup of 10
+  }
+}

@@ -40,6 +40,21 @@ class AvroCodecSpec extends SparkSpec {
     assert(row.getString(1) == "partly_cloudy")
   }
 
+  test("corrupt avro payloads decode to null, not task failure") {
+    import spark.implicits._
+    val good = AvroCodec.encodeRecord(AvroCodec.turnstileValueSchema) { r =>
+      r.put("station_id", 1); r.put("station_name", "a"); r.put("line", "red")
+    }
+    val df = Seq(
+      Tuple1(good),
+      Tuple1(Array[Byte](-1, -1, -1, -1, -1)),
+      Tuple1(Array.emptyByteArray),
+      Tuple1(null.asInstanceOf[Array[Byte]])
+    ).toDF("value")
+    val out = df.select(AvroCodec.decodeTurnstile(col("value")).as("v")).collect()
+    assert(out.count(!_.isNullAt(0)) == 1)
+  }
+
   test("turnstile encode/decode and key stamping round-trip (K3)") {
     import spark.implicits._
     val df = Seq((1234567890123L, 40900, "N/Clark Stop", "red"))
