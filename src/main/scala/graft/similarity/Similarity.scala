@@ -94,21 +94,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
-  /** Bucketed ANN: exact cosine top-k *within* each query's sign bucket.
-    * Trades recall for a |corpus|/2^nBits candidate set per query. */
+  /** Bucketed ANN: exact cosine top-k over each query's candidate set.
+    * `nProbe = 1` probes only the query's own sign bucket
+    * (|corpus|/2^nBits candidates); `nProbe > 1` additionally probes
+    * all Hamming-1 neighbor buckets (the classic multi-probe recall
+    * lever — near-boundary vectors differ from the query in exactly one
+    * hyperplane sign). The probe expansion happens on the (small,
+    * broadcast) query side, so the corpus is still touched once. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nBits: Int, dim: Int): DataFrame = {
+      k: Int, nBits: Int, dim: Int, nProbe: Int = 1): DataFrame = {
     val cb = signBuckets(corpus, idCol, vecCol, nBits, dim)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"))
-    val qb = signBuckets(queries, idCol, vecCol, nBits, dim)
+    val qb0 = signBuckets(queries, idCol, vecCol, nBits, dim)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"))
+    val qb =
+      if (nProbe <= 1) qb0
+      else {
+        val flips = (0 until nBits).map(b =>
+          col("bucket").bitwiseXOR(shiftleft(lit(1L), b)))
+        qb0.withColumn("bucket",
+            explode(array_distinct(array(col("bucket") +: flips: _*))))
+      }
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
+      // a neighbor can surface via several probe buckets — dedup first
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))

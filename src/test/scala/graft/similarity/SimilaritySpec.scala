@@ -63,5 +63,13 @@ class SimilaritySpec extends SparkSpec {
     // single-probe sign-LSH at nBits=4 trades recall for a 16x candidate
     // cut; ~0.2-0.5 on these embeddings. Multi-probe raises it at scale.
     assert(recall >= 0.2, s"recall=$recall")
+
+    val multi = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 3,
+        nBits = 4, dim = 64, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallMulti = (exact & multi).size.toDouble / exact.size
+    assert(recallMulti >= recall,
+      s"multi-probe should not lose recall: $recallMulti < $recall")
+    assert(recallMulti > 0.5, s"recallMulti=$recallMulti")
   }
 }
