@@ -33,9 +33,15 @@ package graft
   *    multimodal batch decode ([[graft.multimodal.Multimodal]]), whose
   *    per-record codec calls are opaque to Catalyst by nature.
   *
-  * When a future round adds an operator Spark genuinely cannot express
-  * (e.g. an as-of join against a versioned dimension), it lands here
-  * with the `SparkSessionExtensions` wiring already in place
-  * ([[graft.GraftExtensions]]).
+  *  - The as-of join — the textbook tier-(c) candidate — also turned
+  *    out to have an exact tier-(a) form: tagged union + per-key window
+  *    carrying the last right value forward
+  *    ([[graft.operators.AsOfJoin]]), verified value-for-value against
+  *    DuckDB's native ASOF JOIN. One shuffle + one sort; no quadratic
+  *    range-join intermediate.
+  *
+  * When a future round adds an operator Spark genuinely cannot express,
+  * it lands here with the `SparkSessionExtensions` wiring already in
+  * place ([[graft.GraftExtensions]]).
   */
 package object plans

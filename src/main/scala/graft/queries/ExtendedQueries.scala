@@ -143,6 +143,33 @@ object ExtendedQueries {
                epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS session_end_ms,
                COUNT(*) AS n_events
         FROM S GROUP BY user_id, sid
-        ORDER BY user_id, session_start_ms"""))
+        ORDER BY user_id, session_start_ms""")),
+
+    GraftQuery(
+      "q35_asof_join",
+      "As-of (point-in-time) join: each event matched to the user's " +
+        "latest order at-or-before the event time; union+window " +
+        "composition vs DuckDB's native ASOF JOIN.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "events")
+        val o = Tables.table(spark, dir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("o_orderkey")) // unique (key, ts)
+        graft.operators.AsOfJoin.asOfBackward(
+            e.select(col("event_id"), col("user_id"), col("ts")),
+            "user_id", "ts",
+            o, "o_custkey", "o_orderdate",
+            "o_orderkey", "asof_orderkey")
+          .select(col("event_id"), col("asof_orderkey"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH R AS (
+          SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY o_custkey, o_orderdate)
+        SELECT e.event_id, r.o_orderkey AS asof_orderkey
+        FROM events e ASOF LEFT JOIN R r
+          ON e.user_id = r.o_custkey AND CAST(e.ts AS TIMESTAMP) >= r.o_orderdate
+        ORDER BY e.event_id"""))
   )
 }
