@@ -17,9 +17,11 @@ object SparkEntry {
       SimilarityQueries.all ++ ExtendedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * STEDI-analog composition: parse -> filter -> split -> join -> agg. */
+    * The full STEDI decode chain (JSON-in-base64-in-JSON -> unbase64 ->
+    * null-filter -> birthYear split -> equi-join) over synthesized
+    * payloads — the reference's flagship dataflow end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q3_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+    queries("q32_stedi_end_to_end")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -88,6 +88,22 @@ object Cta {
         transformed("station_id"), col("station_name"), col("order"), col("line"),
         coalesce(col("COUNT"), lit(0L)).as("num_turnstile_entries"))
 
+  /** Latest arrival per station (reference consumers/models/station.py
+    * keeps `arriving_train` as mutable last-value state; here it's the
+    * A2 latest-per-key aggregate over the arrivals stream, keyed on the
+    * arrival event key timestamp). Expects decoded arrival columns +
+    * a monotone `ts` ordering column. */
+  def latestArrivals(arrivals: DataFrame): DataFrame =
+    latestPerKey(arrivals, "station_id", "ts")
+
+  /** Last weather reading (reference consumers/weather.py keeps one
+    * global latest value): single-group max_by over the stream. */
+  def latestWeather(weather: DataFrame): DataFrame =
+    weather.agg(
+      max(col("ts")).as("ts"),
+      max_by(col("temperature"), col("ts")).as("temperature"),
+      max_by(col("status"), col("ts")).as("status"))
+
   /** A4: first-row extraction after an equality filter (reference
     * turnstile_hardware.py:22-33 `iloc[0]` pattern). */
   def firstRowFor(df: DataFrame, keyCol: String, key: Int, orderCol: String): Option[org.apache.spark.sql.Row] =

@@ -51,4 +51,21 @@ class CtaEndToEndSpec extends SparkSpec {
         (101, "Beta", "blue", 1L)))
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("latest arrival per station and last weather reading (UI last-value state)") {
+    import spark.implicits._
+    val arrivals = Seq(
+      (100, "T1", "a", "red", "in_service", 1000L),
+      (100, "T2", "b", "red", "in_service", 2000L),
+      (101, "T3", "a", "blue", "broken_down", 1500L)
+    ).toDF("station_id", "train_id", "direction", "line", "train_status", "ts")
+    val latest = Cta.latestArrivals(arrivals).collect()
+      .map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(latest == Map(100 -> "T2", 101 -> "T3"))
+
+    val weather = Seq((70.1f, "sunny", 1000L), (65.2f, "windy", 3000L))
+      .toDF("temperature", "status", "ts")
+    val w = Cta.latestWeather(weather).collect()(0)
+    assert(w.getFloat(1) == 65.2f && w.getString(2) == "windy")
+  }
 }
