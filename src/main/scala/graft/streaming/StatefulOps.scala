@@ -42,6 +42,15 @@ object StatefulOps {
       .groupBy(window(col(tsCol), windowDur, slideDur), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup: first-seen-wins per key, state bounded by
+    * the watermark (`dropDuplicatesWithinWatermark` — duplicates are
+    * only tracked while they can still arrive). The streaming face of
+    * `graft.dedup.Dedup.exactGroups` for the training-data pipeline. */
+  def dedupStream(df: DataFrame, tsCol: String, watermarkDelay: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** A2 imperative: last-write-wins upsert via mapGroupsWithState —
     * the direct Faust-table counterpart (faust_stream.py:41-46,71).
     * Emits the current table row for each key touched in the batch. */

@@ -107,6 +107,47 @@ class StreamStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate keys within the watermark window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = StatefulOps.dedupStream(
+      in.toDF().toDF("ts", "doc"), "ts", "10 minutes", Seq("doc"))
+
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "b"))
+      q.processAllAvailable()
+      in.addData((ts(3), "a"), (ts(4), "c"))
+      q.processAllAvailable()
+      val docs = spark.table("dedup_out").collect().map(_.getString(1)).toList
+      assert(docs.sorted == List("a", "b", "c"), s"got $docs")
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches a stream against a batch dimension (J2 shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((100, "Alpha", "red"), (101, "Beta", "blue"))
+      .toDF("station_id", "station_name", "line")
+    val in = MemoryStream[Int]
+    val joined = in.toDF().toDF("station_id")
+      .join(dim, Seq("station_id"), "left")
+
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData(100, 101, 999)
+      q.processAllAvailable()
+      val out = spark.table("enriched").collect()
+        .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+      assert(out == Map(100 -> Some("Alpha"), 101 -> Some("Beta"), 999 -> None))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink receives each micro-batch exactly once (K5)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
