@@ -170,6 +170,23 @@ object ExtendedQueries {
         SELECT e.event_id, r.o_orderkey AS asof_orderkey
         FROM events e ASOF LEFT JOIN R r
           ON e.user_id = r.o_custkey AND CAST(e.ts AS TIMESTAMP) >= r.o_orderdate
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    GraftQuery(
+      "q36_pivot",
+      "pivot on a fixed value set (decimal-exact sums pivoted to columns).",
+      (spark, dir) =>
+        Tables.table(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'F'
+                             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+               CAST(SUM(CASE WHEN l_linestatus = 'O'
+                             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
