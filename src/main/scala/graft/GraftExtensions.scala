@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Norm, RollingHash}
+import graft.functions.{CosineSimilarity, DotProduct, L2Norm, MinHashSketchAgg, RollingHash}
 
 /** SQL-surface registration for graft's custom Catalyst expressions, so
   * `spark.sql("SELECT cosine_similarity(a, b) ...")` works alongside the
@@ -33,7 +33,10 @@ object GraftFunctions {
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "l2_norm" -> (es => L2Norm(es(0))),
-    "rolling_hash" -> (es => RollingHash(es(0))))
+    "rolling_hash" -> (es => RollingHash(es(0))),
+    // aggregate: minhash_sketch(shingle, k) with literal k
+    "minhash_sketch" -> (es => MinHashSketchAgg(
+      es(0), es(1).eval().asInstanceOf[Int]).toAggregateExpression()))
 
   /** Idempotently register the graft functions on a live session. */
   def register(spark: SparkSession): Unit =

@@ -78,6 +78,61 @@ class RollingHashSpec extends SparkSpec {
     assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
     assert(math.abs(row.getDouble(2) - 1.0) < 1e-12)
     assert(math.abs(row.getDouble(3) - 1.0) < 1e-12)
+
+    // aggregate function registration path
+    val agg = spark.sql(
+      "SELECT minhash_sketch(s, 4) AS sk FROM graft_fn_test").collect()(0)
+    assert(agg.getSeq[Long](0).length == 4)
+  }
+}
+
+class MinHashSketchAggSpec extends SparkSpec {
+
+  private def sketches(df: org.apache.spark.sql.DataFrame, k: Int): Map[Long, Array[Long]] = {
+    val sh = graft.dedup.Dedup.shingleTable(df, "doc_id", "text")
+    sh.groupBy(col("doc_id"))
+      .agg(MinHashSketchAgg.minhashSketch(col("g"), k).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+  }
+
+  test("sketch: identical docs equal, near-dups agree more than disjoint docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the sleepy dog tonight"),
+      (4L, "entirely different words appear in this document body")
+    ).toDF("doc_id", "text")
+    val sk = sketches(docs, 64)
+    assert(sk(1L).sameElements(sk(2L)))
+    val j13 = MinHashSketchAgg.estimateJaccard(sk(1L), sk(3L))
+    val j14 = MinHashSketchAgg.estimateJaccard(sk(1L), sk(4L))
+    assert(j13 > j14)
+    assert(j14 == 0.0)
+    // true trigram jaccard = 5/11 ≈ 0.45; k=64 estimator σ ≈ 0.06
+    assert(j13 > 0.25, s"j13=$j13")
+  }
+
+  test("sketch estimate tracks true Jaccard on planted near-dups (testdata)") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val truePairs = graft.dedup.Dedup.jaccardPairs(d, "doc_id", "text", p = 1, q = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2).toDouble / r.getLong(3))).take(10)
+    assert(truePairs.nonEmpty)
+    val sk = sketches(d, 128)
+    truePairs.foreach { case (a, b, jTrue) =>
+      val jEst = MinHashSketchAgg.estimateJaccard(sk(a), sk(b))
+      assert(math.abs(jEst - jTrue) < 0.25,
+        s"pair ($a,$b): true=$jTrue est=$jEst")
+    }
+  }
+
+  test("sketch survives partial aggregation + shuffle (buffer merge/serialize)") {
+    val d = graft.Tables.table(spark, sf001, "documents").repartition(16)
+    val sk1 = sketches(d.limit(50), 32)
+    val sk2 = sketches(d.limit(50).repartition(3), 32)
+    assert(sk1.keySet == sk2.keySet)
+    sk1.keys.foreach(k => assert(sk1(k).sameElements(sk2(k))))
   }
 }
 
