@@ -187,6 +187,45 @@ object ExtendedQueries {
                              THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
                CAST(SUM(CASE WHEN l_linestatus = 'O'
                              THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    GraftQuery(
+      "q37_scalar_battery",
+      "Scalar-function parity battery: string ops, date parts, " +
+        "conditionals, exact math (no transcendentals - libm variance).",
+      (spark, dir) =>
+        Tables.table(spark, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            upper(substring(col("o_orderpriority"), 3, 3)).as("prio3"),
+            lpad(col("o_orderkey").cast("string"), 10, "0").as("key_pad"),
+            concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("joined"),
+            instr(col("o_orderpriority"), "-").cast("long").as("dash_pos"),
+            reverse(col("o_orderstatus")).as("rev_status"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            dayofmonth(col("o_orderdate")).cast("long").as("d"),
+            unix_millis(date_trunc("month", col("o_orderdate")).cast("timestamp")).as("month_ms"),
+            coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
+            floor(col("o_totalprice")).cast("long").as("price_floor"),
+            ceil(col("o_totalprice")).cast("long").as("price_ceil"),
+            abs(col("o_custkey") - 100).as("key_dist"))
+          .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey,
+               upper(substr(o_orderpriority, 3, 3)) AS prio3,
+               lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_pad,
+               concat_ws('|', o_orderstatus, o_orderpriority) AS joined,
+               CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+               reverse(o_orderstatus) AS rev_status,
+               CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(day(o_orderdate) AS BIGINT) AS d,
+               epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+               coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+               CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+               CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+               abs(o_custkey - 100) AS key_dist
+        FROM orders ORDER BY o_orderkey"""))
   )
 }
