@@ -51,6 +51,32 @@ object StatefulOps {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Consecutive-change suppression via flatMapGroupsWithState (the
+    * reference's consumer models only repaint the UI when a station's
+    * state actually changes — consumers/models/station.py mutates in
+    * place; this is that semantics as a stream operator): a key's row
+    * is emitted only when its value differs from the stored state, so
+    * an unchanged upsert produces no downstream traffic. Unlike
+    * dropDuplicates, a key may re-emit a previously-seen value after an
+    * intervening change (A -> B -> A emits three times). */
+  def changedOnly[K: Encoder, V: Encoder](
+      ds: Dataset[(K, V)]): Dataset[(K, V)] = {
+    implicit val tupleEnc: Encoder[(K, V)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[V, (K, V)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(K, V)], state: GroupState[V]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(K, V)]
+          var current = state.getOption
+          rows.foreach { case (_, v) =>
+            if (!current.contains(v)) { out += ((key, v)); current = Some(v) }
+          }
+          current.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** A2 imperative: last-write-wins upsert via mapGroupsWithState —
     * the direct Faust-table counterpart (faust_stream.py:41-46,71).
     * Emits the current table row for each key touched in the batch. */

@@ -38,6 +38,18 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/p=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "p"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(2))      // old file: v2 null
+    assert(rows(1).getDouble(2) == 9.5)
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     // skew: 5000 rows on key 1, a few on others

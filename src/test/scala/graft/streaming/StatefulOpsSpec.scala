@@ -78,6 +78,29 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changedOnly suppresses unchanged upserts, re-emits on change (flatMapGroupsWithState)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val changes = StatefulOps.changedOnly(in.toDS())
+
+    val q = changes.writeStream.format("memory").queryName("cdc_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1, "A"), (1, "A"), (2, "X"))
+      q.processAllAvailable()
+      in.addData((1, "A")) // unchanged -> suppressed
+      q.processAllAvailable()
+      in.addData((1, "B"), (1, "A")) // change, then back -> both emit
+      q.processAllAvailable()
+      val out = spark.table("cdc_out").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toList
+      assert(out.count(_._1 == 1) == 3) // A, B, A
+      assert(out.count(_._1 == 2) == 1)
+      assert(out.filter(_._1 == 1).map(_._2) == List("A", "B", "A"))
+    } finally q.stop()
+  }
+
   test("latestPerKey declarative variant matches imperative on batch data") {
     import spark.implicits._
     val df = Seq((1, 10L, "old"), (1, 20L, "new"), (2, 5L, "x"))
