@@ -226,6 +226,31 @@ object ExtendedQueries {
                CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
                CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
                abs(o_custkey - 100) AS key_dist
-        FROM orders ORDER BY o_orderkey"""))
+        FROM orders ORDER BY o_orderkey""")),
+
+    GraftQuery(
+      "q38_grouping_sets",
+      "GROUPING SETS through the spark.sql surface (mixed DSL/SQL catalog).",
+      (spark, dir) => {
+        Tables.registerAll(spark, dir)
+        spark.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 COUNT(*) AS n,
+                 CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                 CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+          ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
   )
 }
