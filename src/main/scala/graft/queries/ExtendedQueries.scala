@@ -251,6 +251,23 @@ object ExtendedQueries {
                CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-        ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+        ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    GraftQuery(
+      "q39_collect_sorted",
+      "collect_list + sort_array aggregation (array family), serialized " +
+        "to a join string for engine-agnostic comparison.",
+      (spark, dir) =>
+        Tables.table(spark, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(
+            array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("lines"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("l_orderkey")),
+      Some("""
+        SELECT l_orderkey,
+               array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
   )
 }
