@@ -268,6 +268,33 @@ object ExtendedQueries {
         SELECT l_orderkey,
                array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
                COUNT(*) AS n_lines
-        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    GraftQuery(
+      "q40_analytics",
+      "Analytic window battery: lag/lead/rank/dense_rank over a total " +
+        "per-key order (exact integer outputs).",
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.table(spark, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               lag(o_orderkey, 1) OVER w AS prev_key,
+               lead(o_orderkey, 1) OVER w AS next_key,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey"""))
   )
 }
