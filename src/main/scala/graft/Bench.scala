@@ -25,21 +25,28 @@ object Bench {
 
     warmup(spark, sfDir)
 
-    def timeOnce(q: graft.queries.GraftQuery): Double = {
+    def timeOnce(q: graft.queries.GraftQuery): Option[Double] = {
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).queryExecution.toRdd.count()
-      catch { case e: Throwable =>
+      try {
+        q.run(spark, sfDir).queryExecution.toRdd.count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
+    // a failed query reports -1.0, never a fast-looking time-to-failure
     val results = SparkEntry.registry.map { q =>
-      q.name -> math.min(timeOnce(q), timeOnce(q))
+      val t = (timeOnce(q), timeOnce(q)) match {
+        case (Some(a), Some(b)) => math.min(a, b)
+        case _ => -1.0
+      }
+      q.name -> t
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

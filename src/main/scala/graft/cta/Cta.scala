@@ -64,14 +64,10 @@ object Cta {
       "to_json(struct(STATION_ID, COUNT)) AS value")
 
   /** Faust-table last-write-wins upsert, batch analog (A2): latest row
-    * per key by a monotone ordering column. */
-  def latestPerKey(df: DataFrame, key: String, ord: String): DataFrame = {
-    val others = df.columns.filter(c => c != key && c != ord)
-    df.groupBy(col(key))
-      .agg(
-        max(col(ord)).as(ord),
-        others.map(c => max_by(col(c), col(ord)).as(c)): _*)
-  }
+    * per key by a monotone ordering column. Delegates to the single
+    * implementation in [[graft.streaming.StatefulOps.latestPerKey]]. */
+  def latestPerKey(df: DataFrame, key: String, ord: String): DataFrame =
+    graft.streaming.StatefulOps.latestPerKey(df, key, ord)
 
   /** J2: the web consumer's per-station UI state — turnstile summary
     * keyed back into the transformed-stations dim (reference

@@ -36,6 +36,11 @@ case class MinHashSketchAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sketch"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_sketch requires a string argument, got ${child.dataType.simpleString}")
 
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(k)(Long.MaxValue)

@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit polynomial rolling hash of a string (document fingerprinting,
@@ -20,6 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires a string argument, got ${child.dataType.simpleString}")
 
   override def nullSafeEval(v: Any): Any =
     RollingHash.hash(v.asInstanceOf[UTF8String])

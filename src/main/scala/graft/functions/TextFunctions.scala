@@ -51,7 +51,10 @@ object TextFunctions {
       .reduce(_ + _)
 
   /** Argmax with fixed priority en > de > fr > es; "und" when no marker
-    * hits. Mirrored as a CASE chain in the oracle SQL. */
+    * hits OR the text is null (all score comparisons are null for null
+    * input, which would otherwise fall through to the final branch).
+    * Mirrored as a CASE chain in the oracle SQL; matches the aggregate
+    * twin TextAnalysis.langIdByDoc on null docs. */
   def langId(text: Column): Column = {
     val w = words(text)
     val en = langScore(w, "en")
@@ -59,7 +62,7 @@ object TextFunctions {
     val fr = langScore(w, "fr")
     val es = langScore(w, "es")
     val best = greatest(en, de, fr, es)
-    when(best <= 0, lit("und"))
+    when(text.isNull || best <= 0, lit("und"))
       .when(en === best, lit("en"))
       .when(de === best, lit("de"))
       .when(fr === best, lit("fr"))

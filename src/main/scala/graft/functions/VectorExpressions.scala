@@ -2,10 +2,26 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+
+/** Shared analysis-time input validation: these kernels read primitive
+  * floats straight out of ArrayData, so anything other than
+  * array<float> (e.g. array<double>) would silently produce garbage —
+  * reject it at analysis instead. (ExpectsInputTypes is private[sql];
+  * checkInputDataTypes is the public seam.) */
+private[functions] trait RequiresFloatArrays { self: Expression =>
+  protected def floatArrayCheck(exprs: Seq[Expression], name: String): TypeCheckResult =
+    exprs.zipWithIndex.collectFirst {
+      case (e, i) if !e.dataType.isInstanceOf[ArrayType] ||
+          e.dataType.asInstanceOf[ArrayType].elementType != FloatType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name requires array<float> arguments, argument ${i + 1} is ${e.dataType.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+}
 
 /** Cosine similarity over two `array<float>` columns, accumulating in
   * double. North-star similarity-search primitive (SURVEY.md §2.10).
@@ -17,9 +33,11 @@ import org.apache.spark.sql.types._
   * UnsafeArrayData at runtime).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with RequiresFloatArrays {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  override def checkInputDataTypes(): TypeCheckResult =
+    floatArrayCheck(Seq(left, right), prettyName)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -34,9 +52,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** Dot product over two `array<float>` columns (double accumulator). */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with RequiresFloatArrays {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  override def checkInputDataTypes(): TypeCheckResult =
+    floatArrayCheck(Seq(left, right), prettyName)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -51,9 +71,12 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** L2 norm of an `array<float>` column. */
 case class L2Norm(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with RequiresFloatArrays {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2_norm"
+  override def checkInputDataTypes(): TypeCheckResult =
+    floatArrayCheck(Seq(child), prettyName)
 
   override def nullSafeEval(a: Any): Any =
     VectorOps.norm(a.asInstanceOf[ArrayData])

@@ -114,13 +114,17 @@ object Multimodal {
       }
   }
 
-  /** Expression-only twin of [[decodeFeatures]] (same arithmetic) used by
-    * the oracle-checked query — stays in whole-stage codegen. */
-  def decodeFeaturesExpr(media: DataFrame): DataFrame =
+  /** Expression-only twin of [[decodeFeatures]] (same arithmetic,
+    * including the null-payload case: mapPartitions substitutes an
+    * empty byte array, so the expression form coalesces lengths to 0)
+    * used by the oracle-checked query — stays in whole-stage codegen. */
+  def decodeFeaturesExpr(media: DataFrame): DataFrame = {
+    val len = coalesce(octet_length(col("payload")), lit(0))
     media.select(
       col("media_id"),
-      col("meta.n_bytes").as("n_bytes"),
-      (lit(640) + pmod(octet_length(col("payload")), lit(640))).as("width"),
-      (lit(360) + pmod(octet_length(col("payload")), lit(360))).as("height"),
+      coalesce(col("meta.n_bytes"), lit(0L)).as("n_bytes"),
+      (lit(640) + pmod(len, lit(640))).as("width"),
+      (lit(360) + pmod(len, lit(360))).as("height"),
       col("meta.checksum").as("checksum"))
+  }
 }

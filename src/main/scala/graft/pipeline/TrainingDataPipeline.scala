@@ -67,20 +67,28 @@ object TrainingDataPipeline {
     d3.join(broadcast(quality), d3(idCol) === col("keep_q_id"), "left_semi")
   }
 
-  /** Per-stage survivor counts (for monitoring/regression). */
+  /** Per-stage survivor counts (for monitoring/regression). Computes
+    * each stage once, reusing the previous stage's frame — no
+    * re-execution of the expensive near-dedup inside a second clean()
+    * pass. */
   def stats(docs: DataFrame, idCol: String, textCol: String,
       keepLangs: Seq[String] = Seq("en"), minQuality: Double = 0.5): CleanStats = {
     val input = docs.count()
     val exactDrops = exactDupIds(docs, idCol, textCol)
     val d1 = docs.join(broadcast(exactDrops), docs(idCol) === exactDrops("id"), "left_anti")
     val afterExact = d1.count()
-    val d2 = d1.join(broadcast(nearDupIds(d1, idCol, textCol)),
-      d1(idCol) === col("id"), "left_anti")
+    val nearDrops = nearDupIds(d1, idCol, textCol)
+    val d2 = d1.join(broadcast(nearDrops), d1(idCol) === nearDrops("id"), "left_anti")
     val afterNear = d2.count()
     val lang = TextAnalysis.langIdByDoc(d2, idCol, textCol)
-      .filter(col("lang_pred").isin(keepLangs: _*)).select(col(idCol))
-    val afterLang = lang.count()
-    val cleaned = clean(docs, idCol, textCol, keepLangs, minQuality)
-    CleanStats(input, afterExact, afterNear, afterLang, cleaned.count())
+      .filter(col("lang_pred").isin(keepLangs: _*))
+      .select(col(idCol).as("keep_lang_id"))
+    val d3 = d2.join(broadcast(lang), d2(idCol) === col("keep_lang_id"), "left_semi")
+    val afterLang = d3.count()
+    val quality = TextAnalysis.qualityByDoc(d3, idCol, textCol)
+      .filter(col("quality") >= minQuality)
+      .select(col(idCol).as("keep_q_id"))
+    val d4 = d3.join(broadcast(quality), d3(idCol) === col("keep_q_id"), "left_semi")
+    CleanStats(input, afterExact, afterNear, afterLang, d4.count())
   }
 }

@@ -58,18 +58,20 @@ object StatefulOps {
     * is emitted only when its value differs from the stored state, so
     * an unchanged upsert produces no downstream traffic. Unlike
     * dropDuplicates, a key may re-emit a previously-seen value after an
-    * intervening change (A -> B -> A emits three times). */
+    * intervening change (A -> B -> A emits three times). Rows carry an
+    * explicit monotone ordinal — the per-group iterator order within a
+    * micro-batch is not guaranteed, so the batch is sorted by it. */
   def changedOnly[K: Encoder, V: Encoder](
-      ds: Dataset[(K, V)]): Dataset[(K, V)] = {
+      ds: Dataset[(K, Long, V)]): Dataset[(K, V)] = {
     implicit val tupleEnc: Encoder[(K, V)] =
       Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
     ds.groupByKey(_._1)
       .flatMapGroupsWithState[V, (K, V)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (key: K, rows: Iterator[(K, V)], state: GroupState[V]) =>
+        (key: K, rows: Iterator[(K, Long, V)], state: GroupState[V]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[(K, V)]
           var current = state.getOption
-          rows.foreach { case (_, v) =>
+          rows.toSeq.sortBy(_._2).foreach { case (_, _, v) =>
             if (!current.contains(v)) { out += ((key, v)); current = Some(v) }
           }
           current.foreach(state.update)
@@ -79,18 +81,25 @@ object StatefulOps {
 
   /** A2 imperative: last-write-wins upsert via mapGroupsWithState —
     * the direct Faust-table counterpart (faust_stream.py:41-46,71).
-    * Emits the current table row for each key touched in the batch. */
+    * Rows carry an explicit monotone ordinal (offset/event-time): the
+    * per-group iterator order WITHIN a micro-batch is not guaranteed by
+    * Spark, so "last" must be defined by data, not arrival. Emits the
+    * current table row for each key touched in the batch. */
   def upsertLatest[K: Encoder, V: Encoder](
-      ds: Dataset[(K, V)]): Dataset[(K, V)] = {
-    implicit val tupleEnc: Encoder[(K, V)] =
+      ds: Dataset[(K, Long, V)]): Dataset[(K, V)] = {
+    implicit val stateEnc: Encoder[(Long, V)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[V]])
+    implicit val outEnc: Encoder[(K, V)] =
       Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
     ds.groupByKey(_._1)
-      .mapGroupsWithState[(K, V), (K, V)](GroupStateTimeout.NoTimeout) {
-        (key: K, rows: Iterator[(K, V)], state: GroupState[(K, V)]) =>
-          var latest = if (state.exists) state.get else null.asInstanceOf[(K, V)]
-          rows.foreach(r => latest = r)
+      .mapGroupsWithState[(Long, V), (K, V)](GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(K, Long, V)], state: GroupState[(Long, V)]) =>
+          var latest = state.getOption.getOrElse((Long.MinValue, null.asInstanceOf[V]))
+          rows.foreach { case (_, ord, v) =>
+            if (ord >= latest._1) latest = (ord, v)
+          }
           state.update(latest)
-          latest
+          (key, latest._2)
       }
   }
 }

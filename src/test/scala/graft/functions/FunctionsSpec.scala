@@ -194,16 +194,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(2)._3 == Seq.empty)
   }
 
-  test("langId picks marker-dominant language, und when none") {
+  test("langId picks marker-dominant language, und when none or null") {
     import spark.implicits._
     val df = Seq(
       (1L, "the cat and the dog of note"),
       (2L, "der hund und die katze"),
-      (3L, "xyzzy plugh")
+      (3L, "xyzzy plugh"),
+      (4L, null.asInstanceOf[String])
     ).toDF("id", "text")
     val out = df.select(col("id"), TextFunctions.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "und"))
+    // aggregate twin agrees on null docs
+    val agg = TextAnalysis.langIdByDoc(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(agg(4L) == "und")
   }
 
   test("fingerprint is whitespace/case canonical") {

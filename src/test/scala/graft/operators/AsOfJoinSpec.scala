@@ -26,6 +26,19 @@ class AsOfJoinSpec extends SparkSpec {
       "e1" -> Some(200L), "e2" -> Some(200L), "e3" -> None, "e4" -> None))
   }
 
+  test("asOfBackward: a matched version with a NULL value yields NULL, not the stale value") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1, ts("2024-01-01 10:00:00"), "e1")).toDF("k", "ts", "name")
+    val right = Seq(
+      (1, ts("2024-01-01 08:00:00"), Some(100L)),
+      (1, ts("2024-01-01 09:00:00"), Option.empty[Long]) // latest version: value NULL
+    ).toDF("k", "ts", "version")
+    val out = AsOfJoin.asOfBackward(left, "k", "ts", right, "k", "ts",
+      "version", "v").collect()(0)
+    assert(out.isNullAt(3), "should surface the latest version's NULL, not 100")
+  }
+
   test("asOfBackward equals naive range-join + argmax on real tables") {
     import org.apache.spark.sql.functions._
     val e = graft.Tables.table(spark, sf001, "events")

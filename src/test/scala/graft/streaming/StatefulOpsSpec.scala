@@ -32,23 +32,28 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("upsertLatest keeps last write per key across batches (A2/Faust table)") {
+  test("upsertLatest keeps max-ordinal write per key across batches (A2/Faust table)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[(Int, String)]
+    val in = MemoryStream[(Int, Long, String)]
     val latest = StatefulOps.upsertLatest(in.toDS())
 
     val q = latest.writeStream.format("memory").queryName("latest_tbl")
       .outputMode("update").start()
     try {
-      in.addData((1, "v1"), (2, "a"))
+      // both writes for key 1 land in ONE batch, newer ordinal first —
+      // iterator order must not matter
+      in.addData((1, 20L, "v2"), (1, 10L, "v1"), (2, 5L, "a"))
       q.processAllAvailable()
-      in.addData((1, "v2"))
+      val rows1 = spark.table("latest_tbl").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(rows1 == Set((1, "v2"), (2, "a")))
+
+      in.addData((1, 30L, "v3"))
       q.processAllAvailable()
-      // update-mode memory sink appends updates; last update for key 1 is v2
-      val rows = spark.table("latest_tbl").collect().map(r => (r.getInt(0), r.getString(1)))
-      assert(rows.contains((1, "v2")))
-      assert(rows.contains((2, "a")))
+      val rows2 = spark.table("latest_tbl").collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      assert(rows2.contains((1, "v3")))
     } finally q.stop()
   }
 
@@ -81,17 +86,17 @@ class StatefulOpsSpec extends SparkSpec {
   test("changedOnly suppresses unchanged upserts, re-emits on change (flatMapGroupsWithState)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[(Int, String)]
+    val in = MemoryStream[(Int, Long, String)]
     val changes = StatefulOps.changedOnly(in.toDS())
 
     val q = changes.writeStream.format("memory").queryName("cdc_out")
       .outputMode("append").start()
     try {
-      in.addData((1, "A"), (1, "A"), (2, "X"))
+      in.addData((1, 1L, "A"), (1, 2L, "A"), (2, 3L, "X"))
       q.processAllAvailable()
-      in.addData((1, "A")) // unchanged -> suppressed
+      in.addData((1, 4L, "A")) // unchanged -> suppressed
       q.processAllAvailable()
-      in.addData((1, "B"), (1, "A")) // change, then back -> both emit
+      in.addData((1, 6L, "A"), (1, 5L, "B")) // B then back to A by ordinal
       q.processAllAvailable()
       val out = spark.table("cdc_out").collect()
         .map(r => (r.getInt(0), r.getString(1))).toList
