@@ -14,15 +14,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects. The legacy conf reads nanos as plain long;
+    * [[eventsTsFix]] then surfaces a proper micro-precision
+    * TimestampType column (lossless for this data). NOTE: the conf is a
+    * session-wide switch (there is no per-read option for it) — it
+    * changes how ANY nanos-timestamp parquet column is read in this
+    * session; both batch and streaming readers share this one recipe. */
+  def enableNanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  val eventsTsFix: String = "timestamp_micros(ts div 1000)"
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-      // parquet reader rejects; read nanos as long and surface a proper
-      // micro-precision TimestampType column (lossless for this data).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      enableNanosAsLong(spark)
       spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+        .withColumn("ts", org.apache.spark.sql.functions.expr(eventsTsFix))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -22,13 +22,14 @@ object Replay {
 
   /** Streaming read of an events parquet DIRECTORY (Spark's file stream
     * source requires a directory, not a single file); ts surfaced as
-    * TimestampType micros exactly like the batch loader. */
+    * TimestampType micros via the same recipe as the batch loader
+    * (graft.Tables — incl. its note on the session-wide conf). */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.enableNanosAsLong(spark)
     spark.readStream
       .schema(eventsRawSchema)
       .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(graft.Tables.eventsTsFix))
   }
 
   /** S8: synthetic rate source (the reference's simulation loop analog
