@@ -295,6 +295,33 @@ object ExtendedQueries {
                CAST(dense_rank() OVER w AS BIGINT) AS drnk
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    GraftQuery(
+      "q41_distribution_windows",
+      "percent_rank/cume_dist/ntile/first_value — distribution windows " +
+        "with exact fractional outputs (integer-derived divisions).",
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.table(spark, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            percent_rank().over(w).as("prk"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            first_value(col("o_orderkey")).over(w).as("first_key"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               percent_rank() OVER w AS prk,
+               cume_dist() OVER w AS cd,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               first_value(o_orderkey) OVER w AS first_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, o_orderkey"""))
   )
 }
