@@ -49,8 +49,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         w = want.reset_index(drop=True)
         g = got.reset_index(drop=True)
+        # the driver's hash compare is type-sensitive: surface declared-type
+        # divergence (e.g. DuckDB HUGEINT vs Spark BIGINT) locally too
+        bad_types = [(c, str(g[c].dtype), str(w[c].dtype))
+                     for c in w.columns if g[c].dtype != w[c].dtype]
+        if bad_types:
+            print(f"FAIL {name}: dtype mismatch (spark vs oracle): {bad_types}")
+            failures += 1
+            continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False,
+            pd.testing.assert_frame_equal(g, w, check_dtype=True,
                                           check_exact=True)
             print(f"OK   {name} ({len(want)} rows)")
         except AssertionError as e:

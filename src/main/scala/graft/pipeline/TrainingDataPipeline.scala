@@ -51,20 +51,17 @@ object TrainingDataPipeline {
       keepLangs: Seq[String] = Seq("en"),
       minQuality: Double = 0.5): DataFrame = {
     val exactDrops = exactDupIds(docs, idCol, textCol)
-    val d1 = docs.join(broadcast(exactDrops),
-      docs(idCol) === exactDrops("id"), "left_anti")
+    val d1 = docs.join(exactDrops, docs(idCol) === exactDrops("id"), "left_anti")
     val nearDrops = nearDupIds(d1, idCol, textCol)
-    val d2 = d1.join(broadcast(nearDrops),
-      d1(idCol) === nearDrops("id"), "left_anti")
+    val d2 = d1.join(nearDrops, d1(idCol) === nearDrops("id"), "left_anti")
     val withLang = TextAnalysis.langIdByDoc(d2, idCol, textCol)
       .filter(col("lang_pred").isin(keepLangs: _*))
       .select(col(idCol).as("keep_lang_id"))
-    val d3 = d2.join(broadcast(withLang),
-      d2(idCol) === col("keep_lang_id"), "left_semi")
+    val d3 = d2.join(withLang, d2(idCol) === col("keep_lang_id"), "left_semi")
     val quality = TextAnalysis.qualityByDoc(d3, idCol, textCol)
       .filter(col("quality") >= minQuality)
       .select(col(idCol).as("keep_q_id"))
-    d3.join(broadcast(quality), d3(idCol) === col("keep_q_id"), "left_semi")
+    d3.join(quality, d3(idCol) === col("keep_q_id"), "left_semi")
   }
 
   /** Per-stage survivor counts (for monitoring/regression). Computes
@@ -75,20 +72,20 @@ object TrainingDataPipeline {
       keepLangs: Seq[String] = Seq("en"), minQuality: Double = 0.5): CleanStats = {
     val input = docs.count()
     val exactDrops = exactDupIds(docs, idCol, textCol)
-    val d1 = docs.join(broadcast(exactDrops), docs(idCol) === exactDrops("id"), "left_anti")
+    val d1 = docs.join(exactDrops, docs(idCol) === exactDrops("id"), "left_anti")
     val afterExact = d1.count()
     val nearDrops = nearDupIds(d1, idCol, textCol)
-    val d2 = d1.join(broadcast(nearDrops), d1(idCol) === nearDrops("id"), "left_anti")
+    val d2 = d1.join(nearDrops, d1(idCol) === nearDrops("id"), "left_anti")
     val afterNear = d2.count()
     val lang = TextAnalysis.langIdByDoc(d2, idCol, textCol)
       .filter(col("lang_pred").isin(keepLangs: _*))
       .select(col(idCol).as("keep_lang_id"))
-    val d3 = d2.join(broadcast(lang), d2(idCol) === col("keep_lang_id"), "left_semi")
+    val d3 = d2.join(lang, d2(idCol) === col("keep_lang_id"), "left_semi")
     val afterLang = d3.count()
     val quality = TextAnalysis.qualityByDoc(d3, idCol, textCol)
       .filter(col("quality") >= minQuality)
       .select(col(idCol).as("keep_q_id"))
-    val d4 = d3.join(broadcast(quality), d3(idCol) === col("keep_q_id"), "left_semi")
+    val d4 = d3.join(quality, d3(idCol) === col("keep_q_id"), "left_semi")
     CleanStats(input, afterExact, afterNear, afterLang, d4.count())
   }
 }

@@ -101,7 +101,8 @@ object DedupQueries {
           FROM H, unnest(range(1, 33)) AS t(k)
           GROUP BY doc_id, t.k)
         SELECT doc_id,
-               SUM(CASE WHEN s > 0 THEN CAST(POW(2, k - 1) AS BIGINT) ELSE 0 END) AS simhash
+               CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, k - 1) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS simhash
         FROM B GROUP BY doc_id ORDER BY doc_id""")),
 
     GraftQuery(

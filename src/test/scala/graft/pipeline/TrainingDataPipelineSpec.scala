@@ -34,6 +34,15 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(s.afterQuality > 0)
   }
 
+  test("clean() never broadcast-hints its O(corpus) drop/keep lists") {
+    // AQE may still broadcast a genuinely-small side at runtime (good); what
+    // must NOT happen is a forced broadcast of unbounded id lists.
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val plan = TrainingDataPipeline.clean(d, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("broadcast"), s"broadcast hint in:\n$plan")
+  }
+
   test("exactDupIds drops exactly the non-minimal ids of each fingerprint group") {
     import spark.implicits._
     val docs = Seq((10L, "a b c"), (11L, "a  b\tc"), (12L, "unique here"))
