@@ -38,11 +38,13 @@ object TrainingDataPipeline {
       .select(col("id"))
 
   /** Ids dropped by near-dedup: for every LSH candidate pair verified by
-    * the integer-threshold Jaccard, drop the larger id. */
+    * the integer-threshold Jaccard, drop the larger id. Uses the
+    * candidates->verify composition ([[Dedup.jaccardOnCandidates]]), the
+    * scale path — never the all-pairs [[Dedup.jaccardPairs]]. */
   def nearDupIds(
       docs: DataFrame, idCol: String, textCol: String,
       p: Int = 1, q: Int = 2): DataFrame =
-    Dedup.jaccardPairs(docs, idCol, textCol, p, q)
+    Dedup.jaccardOnCandidates(docs, idCol, textCol, p, q)
       .select(col("id_b").as("id")).distinct()
 
   /** Full cleaning pass. Returns the surviving documents. */

@@ -84,6 +84,43 @@ object DedupQueries {
         ORDER BY id_a, id_b""")),
 
     GraftQuery(
+      "q43_lsh_verified_dups",
+      "The scale near-dedup path: LSH candidates -> exact Jaccard verify on " +
+        "candidates only (never all-pairs); oracle composes the q21+q22 CTEs.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        Dedup.jaccardOnCandidates(d, "doc_id", "text", p = 1, q = 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(shingleCte + raw""",
+        H AS (SELECT doc_id, md5(g) AS hg FROM S),
+        SIG AS (
+          SELECT doc_id,
+                 min(substr(hg, 1, 4)) AS h0, min(substr(hg, 5, 4)) AS h1,
+                 min(substr(hg, 9, 4)) AS h2, min(substr(hg, 13, 4)) AS h3,
+                 min(substr(hg, 17, 4)) AS h4, min(substr(hg, 21, 4)) AS h5,
+                 min(substr(hg, 25, 4)) AS h6, min(substr(hg, 29, 4)) AS h7
+          FROM H GROUP BY doc_id),
+        B AS (
+          SELECT doc_id, t.b AS band,
+                 CASE t.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                          WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS bv
+          FROM SIG, unnest([0, 1, 2, 3]) AS t(b)),
+        C AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM B x JOIN B y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        N AS (SELECT doc_id, count(*) AS n FROM S GROUP BY doc_id),
+        P AS (SELECT c.id_a, c.id_b, count(*) AS common
+              FROM C c
+              JOIN S x ON x.doc_id = c.id_a
+              JOIN S y ON y.doc_id = c.id_b AND y.g = x.g
+              GROUP BY 1, 2)
+        SELECT id_a, id_b, common, na.n + nb.n - common AS uni
+        FROM P JOIN N na ON P.id_a = na.doc_id JOIN N nb ON P.id_b = nb.doc_id
+        WHERE common * 2 >= (na.n + nb.n - common) * 1
+        ORDER BY id_a, id_b""")),
+
+    GraftQuery(
       "q23_simhash",
       "32-bit SimHash from md5-nibble sign sums (integer arithmetic end-to-end).",
       (spark, dir) => {

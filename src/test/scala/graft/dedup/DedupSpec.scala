@@ -49,6 +49,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(2) * 2 >= r.getLong(3)))
   }
 
+  test("jaccardOnCandidates = jaccardPairs restricted to LSH candidates (testdata)") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val composed = Dedup.jaccardOnCandidates(d, "doc_id", "text", p = 1, q = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val sig = Dedup.minhashSignature(d, "doc_id", "text", nHashes = 8)
+    val cand = Dedup.lshCandidates(sig, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val groundTruth = Dedup.jaccardPairs(d, "doc_id", "text", p = 1, q = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      .filter(t => cand.contains((t._1, t._2)))
+    assert(composed == groundTruth)
+    assert(composed.nonEmpty) // planted near-dups collide in >= 1 band
+  }
+
+  test("hot buckets over maxBucket are dropped, not exploded") {
+    import spark.implicits._
+    // 50 docs all sharing one degenerate shingle ("a b c"), pairwise near-dups.
+    val hot = (1L to 50L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val all = Dedup.jaccardPairs(hot, "doc_id", "text").count()
+    assert(all == 50L * 49 / 2)
+    val capped = Dedup.jaccardPairs(hot, "doc_id", "text", maxBucket = 10).count()
+    assert(capped == 0) // the single hot shingle bucket is over the cap
+    val sig = Dedup.minhashSignature(hot, "doc_id", "text")
+    assert(Dedup.lshCandidates(sig, "doc_id", maxBucket = 10).count() == 0)
+    assert(Dedup.lshCandidates(sig, "doc_id").count() == 50L * 49 / 2)
+  }
+
   test("simhash32: equal docs equal, near-dups closer in Hamming distance") {
     val sh = Dedup.simhash32(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
