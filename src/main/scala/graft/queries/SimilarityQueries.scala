@@ -34,6 +34,40 @@ object SimilarityQueries {
         ORDER BY id_a, id_b""")),
 
     GraftQuery(
+      "q42_embedding_near_dups_bucketed",
+      "The scale embedding near-dup path: sign-LSH buckets (deterministic " +
+        "md5 planes) -> exact cosine verify inside buckets only; oracle " +
+        "recomputes the buckets and restricts brute force to them. " +
+        "Sign margins checked: min |dot| >= 1.1e-4 at every SF.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        Dedup.embeddingNearDupsBucketed(e, "vec_id", "embedding",
+            threshold = 0.45, nBits = 4, dim = 64)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH P AS (
+          SELECT b.b AS b, i.i AS i,
+                 CASE WHEN substr(md5(b.b || ':' || i.i), 2, 1)
+                      IN ('0','2','4','6','8','a','c','e')
+                      THEN 1.0 ELSE -1.0 END AS s
+          FROM range(0,4) AS b(b), range(0,64) AS i(i)),
+        D AS (
+          SELECT vec_id, P.b, SUM(P.s * embedding[P.i + 1]) AS dot
+          FROM embeddings, P GROUP BY vec_id, P.b),
+        BK AS (
+          SELECT vec_id,
+                 SUM(CASE WHEN dot >= 0 THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END) AS bucket
+          FROM D GROUP BY vec_id)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        JOIN BK ba ON ba.vec_id = a.vec_id
+        JOIN BK bb ON bb.vec_id = b.vec_id
+        WHERE ba.bucket = bb.bucket
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        ORDER BY id_a, id_b""")),
+
+    GraftQuery(
       "q25_ann_topk",
       "Brute-force cosine top-3 per query (vec_id % 50 = 0), broadcast queries.",
       (spark, dir) => {

@@ -100,6 +100,21 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("embeddingNearDupsBucketed = brute force restricted to shared sign-buckets") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val bucketed = Dedup.embeddingNearDupsBucketed(e, "vec_id", "embedding",
+        threshold = 0.45, nBits = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bk = graft.similarity.Similarity.signBuckets(e, "vec_id", "embedding", 4, 64)
+      .select(col("vec_id"), col("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => bk(p._1) == bk(p._2))
+    assert(bucketed == brute)
+    assert(bucketed.nonEmpty)
+  }
+
   test("embeddingNearDups finds high-cosine pairs only") {
     import spark.implicits._
     val emb = Seq(
