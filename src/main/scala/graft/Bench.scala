@@ -56,9 +56,12 @@ object Bench {
     try {
       val n = Tables.table(spark, sfDir, "nation")
       n.groupBy(col("n_regionkey")).count().queryExecution.toRdd.count()
+      // partitioned window: an unpartitioned orderBy would both run
+      // single-task and spam the WindowExec warning into the bench tail
       spark.range(1000)
         .withColumn("r", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id") % 8).orderBy(col("id"))))
         .queryExecution.toRdd.count()
     } catch { case _: Throwable => () }
   }

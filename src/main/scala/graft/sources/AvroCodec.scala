@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions.udf
 /** Avro (de)serialization for the CTA topics (SURVEY.md §2.1 S4, §2.7 K3).
   *
   * The environment ships core Avro (`avro-1.12.1.jar`) but not the
-  * `spark-avro` module, so `from_avro`/`to_avro` are unavailable; these
-  * typed codecs decode plain-framed Avro binary into case-class columns
-  * via `GenericDatumReader`. Schema-registry 5-byte framing is out of
-  * scope (SURVEY.md §7 risk register).
+  * `spark-avro` module, so `from_avro`/`to_avro` are unavailable. The
+  * decode hot path is the native codegen expression ([[AvroDecode]]);
+  * the typed UDF codecs here are the documented fallback and the
+  * encode side. Schema-registry 5-byte framing (magic 0x00 + 4-byte
+  * schema id, reference producers/models/producer.py:23-52) is
+  * supported via `registryFramed`/[[stripRegistryFrame]].
   *
   * Schemas mirror the reference's data contracts:
   * arrival_value.json / turnstile_value.json / weather_value.json /
@@ -78,18 +80,36 @@ object AvroCodec {
   private def schema(json: String): Schema =
     schemaCache.getOrElseUpdate(json, new Schema.Parser().parse(json))
 
-  def decodeRecord(json: String, bytes: Array[Byte]): GenericRecord = {
+  def decodeRecord(json: String, bytes: Array[Byte], registryFramed: Boolean = false): GenericRecord = {
     val s = schema(json)
+    val payload = if (registryFramed) stripRegistryFrame(bytes) else bytes
     val reader = new GenericDatumReader[GenericRecord](s)
-    reader.read(null, DecoderFactory.get.binaryDecoder(bytes, null))
+    reader.read(null, DecoderFactory.get.binaryDecoder(payload, null))
   }
 
   /** Tolerant decode: corrupt/truncated payloads yield null instead of
     * failing the task (PERMISSIVE-mode analog of from_json; a poisoned
     * record must not kill a 1000-executor job). */
-  def decodeRecordOrNull(json: String, bytes: Array[Byte]): GenericRecord =
-    try decodeRecord(json, bytes)
+  def decodeRecordOrNull(json: String, bytes: Array[Byte], registryFramed: Boolean = false): GenericRecord =
+    try decodeRecord(json, bytes, registryFramed)
     catch { case scala.util.control.NonFatal(_) => null }
+
+  // --- Confluent-style schema-registry framing (magic 0x00 + 4-byte id) ---
+
+  /** Strip the 5-byte registry frame; throws on unframed input (the
+    * tolerant decoders turn that into a null row, not a task failure). */
+  def stripRegistryFrame(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length >= 5 && bytes(0) == 0x00.toByte,
+      "payload is not schema-registry framed")
+    java.util.Arrays.copyOfRange(bytes, 5, bytes.length)
+  }
+
+  /** Frame a plain Avro payload the way registry-backed producers do. */
+  def frameForRegistry(schemaId: Int, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(5 + payload.length)
+    bb.put(0x00.toByte).putInt(schemaId).put(payload)
+    bb.array()
+  }
 
   def encodeRecord(json: String)(fill: GenericData.Record => Unit): Array[Byte] = {
     val s = schema(json)
@@ -107,8 +127,16 @@ object AvroCodec {
   }
 
   // --- typed decoders as Columns ---
+  // Backed by the native codegen expression (AvroDecode): enum -> symbol
+  // name (P14) and null-on-corrupt come from AvroRuntime. The *Udf
+  // variants below are the boxed fallback (and document the old path).
 
-  val decodeArrival: Column => Column = {
+  val decodeArrival: Column => Column = AvroFunctions.decodeExpr(arrivalValueSchema)
+  val decodeTurnstile: Column => Column = AvroFunctions.decodeExpr(turnstileValueSchema)
+  val decodeWeather: Column => Column = AvroFunctions.decodeExpr(weatherValueSchema)
+  val decodeEventKey: Column => Column = AvroFunctions.decodeExpr(eventKeySchema)
+
+  val decodeArrivalUdf: Column => Column = {
     val sj = arrivalValueSchema
     val f = udf { bytes: Array[Byte] =>
       val r = if (bytes == null) null else AvroCodec.decodeRecordOrNull(sj, bytes)
@@ -124,7 +152,7 @@ object AvroCodec {
     c => f(c)
   }
 
-  val decodeTurnstile: Column => Column = {
+  val decodeTurnstileUdf: Column => Column = {
     val sj = turnstileValueSchema
     val f = udf { bytes: Array[Byte] =>
       val r = if (bytes == null) null else AvroCodec.decodeRecordOrNull(sj, bytes)
@@ -137,7 +165,7 @@ object AvroCodec {
     c => f(c)
   }
 
-  val decodeWeather: Column => Column = {
+  val decodeWeatherUdf: Column => Column = {
     val sj = weatherValueSchema
     val f = udf { bytes: Array[Byte] =>
       val r = if (bytes == null) null else AvroCodec.decodeRecordOrNull(sj, bytes)
@@ -150,7 +178,7 @@ object AvroCodec {
     c => f(c)
   }
 
-  val decodeEventKey: Column => Column = {
+  val decodeEventKeyUdf: Column => Column = {
     val sj = eventKeySchema
     val f = udf { bytes: Array[Byte] =>
       val r = if (bytes == null) null else AvroCodec.decodeRecordOrNull(sj, bytes)
