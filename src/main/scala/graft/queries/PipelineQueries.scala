@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.TrainingDataPipeline
+
+/** End-to-end verification of the composed LLM-training-data cleaning
+  * pipeline: exact dedup -> LSH-candidates+Jaccard-verify near-dedup ->
+  * language filter -> quality threshold, all stages chained exactly as
+  * [[TrainingDataPipeline.clean]] wires them. The oracle rebuilds every
+  * stage in SQL from the already-verified per-stage oracles (q19, q43,
+  * q17, q18), applied to each stage's survivor set in sequence.
+  *
+  * The 0.5 quality cut is safe to compare exactly: q18 proves the
+  * quality doubles are bit-identical between engines (same expression
+  * tree, explicit double casts), so the threshold decides identically
+  * even for a document landing exactly on 0.5.
+  */
+object PipelineQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q45_training_clean",
+      "Composed cleaning pipeline survivors: exact dedup -> LSH+Jaccard " +
+        "near-dedup -> lang filter (en) -> quality >= 0.5.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        TrainingDataPipeline.clean(d, "doc_id", "text",
+            keepLangs = Seq("en"), minQuality = 0.5)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH FP AS (
+          SELECT doc_id, text, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        D1 AS (
+          SELECT doc_id, text FROM FP
+          QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)),
+        W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM D1),
+        S AS (SELECT DISTINCT doc_id,
+                     unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+              FROM W),
+        H AS (SELECT doc_id, md5(g) AS hg FROM S),
+        SIG AS (
+          SELECT doc_id,
+                 min(substr(hg, 1, 4)) AS h0, min(substr(hg, 5, 4)) AS h1,
+                 min(substr(hg, 9, 4)) AS h2, min(substr(hg, 13, 4)) AS h3,
+                 min(substr(hg, 17, 4)) AS h4, min(substr(hg, 21, 4)) AS h5,
+                 min(substr(hg, 25, 4)) AS h6, min(substr(hg, 29, 4)) AS h7
+          FROM H GROUP BY doc_id),
+        B AS (
+          SELECT doc_id, t.b AS band,
+                 CASE t.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                          WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS bv
+          FROM SIG, unnest([0, 1, 2, 3]) AS t(b)),
+        C AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM B x JOIN B y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        N AS (SELECT doc_id, count(*) AS n FROM S GROUP BY doc_id),
+        P AS (SELECT c.id_a, c.id_b, count(*) AS common
+              FROM C c JOIN S x ON x.doc_id = c.id_a
+              JOIN S y ON y.doc_id = c.id_b AND y.g = x.g
+              GROUP BY 1, 2),
+        V AS (SELECT DISTINCT P.id_b FROM P
+              JOIN N na ON P.id_a = na.doc_id JOIN N nb ON P.id_b = nb.doc_id
+              WHERE common * 2 >= (na.n + nb.n - common) * 1),
+        D2 AS (SELECT doc_id, text FROM D1 WHERE doc_id NOT IN (SELECT id_b FROM V)),
+        LW AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM D2),
+        LS AS (
+          SELECT doc_id, text,
+                 len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and')) + len(list_filter(w, x -> x = 'of')) AS en,
+                 len(list_filter(w, x -> x = 'der')) + len(list_filter(w, x -> x = 'die')) + len(list_filter(w, x -> x = 'und')) AS de,
+                 len(list_filter(w, x -> x = 'le')) + len(list_filter(w, x -> x = 'la')) + len(list_filter(w, x -> x = 'et')) AS fr,
+                 len(list_filter(w, x -> x = 'el')) + len(list_filter(w, x -> x = 'los')) + len(list_filter(w, x -> x = 'y')) AS es
+          FROM LW),
+        D3 AS (
+          SELECT doc_id, text FROM LS
+          WHERE greatest(en, de, fr, es) > 0 AND en = greatest(en, de, fr, es)),
+        QW AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM D3),
+        QS AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(w) AS DOUBLE) AS n_tokens,
+                 CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                 CAST(len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and')) + len(list_filter(w, x -> x = 'of')) AS DOUBLE) AS stop_hits
+          FROM QW),
+        Q AS (
+          SELECT doc_id,
+                 CAST(0.4 AS DOUBLE) * least(n_tokens / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 + CAST(0.3 AS DOUBLE) * (n_alpha / n_chars)
+                 + CAST(0.3 AS DOUBLE) * least(stop_hits * CAST(8.0 AS DOUBLE) / n_tokens, CAST(1.0 AS DOUBLE)) AS quality
+          FROM QS)
+        SELECT doc_id FROM Q WHERE quality >= 0.5 ORDER BY doc_id"""))
+  )
+}
