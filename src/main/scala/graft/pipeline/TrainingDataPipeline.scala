@@ -47,19 +47,33 @@ object TrainingDataPipeline {
     Dedup.jaccardOnCandidates(docs, idCol, textCol, p, q)
       .select(col("id_b").as("id")).distinct()
 
-  /** Full cleaning pass. Returns the surviving documents. */
+  /** Full cleaning pass. Returns the surviving documents.
+    *
+    * `persistStages` caches each stage's survivor frame
+    * (MEMORY_AND_DISK): every stage is referenced by at least two
+    * downstream branches (its own filter computation AND the semi/anti
+    * join), so without persistence the lineage re-executes upstream
+    * stages multiplicatively. This is the standard multi-stage-pipeline
+    * trade — at full scale you would persist (or write) each survivor
+    * set once rather than recompute the whole prefix per stage. Left
+    * off by default so one-shot callers don't hold cache blocks; the
+    * caller owns unpersisting (spark.catalog.clearCache()). */
   def clean(
       docs: DataFrame, idCol: String, textCol: String,
       keepLangs: Seq[String] = Seq("en"),
-      minQuality: Double = 0.5): DataFrame = {
+      minQuality: Double = 0.5,
+      persistStages: Boolean = false): DataFrame = {
+    def stage(df: DataFrame): DataFrame =
+      if (persistStages) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     val exactDrops = exactDupIds(docs, idCol, textCol)
-    val d1 = docs.join(exactDrops, docs(idCol) === exactDrops("id"), "left_anti")
+    val d1 = stage(docs.join(exactDrops, docs(idCol) === exactDrops("id"), "left_anti"))
     val nearDrops = nearDupIds(d1, idCol, textCol)
-    val d2 = d1.join(nearDrops, d1(idCol) === nearDrops("id"), "left_anti")
+    val d2 = stage(d1.join(nearDrops, d1(idCol) === nearDrops("id"), "left_anti"))
     val withLang = TextAnalysis.langIdByDoc(d2, idCol, textCol)
       .filter(col("lang_pred").isin(keepLangs: _*))
       .select(col(idCol).as("keep_lang_id"))
-    val d3 = d2.join(withLang, d2(idCol) === col("keep_lang_id"), "left_semi")
+    val d3 = stage(d2.join(withLang, d2(idCol) === col("keep_lang_id"), "left_semi"))
     val quality = TextAnalysis.qualityByDoc(d3, idCol, textCol)
       .filter(col("quality") >= minQuality)
       .select(col(idCol).as("keep_q_id"))

@@ -28,7 +28,7 @@ object PipelineQueries {
       (spark, dir) => {
         val d = Tables.table(spark, dir, "documents")
         TrainingDataPipeline.clean(d, "doc_id", "text",
-            keepLangs = Seq("en"), minQuality = 0.5)
+            keepLangs = Seq("en"), minQuality = 0.5, persistStages = true)
           .select(col("doc_id"))
           .orderBy(col("doc_id"))
       },
