@@ -24,7 +24,10 @@ object TextAnalysis {
       carry: Seq[String] = Nil): DataFrame = {
     val markers = TextFunctions.langMarkers
     val keyCols = (idCol +: carry).map(col)
-    val exploded = df.select(
+    // shuffle by doc id before tokenizing: the groupBy needs this
+    // clustering anyway ([id] ⊆ [id, carry]), and doing it first spreads
+    // the split/explode work beyond the scan's task count
+    val exploded = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol)).select(
       (keyCols :+ explode_outer(TextFunctions.words(col(textCol))).as("w")): _*)
     val aggs = markers.map { case (l, ms) =>
       sum(when(col("w").isin(ms: _*), 1).otherwise(0)).as(s"score_$l")
@@ -48,7 +51,9 @@ object TextAnalysis {
     * values): per-row char stats ride through the token aggregation as
     * `min`, so the whole thing is one narrow shuffle. */
   def qualityByDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df.select(
+    // early shuffle by doc id (see langIdByDoc): regex + tokenize run
+    // after the exchange the groupBy would have forced anyway
+    val exploded = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol)).select(
       col(idCol),
       length(col(textCol)).cast("double").as("n_chars"),
       length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double").as("n_alpha"),
