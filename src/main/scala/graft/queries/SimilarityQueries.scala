@@ -132,6 +132,48 @@ object SimilarityQueries {
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     GraftQuery(
+      "q46_ann_lsh_multiprobe",
+      "Multi-probe sign-LSH ANN: each query also probes all Hamming-1 " +
+        "neighbor buckets (the recall lever for near-boundary vectors); " +
+        "oracle joins on bit_count(xor(buckets)) <= 1. Min adjacent-rank " +
+        "gap >= 9e-5 at every SF.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.lshTopK(e, q, "vec_id", "embedding",
+            k = 3, nBits = 4, dim = 64, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH P AS (
+          SELECT b.b AS b, i.i AS i,
+                 CASE WHEN substr(md5(b.b || ':' || i.i), 2, 1)
+                      IN ('0','2','4','6','8','a','c','e')
+                      THEN 1.0 ELSE -1.0 END AS s
+          FROM range(0,4) AS b(b), range(0,64) AS i(i)),
+        D AS (
+          SELECT vec_id, P.b, SUM(P.s * embedding[P.i + 1]) AS dot
+          FROM embeddings, P GROUP BY vec_id, P.b),
+        BK AS (
+          SELECT vec_id,
+                 SUM(CASE WHEN dot >= 0 THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END) AS bucket
+          FROM D GROUP BY vec_id),
+        C AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding, c.embedding) AS cs
+          FROM embeddings q
+          JOIN BK bq ON bq.vec_id = q.vec_id
+          JOIN BK bc ON bit_count(xor(bq.bucket, bc.bucket)) <= 1
+          JOIN embeddings c ON c.vec_id = bc.vec_id AND c.vec_id <> q.vec_id
+          WHERE q.vec_id % 50 = 0),
+        R AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+          FROM C)
+        SELECT query_id, rank, neighbor_id FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
       "q26_multimodal_features",
       "Binary media column + metadata struct + stub feature extraction.",
       (spark, dir) => {
