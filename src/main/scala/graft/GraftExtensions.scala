@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CosineSimilarity, DotProduct, L2Norm, MinHashSketchAgg, RollingHash}
+import graft.sources.AvroDecode
 
 /** SQL-surface registration for graft's custom Catalyst expressions, so
   * `spark.sql("SELECT cosine_similarity(a, b) ...")` works alongside the
@@ -36,7 +37,13 @@ object GraftFunctions {
     "rolling_hash" -> (es => RollingHash(es(0))),
     // aggregate: minhash_sketch(shingle, k) with literal k
     "minhash_sketch" -> (es => MinHashSketchAgg(
-      es(0), es(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+      es(0), es(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+    // avro_decode(bytes, 'schema-json' [, registryFramed]) — schema must
+    // be a literal (it defines the output type at analysis time)
+    "avro_decode" -> (es => AvroDecode(
+      es(0),
+      es(1).eval().toString,
+      if (es.length > 2) es(2).eval().asInstanceOf[Boolean] else false)))
 
   /** Idempotently register the graft functions on a live session. */
   def register(spark: SparkSession): Unit =

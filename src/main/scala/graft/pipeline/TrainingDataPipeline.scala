@@ -85,18 +85,22 @@ object TrainingDataPipeline {
     * re-execution of the expensive near-dedup inside a second clean()
     * pass. */
   def stats(docs: DataFrame, idCol: String, textCol: String,
-      keepLangs: Seq[String] = Seq("en"), minQuality: Double = 0.5): CleanStats = {
+      keepLangs: Seq[String] = Seq("en"), minQuality: Double = 0.5,
+      persistStages: Boolean = false): CleanStats = {
+    def stage(df: DataFrame): DataFrame =
+      if (persistStages) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     val input = docs.count()
     val exactDrops = exactDupIds(docs, idCol, textCol)
-    val d1 = docs.join(exactDrops, docs(idCol) === exactDrops("id"), "left_anti")
+    val d1 = stage(docs.join(exactDrops, docs(idCol) === exactDrops("id"), "left_anti"))
     val afterExact = d1.count()
     val nearDrops = nearDupIds(d1, idCol, textCol)
-    val d2 = d1.join(nearDrops, d1(idCol) === nearDrops("id"), "left_anti")
+    val d2 = stage(d1.join(nearDrops, d1(idCol) === nearDrops("id"), "left_anti"))
     val afterNear = d2.count()
     val lang = TextAnalysis.langIdByDoc(d2, idCol, textCol)
       .filter(col("lang_pred").isin(keepLangs: _*))
       .select(col(idCol).as("keep_lang_id"))
-    val d3 = d2.join(lang, d2(idCol) === col("keep_lang_id"), "left_semi")
+    val d3 = stage(d2.join(lang, d2(idCol) === col("keep_lang_id"), "left_semi"))
     val afterLang = d3.count()
     val quality = TextAnalysis.qualityByDoc(d3, idCol, textCol)
       .filter(col("quality") >= minQuality)

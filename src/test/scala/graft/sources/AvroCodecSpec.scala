@@ -112,6 +112,19 @@ class AvroCodecSpec extends SparkSpec {
     assert(out(2).isNullAt(0))
   }
 
+  test("avro_decode is SQL-callable after GraftFunctions.register") {
+    import spark.implicits._
+    graft.GraftFunctions.register(spark)
+    val good = AvroCodec.encodeRecord(AvroCodec.turnstileValueSchema) { r =>
+      r.put("station_id", 9); r.put("station_name", "s"); r.put("line", "blue")
+    }
+    Seq(Tuple1(good)).toDF("value").createOrReplaceTempView("avro_in")
+    val out = spark.sql(
+      s"SELECT avro_decode(value, '${AvroCodec.turnstileValueSchema}').station_id AS sid " +
+        "FROM avro_in").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(9))
+  }
+
   test("turnstile encode/decode and key stamping round-trip (K3)") {
     import spark.implicits._
     val df = Seq((1234567890123L, 40900, "N/Clark Stop", "red"))
