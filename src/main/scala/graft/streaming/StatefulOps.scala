@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stateful streaming operators (SURVEY.md §2.5 A1/A2, §2.8).
   *
@@ -101,5 +102,40 @@ object StatefulOps {
           state.update(latest)
           (key, latest._2)
       }
+  }
+
+  /** A2 on Spark 4's arbitrary-state v2 API (`transformWithState`):
+    * the same last-write-wins upsert as [[upsertLatest]], expressed as
+    * a `StatefulProcessor` over a named `ValueState`. What this API
+    * adds over `mapGroupsWithState` at scale: RocksDB-backed state with
+    * changelog checkpointing, per-state TTL (`TTLConfig`) so abandoned
+    * keys expire without custom timeout plumbing, and timers — the
+    * state-growth controls a 100 TB keyed table needs. Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def upsertLatestTws[K: Encoder, V: Encoder](
+      ds: Dataset[(K, Long, V)],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[(K, V)] = {
+    implicit val outEnc: Encoder[(K, V)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
+    val stateEnc: Encoder[(Long, V)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[V]])
+    val processor = new StatefulProcessor[K, (K, Long, V), (K, V)] {
+      @transient private var latest: ValueState[(Long, V)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        latest = getHandle.getValueState[(Long, V)]("latest", stateEnc, ttl)
+      override def handleInputRows(
+          key: K, rows: Iterator[(K, Long, V)],
+          timerValues: TimerValues): Iterator[(K, V)] = {
+        var cur =
+          if (latest.exists()) latest.get()
+          else (Long.MinValue, null.asInstanceOf[V])
+        rows.foreach { case (_, ord, v) => if (ord >= cur._1) cur = (ord, v) }
+        latest.update(cur)
+        Iterator.single((key, cur._2))
+      }
+    }
+    ds.groupByKey(_._1)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Update())
   }
 }

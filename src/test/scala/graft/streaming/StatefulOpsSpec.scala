@@ -57,6 +57,39 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertLatestTws (transformWithState/RocksDB) matches upsertLatest semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Int, Long, String)]
+      val latest = StatefulOps.upsertLatestTws(in.toDS())
+      val q = latest.writeStream.format("memory").queryName("latest_tws")
+        .outputMode("update").start()
+      try {
+        in.addData((1, 20L, "v2"), (1, 10L, "v1"), (2, 5L, "a"))
+        q.processAllAvailable()
+        val rows1 = spark.table("latest_tws").collect()
+          .map(r => (r.getInt(0), r.getString(1))).toSet
+        assert(rows1 == Set((1, "v2"), (2, "a")))
+
+        in.addData((1, 30L, "v3"), (1, 1L, "stale"))
+        q.processAllAvailable()
+        val rows2 = spark.table("latest_tws").collect()
+          .map(r => (r.getInt(0), r.getString(1)))
+        assert(rows2.contains((1, "v3")))
+        assert(!rows2.contains((1, "stale")))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermarked tumbling-window counts: append mode emits closed windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
