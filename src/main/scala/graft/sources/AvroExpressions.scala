@@ -70,25 +70,32 @@ case class AvroDecode(
   * cached per JVM keyed by schema text (executors pay setup once). */
 object AvroRuntime {
 
-  private final case class Plan(schema: Schema, struct: StructType, fieldSchemas: Array[Schema])
+  private final case class Plan(
+      schema: Schema, struct: StructType, convs: Array[AnyRef => Any])
 
   private val plans = TrieMap.empty[String, Plan]
 
-  private def plan(json: String): Plan = plans.getOrElseUpdate(json, {
-    val s = new Schema.Parser().parse(json)
-    require(s.getType == Schema.Type.RECORD, s"top-level avro schema must be a record, got ${s.getType}")
+  private def plan(json: String): Plan =
+    plans.getOrElseUpdate(json, buildPlan(new Schema.Parser().parse(json)))
+
+  /** Converters are compiled once per schema at plan time (closures per
+    * field), so the per-row path does no schema dispatch — nested
+    * records bind their sub-plan here, never re-deriving it per row. */
+  private def buildPlan(s: Schema): Plan = {
+    require(s.getType == Schema.Type.RECORD,
+      s"top-level avro schema must be a record, got ${s.getType}")
     val fields = s.getFields
-    val fs = new Array[Schema](fields.size())
+    val convs = new Array[AnyRef => Any](fields.size())
     val sparkFields = new Array[StructField](fields.size())
     var i = 0
-    while (i < fs.length) {
+    while (i < convs.length) {
       val f = fields.get(i)
-      fs(i) = f.schema()
+      convs(i) = converter(f.schema())
       sparkFields(i) = StructField(f.name(), sparkFieldType(f.schema()), nullable = isNullable(f.schema()))
       i += 1
     }
-    Plan(s, StructType(sparkFields), fs)
-  })
+    Plan(s, StructType(sparkFields), convs)
+  }
 
   private def isNullable(s: Schema): Boolean =
     s.getType == Schema.Type.UNION &&
@@ -129,29 +136,32 @@ object AvroRuntime {
     } catch { case scala.util.control.NonFatal(_) => null }
 
   private def toRow(rec: GenericRecord, p: Plan): InternalRow = {
-    val vals = new Array[Any](p.fieldSchemas.length)
+    val vals = new Array[Any](p.convs.length)
     var i = 0
     while (i < vals.length) {
-      vals(i) = convert(rec.get(i), p.fieldSchemas(i))
+      vals(i) = p.convs(i)(rec.get(i))
       i += 1
     }
     new GenericInternalRow(vals)
   }
 
-  private def convert(v: AnyRef, s: Schema): Any =
-    if (v == null) null
-    else s.getType match {
-      case Schema.Type.UNION => convert(v, nonNullBranch(s))
-      case Schema.Type.STRING | Schema.Type.ENUM => UTF8String.fromString(v.toString)
-      case Schema.Type.BYTES =>
+  private def converter(s: Schema): AnyRef => Any = s.getType match {
+    case Schema.Type.UNION => converter(nonNullBranch(s))
+    case Schema.Type.STRING | Schema.Type.ENUM =>
+      v => if (v == null) null else UTF8String.fromString(v.toString)
+    case Schema.Type.BYTES =>
+      v => if (v == null) null else {
         val bb = v.asInstanceOf[java.nio.ByteBuffer]
         val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
-      case Schema.Type.FIXED =>
-        v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes().clone()
-      case Schema.Type.RECORD =>
-        toRow(v.asInstanceOf[GenericRecord], plan(s.toString))
-      case _ => v // INT/LONG/FLOAT/DOUBLE/BOOLEAN box directly
-    }
+      }
+    case Schema.Type.FIXED =>
+      v => if (v == null) null
+        else v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes().clone()
+    case Schema.Type.RECORD =>
+      val nested = buildPlan(s)
+      v => if (v == null) null else toRow(v.asInstanceOf[GenericRecord], nested)
+    case _ => v => v // INT/LONG/FLOAT/DOUBLE/BOOLEAN box directly
+  }
 }
 
 /** Column-level API for the native decode. */
