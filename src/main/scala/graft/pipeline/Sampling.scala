@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data
+  * pipelines.
+  *
+  * `sample(fraction)` / `randomSplit` are seed-dependent AND
+  * partitioning-dependent — rerunning after a repartition reshuffles
+  * the assignment, which silently leaks test documents into training
+  * sets. The standard fix at corpus scale is a content-stable hash
+  * split: a document's split follows from its id alone, is identical
+  * on every engine and every rerun, and needs no state. The md5-hex
+  * prefix compare keeps it engine-agnostic (exact same assignment in
+  * the DuckDB oracle) — the first 8 hex chars are a uniform 32-bit
+  * value, compared against floor(frac * 2^32) rendered in hex.
+  */
+object Sampling {
+
+  private def hexThreshold(frac: Double): String = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction must be in [0,1], got $frac")
+    f"${math.floor(frac * 4294967296.0).toLong.min(4294967295L)}%08x"
+  }
+
+  /** Uniform hash bucket of a key column as an 8-hex-char string. */
+  def hashBucket(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
+
+  /** Stable boolean: true for the `frac`-sized slice of the keyspace. */
+  def inSlice(key: Column, frac: Double): Column = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction must be in [0,1], got $frac")
+    // frac == 1.0 must select ALL rows; the strict compare would drop a
+    // key whose md5 prefix is exactly ffffffff
+    if (frac >= 1.0) lit(true)
+    else hashBucket(key) < lit(hexThreshold(frac))
+  }
+
+  /** Adds a `split` column: 'test' for a stable ~testFrac of rows keyed
+    * on `idCol`, 'train' for the rest. Rerun- and partition-invariant. */
+  def withSplit(df: DataFrame, idCol: String, testFrac: Double): DataFrame =
+    df.withColumn("split",
+      when(inSlice(col(idCol), testFrac), lit("test")).otherwise(lit("train")))
+}

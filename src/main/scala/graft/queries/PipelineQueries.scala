@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.TrainingDataPipeline
+import graft.pipeline.{Sampling, TrainingDataPipeline}
 
 /** End-to-end verification of the composed LLM-training-data cleaning
   * pipeline: exact dedup -> LSH-candidates+Jaccard-verify near-dedup ->
@@ -93,6 +93,23 @@ object PipelineQueries {
                  + CAST(0.3 AS DOUBLE) * (n_alpha / n_chars)
                  + CAST(0.3 AS DOUBLE) * least(stop_hits * CAST(8.0 AS DOUBLE) / n_tokens, CAST(1.0 AS DOUBLE)) AS quality
           FROM QS)
-        SELECT doc_id FROM Q WHERE quality >= 0.5 ORDER BY doc_id"""))
+        SELECT doc_id FROM Q WHERE quality >= 0.5 ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q47_deterministic_split",
+      "Content-stable train/test split: assignment follows from the id's " +
+        "md5 prefix alone (rerun-, partition- and engine-invariant), " +
+        "unlike seed+partitioning-dependent randomSplit.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        Sampling.withSplit(d, "doc_id", testFrac = 0.2)
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents ORDER BY doc_id"""))
   )
 }

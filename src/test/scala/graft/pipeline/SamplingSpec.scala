@@ -1,0 +1,28 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  test("withSplit is partition-invariant and roughly the requested fraction") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val a = Sampling.withSplit(d, "doc_id", 0.2)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.withSplit(d.repartition(7), "doc_id", 0.2)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b) // assignment follows from the id, not the layout
+    val testFrac = a.values.count(_ == "test").toDouble / a.size
+    assert(testFrac > 0.1 && testFrac < 0.3, s"test fraction $testFrac")
+  }
+
+  test("edge fractions: 0.0 selects nothing, 1.0 selects everything") {
+    import spark.implicits._
+    val d = (1L to 100L).toDF("id")
+    assert(d.filter(Sampling.inSlice(col("id"), 0.0)).count() == 0)
+    assert(d.filter(Sampling.inSlice(col("id"), 1.0)).count() == 100)
+  }
+}
