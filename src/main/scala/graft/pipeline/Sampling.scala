@@ -40,4 +40,32 @@ object Sampling {
   def withSplit(df: DataFrame, idCol: String, testFrac: Double): DataFrame =
     df.withColumn("split",
       when(inSlice(col(idCol), testFrac), lit("test")).otherwise(lit("train")))
+
+  /** Sharded concat-and-chunk packing: assigns each document to a
+    * fixed-token-budget bin, the way LLM training shards are packed.
+    *
+    * The naive formulation is a GLOBAL running token sum — one
+    * partition, a scale dead end. Real pipelines pack per shard: a
+    * stable hash splits the corpus into `nShards` independent streams,
+    * each shard concatenates its documents in id order, and a document
+    * lands in the bin containing its start offset
+    * (`bin = floor(startOffset / binSize)` with
+    * `startOffset = cumsum - toks`) — the concat-then-chunk layout LLM
+    * pretraining shards use. Shard and bin both derive from data (md5
+    * shard, id order), so the layout is deterministic, parallel (one
+    * window per shard), and reproducible on any engine. */
+  def packIntoBins(
+      df: DataFrame, idCol: String, tokCol: String,
+      binSize: Long, nShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binSize > 0 && nShards > 0)
+    val shard = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long") % nShards
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("cum", sum(col(tokCol)).over(w))
+      .withColumn("bin", ((col("cum") - col(tokCol)) / binSize).cast("long"))
+      .drop("cum")
+  }
 }

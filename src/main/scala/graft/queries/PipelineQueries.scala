@@ -110,6 +110,35 @@ object PipelineQueries {
         SELECT doc_id,
                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
                     THEN 'test' ELSE 'train' END AS split
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q48_token_packing",
+      "Sharded concat-and-chunk packing: md5-sharded streams, per-shard " +
+        "running token sum, bin = start-offset / budget. Deterministic " +
+        "and parallel (one window per shard) — never a global cumsum.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .cast("long").as("n_tokens"))
+        Sampling.packIntoBins(d, "doc_id", "n_tokens",
+            binSize = 2048L, nShards = 8)
+          .select(col("doc_id"), col("shard"), col("bin"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH T AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard
+          FROM documents),
+        C AS (
+          SELECT doc_id, n_tokens, shard,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM T)
+        SELECT doc_id, shard, CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin
+        FROM C ORDER BY doc_id"""))
   )
 }
