@@ -62,7 +62,16 @@ object TrainingDataPipeline {
       docs: DataFrame, idCol: String, textCol: String,
       keepLangs: Seq[String] = Seq("en"),
       minQuality: Double = 0.5,
-      persistStages: Boolean = false): DataFrame = {
+      persistStages: Boolean = false): DataFrame =
+    stages(docs, idCol, textCol, keepLangs, minQuality, persistStages).last
+
+  /** The four survivor frames in stage order (after exact dedup, near
+    * dedup, language filter, quality threshold) — the single definition
+    * both [[clean]] (last frame) and [[stats]] (per-frame counts) use. */
+  private def stages(
+      docs: DataFrame, idCol: String, textCol: String,
+      keepLangs: Seq[String], minQuality: Double,
+      persistStages: Boolean): Seq[DataFrame] = {
     def stage(df: DataFrame): DataFrame =
       if (persistStages) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
@@ -77,7 +86,8 @@ object TrainingDataPipeline {
     val quality = TextAnalysis.qualityByDoc(d3, idCol, textCol)
       .filter(col("quality") >= minQuality)
       .select(col(idCol).as("keep_q_id"))
-    d3.join(quality, d3(idCol) === col("keep_q_id"), "left_semi")
+    val d4 = d3.join(quality, d3(idCol) === col("keep_q_id"), "left_semi")
+    Seq(d1, d2, d3, d4)
   }
 
   /** Per-stage survivor counts (for monitoring/regression). Computes
@@ -87,25 +97,8 @@ object TrainingDataPipeline {
   def stats(docs: DataFrame, idCol: String, textCol: String,
       keepLangs: Seq[String] = Seq("en"), minQuality: Double = 0.5,
       persistStages: Boolean = false): CleanStats = {
-    def stage(df: DataFrame): DataFrame =
-      if (persistStages) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
-    val input = docs.count()
-    val exactDrops = exactDupIds(docs, idCol, textCol)
-    val d1 = stage(docs.join(exactDrops, docs(idCol) === exactDrops("id"), "left_anti"))
-    val afterExact = d1.count()
-    val nearDrops = nearDupIds(d1, idCol, textCol)
-    val d2 = stage(d1.join(nearDrops, d1(idCol) === nearDrops("id"), "left_anti"))
-    val afterNear = d2.count()
-    val lang = TextAnalysis.langIdByDoc(d2, idCol, textCol)
-      .filter(col("lang_pred").isin(keepLangs: _*))
-      .select(col(idCol).as("keep_lang_id"))
-    val d3 = stage(d2.join(lang, d2(idCol) === col("keep_lang_id"), "left_semi"))
-    val afterLang = d3.count()
-    val quality = TextAnalysis.qualityByDoc(d3, idCol, textCol)
-      .filter(col("quality") >= minQuality)
-      .select(col(idCol).as("keep_q_id"))
-    val d4 = d3.join(quality, d3(idCol) === col("keep_q_id"), "left_semi")
-    CleanStats(input, afterExact, afterNear, afterLang, d4.count())
+    val Seq(d1, d2, d3, d4) =
+      stages(docs, idCol, textCol, keepLangs, minQuality, persistStages)
+    CleanStats(docs.count(), d1.count(), d2.count(), d3.count(), d4.count())
   }
 }

@@ -135,7 +135,11 @@ object StatefulOps {
         Iterator.single((key, cur._2))
       }
     }
+    // TTL state requires a processing-time clock; TimeMode.None would
+    // reject (and could never expire) a non-NONE TTLConfig
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     ds.groupByKey(_._1)
-      .transformWithState(processor, TimeMode.None(), OutputMode.Update())
+      .transformWithState(processor, timeMode, OutputMode.Update())
   }
 }

@@ -19,6 +19,12 @@ class TrainingDataPipelineSpec extends SparkSpec {
     val kept = TrainingDataPipeline.clean(docs, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L))
+    // persistStages path: same result, stages cached instead of recomputed
+    val keptPersisted = TrainingDataPipeline
+      .clean(docs, "doc_id", "text", persistStages = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptPersisted == Set(1L))
+    spark.catalog.clearCache()
   }
 
   test("stats are monotonically non-increasing across stages on real docs") {

@@ -65,6 +65,10 @@ class StatefulOpsSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val in = MemoryStream[(Int, Long, String)]
+      // NOTE: tested with the default TTLConfig.NONE. A non-NONE TTL
+      // switches the operator to TimeMode.ProcessingTime (required for
+      // TTL state), whose continuous trigger does not terminate under
+      // processAllAvailable in this MemoryStream harness.
       val latest = StatefulOps.upsertLatestTws(in.toDS())
       val q = latest.writeStream.format("memory").queryName("latest_tws")
         .outputMode("update").start()
