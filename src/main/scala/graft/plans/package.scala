@@ -40,6 +40,29 @@ package graft
   *    DuckDB's native ASOF JOIN. One shuffle + one sort; no quadratic
   *    range-join intermediate.
   *
+  * Round-2 additions kept the same discipline:
+  *
+  *  - Avro decode moved from a tier-(d)-ish boxed UDF to a tier-(b)
+  *    codegen'd Expression ([[graft.sources.AvroDecode]]) producing an
+  *    InternalRow directly — a custom source (tier c) is unnecessary
+  *    because the binary column already arrives via built-in sources.
+  *  - The near-dedup and ANN SCALE paths are tier-(a) compositions of
+  *    the verified pieces: LSH candidates -> exact-Jaccard verify
+  *    ([[graft.dedup.Dedup.jaccardOnCandidates]]), sign-bucket ->
+  *    in-bucket cosine verify
+  *    ([[graft.dedup.Dedup.embeddingNearDupsBucketed]],
+  *    [[graft.similarity.Similarity.lshTopK]] single- and multi-probe).
+  *    Each is oracle-verified against its bucket-restricted DuckDB twin
+  *    (q42-q44, q46) — no custom join strategy required because the
+  *    bucket equi-join IS the pruning.
+  *  - Deterministic split and token packing
+  *    ([[graft.pipeline.Sampling]]) are pure tier-(a) column algebra:
+  *    md5-prefix compares and one window per md5-derived shard.
+  *  - Arbitrary streaming state adopted the v2 API
+  *    ([[graft.streaming.StatefulOps.upsertLatestTws]],
+  *    `transformWithState` over RocksDB ValueState) rather than a
+  *    custom stateful physical operator.
+  *
   * When a future round adds an operator Spark genuinely cannot express,
   * it lands here with the `SparkSessionExtensions` wiring already in
   * place ([[graft.GraftExtensions]]).
