@@ -90,6 +90,30 @@ object TrainingDataPipeline {
     Seq(d1, d2, d3, d4)
   }
 
+  /** The streaming face of the cleaning pipeline, for continuous
+    * ingestion: watermarked exact dedup on the canonical fingerprint
+    * (first-seen-wins — batch [[clean]] keeps the min id instead, the
+    * only semantic difference), then the per-row language and quality
+    * filters ([[graft.functions.TextFunctions]] forms — the aggregate
+    * twins need a groupBy the streaming path doesn't want). Near-dedup
+    * is deliberately absent: LSH candidate generation needs
+    * corpus-wide bucket state and belongs in a periodic batch pass over
+    * the accumulated corpus, not in the ingest stream. State is
+    * bounded by the watermark (duplicates are only tracked while they
+    * can still arrive). */
+  def cleanStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermarkDelay: String,
+      keepLangs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.5): DataFrame =
+    docs
+      .withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .filter(TextFunctions.langId(col(textCol)).isin(keepLangs: _*))
+      .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+      .drop("fp")
+
   /** Per-stage survivor counts (for monitoring/regression). Computes
     * each stage once, reusing the previous stage's frame — no
     * re-execution of the expensive near-dedup inside a second clean()

@@ -49,6 +49,32 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("broadcast"), s"broadcast hint in:\n$plan")
   }
 
+  test("cleanStream: watermarked dedup + per-row lang/quality filters over a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val the20 = Array.fill(20)("the cat and dog of note").mkString(" ")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = TrainingDataPipeline.cleanStream(
+      in.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("clean_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, the20, t0),                          // keeper
+        (2L, the20, t0),                          // exact dup of 1 (same batch)
+        (4L, "der hund und die katze " * 20, t0), // german -> lang filter
+        (5L, "x", t0))                            // low quality
+      q.processAllAvailable()
+      in.addData((6L, the20, t0))                 // dup of 1, later batch in window
+      q.processAllAvailable()
+      val kept = spark.table("clean_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L)) // first-seen fingerprint wins; filters drop 4,5
+    } finally q.stop()
+  }
+
   test("exactDupIds drops exactly the non-minimal ids of each fingerprint group") {
     import spark.implicits._
     val docs = Seq((10L, "a b c"), (11L, "a  b\tc"), (12L, "unique here"))
