@@ -41,6 +41,22 @@ object Sampling {
     df.withColumn("split",
       when(inSlice(col(idCol), testFrac), lit("test")).otherwise(lit("train")))
 
+  /** Deterministic weighted corpus mixing: each source contributes a
+    * stable `rate`-sized slice of its keyspace ([[inSlice]]), unioned
+    * into one frame with a `source` tag. The standard way training
+    * mixtures are drawn at corpus scale — no RNG state, rerunnable,
+    * and each source's inclusion decision is per-row (fully parallel,
+    * no sampling shuffle). Rates > 1.0 are capped at 1.0 (upsampling
+    * by repetition is a separate, explicit step). */
+  def mixSources(
+      sources: Seq[(String, DataFrame, Double)], idCol: String): DataFrame = {
+    require(sources.nonEmpty, "at least one source required")
+    sources.map { case (name, df, rate) =>
+      df.filter(inSlice(col(idCol), math.min(rate, 1.0)))
+        .withColumn("source", lit(name))
+    }.reduce(_ unionByName _)
+  }
+
   /** Sharded concat-and-chunk packing: assigns each document to a
     * fixed-token-budget bin, the way LLM training shards are packed.
     *

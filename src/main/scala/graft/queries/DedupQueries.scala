@@ -143,6 +143,32 @@ object DedupQueries {
         FROM B GROUP BY doc_id ORDER BY doc_id""")),
 
     GraftQuery(
+      "q49_incremental_dedup",
+      "Incremental exact dedup: a new batch (odd ids) deduped against the " +
+        "accumulated corpus index (even ids) — anti-join on the 16-byte " +
+        "fingerprint, then min-id within the batch. The production flow: " +
+        "never re-dedup the corpus.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val index = Dedup.exactGroups(d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+          .select(col("fp"))
+        Dedup.dedupAgainstIndex(
+            d.filter(col("doc_id") % 2 === 1), index, "doc_id", "text")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH IDX AS (
+          SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          FROM documents WHERE doc_id % 2 = 0),
+        NEW AS (
+          SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          FROM documents WHERE doc_id % 2 = 1),
+        S AS (SELECT doc_id, fp FROM NEW WHERE fp NOT IN (SELECT fp FROM IDX))
+        SELECT doc_id FROM S
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+        ORDER BY doc_id""")),
+
+    GraftQuery(
       "q33_simhash_near_dups",
       "SimHash pairs with Hamming <= 2 via block-partition bucketing " +
         "(exact, no O(n^2) scan); oracle is the brute-force cross join.",

@@ -143,6 +143,29 @@ object PipelineQueries {
                                      ROWS UNBOUNDED PRECEDING) AS cum
           FROM T)
         SELECT doc_id, shard, CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin
-        FROM C ORDER BY doc_id"""))
+        FROM C ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q50_weighted_mixing",
+      "Deterministic weighted corpus mixing: en docs at rate 0.8, others " +
+        "at 0.25, each source a stable md5 slice of its keyspace — the " +
+        "rerunnable, RNG-free way training mixtures are drawn.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        Sampling.mixSources(Seq(
+            ("high", d.filter(col("lang") === "en"), 0.8),
+            ("low", d.filter(col("lang") =!= "en"), 0.25)), "doc_id")
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, 'high' AS source FROM documents
+        WHERE lang = 'en'
+          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        UNION ALL
+        SELECT doc_id, 'low' AS source FROM documents
+        WHERE lang <> 'en'
+          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        ORDER BY doc_id"""))
   )
 }

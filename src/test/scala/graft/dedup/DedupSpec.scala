@@ -100,6 +100,21 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("dedupAgainstIndex drops index-known and in-batch duplicate content") {
+    import spark.implicits._
+    val corpus = Seq((1L, "known content here")).toDF("doc_id", "text")
+    val index = Dedup.exactGroups(corpus, "doc_id", "text").select(col("fp"))
+    val newBatch = Seq(
+      (10L, "known  CONTENT here"),   // canonical dup of the index entry
+      (11L, "fresh words entirely"),  // keeper
+      (12L, "fresh words  ENTIRELY"), // in-batch canonical dup of 11
+      (13L, "another new doc")        // keeper
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstIndex(newBatch, index, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+  }
+
   test("embeddingNearDupsBucketed = brute force restricted to shared sign-buckets") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val bucketed = Dedup.embeddingNearDupsBucketed(e, "vec_id", "embedding",

@@ -19,6 +19,20 @@ class SamplingSpec extends SparkSpec {
     assert(testFrac > 0.1 && testFrac < 0.3, s"test fraction $testFrac")
   }
 
+  test("mixSources tags each source and respects per-source rates") {
+    import spark.implicits._
+    val a = (1L to 200L).toDF("id")
+    val b = (201L to 400L).toDF("id")
+    val mixed = Sampling.mixSources(Seq(("a", a, 1.0), ("b", b, 0.0)), "id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(mixed.length == 200 && mixed.forall(_._2 == "a"))
+    val half = Sampling.mixSources(Seq(("a", a, 0.5), ("b", b, 0.5)), "id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byTag = half.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byTag.keySet == Set("a", "b"))
+    assert(byTag.values.forall(n => n > 60 && n < 140)) // ~100 each
+  }
+
   test("edge fractions: 0.0 selects nothing, 1.0 selects everything") {
     import spark.implicits._
     val d = (1L to 100L).toDF("id")
