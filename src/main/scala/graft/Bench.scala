@@ -14,40 +14,67 @@ import org.apache.spark.sql.functions._
   *    `queryExecution.toRdd.count()` — a plain Dataset.count() would
   *    let the optimizer prune projections and sorts, under-reporting
   *    the real work;
-  *  - two passes per query, minimum reported: single-JVM timings on a
-  *    shared host see multi-second noise spikes (observed up to 40x on
-  *    an otherwise-idle box); min-of-2 reports steady-state throughput.
+  *  - two INTERLEAVED full-suite passes (pass 1 runs every query, then
+  *    pass 2 runs every query again), per-query minimum reported.
+  *    Back-to-back repeats of the same query share any sustained host
+  *    interference window, so min-of-2 can't reject it; interleaving
+  *    puts the two samples of each query minutes apart, so a noise
+  *    window poisons at most one pass of any query.
+  *  - the JSON carries per-pass times (`passes`) and per-pass
+  *    wall-clock start timestamps in epoch millis (`starts`), so a
+  *    contaminated window is self-identifying: slow queries whose
+  *    start times cluster in one contiguous wall-clock interval while
+  *    their other pass is fast indicate host interference, not a code
+  *    regression (this is exactly the BENCH_r02/r03 signature).
   */
 object Bench {
+  private final case class Sample(sec: Double, startMs: Long, ok: Boolean)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
 
     warmup(spark, sfDir)
 
-    def timeOnce(q: graft.queries.GraftQuery): Option[Double] = {
+    def timeOnce(q: graft.queries.GraftQuery): Sample = {
+      val startMs = System.currentTimeMillis()
       val t0 = System.nanoTime()
       try {
         q.run(spark, sfDir).queryExecution.toRdd.count()
-        Some((System.nanoTime() - t0) / 1e9)
+        Sample((System.nanoTime() - t0) / 1e9, startMs, ok = true)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-        None
+        Sample(-1.0, startMs, ok = false)
       }
     }
+
+    val registry = SparkEntry.registry
+    val pass1 = registry.map(q => q.name -> timeOnce(q))
+    val pass2 = registry.map(q => q.name -> timeOnce(q))
+    val byName1 = pass1.toMap
+    val byName2 = pass2.toMap
+
     // a failed query reports -1.0, never a fast-looking time-to-failure
-    val results = SparkEntry.registry.map { q =>
-      val t = (timeOnce(q), timeOnce(q)) match {
-        case (Some(a), Some(b)) => math.min(a, b)
-        case _ => -1.0
-      }
+    val results = registry.map { q =>
+      val (a, b) = (byName1(q.name), byName2(q.name))
+      val t =
+        if (a.ok && b.ok) math.min(a.sec, b.sec)
+        else if (a.ok) a.sec
+        else if (b.ok) b.sec
+        else -1.0
       q.name -> t
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val passes = registry.map { q =>
+      "\"" + q.name + "\":[" + byName1(q.name).sec + "," + byName2(q.name).sec + "]"
+    }.mkString("{", ",", "}")
+    val starts = registry.map { q =>
+      "\"" + q.name + "\":[" + byName1(q.name).startMs + "," + byName2(q.name).startMs + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"starts":$starts,"sf":"$sfDir"}""")
     spark.stop()
   }
 

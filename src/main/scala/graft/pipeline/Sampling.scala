@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   * prefix compare keeps it engine-agnostic (exact same assignment in
   * the DuckDB oracle) — the first 8 hex chars are a uniform 32-bit
   * value, compared against floor(frac * 2^32) rendered in hex.
+  *
+  * Every selection is SALTED BY PURPOSE: hashing the raw id for every
+  * decision would make the decisions nested, not independent — a
+  * mixture slice at rate r would be exactly the lowest-r hash region,
+  * so the whole test split (testFrac = t) would sit inside any mixture
+  * with r >= t, and a mixture with r <= t would consist entirely of
+  * test documents — precisely the train/test leakage this module
+  * exists to prevent. `hashBucket(salt, key)` prepends "salt:" to the
+  * key before hashing, giving each purpose (split, each mixture
+  * source, shard assignment) its own independent uniform hash.
   */
 object Sampling {
 
@@ -23,36 +33,45 @@ object Sampling {
     f"${math.floor(frac * 4294967296.0).toLong.min(4294967295L)}%08x"
   }
 
-  /** Uniform hash bucket of a key column as an 8-hex-char string. */
-  def hashBucket(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
+  /** Uniform hash bucket of a key column as an 8-hex-char string,
+    * independent across distinct `salt` values. */
+  def hashBucket(salt: String, key: Column): Column =
+    substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8)
 
-  /** Stable boolean: true for the `frac`-sized slice of the keyspace. */
-  def inSlice(key: Column, frac: Double): Column = {
+  /** Stable boolean: true for the `frac`-sized slice of the keyspace
+    * under this salt's hash. Slices with different salts overlap
+    * proportionally (independent), never nested. */
+  def inSlice(salt: String, key: Column, frac: Double): Column = {
     require(frac >= 0.0 && frac <= 1.0, s"fraction must be in [0,1], got $frac")
     // frac == 1.0 must select ALL rows; the strict compare would drop a
-    // key whose md5 prefix is exactly ffffffff
+    // key whose salted md5 prefix is exactly ffffffff
     if (frac >= 1.0) lit(true)
-    else hashBucket(key) < lit(hexThreshold(frac))
+    else hashBucket(salt, key) < lit(hexThreshold(frac))
   }
 
   /** Adds a `split` column: 'test' for a stable ~testFrac of rows keyed
     * on `idCol`, 'train' for the rest. Rerun- and partition-invariant. */
-  def withSplit(df: DataFrame, idCol: String, testFrac: Double): DataFrame =
+  def withSplit(
+      df: DataFrame, idCol: String, testFrac: Double,
+      salt: String = "split"): DataFrame =
     df.withColumn("split",
-      when(inSlice(col(idCol), testFrac), lit("test")).otherwise(lit("train")))
+      when(inSlice(salt, col(idCol), testFrac), lit("test")).otherwise(lit("train")))
 
   /** Deterministic weighted corpus mixing: each source contributes a
-    * stable `rate`-sized slice of its keyspace ([[inSlice]]), unioned
-    * into one frame with a `source` tag. The standard way training
-    * mixtures are drawn at corpus scale — no RNG state, rerunnable,
-    * and each source's inclusion decision is per-row (fully parallel,
-    * no sampling shuffle). Rates > 1.0 are capped at 1.0 (upsampling
-    * by repetition is a separate, explicit step). */
+    * stable `rate`-sized slice of its keyspace ([[inSlice]] salted by
+    * the source name, so the slices are mutually independent AND
+    * independent of the train/test split), unioned into one frame with
+    * a `source` tag. The standard way training mixtures are drawn at
+    * corpus scale — no RNG state, rerunnable, and each source's
+    * inclusion decision is per-row (fully parallel, no sampling
+    * shuffle). Rates > 1.0 are capped at 1.0 (upsampling by repetition
+    * is a separate, explicit step). */
   def mixSources(
-      sources: Seq[(String, DataFrame, Double)], idCol: String): DataFrame = {
+      sources: Seq[(String, DataFrame, Double)], idCol: String,
+      salt: String = "mix"): DataFrame = {
     require(sources.nonEmpty, "at least one source required")
     sources.map { case (name, df, rate) =>
-      df.filter(inSlice(col(idCol), math.min(rate, 1.0)))
+      df.filter(inSlice(s"$salt:$name", col(idCol), math.min(rate, 1.0)))
         .withColumn("source", lit(name))
     }.reduce(_ unionByName _)
   }
@@ -69,13 +88,16 @@ object Sampling {
     * `startOffset = cumsum - toks`) — the concat-then-chunk layout LLM
     * pretraining shards use. Shard and bin both derive from data (md5
     * shard, id order), so the layout is deterministic, parallel (one
-    * window per shard), and reproducible on any engine. */
+    * window per shard), and reproducible on any engine. The shard hash
+    * is salted like every other selection, so shard membership is
+    * independent of split/mixture membership. */
   def packIntoBins(
       df: DataFrame, idCol: String, tokCol: String,
-      binSize: Long, nShards: Int = 32): DataFrame = {
+      binSize: Long, nShards: Int = 32, salt: String = "pack"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(binSize > 0 && nShards > 0)
-    val shard = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+    val shard = conv(substring(
+        md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 4), 16, 10)
       .cast("long") % nShards
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

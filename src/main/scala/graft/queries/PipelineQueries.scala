@@ -112,7 +112,7 @@ object PipelineQueries {
       },
       Some("""
         SELECT doc_id,
-               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+               CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
                     THEN 'test' ELSE 'train' END AS split
         FROM documents ORDER BY doc_id""")),
 
@@ -135,7 +135,7 @@ object PipelineQueries {
         WITH T AS (
           SELECT doc_id,
                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard
+                 CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard
           FROM documents),
         C AS (
           SELECT doc_id, n_tokens, shard,
@@ -161,11 +161,11 @@ object PipelineQueries {
       Some("""
         SELECT doc_id, 'high' AS source FROM documents
         WHERE lang = 'en'
-          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+          AND substr(md5('mix:high:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
         UNION ALL
         SELECT doc_id, 'low' AS source FROM documents
         WHERE lang <> 'en'
-          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+          AND substr(md5('mix:low:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
         ORDER BY doc_id"""))
   )
 }

@@ -36,7 +36,39 @@ class SamplingSpec extends SparkSpec {
   test("edge fractions: 0.0 selects nothing, 1.0 selects everything") {
     import spark.implicits._
     val d = (1L to 100L).toDF("id")
-    assert(d.filter(Sampling.inSlice(col("id"), 0.0)).count() == 0)
-    assert(d.filter(Sampling.inSlice(col("id"), 1.0)).count() == 100)
+    assert(d.filter(Sampling.inSlice("t", col("id"), 0.0)).count() == 0)
+    assert(d.filter(Sampling.inSlice("t", col("id"), 1.0)).count() == 100)
+  }
+
+  test("split and mixture selections are independent, not nested") {
+    import spark.implicits._
+    // With an unsalted shared hash, a rate-0.2 mixture slice would be
+    // EXACTLY the testFrac=0.2 test split (100% overlap), and a rate-0.5
+    // slice would fully contain it. Salting per purpose makes the
+    // selections independent: overlap ~= product of fractions.
+    val n = 10000L
+    val d = (1L to n).toDF("id")
+    val split = Sampling.withSplit(d, "id", testFrac = 0.2)
+    val test = split.filter(col("split") === "test")
+    val testN = test.count().toDouble
+    val slice = Sampling.mixSources(Seq(("src", d, 0.2)), "id")
+    val sliceN = slice.count().toDouble
+    val overlap = test.join(slice, "id").count().toDouble
+    // expected overlap = testN * sliceN / n (independent); nested would
+    // give overlap == min(testN, sliceN)
+    val expected = testN * sliceN / n
+    assert(overlap > expected * 0.6 && overlap < expected * 1.4,
+      s"overlap $overlap vs independent-expected $expected (nested would be ${math.min(testN, sliceN)})")
+    assert(overlap < math.min(testN, sliceN) * 0.5,
+      "overlap looks nested: mixture slice contains/is contained by the test split")
+
+    // two mixture sources over the SAME keyspace also draw independent
+    // slices (salted by source name)
+    val s1 = Sampling.mixSources(Seq(("a", d, 0.3)), "id").select("id")
+    val s2 = Sampling.mixSources(Seq(("b", d, 0.3)), "id").select("id")
+    val both = s1.join(s2, "id").count().toDouble
+    val exp2 = s1.count().toDouble * s2.count().toDouble / n
+    assert(both > exp2 * 0.6 && both < exp2 * 1.4,
+      s"source-slice overlap $both vs independent-expected $exp2")
   }
 }
