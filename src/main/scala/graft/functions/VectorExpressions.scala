@@ -69,6 +69,28 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance over two `array<float>` columns (double
+  * accumulator). Squared — not rooted — because its only use is argmin
+  * centroid assignment (IVF coarse quantization), where sqrt is a
+  * monotone no-op that just costs a branch per row. */
+case class L2SqDistance(left: Expression, right: Expression)
+    extends BinaryExpression with RequiresFloatArrays {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2sq_distance"
+  override def checkInputDataTypes(): TypeCheckResult =
+    floatArrayCheck(Seq(left, right), prettyName)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.VectorOps.l2sq($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2 norm of an `array<float>` column. */
 case class L2Norm(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -119,6 +141,18 @@ object VectorOps {
     while (i < n) { val a = x.getFloat(i).toDouble; s += a * a; i += 1 }
     math.sqrt(s)
   }
+
+  def l2sq(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
 }
 
 /** Column-level API for the vector expressions. */
@@ -129,4 +163,6 @@ object VectorFunctions {
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
   def l2Norm(a: Column): Column =
     GraftBridge.column(L2Norm(GraftBridge.expression(a)))
+  def l2Sq(a: Column, b: Column): Column =
+    GraftBridge.column(L2SqDistance(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -174,6 +174,53 @@ object SimilarityQueries {
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     GraftQuery(
+      "q51_ann_ivf_topk",
+      "IVF-Flat ANN with a deterministic coarse quantizer: centroids = " +
+        "the nLists corpus vectors with smallest md5(id), cell = argmin " +
+        "exact squared-L2, exact cosine re-rank inside the query's cell. " +
+        "Oracle recomputes assignment AND cosine in float64 (unnest-sum), " +
+        "so the only cross-engine delta is summation order; argmin " +
+        "margins >= 3.5e-5 and rank gaps >= 9.1e-6 at every SF.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfDeterministicTopK(e, q, "vec_id", "embedding",
+            k = 3, nLists = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        CAND AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q
+          JOIN CELL cq ON cq.vec_id = q.vec_id
+          JOIN CELL cc ON cc.cell = cq.cell
+          JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+          CROSS JOIN range(1, 65) i(i)
+          WHERE q.vec_id % 50 = 0
+          GROUP BY 1, 2),
+        R AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+          FROM CAND)
+        SELECT query_id, rank, neighbor_id FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
       "q26_multimodal_features",
       "Binary media column + metadata struct + stub feature extraction.",
       (spark, dir) => {

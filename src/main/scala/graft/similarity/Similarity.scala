@@ -94,6 +94,59 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** IVF with a DETERMINISTIC coarse quantizer: centroids are the
+    * `nLists` corpus vectors with the smallest md5(id) (a stable,
+    * engine-independent pick — effectively a uniform random sample with
+    * no RNG state), cell = argmin exact squared-L2 (tie-break on
+    * centroid id). The IVF-Flat layout is identical to [[ivfTopK]] —
+    * cell-assigned corpus, broadcast queries probing their own cell,
+    * exact cosine re-rank inside it — only the quantizer training
+    * differs, which makes this variant expressible in portable SQL and
+    * therefore oracle-verifiable ([[ivfTopK]]'s KMeans `.fit` is not).
+    *
+    * Scale shape: the centroid table is nLists rows (top-nLists by an
+    * md5 of the id only — TakeOrderedAndProject, no full sort) and is
+    * broadcast; assignment is a broadcast nested-loop of nLists
+    * distance kernels per row reduced by a map-side-partial `min_by`,
+    * so the corpus is scanned once and the only wide exchange is the
+    * per-id hash agg. At write time `cell` becomes the partition key,
+    * and a query then touches |corpus|/nLists rows.
+    */
+  def ivfDeterministicTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nLists: Int): DataFrame = {
+    val cent = corpus
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+      .orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
+      .limit(nLists)
+
+    // argmin cell per row: min_by over the nLists broadcast candidates,
+    // partial map-side (collapses to one row per id before the shuffle)
+    def withCell(df: DataFrame, outId: String, outVec: String): DataFrame =
+      df.join(broadcast(cent))
+        .withColumn("l2", VectorFunctions.l2Sq(col(outVec), col("cent_vec")))
+        .groupBy(col(outId))
+        .agg(
+          min_by(col("cent_id"), struct(col("l2"), col("cent_id"))).as("cell"),
+          first(col(outVec)).as(outVec))
+
+    val cc = withCell(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      "neighbor_id", "c_vec")
+    val qc = withCell(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cc.join(broadcast(qc), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Bucketed ANN: exact cosine top-k over each query's candidate set.
     * `nProbe = 1` probes only the query's own sign bucket
     * (|corpus|/2^nBits candidates); `nProbe > 1` additionally probes
