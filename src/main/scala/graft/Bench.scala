@@ -20,12 +20,17 @@ import org.apache.spark.sql.functions._
   *    interference window, so min-of-2 can't reject it; interleaving
   *    puts the two samples of each query minutes apart, so a noise
   *    window poisons at most one pass of any query.
-  *  - the JSON carries per-pass times (`passes`) and per-pass
-  *    wall-clock start timestamps in epoch millis (`starts`), so a
-  *    contaminated window is self-identifying: slow queries whose
-  *    start times cluster in one contiguous wall-clock interval while
-  *    their other pass is fast indicate host interference, not a code
-  *    regression (this is exactly the BENCH_r02/r03 signature).
+  *  - per-pass times (`passes`) and per-pass wall-clock start
+  *    timestamps in epoch millis (`starts`) go to STDERR as their own
+  *    JSON line, so a contaminated window is self-identifying: slow
+  *    queries whose start times cluster in one contiguous wall-clock
+  *    interval while their other pass is fast indicate host
+  *    interference, not a code regression (the BENCH_r02/r03
+  *    signature). They must NOT ride on the stdout contract line: the
+  *    driver stores only the tail of captured output, and a ~6.7 KB
+  *    line pushed `metric`/`value`/`queries` out of the window in
+  *    round 4. The stdout line stays the short
+  *    {"metric","value","unit","queries","sf"} contract (~2.5 KB).
   */
 object Bench {
   private final case class Sample(sec: Double, startMs: Long, ok: Boolean)
@@ -74,7 +79,9 @@ object Bench {
       "\"" + q.name + "\":[" + byName1(q.name).startMs + "," + byName2(q.name).startMs + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"starts":$starts,"sf":"$sfDir"}""")
+    // diagnostics first, on stderr — never on the stdout contract line
+    System.err.println(s"""{"diag":"bench_passes","passes":$passes,"starts":$starts}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

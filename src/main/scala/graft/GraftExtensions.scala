@@ -35,9 +35,12 @@ object GraftFunctions {
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "l2_norm" -> (es => L2Norm(es(0))),
     "rolling_hash" -> (es => RollingHash(es(0))),
-    // aggregate: minhash_sketch(shingle, k) with literal k
+    // aggregate: minhash_sketch(shingle, k [, family]) with literal k;
+    // family is 'murmur64' (default) or the DuckDB-reproducible 'md5chunk16'
     "minhash_sketch" -> (es => MinHashSketchAgg(
-      es(0), es(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+      es(0), es(1).eval().asInstanceOf[Int],
+      if (es.length > 2) es(2).eval().toString else "murmur64")
+      .toAggregateExpression()),
     // avro_decode(bytes, 'schema-json' [, registryFramed]) — schema must
     // be a literal (it defines the output type at analysis time)
     "avro_decode" -> (es => AvroDecode(

@@ -24,10 +24,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * signature in [[graft.dedup.Dedup.minhashSignature]] exists for
   * DuckDB-oracle exactness; this sketch is the production hash family
   * (two 32-bit murmur lanes per seed, combined to 64 bits).
+  *
+  * Hash families (`family`):
+  *  - `murmur64` (default, production): k seeded murmur3 64-bit lanes —
+  *    fast, engine-specific (not reproducible outside the JVM);
+  *  - `md5chunk16`: the k <= 8 disjoint 16-bit chunks of ONE md5 per
+  *    input, the same engine-agnostic family as
+  *    [[graft.dedup.Dedup.minhashSignature]] — numerically identical to
+  *    what `min(CAST(('0x' || substr(md5(g), 4i+1, 4)) AS BIGINT))`
+  *    computes in DuckDB, which is what gives the UDAF a hash-exact
+  *    oracle (q52).
   */
 case class MinHashSketchAgg(
     child: Expression,
     k: Int,
+    family: String = "murmur64",
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
@@ -37,10 +48,18 @@ case class MinHashSketchAgg(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sketch"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == org.apache.spark.sql.types.StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"minhash_sketch requires a string argument, got ${child.dataType.simpleString}")
+    if (child.dataType != org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sketch requires a string argument, got ${child.dataType.simpleString}")
+    else if (family != "murmur64" && family != "md5chunk16")
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unknown minhash_sketch family '$family' (murmur64 | md5chunk16)")
+    else if (family == "md5chunk16" && k > 8)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5chunk16 yields 8 x 16-bit chunks per digest; k=$k > 8")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  private lazy val md5Family: Boolean = family == "md5chunk16"
 
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(k)(Long.MaxValue)
@@ -49,11 +68,21 @@ case class MinHashSketchAgg(
     val v = child.eval(input)
     if (v != null) {
       val bytes = v.asInstanceOf[UTF8String].getBytes
-      var i = 0
-      while (i < k) {
-        val h = MinHashSketchAgg.hash64(bytes, i)
-        if (h < buffer(i)) buffer(i) = h
-        i += 1
+      if (md5Family) {
+        val d = MinHashSketchAgg.md5(bytes)
+        var i = 0
+        while (i < k) {
+          val h = (((d(2 * i) & 0xff) << 8) | (d(2 * i + 1) & 0xff)).toLong
+          if (h < buffer(i)) buffer(i) = h
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < k) {
+          val h = MinHashSketchAgg.hash64(bytes, i)
+          if (h < buffer(i)) buffer(i) = h
+          i += 1
+        }
       }
     }
     buffer
@@ -96,6 +125,14 @@ object MinHashSketchAgg {
     (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
   }
 
+  // MessageDigest is stateful; one instance per thread, reset by digest()
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private[functions] def md5(bytes: Array[Byte]): Array[Byte] =
+    md5Local.get().digest(bytes)
+
   /** Estimated Jaccard similarity of two sketches: fraction of agreeing
     * minima. */
   def estimateJaccard(a: Array[Long], b: Array[Long]): Double = {
@@ -103,7 +140,7 @@ object MinHashSketchAgg {
     a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
   }
 
-  def minhashSketch(c: Column, k: Int): Column =
+  def minhashSketch(c: Column, k: Int, family: String = "murmur64"): Column =
     GraftBridge.column(
-      MinHashSketchAgg(GraftBridge.expression(c), k).toAggregateExpression())
+      MinHashSketchAgg(GraftBridge.expression(c), k, family).toAggregateExpression())
 }

@@ -163,7 +163,8 @@ object DedupQueries {
         NEW AS (
           SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
           FROM documents WHERE doc_id % 2 = 1),
-        S AS (SELECT doc_id, fp FROM NEW WHERE fp NOT IN (SELECT fp FROM IDX))
+        S AS (SELECT doc_id, fp FROM NEW n
+              WHERE NOT EXISTS (SELECT 1 FROM IDX i WHERE i.fp = n.fp))
         SELECT doc_id FROM S
         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
         ORDER BY doc_id""")),
@@ -195,6 +196,40 @@ object DedupQueries {
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM SH a JOIN SH b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    GraftQuery(
+      "q52_minhash_sketch_agg",
+      "MinHash sketch via the raw-buffer TypedImperativeAggregate UDAF " +
+        "(SQL-registered `minhash_sketch`), md5chunk16 family — the " +
+        "engine-agnostic hash family makes the sketch values themselves " +
+        "DuckDB-reproducible, so the UDAF (update/merge/serialize across " +
+        "partial aggregation) is hash-exact against the oracle, not just " +
+        "rows-only. The murmur64 production family stays spec-covered.",
+      (spark, dir) => {
+        graft.GraftFunctions.register(spark)
+        val d = Tables.table(spark, dir, "documents")
+        Dedup.shingleTable(d, "doc_id", "text")
+          .createOrReplaceTempView("q52_shingles")
+        spark.sql("""
+          SELECT doc_id,
+                 sk[0] AS h0, sk[1] AS h1, sk[2] AS h2, sk[3] AS h3,
+                 sk[4] AS h4, sk[5] AS h5, sk[6] AS h6, sk[7] AS h7
+          FROM (SELECT doc_id, minhash_sketch(g, 8, 'md5chunk16') AS sk
+                FROM q52_shingles GROUP BY doc_id)
+          ORDER BY doc_id""")
+      },
+      Some(shingleCte + raw""",
+        H AS (SELECT doc_id, md5(g) AS hg FROM S)
+        SELECT doc_id,
+               min(CAST(('0x' || substr(hg, 1, 4)) AS BIGINT)) AS h0,
+               min(CAST(('0x' || substr(hg, 5, 4)) AS BIGINT)) AS h1,
+               min(CAST(('0x' || substr(hg, 9, 4)) AS BIGINT)) AS h2,
+               min(CAST(('0x' || substr(hg, 13, 4)) AS BIGINT)) AS h3,
+               min(CAST(('0x' || substr(hg, 17, 4)) AS BIGINT)) AS h4,
+               min(CAST(('0x' || substr(hg, 21, 4)) AS BIGINT)) AS h5,
+               min(CAST(('0x' || substr(hg, 25, 4)) AS BIGINT)) AS h6,
+               min(CAST(('0x' || substr(hg, 29, 4)) AS BIGINT)) AS h7
+        FROM H GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -109,14 +109,28 @@ object TextQueries {
     GraftQuery(
       "q28_rolling_hash",
       "64-bit polynomial rolling-hash fingerprint (custom codegen'd " +
-        "Expression; wrapping arithmetic is not portable SQL, so this " +
-        "takes the driver's rows-only check, cross-checked in ScalaTest).",
+        "Expression). Oracle emulates the wrapping long arithmetic in " +
+        "DuckDB HUGEINT mod 2^64, re-signing at the end; byte-exact " +
+        "because the documents fixture is pure non-empty ASCII (verified " +
+        "at every SF), so per-char code points ARE the UTF-8 bytes.",
       (spark, dir) => {
         val d = Tables.table(spark, dir, "documents")
         d.select(col("doc_id"),
             graft.functions.RollingHash.rollingHash(col("text")).as("rhash"))
           .orderBy(col("doc_id"))
       },
-      None)
+      Some("""
+        SELECT doc_id,
+               CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                         THEN h - 18446744073709551616::HUGEINT
+                         ELSE h END AS BIGINT) AS rhash
+        FROM (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(0::HUGEINT,
+                     list_transform(string_split(text, ''), x -> ord(x)::HUGEINT)),
+                   (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS h
+          FROM documents)
+        ORDER BY doc_id"""))
   )
 }

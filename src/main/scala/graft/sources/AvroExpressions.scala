@@ -70,8 +70,23 @@ case class AvroDecode(
   * cached per JVM keyed by schema text (executors pay setup once). */
 object AvroRuntime {
 
+  /** Per-thread decode scratch: the BinaryDecoder and GenericRecord are
+    * reused across rows (`DecoderFactory.binaryDecoder(bytes, reuse)` /
+    * `reader.read(reuse, dec)`), so the per-row hot path allocates
+    * nothing but the decoded field values — [[toRow]] copies those out
+    * before the next read, which is what makes record reuse safe. */
+  private final class DecodeState {
+    var decoder: org.apache.avro.io.BinaryDecoder = _
+    var record: GenericRecord = _
+  }
+
   private final case class Plan(
-      schema: Schema, struct: StructType, convs: Array[AnyRef => Any])
+      schema: Schema, struct: StructType, convs: Array[AnyRef => Any]) {
+    // GenericDatumReader is thread-safe after construction (its schema
+    // resolver cache is per-thread internally); one per schema, not per row
+    val reader = new org.apache.avro.generic.GenericDatumReader[GenericRecord](schema)
+    val state: ThreadLocal[DecodeState] = ThreadLocal.withInitial(() => new DecodeState)
+  }
 
   private val plans = TrieMap.empty[String, Plan]
 
@@ -131,7 +146,11 @@ object AvroRuntime {
       else {
         val p = plan(json)
         val payload = if (registryFramed) AvroCodec.stripRegistryFrame(bytes) else bytes
-        toRow(AvroCodec.decodeRecord(json, payload), p)
+        val st = p.state.get()
+        st.decoder = org.apache.avro.io.DecoderFactory.get
+          .binaryDecoder(payload, st.decoder)
+        st.record = p.reader.read(st.record, st.decoder)
+        toRow(st.record, p)
       }
     } catch { case scala.util.control.NonFatal(_) => null }
 

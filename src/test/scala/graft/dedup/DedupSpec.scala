@@ -76,6 +76,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lshCandidates(sig, "doc_id").count() == 50L * 49 / 2)
   }
 
+  test("embeddingNearDupsBucketed caps degenerate one-bucket corpora") {
+    import spark.implicits._
+    // 40 near-identical vectors -> all land in ONE sign bucket and are
+    // pairwise near-dups; the cap must drop the bucket, not explode it.
+    val base = Array.tabulate(64)(i => 1.0f / (i + 1))
+    val emb = (1L to 40L)
+      .map(i => (i, base.updated(0, 1.0f + i * 1e-6f)))
+      .toDF("vec_id", "embedding")
+    val uncapped = Dedup.embeddingNearDupsBucketed(
+      emb, "vec_id", "embedding", threshold = 0.9, nBits = 4, dim = 64)
+    assert(uncapped.count() == 40L * 39 / 2)
+    val capped = Dedup.embeddingNearDupsBucketed(
+      emb, "vec_id", "embedding", threshold = 0.9, nBits = 4, dim = 64,
+      maxBucket = 10)
+    assert(capped.count() == 0)
+  }
+
   test("simhash32: equal docs equal, near-dups closer in Hamming distance") {
     val sh = Dedup.simhash32(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -134,6 +134,20 @@ class MinHashSketchAggSpec extends SparkSpec {
     assert(sk1.keySet == sk2.keySet)
     sk1.keys.foreach(k => assert(sk1(k).sameElements(sk2(k))))
   }
+
+  test("md5chunk16 family equals the md5-chunk minhash signature (oracle family)") {
+    val d = graft.Tables.table(spark, sf001, "documents").limit(100)
+    val sh = graft.dedup.Dedup.shingleTable(d, "doc_id", "text")
+    val viaUdaf = sh.groupBy(col("doc_id"))
+      .agg(MinHashSketchAgg.minhashSketch(col("g"), 8, "md5chunk16").as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val viaSig = graft.dedup.Dedup.minhashSignature(d, "doc_id", "text", nHashes = 8)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(i => java.lang.Long.parseLong(r.getString(i), 16)).toArray).toMap
+    assert(viaUdaf.keySet == viaSig.keySet)
+    viaUdaf.keys.foreach(k =>
+      assert(viaUdaf(k).sameElements(viaSig(k)), s"doc $k sketch mismatch"))
+  }
 }
 
 class TopKAggregatorSpec extends SparkSpec {
