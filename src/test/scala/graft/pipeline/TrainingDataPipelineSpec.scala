@@ -75,6 +75,61 @@ class TrainingDataPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cleanStream == batch clean minus near-dedup on real docs (parity gate)") {
+    // The streaming pipeline's contract: identical survivors to the batch
+    // clean() with the near-dedup stage removed, up to the documented
+    // keeper-choice difference (first-seen vs min-id) — so parity is
+    // asserted on surviving FINGERPRINTS, which are keeper-invariant.
+    // This also pins the per-row filter forms (TextFunctions.langId /
+    // qualityScore) to their aggregate twins (TextAnalysis.*ByDoc) on
+    // the full real-fixture distribution.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{TextAnalysis, TextFunctions}
+
+    val docs = graft.Tables.table(spark, sf001, "documents")
+    val keepLangs = Seq("en", "und")
+    val minQuality = 0.5
+
+    // batch twin: exact dedup -> lang filter -> quality (no near-dedup)
+    val drops = TrainingDataPipeline.exactDupIds(docs, "doc_id", "text")
+    val d1 = docs.join(drops, docs("doc_id") === drops("id"), "left_anti")
+    val lang = TextAnalysis.langIdByDoc(d1, "doc_id", "text")
+      .filter(col("lang_pred").isin(keepLangs: _*)).select(col("doc_id").as("kid"))
+    val d2 = d1.join(lang, d1("doc_id") === col("kid"), "left_semi")
+    val qual = TextAnalysis.qualityByDoc(d2, "doc_id", "text")
+      .filter(col("quality") >= minQuality).select(col("doc_id").as("qid"))
+    val batchFps = d2.join(qual, d2("doc_id") === col("qid"), "left_semi")
+      .select(TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0)).toSet
+
+    // stream the same docs in two micro-batches
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), t0))
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = TrainingDataPipeline.cleanStream(
+      in.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+      "10 minutes", keepLangs, minQuality)
+    val q = out.writeStream.format("memory").queryName("clean_parity")
+      .outputMode("append").start()
+    try {
+      val (half1, half2) = rows.splitAt(rows.length / 2)
+      in.addData(half1.toSeq)
+      q.processAllAvailable()
+      in.addData(half2.toSeq) // cross-batch dups deduped by watermark state
+      q.processAllAvailable()
+      val streamFps = spark.table("clean_parity")
+        .select(TextFunctions.fingerprint(col("text")).as("fp"))
+        .collect().map(_.getString(0)).toSet
+      assert(streamFps == batchFps)
+      assert(streamFps.nonEmpty)
+      // one survivor per fingerprint on both sides
+      assert(spark.table("clean_parity").count() == streamFps.size)
+    } finally q.stop()
+  }
+
   test("exactDupIds drops exactly the non-minimal ids of each fingerprint group") {
     import spark.implicits._
     val docs = Seq((10L, "a b c"), (11L, "a  b\tc"), (12L, "unique here"))

@@ -94,6 +94,73 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("upsertLatestTws TTL branch: state expires after the TTL, survives within it") {
+    // Exercises the TimeMode.ProcessingTime + non-NONE TTLConfig wiring
+    // that processAllAvailable can't drive (ProcessingTime mode keeps
+    // scheduling no-data batches to advance timers, so neither it nor
+    // Trigger.AvailableNow ever terminates — observed: 500+ empty
+    // batches). Trigger.Once runs EXACTLY one micro-batch per start,
+    // and a checkpoint restart between starts lets wall-clock pass so
+    // the TTL verdict is observable. Expired state means a LOWER
+    // ordinal wins after the gap; live state means it still loses.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.{TTLConfig, Trigger}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCk = spark.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // two state partitions, checksum manager off: 32 concurrent RocksDB
+    // snapshot uploads through ChecksumCheckpointFileManager deadlock in
+    // this single-JVM test env (all closers parked on futures the idle
+    // checksum pools never run); neither knob changes the semantics
+    // under test (TTL expiry wiring)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    try {
+      def run(name: String, ttl: java.time.Duration, sleepMs: Long): Set[(Int, String)] = {
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"tws_ttl_$name").toString
+        // memory sink rejects checkpoint recovery; foreachBatch supports it
+        val results = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+        val in = MemoryStream[(Int, Long, String)]
+        val latest = StatefulOps.upsertLatestTws(in.toDS(), TTLConfig(ttl))
+        def runOnce(): Unit = {
+          val q = latest.writeStream
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[(Int, String)], _: Long) =>
+              batch.collect().foreach(results.add))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").trigger(Trigger.Once()).start(): @annotation.nowarn("cat=deprecation")
+          q.awaitTermination()
+        }
+        in.addData((1, 20L, "fresh"))
+        runOnce()
+        Thread.sleep(sleepMs)
+        in.addData((1, 1L, "stale")) // lower ordinal: wins only if state expired
+        runOnce()
+        import scala.jdk.CollectionConverters._
+        results.asScala.toSet
+      }
+      // TTL far beyond the test: state survives the restart, stale loses
+      val live = run("tws_ttl_live", java.time.Duration.ofHours(1), sleepMs = 10)
+      assert(live.contains((1, "fresh")) && !live.contains((1, "stale")))
+      // TTL shorter than the gap: state expired, the stale ordinal wins
+      val expired = run("tws_ttl_exp", java.time.Duration.ofMillis(500), sleepMs = 2000)
+      assert(expired.contains((1, "stale")))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      prevCk match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+    }
+  }
+
   test("watermarked tumbling-window counts: append mode emits closed windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
