@@ -1,0 +1,171 @@
+package graft.corpus
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators (SURVEY.md §2.10 extension): the cleaning
+  * steps production LLM-data pipelines run that are NOT per-document —
+  * sub-document dedup, benchmark decontamination, repetition-based
+  * quality rules, per-source quotas.
+  *
+  * Scale design (100 TB):
+  *  - span dedup shuffles (doc, span) tokens once on the doc id (the
+  *    same early-shuffle-before-tokenize move as
+  *    [[graft.dedup.Dedup.shingleTable]]) and picks global winners by a
+  *    16-byte md5 partition key, never the span text;
+  *  - decontamination treats the benchmark side as bounded (benchmark
+  *    suites are thousands of documents, not corpora) and broadcasts
+  *    its n-gram set — the corpus side is touched exactly once, with
+  *    no shuffle at all on the corpus n-grams;
+  *  - repetition stats are explode + codegen'd hash-agg per doc (the
+  *    corpus-text formulation [[graft.functions.TextAnalysis]] uses,
+  *    avoiding interpreted array HOFs), one shuffle keyed on doc id;
+  *  - quotas use a per-source window; source cardinality is low, so at
+  *    real scale the win is partition pruning AFTER the cap, and for a
+  *    pathological single hot source the bounded-heap two-phase shape
+  *    of [[graft.functions.TopKAggregator]] is the drop-in replacement.
+  */
+object CorpusOps {
+
+  /** Exploded span table: the document split into consecutive
+    * `spanWords`-word chunks — (id, span_id, span). The sub-document
+    * dedup unit (the analog of C4's line-level granularity for fixtures
+    * without line structure).
+    *
+    * Tokens are shuffled to the doc id BEFORE the explode (small
+    * parquet fixtures scan as one task; the downstream per-span
+    * aggregation needs an exchange anyway, so moving it ahead of the
+    * token explosion costs nothing and parallelizes the CPU-heavy
+    * split). Span reassembly sorts an at-most-`spanWords`-element
+    * struct array per group — the only HOF work is O(spanWords), not
+    * O(document). */
+  def spanTable(
+      df: DataFrame, idCol: String, textCol: String, spanWords: Int = 8): DataFrame = {
+    require(spanWords >= 1, "spanWords must be positive")
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol),
+        posexplode(TextFunctions.words(col(textCol))).as(Seq("pos", "w")))
+      .withColumn("span_id", floor(col("pos") / spanWords).cast("long"))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("pos"), col("w")))),
+          x => x("w")), " ").as("span"))
+  }
+
+  /** Sub-document exact dedup across the WHOLE corpus (C4-style line
+    * dedup, spans standing in for lines): every span occurring more
+    * than once anywhere keeps only its first occurrence by
+    * (doc id, span position); documents are reassembled from their
+    * surviving spans. Docs whose every span loses vanish entirely.
+    *
+    * The global winner is chosen by a row_number window over the span's
+    * md5 — a single shuffle on a 16-byte key with the span text riding
+    * as payload (it is needed for reassembly regardless). A
+    * groupBy(min)-then-join formulation would execute the span pipeline
+    * twice (Spark shares no non-exchange subplans across join
+    * branches). */
+  def spanDedup(
+      df: DataFrame, idCol: String, textCol: String, spanWords: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col(idCol), col("span_id"))
+    spanTable(df, idCol, textCol, spanWords)
+      .withColumn("h", md5(col("span").cast("binary")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(struct(col("span_id"), col("span")))),
+            x => x("span")), " ").as("clean_text"),
+        count(lit(1)).as("n_spans"))
+  }
+
+  /** Benchmark decontamination: drop every corpus document sharing ANY
+    * word-`n`-gram with the benchmark set (the standard n-gram-overlap
+    * test-set contamination rule; production uses 8-13-grams, tests use
+    * 3 to make overlaps reachable at fixture scale).
+    *
+    * The benchmark n-gram set is broadcast — benchmark suites are
+    * bounded (thousands of documents), so the corpus side is read
+    * exactly once and its n-grams are never shuffled: the containment
+    * probe is a map-side broadcast semi-join, followed by one anti-join
+    * on doc ids. Do NOT use this entry point to dedup two corpora
+    * against each other — that is [[graft.dedup.Dedup.jaccardOnCandidates]]
+    * territory (bucketed, nothing broadcast). */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    val benchGrams = graft.dedup.Dedup
+      .shingleTable(benchmark, idCol, textCol, shingleN)
+      .select(col("g")).distinct()
+    val contaminated = graft.dedup.Dedup
+      .shingleTable(corpus, idCol, textCol, shingleN)
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Repetition-based quality stats per document (Gopher-style rules):
+    * fraction of duplicate words, most-frequent-word share, fraction of
+    * duplicate word-2-grams, mean word length. All four are ratios of
+    * exact integer counts, so any engine computing the same counts gets
+    * bit-identical doubles (one IEEE division each) — which is what
+    * makes the oracle exact.
+    *
+    * Plan: one token explode feeding a (doc, word) count, aggregated
+    * again per doc (words path), plus a windowed `lead` bigram count
+    * (2-gram path) reusing the same doc-id partitioning; the two
+    * doc-level frames join on the doc id. Everything is codegen'd
+    * explode + hash-agg; shuffle keys are the doc id. */
+  def repetitionStats(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol),
+        posexplode(TextFunctions.words(col(textCol))).as(Seq("pos", "w")))
+    val wordCounts = tokens
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val wordStats = wordCounts
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_word_c"),
+        sum(length(col("w")) * col("c")).as("len_sum"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bigramStats = tokens
+      .withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("w"), col("w2")).as("g2"))
+      .groupBy(col(idCol), col("g2")).agg(count(lit(1)).as("c2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c2")).as("n_2grams"), count(lit(1)).as("d_2grams"))
+    wordStats.join(bigramStats, Seq(idCol))
+      .select(col(idCol),
+        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        (col("max_word_c").cast("double") / col("n_words")).as("top_word_frac"),
+        ((col("n_2grams") - col("d_2grams")).cast("double") / col("n_2grams"))
+          .as("dup_2gram_frac"),
+        (col("len_sum").cast("double") / col("n_words")).as("mean_word_len"))
+  }
+
+  /** Per-source quota: keep at most `k` documents per source, first-k
+    * by a deterministic order column (ingest order / doc id). The
+    * standard corpus-mixing guard against one domain flooding the mix.
+    *
+    * A rank window per source is the right default: source cardinality
+    * is low and AQE splits skewed partitions. If ONE source is corpus
+    * sized and k is small, the bounded-heap two-phase top-k
+    * ([[graft.functions.TopKAggregator]]: O(k) state map-side, merge of
+    * O(k) heaps) replaces the full sort-within-partition. */
+  def perSourceQuota(
+      df: DataFrame, sourceCol: String, ordCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(ordCol))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.corpus.CorpusOps
+
+/** Corpus-curation operator verification: sub-document span dedup,
+  * benchmark decontamination, repetition quality rules, per-source
+  * quotas. Constructions are integer/string-exact (md5 winners, count
+  * ratios, deterministic orders) so every oracle is hash-exact.
+  */
+object CorpusQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q53_span_dedup",
+      "C4-style sub-document dedup: 8-word spans deduped across the " +
+        "whole corpus (global first-occurrence winner by md5 window), " +
+        "documents reassembled from surviving spans.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        CorpusOps.spanDedup(d, "doc_id", "text", spanWords = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        SPL AS (SELECT doc_id,
+                       [array_to_string(w[i*8+1:i*8+8], ' ')
+                        for i in range(0, CAST(ceil(len(w)/8.0) AS INT))] AS spans
+                FROM W),
+        SP AS (SELECT doc_id, unnest(spans) AS span,
+                      unnest(range(0, len(spans))) AS span_id FROM SPL),
+        K AS (SELECT doc_id, span_id, span FROM SP
+              QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, span_id) = 1)
+        SELECT doc_id, string_agg(span, ' ' ORDER BY span_id) AS clean_text,
+               count(*) AS n_spans
+        FROM K GROUP BY doc_id ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q54_decontaminate",
+      "Benchmark decontamination: corpus docs sharing ANY word-4-gram " +
+        "with the benchmark slice (doc_id % 10 = 7) are dropped; the " +
+        "benchmark n-gram set is broadcast, the corpus scanned once.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val corpus = d.filter(col("doc_id") % 10 =!= 7)
+        val bench = d.filter(col("doc_id") % 10 === 7)
+        CorpusOps.decontaminate(corpus, bench, "doc_id", "text", shingleN = 4)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH CORPUS AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+        BENCH AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+        CW AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM CORPUS),
+        CS AS (SELECT DISTINCT doc_id,
+                      unnest([array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)]) AS g
+               FROM CW),
+        BW AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM BENCH),
+        BS AS (SELECT DISTINCT
+                      unnest([array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)]) AS g
+               FROM BW),
+        CONTAM AS (SELECT DISTINCT doc_id FROM CS WHERE g IN (SELECT g FROM BS))
+        SELECT doc_id FROM CORPUS
+        WHERE NOT EXISTS (SELECT 1 FROM CONTAM c WHERE c.doc_id = CORPUS.doc_id)
+        ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q55_repetition_stats",
+      "Gopher-style repetition quality stats per doc: duplicate-word " +
+        "fraction, top-word share, duplicate-2-gram fraction, mean word " +
+        "length — ratios of exact integer counts (bit-identical doubles " +
+        "across engines).",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        CorpusOps.repetitionStats(d, "doc_id", "text").orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        T AS (SELECT doc_id, unnest(w) AS word FROM W),
+        WC AS (SELECT doc_id, word, count(*) AS c FROM T GROUP BY 1, 2),
+        WS AS (SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+                      MAX(c) AS max_word_c, SUM(length(word) * c) AS len_sum
+               FROM WC GROUP BY doc_id),
+        B AS (SELECT doc_id, array_to_string(w[i+1:i+2], ' ') AS g2
+              FROM W, unnest(range(0, len(w) - 1)) AS t(i)),
+        BC AS (SELECT doc_id, g2, count(*) AS c2 FROM B GROUP BY 1, 2),
+        BS AS (SELECT doc_id, SUM(c2) AS n_2grams, COUNT(*) AS d_2grams FROM BC GROUP BY doc_id)
+        SELECT WS.doc_id,
+               CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+               CAST(max_word_c AS DOUBLE) / n_words AS top_word_frac,
+               CAST(n_2grams - d_2grams AS DOUBLE) / n_2grams AS dup_2gram_frac,
+               CAST(len_sum AS DOUBLE) / n_words AS mean_word_len
+        FROM WS JOIN BS ON WS.doc_id = BS.doc_id ORDER BY WS.doc_id""")),
+
+    GraftQuery(
+      "q56_source_quota",
+      "Per-source quota: first 10 docs per source by doc id (rank " +
+        "window; the corpus-mixing guard against one domain flooding " +
+        "the mix).",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        CorpusOps.perSourceQuota(d, "source", "doc_id", k = 10)
+          .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+        ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,70 @@
+package graft.corpus
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusOpsSpec extends SparkSpec {
+
+  test("spanTable chunks documents into consecutive word spans, order preserved") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val spans = CorpusOps.spanTable(docs, "doc_id", "text", spanWords = 4)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(spans == Map(0L -> "a b c d", 1L -> "e f g h", 2L -> "i j"))
+  }
+
+  test("spanDedup keeps the global first occurrence of each span, reassembles docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),  // spans: [one..four][five..eight]
+      (2L, "one two three four nine ten eleven twelve"), // first span dup of doc 1's
+      (3L, "five six seven eight five six seven eight")  // both spans dup (doc1 + self)
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.spanDedup(docs, "doc_id", "text", spanWords = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("one two three four five six seven eight", 2L))
+    assert(out(2L) == ("nine ten eleven twelve", 1L))
+    assert(!out.contains(3L)) // every span lost to an earlier occurrence
+  }
+
+  test("decontaminate drops exactly the corpus docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta unrelated tail"),
+      (2L, "totally disjoint words here now friends")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "prefix alpha beta gamma delta suffix")
+    ).toDF("doc_id", "text")
+    val kept = CorpusOps.decontaminate(corpus, bench, "doc_id", "text", shingleN = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L)) // doc 1 shares the 4-gram "alpha beta gamma delta"
+  }
+
+  test("repetitionStats computes exact ratios on a hand-checked doc") {
+    import spark.implicits._
+    // 8 words, 6 distinct ("a" x3), 7 bigrams, "a a" twice -> 6 distinct
+    val docs = Seq((1L, "a a a b c d e f")).toDF("doc_id", "text")
+    val r = CorpusOps.repetitionStats(docs, "doc_id", "text").collect()(0)
+    assert(r.getDouble(1) == 2.0 / 8)  // dup_word_frac
+    assert(r.getDouble(2) == 3.0 / 8)  // top_word_frac
+    assert(r.getDouble(3) == 1.0 / 7)  // dup_2gram_frac
+    assert(r.getDouble(4) == 1.0)      // mean_word_len
+  }
+
+  test("perSourceQuota caps each source at k, keeping the first-k by order") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val out = CorpusOps.perSourceQuota(d, "source", "doc_id", k = 2)
+      .select("doc_id", "source").collect()
+    val bySource = out.groupBy(_.getString(1))
+    assert(bySource.values.forall(_.length <= 2))
+    // kept ids per source are the minimal ones
+    val all = d.select("doc_id", "source").collect().groupBy(_.getString(1))
+    bySource.foreach { case (src, rows) =>
+      val kept = rows.map(_.getLong(0)).sorted.toSeq
+      val expect = all(src).map(_.getLong(0)).sorted.take(2).toSeq
+      assert(kept == expect, s"source $src")
+    }
+  }
+}
