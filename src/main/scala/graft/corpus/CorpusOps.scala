@@ -114,35 +114,40 @@ object CorpusOps {
     * bit-identical doubles (one IEEE division each) — which is what
     * makes the oracle exact.
     *
-    * Plan: one token explode feeding a (doc, word) count, aggregated
-    * again per doc (words path), plus a windowed `lead` bigram count
-    * (2-gram path) reusing the same doc-id partitioning; the two
-    * doc-level frames join on the doc id. Everything is codegen'd
-    * explode + hash-agg; shuffle keys are the doc id. */
+    * Plan: ONE token pipeline — a joined words-frame + bigrams-frame
+    * formulation would execute the scan/split/explode twice (two join
+    * branches of one lineage, the no-subplan-sharing trap). Instead
+    * each token row fans out to tagged (kind, term) rows — its word
+    * and, via one `lead` window, its bigram — so a single
+    * (doc, kind, term) count followed by one conditional doc-level
+    * rollup yields every stat. The explicit doc-id repartition is the
+    * only exchange: the window and both aggregations reuse it. */
   def repetitionStats(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val word = struct(lit(0).as("kind"), col("w").as("term"))
+    val bigram = struct(lit(1).as("kind"),
+      concat_ws(" ", col("w"), col("w2")).as("term"))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol),
         posexplode(TextFunctions.words(col(textCol))).as(Seq("pos", "w")))
-    val wordCounts = tokens
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
-    val wordStats = wordCounts
+      .withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .select(col(idCol), explode(
+        when(col("w2").isNotNull, array(word, bigram))
+          .otherwise(array(word))).as("t"))
+      .select(col(idCol), col("t.kind").as("kind"), col("t.term").as("term"))
+      .groupBy(col(idCol), col("kind"), col("term"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(
-        sum(col("c")).as("n_words"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("max_word_c"),
-        sum(length(col("w")) * col("c")).as("len_sum"))
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val bigramStats = tokens
-      .withColumn("w2", lead(col("w"), 1).over(byDoc))
-      .filter(col("w2").isNotNull)
-      .select(col(idCol), concat_ws(" ", col("w"), col("w2")).as("g2"))
-      .groupBy(col(idCol), col("g2")).agg(count(lit(1)).as("c2"))
-      .groupBy(col(idCol))
-      .agg(sum(col("c2")).as("n_2grams"), count(lit(1)).as("d_2grams"))
-    wordStats.join(bigramStats, Seq(idCol))
+        sum(when(col("kind") === 0, col("c"))).as("n_words"),
+        sum(when(col("kind") === 0, 1L)).as("n_distinct"),
+        max(when(col("kind") === 0, col("c"))).as("max_word_c"),
+        sum(when(col("kind") === 0, length(col("term")) * col("c"))).as("len_sum"),
+        sum(when(col("kind") === 1, col("c"))).as("n_2grams"),
+        sum(when(col("kind") === 1, 1L)).as("d_2grams"))
+      // single-word docs have no bigrams; match the oracle's inner join
+      .filter(col("n_2grams").isNotNull)
       .select(col(idCol),
         ((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
           .as("dup_word_frac"),

@@ -53,6 +53,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0)      // mean_word_len
   }
 
+  test("plans: q55 is a single-shuffle pipeline; q54 broadcasts the benchmark side") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.table(spark, sf001, "documents")
+    // repetitionStats: the explicit doc-id repartition is the ONLY
+    // exchange — (doc,word) counts, doc-level rollups, the bigram
+    // window, and the final join all reuse that partitioning
+    // (HashPartitioning(id) satisfies every downstream clustering).
+    val p55 = CorpusOps.repetitionStats(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val ex55 = "Exchange".r.findAllIn(p55).length
+    assert(ex55 == 1, s"expected 1 exchange, got $ex55 in:\n$p55")
+    // decontaminate: the benchmark n-gram probe must be a broadcast
+    // semi-join (corpus n-grams never shuffled)
+    val p54 = CorpusOps.decontaminate(
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", shingleN = 4)
+      .queryExecution.executedPlan.toString
+    assert(p54.contains("BroadcastHashJoin") && p54.contains("LeftSemi"),
+      s"expected broadcast semi-join in:\n$p54")
+  }
+
   test("perSourceQuota caps each source at k, keeping the first-k by order") {
     val d = graft.Tables.table(spark, sf001, "documents")
     val out = CorpusOps.perSourceQuota(d, "source", "doc_id", k = 2)
