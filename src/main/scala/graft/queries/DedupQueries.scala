@@ -230,6 +230,50 @@ object DedupQueries {
                min(CAST(('0x' || substr(hg, 21, 4)) AS BIGINT)) AS h5,
                min(CAST(('0x' || substr(hg, 25, 4)) AS BIGINT)) AS h6,
                min(CAST(('0x' || substr(hg, 29, 4)) AS BIGINT)) AS h7
-        FROM H GROUP BY doc_id ORDER BY doc_id"""))
+        FROM H GROUP BY doc_id ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q57_sketch_estimate_dups",
+      "Estimate-based near-dedup: LSH candidate pairs scored by MinHash " +
+        "sketch agreement (md5chunk16 UDAF; n_agree/8 estimates Jaccard, " +
+        "kept at >= 4/8) — O(k) per pair instead of O(shingles) exact " +
+        "verification.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        Dedup.sketchEstimatePairs(d, "doc_id", "text", k = 8, minAgree = 4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(shingleCte + raw""",
+        H AS (SELECT doc_id, md5(g) AS hg FROM S),
+        SIG AS (
+          SELECT doc_id,
+                 min(substr(hg, 1, 4)) AS h0, min(substr(hg, 5, 4)) AS h1,
+                 min(substr(hg, 9, 4)) AS h2, min(substr(hg, 13, 4)) AS h3,
+                 min(substr(hg, 17, 4)) AS h4, min(substr(hg, 21, 4)) AS h5,
+                 min(substr(hg, 25, 4)) AS h6, min(substr(hg, 29, 4)) AS h7
+          FROM H GROUP BY doc_id),
+        B AS (
+          SELECT doc_id, t.b AS band,
+                 CASE t.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                          WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS bv
+          FROM SIG, unnest([0, 1, 2, 3]) AS t(b)),
+        PAIRS AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM B x JOIN B y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        EST AS (
+          SELECT id_a, id_b,
+                 CAST(
+                   (CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+          FROM PAIRS JOIN SIG a ON PAIRS.id_a = a.doc_id
+                     JOIN SIG b ON PAIRS.id_b = b.doc_id)
+        SELECT id_a, id_b, n_agree FROM EST
+        WHERE n_agree >= 4 ORDER BY id_a, id_b"""))
   )
 }

@@ -93,6 +93,22 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("sketchEstimatePairs = signature agreement count on LSH candidates (testdata)") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val est = Dedup.sketchEstimatePairs(d, "doc_id", "text", k = 8, minAgree = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sig = Dedup.minhashSignature(d, "doc_id", "text", nHashes = 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    val cand = Dedup.lshCandidates(
+        Dedup.minhashSignature(d, "doc_id", "text", nHashes = 8), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = cand.map { case (a, b) =>
+      (a, b) -> sig(a).zip(sig(b)).count { case (x, y) => x == y }.toLong
+    }.filter(_._2 >= 4).toMap
+    assert(est == expected)
+    assert(est.nonEmpty)
+  }
+
   test("simhash32: equal docs equal, near-dups closer in Hamming distance") {
     val sh = Dedup.simhash32(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
