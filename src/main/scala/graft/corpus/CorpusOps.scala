@@ -157,6 +157,38 @@ object CorpusOps {
         (col("len_sum").cast("double") / col("n_words")).as("mean_word_len"))
   }
 
+  /** The composed corpus-curation pass, wired from the verified pieces
+    * (the corpus-level sibling of
+    * [[graft.pipeline.TrainingDataPipeline.clean]]'s document-level
+    * pipeline):
+    *
+    *   1. exact dedup on the canonical fingerprint (min-id keeper);
+    *   2. benchmark decontamination (broadcast n-gram probe);
+    *   3. repetition-rule filter ([[repetitionStats]] thresholds);
+    *   4. per-source quota (first-`quotaK` per source).
+    *
+    * Stage order is deliberate: the cheap hash dedup shrinks the corpus
+    * before the n-gram stages, and the quota runs LAST so dropped
+    * duplicates/contaminated docs don't consume a source's budget.
+    * Every stage is a DataFrame transform keyed on doc ids or 16-byte
+    * hashes — the composition scales exactly as its pieces do. */
+  def curate(
+      docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, sourceCol: String,
+      shingleN: Int = 4,
+      maxDupWordFrac: Double = 0.6, maxDup2GramFrac: Double = 0.05,
+      quotaK: Int = 10): DataFrame = {
+    val drops = graft.pipeline.TrainingDataPipeline.exactDupIds(docs, idCol, textCol)
+    val d1 = docs.join(drops, docs(idCol) === drops("id"), "left_anti")
+    val d2 = decontaminate(d1, benchmark, idCol, textCol, shingleN)
+    val keep = repetitionStats(d2, idCol, textCol)
+      .filter(col("dup_word_frac") <= maxDupWordFrac &&
+        col("dup_2gram_frac") <= maxDup2GramFrac)
+      .select(col(idCol).as("rep_keep_id"))
+    val d3 = d2.join(keep, d2(idCol) === col("rep_keep_id"), "left_semi")
+    perSourceQuota(d3, sourceCol, idCol, quotaK)
+  }
+
   /** Per-source quota: keep at most `k` documents per source, first-k
     * by a deterministic order column (ingest order / doc id). The
     * standard corpus-mixing guard against one domain flooding the mix.

@@ -107,6 +107,52 @@ object CorpusQueries {
       Some("""
         SELECT doc_id, source FROM documents
         QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+        ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q58_corpus_curate",
+      "Composed corpus-curation pass: exact dedup -> benchmark " +
+        "decontamination -> repetition-rule filter -> per-source quota; " +
+        "oracle rebuilds all four stages independently in SQL.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        CorpusOps.curate(
+            d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7),
+            "doc_id", "text", "source",
+            shingleN = 4, maxDupWordFrac = 0.6, maxDup2GramFrac = 0.05, quotaK = 10)
+          .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH CORPUS AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+        BENCH AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+        D1 AS (SELECT * FROM CORPUS
+               QUALIFY doc_id = min(doc_id) OVER (
+                 PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g'))))),
+        D1W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM D1),
+        CS AS (SELECT DISTINCT doc_id,
+                      unnest([array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)]) AS g
+               FROM D1W),
+        BW AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM BENCH),
+        BGS AS (SELECT DISTINCT
+                       unnest([array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)]) AS g
+                FROM BW),
+        CONTAM AS (SELECT DISTINCT doc_id FROM CS WHERE g IN (SELECT g FROM BGS)),
+        D2 AS (SELECT * FROM D1
+               WHERE NOT EXISTS (SELECT 1 FROM CONTAM c WHERE c.doc_id = D1.doc_id)),
+        D2W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM D2),
+        T AS (SELECT doc_id, unnest(w) AS word FROM D2W),
+        WC AS (SELECT doc_id, word, count(*) AS c FROM T GROUP BY 1, 2),
+        WS AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS d FROM WC GROUP BY 1),
+        B2 AS (SELECT doc_id, array_to_string(w[i+1:i+2], ' ') AS g2
+               FROM D2W, unnest(range(0, len(w) - 1)) AS t(i)),
+        BC AS (SELECT doc_id, g2, count(*) AS c2 FROM B2 GROUP BY 1, 2),
+        BS2 AS (SELECT doc_id, SUM(c2) AS n2, COUNT(*) AS d2 FROM BC GROUP BY 1),
+        D3 AS (SELECT D2.doc_id, D2.source FROM D2
+               JOIN WS ON D2.doc_id = WS.doc_id JOIN BS2 ON D2.doc_id = BS2.doc_id
+               WHERE CAST(n - d AS DOUBLE) / n <= 0.6
+                 AND CAST(n2 - d2 AS DOUBLE) / n2 <= 0.05)
+        SELECT doc_id, source FROM D3
+        QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
         ORDER BY doc_id"""))
   )
 }
