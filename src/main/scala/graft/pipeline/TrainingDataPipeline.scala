@@ -67,7 +67,18 @@ object TrainingDataPipeline {
 
   /** The four survivor frames in stage order (after exact dedup, near
     * dedup, language filter, quality threshold) — the single definition
-    * both [[clean]] (last frame) and [[stats]] (per-frame counts) use. */
+    * both [[clean]] (last frame) and [[stats]] (per-frame counts) use.
+    *
+    * The language/quality keep-lists are computed from the RAW `docs`,
+    * not from the stage-2/3 survivor frames: both are pure per-document
+    * predicates, so intersecting them (left-semi) with d2/d3 yields the
+    * identical membership — but deriving them from d2/d3 would embed
+    * the near-dedup lineage in their subtrees, and without persistence
+    * each later stage then re-executes the whole expensive prefix
+    * (stage-k cost ~2^k). From raw docs the near-dedup subtree executes
+    * once per consumer of d2, not once per downstream stage; the trade
+    * is scoring docs that earlier stages already dropped — cheap
+    * per-row work vs re-running MinHash/LSH/verify. */
   private def stages(
       docs: DataFrame, idCol: String, textCol: String,
       keepLangs: Seq[String], minQuality: Double,
@@ -79,11 +90,11 @@ object TrainingDataPipeline {
     val d1 = stage(docs.join(exactDrops, docs(idCol) === exactDrops("id"), "left_anti"))
     val nearDrops = nearDupIds(d1, idCol, textCol)
     val d2 = stage(d1.join(nearDrops, d1(idCol) === nearDrops("id"), "left_anti"))
-    val withLang = TextAnalysis.langIdByDoc(d2, idCol, textCol)
+    val withLang = TextAnalysis.langIdByDoc(docs, idCol, textCol)
       .filter(col("lang_pred").isin(keepLangs: _*))
       .select(col(idCol).as("keep_lang_id"))
     val d3 = stage(d2.join(withLang, d2(idCol) === col("keep_lang_id"), "left_semi"))
-    val quality = TextAnalysis.qualityByDoc(d3, idCol, textCol)
+    val quality = TextAnalysis.qualityByDoc(docs, idCol, textCol)
       .filter(col("quality") >= minQuality)
       .select(col(idCol).as("keep_q_id"))
     val d4 = d3.join(quality, d3(idCol) === col("keep_q_id"), "left_semi")
