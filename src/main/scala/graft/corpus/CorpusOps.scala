@@ -189,6 +189,26 @@ object CorpusOps {
     perSourceQuota(d3, sourceCol, idCol, quotaK)
   }
 
+  /** Corpus vocabulary: the top `k` terms by document frequency, with
+    * collection frequency riding along (the table tokenizer-training
+    * and stopword-derivation passes start from). Deterministic
+    * tiebreak on the term itself.
+    *
+    * Plan: explode + two hash-aggs — (doc, term) dedup-count feeding a
+    * term-level rollup — then a `TakeOrderedAndProject` for the top-k
+    * (no global sort materialization). The (doc, term) agg reuses the
+    * explicit doc-id repartition; only the term rollup reshuffles, and
+    * it shuffles one row per distinct (doc, term), never raw tokens. */
+  def vocabulary(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 100): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+
   /** Per-source quota: keep at most `k` documents per source, first-k
     * by a deterministic order column (ingest order / doc id). The
     * standard corpus-mixing guard against one domain flooding the mix.

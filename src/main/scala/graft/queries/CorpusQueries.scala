@@ -153,6 +153,23 @@ object CorpusQueries {
                  AND CAST(n2 - d2 AS DOUBLE) / n2 <= 0.05)
         SELECT doc_id, source FROM D3
         QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q59_vocabulary",
+      "Corpus vocabulary: top-20 terms by document frequency (collection " +
+        "frequency riding along, deterministic term tiebreak) — " +
+        "TakeOrderedAndProject, no global sort.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        CorpusOps.vocabulary(d, "doc_id", "text", k = 20)
+      },
+      Some(raw"""
+        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        T AS (SELECT doc_id, unnest(w) AS term FROM W),
+        TF AS (SELECT doc_id, term, count(*) AS tf FROM T GROUP BY 1, 2)
+        SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        FROM TF GROUP BY term
+        ORDER BY df DESC, term LIMIT 20"""))
   )
 }

@@ -74,6 +74,17 @@ class CorpusOpsSpec extends SparkSpec {
       s"expected broadcast semi-join in:\n$p54")
   }
 
+  test("vocabulary returns top-k by document frequency with term tiebreak") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "apple cherry"), (3L, "banana cherry date")
+    ).toDF("doc_id", "text")
+    val v = CorpusOps.vocabulary(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // df: apple 2, banana 2, cherry 2, date 1 -> top-3 by (df desc, term)
+    assert(v.toSeq == Seq(("apple", 2L, 3L), ("banana", 2L, 2L), ("cherry", 2L, 2L)))
+  }
+
   test("perSourceQuota caps each source at k, keeping the first-k by order") {
     val d = graft.Tables.table(spark, sf001, "documents")
     val out = CorpusOps.perSourceQuota(d, "source", "doc_id", k = 2)
