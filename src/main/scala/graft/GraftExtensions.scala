@@ -36,11 +36,22 @@ object GraftFunctions {
     "l2_norm" -> (es => L2Norm(es(0))),
     "rolling_hash" -> (es => RollingHash(es(0))),
     // aggregate: minhash_sketch(shingle, k [, family]) with literal k;
-    // family is 'murmur64' (default) or the DuckDB-reproducible 'md5chunk16'
-    "minhash_sketch" -> (es => MinHashSketchAgg(
-      es(0), es(1).eval().asInstanceOf[Int],
-      if (es.length > 2) es(2).eval().toString else "murmur64")
-      .toAggregateExpression()),
+    // family is 'murmur64' (default) or the DuckDB-reproducible
+    // 'md5chunk16'. NULL / non-foldable k or family degrade to sentinel
+    // values the expression's checkInputDataTypes rejects with a proper
+    // TypeCheckFailure instead of an analysis-time NPE.
+    "minhash_sketch" -> (es => {
+      def foldedOrNull(e: Expression): Any =
+        if (e.foldable) e.eval() else null
+      val k = foldedOrNull(es(1)) match {
+        case i: Int => i
+        case _ => -1
+      }
+      val family =
+        if (es.length <= 2) "murmur64"
+        else Option(foldedOrNull(es(2))).map(_.toString).getOrElse("<non-literal>")
+      MinHashSketchAgg(es(0), k, family).toAggregateExpression()
+    }),
     // avro_decode(bytes, 'schema-json' [, registryFramed]) — schema must
     // be a literal (it defines the output type at analysis time)
     "avro_decode" -> (es => AvroDecode(

@@ -171,7 +171,15 @@ object CorpusOps {
     * before the n-gram stages, and the quota runs LAST so dropped
     * duplicates/contaminated docs don't consume a source's budget.
     * Every stage is a DataFrame transform keyed on doc ids or 16-byte
-    * hashes — the composition scales exactly as its pieces do. */
+    * hashes — the composition scales exactly as its pieces do.
+    *
+    * The repetition keep-list is computed from the RAW docs, not d2:
+    * [[repetitionStats]] is a pure per-document predicate, so the
+    * semi-join membership is identical either way, but deriving it
+    * from d2 would put the dedup + decontamination lineage in both
+    * branches of the semi-join and re-execute it (the same
+    * no-subplan-sharing trap [[graft.pipeline.TrainingDataPipeline]]
+    * documents for its lang/quality stages). */
   def curate(
       docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, sourceCol: String,
@@ -181,7 +189,7 @@ object CorpusOps {
     val drops = graft.pipeline.TrainingDataPipeline.exactDupIds(docs, idCol, textCol)
     val d1 = docs.join(drops, docs(idCol) === drops("id"), "left_anti")
     val d2 = decontaminate(d1, benchmark, idCol, textCol, shingleN)
-    val keep = repetitionStats(d2, idCol, textCol)
+    val keep = repetitionStats(docs, idCol, textCol)
       .filter(col("dup_word_frac") <= maxDupWordFrac &&
         col("dup_2gram_frac") <= maxDup2GramFrac)
       .select(col(idCol).as("rep_keep_id"))

@@ -51,6 +51,9 @@ case class MinHashSketchAgg(
     if (child.dataType != org.apache.spark.sql.types.StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"minhash_sketch requires a string argument, got ${child.dataType.simpleString}")
+    else if (k < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sketch requires a positive literal k, got $k")
     else if (family != "murmur64" && family != "md5chunk16")
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"unknown minhash_sketch family '$family' (murmur64 | md5chunk16)")

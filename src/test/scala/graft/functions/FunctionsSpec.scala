@@ -135,6 +135,22 @@ class MinHashSketchAggSpec extends SparkSpec {
     sk1.keys.foreach(k => assert(sk1(k).sameElements(sk2(k))))
   }
 
+  test("minhash_sketch SQL surface rejects bad k/family as analysis errors, not NPE") {
+    import spark.implicits._
+    graft.GraftFunctions.register(spark)
+    Seq("a b c").toDF("s").createOrReplaceTempView("mh_args_test")
+    def analysisFails(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException],
+        s"expected AnalysisException, got ${e.getClass}: ${e.getMessage}")
+    }
+    analysisFails("SELECT minhash_sketch(s, 8, NULL) FROM mh_args_test")
+    analysisFails("SELECT minhash_sketch(s, 8, 'nope') FROM mh_args_test")
+    analysisFails("SELECT minhash_sketch(s, 0) FROM mh_args_test")
+    analysisFails("SELECT minhash_sketch(s, 8, s) FROM mh_args_test")
+    analysisFails("SELECT minhash_sketch(s, 16, 'md5chunk16') FROM mh_args_test")
+  }
+
   test("md5chunk16 family equals the md5-chunk minhash signature (oracle family)") {
     val d = graft.Tables.table(spark, sf001, "documents").limit(100)
     val sh = graft.dedup.Dedup.shingleTable(d, "doc_id", "text")

@@ -78,17 +78,27 @@ class TrainingDataPipelineSpec extends SparkSpec {
   test("cleanStream == batch clean minus near-dedup on real docs (parity gate)") {
     // The streaming pipeline's contract: identical survivors to the batch
     // clean() with the near-dedup stage removed, up to the documented
-    // keeper-choice difference (first-seen vs min-id) — so parity is
-    // asserted on surviving FINGERPRINTS, which are keeper-invariant.
-    // This also pins the per-row filter forms (TextFunctions.langId /
-    // qualityScore) to their aggregate twins (TextAnalysis.*ByDoc) on
-    // the full real-fixture distribution.
+    // keeper-choice difference (first-seen vs min-id). Parity is
+    // asserted on surviving FINGERPRINTS, which is keeper-invariant
+    // PROVIDED duplicate texts are raw-identical (a canonical-only dup
+    // like "a  b" vs "a b" could pass the quality filter under one
+    // keeper and fail under the other). The fixture has no duplicate
+    // fingerprints at all, so raw-identical copies of real docs are
+    // planted across BOTH batches — that is what actually exercises the
+    // cross-batch watermark dedup state. This also pins the per-row
+    // filter forms (TextFunctions.langId / qualityScore) to their
+    // aggregate twins (TextAnalysis.*ByDoc) on the real distribution.
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.{TextAnalysis, TextFunctions}
 
-    val docs = graft.Tables.table(spark, sf001, "documents")
+    val base = graft.Tables.table(spark, sf001, "documents")
+      .select("doc_id", "text")
+    // raw-identical duplicates of the first 10 docs, new ids
+    val dups = base.orderBy(col("doc_id")).limit(10)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val docs = base.union(dups)
     val keepLangs = Seq("en", "und")
     val minQuality = 0.5
 
@@ -106,8 +116,10 @@ class TrainingDataPipelineSpec extends SparkSpec {
 
     // stream the same docs in two micro-batches
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // sorted by id: the planted dups (ids 100000+) land in the second
+    // micro-batch, their originals in the first -> cross-batch dedup
     val rows = docs.select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1), t0))
+      .map(r => (r.getLong(0), r.getString(1), t0)).sortBy(_._1)
     val in = MemoryStream[(Long, String, java.sql.Timestamp)]
     val out = TrainingDataPipeline.cleanStream(
       in.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
