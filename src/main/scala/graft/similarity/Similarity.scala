@@ -112,13 +112,39 @@ object Similarity {
     * per-id hash agg. At write time `cell` becomes the partition key,
     * and a query then touches |corpus|/nLists rows.
     */
-  def ivfDeterministicTopK(
-      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nLists: Int): DataFrame = {
-    val cent = corpus
+  /** The deterministic coarse quantizer's centroid table: nLists rows
+    * picked by md5 rank over ids (TakeOrderedAndProject, no full sort,
+    * no RNG state) — (cent_id, cent_vec), broadcast by consumers. */
+  def ivfCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, nLists: Int): DataFrame =
+    corpus
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
       .orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
       .limit(nLists)
+
+  /** Deterministic IVF cell assignment: argmin exact squared-L2 over
+    * the broadcast centroid table (tie-break on centroid id), reduced
+    * map-side by a `min_by` partial agg — one row per id reaches the
+    * shuffle. Returns (idCol, cell, vecCol). At write time `cell` is
+    * the partition key ([[graft.sinks.CorpusSink.writeIvfCells]]), so a
+    * probe reads |corpus|/nLists rows. */
+  def ivfAssignCells(
+      df: DataFrame, idCol: String, vecCol: String, nLists: Int): DataFrame = {
+    val cent = ivfCentroids(df, idCol, vecCol, nLists)
+    df.select(col(idCol), col(vecCol))
+      .join(broadcast(cent))
+      .withColumn("l2", VectorFunctions.l2Sq(col(vecCol), col("cent_vec")))
+      .groupBy(col(idCol))
+      .agg(
+        min_by(col("cent_id"), struct(col("l2"), col("cent_id"))).as("cell"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col("cell"), col(vecCol))
+  }
+
+  def ivfDeterministicTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nLists: Int): DataFrame = {
+    val cent = ivfCentroids(corpus, idCol, vecCol, nLists)
 
     // argmin cell per row: min_by over the nLists broadcast candidates,
     // partial map-side (collapses to one row per id before the shuffle)

@@ -1,0 +1,65 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Write-time layout for corpus tables (the sink half of the 100 TB
+  * story): how survivors of the cleaning/curation passes should land
+  * on storage so DOWNSTREAM reads prune instead of scan.
+  *
+  *  - `writePartitioned`: hive-style directory partitioning on a
+  *    low-cardinality column (source, language, date). Readers filtering
+  *    on it get partition PRUNING (directories never opened); rows are
+  *    sorted within files on a secondary key so min/max stats make
+  *    row-group skipping effective. `maxRecordsPerFile` bounds file
+  *    size without an extra repartition pass.
+  *  - `writeBucketed`: bucket-by on a join key (doc id, fingerprint)
+  *    into a table readable with NO shuffle on that key — the layout
+  *    [[graft.operators.ScaleJoins.bucketedJoin]] consumes.
+  *  - `writeIvfCells`: the ANN-serving layout — embeddings partitioned
+  *    by their IVF cell id, so a probe touching nProbe cells reads
+  *    exactly those directories (the write-time partition key the
+  *    [[graft.similarity.Similarity.ivfTopK]] plan calls for).
+  *
+  * All three are thin, deliberately: the point is the layout contract,
+  * captured in specs that assert the directory/file structure a reader
+  * depends on, not wrapper cleverness.
+  */
+object CorpusSink {
+
+  /** Partition-pruned, sorted-within-files corpus write. */
+  def writePartitioned(
+      df: DataFrame, path: String,
+      partitionCol: String, sortCol: String,
+      maxRecordsPerFile: Int = 5000000): Unit =
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions(col(partitionCol), col(sortCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
+  /** Bucketed table write (requires a table name — bucketing is a
+    * metastore contract, not just a directory layout). */
+  def writeBucketed(
+      df: DataFrame, table: String,
+      bucketCol: String, nBuckets: Int, sortCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(sortCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** ANN-serving layout: one directory per IVF cell. `cells` is the
+    * (id, cell) assignment (e.g. from the IVF coarse quantizer);
+    * embeddings land partitioned by cell so an nProbe-cell query reads
+    * only those directories. */
+  def writeIvfCells(
+      emb: DataFrame, cells: DataFrame, path: String,
+      idCol: String, cellCol: String = "cell"): Unit =
+    emb.join(cells, Seq(idCol))
+      .repartition(col(cellCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(cellCol)
+      .parquet(path)
+}

@@ -163,6 +163,31 @@ class DedupSpec extends SparkSpec {
     assert(bucketed.nonEmpty)
   }
 
+  test("null-text contract: fingerprint ops group nulls, shingle ops drop them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "real content here"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]), (4L, "other words")
+    ).toDF("doc_id", "text")
+    // exact dedup: null texts share a null fingerprint -> ONE group,
+    // min-id keeper — null-text floods collapse instead of surviving
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(groups(None) == (2L, 2L))
+    // shingle-based ops silently drop null-text docs (split(null) -> null)
+    assert(Dedup.shingleTable(docs, "doc_id", "text", n = 2)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    // incremental dedup keeps null-text rows (left_anti never matches a
+    // null key) — the documented contract the q49 NOT EXISTS oracle
+    // mirrors; a null-tolerant index must pre-filter them upstream
+    val index = Dedup.exactGroups(
+      Seq((9L, "known")).toDF("doc_id", "text"), "doc_id", "text").select(col("fp"))
+    val kept = Dedup.dedupAgainstIndex(docs, index, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(4L))
+    assert(kept.intersect(Set(2L, 3L)).size == 1) // nulls dedup in-batch to min id
+  }
+
   test("embeddingNearDups finds high-cosine pairs only") {
     import spark.implicits._
     val emb = Seq(

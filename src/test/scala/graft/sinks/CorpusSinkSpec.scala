@@ -1,0 +1,81 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The layout CONTRACT a downstream reader depends on: directory
+  * pruning, file caps, shuffle-free bucketed joins, cell-pruned ANN
+  * reads. */
+class CorpusSinkSpec extends SparkSpec {
+
+  private def tmp(name: String) =
+    Files.createTempDirectory(name).toString
+
+  test("writePartitioned: hive dirs per key, file cap honored, scan prunes") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val out = tmp("corpus_part")
+    CorpusSink.writePartitioned(d, out, "source", "doc_id", maxRecordsPerFile = 2)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("source=")))
+    // file cap: no parquet file carries more than 2 records
+    val firstDir = new java.io.File(out, dirs.head)
+    val files = firstDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 2, f.getName)
+    }
+    // a filter on the partition column reaches the scan as partition pruning
+    val back = spark.read.parquet(out).filter(col("source") === dirs.head.stripPrefix("source="))
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(source"), scan)
+    assert(back.count() == d.filter(col("source") === dirs.head.stripPrefix("source=")).count())
+  }
+
+  test("writeBucketed: join on the bucket key plans with NO shuffle on the scan side") {
+    val spark2 = spark
+    import spark2.implicits._
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    val d = graft.Tables.table(spark, sf001, "documents").select("doc_id", "text")
+    CorpusSink.writeBucketed(d, "corpus_bucketed_spec", "doc_id", 4, "doc_id")
+    try {
+      val t = spark.table("corpus_bucketed_spec")
+      val probe = (0L until 50L).map(i => (i, i)).toDF("doc_id", "v")
+        .repartition(4, col("doc_id"))
+      val joined = t.join(probe.hint("merge"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      // the bucketed side must not re-shuffle on doc_id
+      val tableScanSide = plan.split("SortMergeJoin").last
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(!plan.split("\n").exists(l =>
+        l.contains("Exchange hashpartitioning(doc_id") && l.contains("REQUIRED_BY_STATEFUL")),
+        "unexpected exchange flavor")
+      // count exchanges: only the probe side may shuffle
+      val exchanges = plan.split("\n").count(_.trim.startsWith("+- Exchange hashpartitioning(doc_id"))
+      assert(exchanges <= 1, s"bucketed side reshuffled:\n$plan")
+      assert(joined.count() == 50)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS corpus_bucketed_spec")
+    }
+  }
+
+  test("writeIvfCells: one directory per cell; a 2-cell probe reads only those dirs") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val cells = graft.similarity.Similarity
+      .ivfAssignCells(e, "vec_id", "embedding", nLists = 4)
+    val out = tmp("ivf_cells")
+    CorpusSink.writeIvfCells(e, cells.select(col("vec_id"), col("cell")), out, "vec_id")
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("cell=")) && dirs.length >= 2)
+    // cells are centroid ids; probe the first two actual cells
+    val probeCells = dirs.take(2).map(_.stripPrefix("cell=").toLong)
+    val probe = spark.read.parquet(out).filter(col("cell").isin(probeCells: _*))
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    // hive partition dirs type-infer as int; normalize before comparing
+    assert(probe.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == probeCells.toSet)
+  }
+}
