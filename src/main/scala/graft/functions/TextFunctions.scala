@@ -19,6 +19,18 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(words(text))
 
+  /** BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape,
+    * ASCII-simplified): letter runs, digit runs, and punctuation runs
+    * as separate tokens over the lowercased text. This is the unit a
+    * subword tokenizer would further merge, so its count upper-bounds
+    * whitespace tokens and tracks real token budgets far better on
+    * punctuated/numeric text. Codegen'd `regexp_extract_all`; the
+    * character-class-only pattern means Java and RE2 (DuckDB) agree. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
   /** Word n-gram shingles (default 3), joined with single spaces.
     * `transform(sequence(...))` keeps it codegen'd and avoids an explode
     * until the caller chooses to. Documents with fewer than n words yield

@@ -131,6 +131,32 @@ object TextQueries {
                      list_transform(string_split(text, ''), x -> ord(x)::HUGEINT)),
                    (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS h
           FROM documents)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q60_token_budget",
+      "Token budgeting: whitespace vs BPE-style pre-tokenizer counts " +
+        "(letter/digit/punct runs via codegen'd regexp_extract_all) plus " +
+        "chars-per-token — the per-doc numbers a packing/costing pass " +
+        "budgets with.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        d.select(col("doc_id"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .cast("long").as("n_tokens"),
+            graft.functions.TextFunctions.bpeishTokenCount(col("text"))
+              .cast("long").as("n_bpeish"),
+            (length(col("text")).cast("double") /
+              graft.functions.TextFunctions.bpeishTokenCount(col("text")))
+              .as("chars_per_token"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_bpeish,
+               CAST(length(text) AS DOUBLE) /
+                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS chars_per_token
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -224,6 +224,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(2)._3 == Seq.empty)
   }
 
+  test("bpeishTokens splits letter/digit/punct runs; count bounds whitespace count") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello, world! a1b2  x"),
+      (2L, "plain lowercase words")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextFunctions.bpeishTokens(col("text")).as("t"),
+        TextFunctions.tokenCount(col("text")).as("nw"),
+        TextFunctions.bpeishTokenCount(col("text")).as("nb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getInt(2), r.getInt(3))).toList
+    assert(out(0)._2 == Seq("hello", ",", "world", "!", "a", "1", "b", "2", "x"))
+    assert(out(0)._4 > out(0)._3) // punctuated text: bpe-ish exceeds whitespace
+    assert(out(1)._2 == Seq("plain", "lowercase", "words"))
+    assert(out(1)._3 == out(1)._4)
+  }
+
   test("langId picks marker-dominant language, und when none or null") {
     import spark.implicits._
     val df = Seq(
