@@ -322,6 +322,43 @@ object ExtendedQueries {
                first_value(o_orderkey) OVER w AS first_key
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        ORDER BY o_custkey, o_orderkey"""))
+        ORDER BY o_custkey, o_orderkey""")),
+
+    GraftQuery(
+      "q61_funnel",
+      "Ordered-sequence funnel (view -> click -> purchase, strictly " +
+        "increasing timestamps) per user: chained conditional-min " +
+        "windows over ONE user-key shuffle — no per-step self-joins; " +
+        "oracle derives each step's reach time independently.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "events")
+        graft.operators.Funnel
+          .reach(e, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+          .select(col("user_id"), col("reached"),
+            unix_millis(col("t1")).as("t1_ms"),
+            unix_millis(col("t2")).as("t2_ms"),
+            unix_millis(col("t3")).as("t3_ms"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH E AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        U AS (SELECT DISTINCT user_id FROM E),
+        T1 AS (SELECT user_id, min(ts) AS t1 FROM E
+               WHERE event_type = 'view' GROUP BY 1),
+        T2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM E e
+               JOIN T1 ON e.user_id = T1.user_id
+               WHERE e.event_type = 'click' AND e.ts > T1.t1 GROUP BY 1),
+        T3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM E e
+               JOIN T2 ON e.user_id = T2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > T2.t2 GROUP BY 1)
+        SELECT U.user_id,
+               CAST(CASE WHEN T1.user_id IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN T2.user_id IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN T3.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached,
+               epoch_ms(t1) AS t1_ms, epoch_ms(t2) AS t2_ms, epoch_ms(t3) AS t3_ms
+        FROM U LEFT JOIN T1 ON U.user_id = T1.user_id
+               LEFT JOIN T2 ON U.user_id = T2.user_id
+               LEFT JOIN T3 ON U.user_id = T3.user_id
+        ORDER BY U.user_id"""))
   )
 }
