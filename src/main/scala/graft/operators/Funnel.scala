@@ -47,6 +47,28 @@ object Funnel {
       .withColumn("reached", reached)
   }
 
+  /** Cohort retention matrix: users grouped by their first-activity
+    * week (epoch-week integer — engine-agnostic, no week-start
+    * convention), counted in each later week they were active.
+    * Returns (cohort_week, week_offset, n_users).
+    *
+    * Plan: one shuffle on the user key — the cohort week is a `min`
+    * window over it, the per-(user, week) dedup reuses the same
+    * partitioning (user ⊆ grouping keys), and only the final tiny
+    * (cohort, offset) rollup reshuffles aggregated rows. */
+  def retention(
+      df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    df.select(col(userCol),
+        floor(unix_millis(col(tsCol)) / lit(604800000.0)).cast("long").as("week"))
+      .withColumn("cohort_week", min(col("week")).over(w))
+      .groupBy(col(userCol), col("cohort_week"), col("week"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Funnel summary: one row per step with the user count that reached
     * it (monotonically non-increasing by construction). */
   def counts(

@@ -359,6 +359,29 @@ object ExtendedQueries {
         FROM U LEFT JOIN T1 ON U.user_id = T1.user_id
                LEFT JOIN T2 ON U.user_id = T2.user_id
                LEFT JOIN T3 ON U.user_id = T3.user_id
-        ORDER BY U.user_id"""))
+        ORDER BY U.user_id""")),
+
+    GraftQuery(
+      "q62_retention",
+      "Cohort retention matrix: users bucketed by first-activity epoch " +
+        "week, counted per later active week — one user-key shuffle " +
+        "(cohort via min window, per-week dedup reuses the partitioning).",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "events")
+        graft.operators.Funnel.retention(e, "user_id", "ts")
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""
+        WITH E AS (
+          SELECT user_id,
+                 epoch_ms(CAST(ts AS TIMESTAMP)) // 604800000 AS week
+          FROM events),
+        C AS (SELECT user_id, min(week) AS cohort_week FROM E GROUP BY 1),
+        A AS (SELECT DISTINCT E.user_id, C.cohort_week, E.week
+              FROM E JOIN C ON E.user_id = C.user_id)
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM A GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset"""))
   )
 }

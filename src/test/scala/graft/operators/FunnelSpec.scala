@@ -45,6 +45,22 @@ class FunnelSpec extends SparkSpec {
     assert(c(1L) > 0)
   }
 
+  test("retention: cohorts by first week, offsets count distinct active users") {
+    import spark.implicits._
+    val wk = 604800000L
+    def t(week: Long, offMs: Long) = new java.sql.Timestamp(week * wk + offMs)
+    val events = Seq(
+      (1L, t(2800, 10)), (1L, t(2800, 20)), (1L, t(2802, 0)), // cohort 2800, wks 0,2
+      (2L, t(2800, 50)), (2L, t(2801, 0)),                    // cohort 2800, wks 0,1
+      (3L, t(2801, 5))                                        // cohort 2801, wk 0
+    ).toDF("user_id", "ts")
+    val r = Funnel.retention(events, "user_id", "ts")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r == Map(
+      (2800L, 0L) -> 2L, (2800L, 1L) -> 1L, (2800L, 2L) -> 1L,
+      (2801L, 0L) -> 1L))
+  }
+
   test("funnel plan shuffles the event log exactly once (chained windows, no self-joins)") {
     val e = graft.Tables.table(spark, sf001, "events")
     val plan = Funnel.reach(e, "user_id", "ts", "event_type",
