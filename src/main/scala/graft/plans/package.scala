@@ -63,6 +63,34 @@ package graft
   *    `transformWithState` over RocksDB ValueState) rather than a
   *    custom stateful physical operator.
   *
+  * Round-5 additions, same discipline:
+  *
+  *  - The MinHash sketch stayed tier (b) as a raw-buffer
+  *    `TypedImperativeAggregate` ([[graft.functions.MinHashSketchAgg]])
+  *    and gained the md5chunk16 hash family so the UDAF itself is
+  *    oracle-verifiable (q52) and usable in the estimate-based
+  *    near-dedup composition (q57) — no custom plan node, because
+  *    partial aggregation is exactly what the built-in aggregate
+  *    machinery already schedules optimally.
+  *  - The whole corpus-curation family ([[graft.corpus.CorpusOps]]:
+  *    span dedup, decontamination, repetition stats, quotas,
+  *    vocabulary, curate) is pure tier (a): global span winners are a
+  *    row_number window over a hash key; decontamination is a broadcast
+  *    semi-join; repetition stats are one tagged-union explode feeding
+  *    two hash-aggs (plan-asserted single exchange). A custom operator
+  *    could not remove any of those exchanges — they carry the minimum
+  *    information (hash keys and per-doc aggregates).
+  *  - Funnel / cohort retention ([[graft.operators.Funnel]]) — often
+  *    cited as needing a custom sequence-match operator — reduce to
+  *    chained conditional-min windows over ONE user-key shuffle; a
+  *    tier-(c) sequence automaton would save nothing, because the
+  *    per-user partition is already co-located and the windows are
+  *    evaluated in a single pass over it.
+  *  - Write-time layout ([[graft.sinks.CorpusSink]]) deliberately uses
+  *    the built-in partitioned/bucketed writers: the contract worth
+  *    testing is the directory/file layout readers prune on, not a
+  *    custom committer.
+  *
   * When a future round adds an operator Spark genuinely cannot express,
   * it lands here with the `SparkSessionExtensions` wiring already in
   * place ([[graft.GraftExtensions]]).
