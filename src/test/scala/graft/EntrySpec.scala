@@ -61,6 +61,39 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("spanDedup invariants: reassembly identity without dups, span conservation with them") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.chooseNum(1, 24).flatMap(n => Gen.listOfN(n, wordGen))
+    check(Prop.forAll(Gen.listOfN(6, docGen)) { texts: List[List[String]] =>
+      val docs = texts.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      // span conservation: total surviving spans across all docs equals
+      // the number of DISTINCT spans in the corpus (each distinct span
+      // survives exactly once, at its global first occurrence)
+      val allSpans = texts.flatMap(_.grouped(4).map(_.mkString(" ")))
+      val keptCount = graft.corpus.CorpusOps
+        .spanDedup(docs, "doc_id", "text", spanWords = 4)
+        .agg(org.apache.spark.sql.functions.sum("n_spans")).collect()(0).getLong(0)
+      keptCount == allSpans.distinct.size
+    }, n = 5)
+  }
+
+  test("funnel reach is monotone: counts never increase with step index") {
+    import spark.implicits._
+    val evGen = for {
+      u <- Gen.choose(1L, 5L); t <- Gen.choose(0L, 1000L)
+      e <- Gen.oneOf("view", "click", "purchase")
+    } yield (u, new java.sql.Timestamp(t * 1000), e)
+    check(Prop.forAll(Gen.listOfN(40, evGen)) { evs: List[(Long, java.sql.Timestamp, String)] =>
+      val df = evs.toDF("user_id", "ts", "event_type")
+      val c = graft.operators.Funnel
+        .counts(df, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      c(1L) >= c(2L) && c(2L) >= c(3L)
+    }, n = 5)
+  }
+
   test("join row-count invariant: |A join B on key| <= |A| * max-multiplicity(B)") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOfN(30, Gen.choose(0, 9)), Gen.listOfN(30, Gen.choose(0, 9))) {
