@@ -25,9 +25,12 @@ object TextFunctions {
     * subword tokenizer would further merge, so its count upper-bounds
     * whitespace tokens and tracks real token budgets far better on
     * punctuated/numeric text. Codegen'd `regexp_extract_all`; the
-    * character-class-only pattern means Java and RE2 (DuckDB) agree. */
+    * whitespace class is spelled out explicitly because `\s` itself is
+    * NOT engine-agnostic — Java includes vertical tab (\x0B) in `\s`,
+    * RE2 (DuckDB) does not. With the explicit class both engines treat
+    * \x0B as a punctuation-run character, identically. */
   def bpeishTokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]+"), lit(0))
 
   def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
 

@@ -75,8 +75,10 @@ object Funnel {
       df: DataFrame, userCol: String, tsCol: String, typeCol: String,
       steps: Seq[String]): DataFrame = {
     val r = reach(df, userCol, tsCol, typeCol, steps)
+    // coalesce: an ungrouped agg over an EMPTY event log yields null
+    // sums — the summary must report 0, not null, per step
     val perStep = steps.indices.map(i =>
-      sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+      coalesce(sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)), lit(0L))
         .as(s"u${i + 1}"))
     r.agg(perStep.head, perStep.tail: _*)
       .select(posexplode(array(steps.indices.map(i => col(s"u${i + 1}")): _*))

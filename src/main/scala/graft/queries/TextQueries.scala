@@ -154,9 +154,9 @@ object TextQueries {
       Some(raw"""
         SELECT doc_id,
                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_bpeish,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+')) AS BIGINT) AS n_bpeish,
                CAST(length(text) AS DOUBLE) /
-                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS chars_per_token
+                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+')) AS chars_per_token
         FROM documents ORDER BY doc_id"""))
   )
 }

@@ -94,27 +94,11 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
-  /** IVF with a DETERMINISTIC coarse quantizer: centroids are the
-    * `nLists` corpus vectors with the smallest md5(id) (a stable,
-    * engine-independent pick — effectively a uniform random sample with
-    * no RNG state), cell = argmin exact squared-L2 (tie-break on
-    * centroid id). The IVF-Flat layout is identical to [[ivfTopK]] —
-    * cell-assigned corpus, broadcast queries probing their own cell,
-    * exact cosine re-rank inside it — only the quantizer training
-    * differs, which makes this variant expressible in portable SQL and
-    * therefore oracle-verifiable ([[ivfTopK]]'s KMeans `.fit` is not).
-    *
-    * Scale shape: the centroid table is nLists rows (top-nLists by an
-    * md5 of the id only — TakeOrderedAndProject, no full sort) and is
-    * broadcast; assignment is a broadcast nested-loop of nLists
-    * distance kernels per row reduced by a map-side-partial `min_by`,
-    * so the corpus is scanned once and the only wide exchange is the
-    * per-id hash agg. At write time `cell` becomes the partition key,
-    * and a query then touches |corpus|/nLists rows.
-    */
   /** The deterministic coarse quantizer's centroid table: nLists rows
     * picked by md5 rank over ids (TakeOrderedAndProject, no full sort,
-    * no RNG state) — (cent_id, cent_vec), broadcast by consumers. */
+    * no RNG state — a stable, engine-independent pick, effectively a
+    * uniform random sample) — (cent_id, cent_vec), broadcast by
+    * consumers. */
   def ivfCentroids(
       corpus: DataFrame, idCol: String, vecCol: String, nLists: Int): DataFrame =
     corpus
@@ -122,44 +106,55 @@ object Similarity {
       .orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
       .limit(nLists)
 
-  /** Deterministic IVF cell assignment: argmin exact squared-L2 over
-    * the broadcast centroid table (tie-break on centroid id), reduced
+  /** The one argmin-cell implementation every IVF consumer shares
+    * (assignment, serving layout, top-k probe — the tie-break and
+    * distance MUST stay identical across them or written cell layouts
+    * and probe-time assignments drift apart): exact squared-L2 over the
+    * broadcast centroid table, tie-break on centroid id, reduced
     * map-side by a `min_by` partial agg — one row per id reaches the
-    * shuffle. Returns (idCol, cell, vecCol). At write time `cell` is
-    * the partition key ([[graft.sinks.CorpusSink.writeIvfCells]]), so a
-    * probe reads |corpus|/nLists rows. */
-  def ivfAssignCells(
-      df: DataFrame, idCol: String, vecCol: String, nLists: Int): DataFrame = {
-    val cent = ivfCentroids(df, idCol, vecCol, nLists)
-    df.select(col(idCol), col(vecCol))
-      .join(broadcast(cent))
+    * shuffle. */
+  private def assignWith(
+      cent: DataFrame, df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.join(broadcast(cent))
       .withColumn("l2", VectorFunctions.l2Sq(col(vecCol), col("cent_vec")))
       .groupBy(col(idCol))
       .agg(
         min_by(col("cent_id"), struct(col("l2"), col("cent_id"))).as("cell"),
         first(col(vecCol)).as(vecCol))
-      .select(col(idCol), col("cell"), col(vecCol))
-  }
 
+  /** Deterministic IVF cell assignment of a frame against its OWN
+    * centroids. Returns (idCol, cell, vecCol). At write time `cell` is
+    * the partition key ([[graft.sinks.CorpusSink.writeIvfCells]]), so a
+    * probe reads |corpus|/nLists rows. */
+  def ivfAssignCells(
+      df: DataFrame, idCol: String, vecCol: String, nLists: Int): DataFrame =
+    assignWith(ivfCentroids(df, idCol, vecCol, nLists),
+        df.select(col(idCol), col(vecCol)), idCol, vecCol)
+      .select(col(idCol), col("cell"), col(vecCol))
+
+  /** IVF top-k with the DETERMINISTIC coarse quantizer: cell = argmin
+    * exact squared-L2 against [[ivfCentroids]]. The IVF-Flat layout is
+    * identical to [[ivfTopK]] — cell-assigned corpus, broadcast queries
+    * probing their own cell, exact cosine re-rank inside it — only the
+    * quantizer training differs, which makes this variant expressible
+    * in portable SQL and therefore oracle-verifiable ([[ivfTopK]]'s
+    * KMeans `.fit` is not).
+    *
+    * Scale shape: the centroid table is nLists rows and broadcast;
+    * assignment is a broadcast nested-loop of nLists distance kernels
+    * per row reduced by a map-side-partial `min_by`, so the corpus is
+    * scanned once and the only wide exchange is the per-id hash agg. At
+    * write time `cell` becomes the partition key, and a query then
+    * touches |corpus|/nLists rows. */
   def ivfDeterministicTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nLists: Int): DataFrame = {
     val cent = ivfCentroids(corpus, idCol, vecCol, nLists)
 
-    // argmin cell per row: min_by over the nLists broadcast candidates,
-    // partial map-side (collapses to one row per id before the shuffle)
-    def withCell(df: DataFrame, outId: String, outVec: String): DataFrame =
-      df.join(broadcast(cent))
-        .withColumn("l2", VectorFunctions.l2Sq(col(outVec), col("cent_vec")))
-        .groupBy(col(outId))
-        .agg(
-          min_by(col("cent_id"), struct(col("l2"), col("cent_id"))).as("cell"),
-          first(col(outVec)).as(outVec))
-
-    val cc = withCell(
+    val cc = assignWith(cent,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
       "neighbor_id", "c_vec")
-    val qc = withCell(
+    val qc = assignWith(cent,
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       "query_id", "q_vec")
 

@@ -50,14 +50,15 @@ object CorpusSink {
       .format("parquet")
       .saveAsTable(table)
 
-  /** ANN-serving layout: one directory per IVF cell. `cells` is the
-    * (id, cell) assignment (e.g. from the IVF coarse quantizer);
-    * embeddings land partitioned by cell so an nProbe-cell query reads
-    * only those directories. */
+  /** ANN-serving layout: one directory per IVF cell. `assigned` is the
+    * cell-assigned embedding frame
+    * ([[graft.similarity.Similarity.ivfAssignCells]] output — id, cell
+    * and vector together), written directly: no join back to the
+    * source, which would both re-execute the embedding lineage and
+    * (carrying its own vector column) collide with the assignment's. */
   def writeIvfCells(
-      emb: DataFrame, cells: DataFrame, path: String,
-      idCol: String, cellCol: String = "cell"): Unit =
-    emb.join(cells, Seq(idCol))
+      assigned: DataFrame, path: String, cellCol: String = "cell"): Unit =
+    assigned
       .repartition(col(cellCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(cellCol)

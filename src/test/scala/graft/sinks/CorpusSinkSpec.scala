@@ -37,7 +37,6 @@ class CorpusSinkSpec extends SparkSpec {
   test("writeBucketed: join on the bucket key plans with NO shuffle on the scan side") {
     val spark2 = spark
     import spark2.implicits._
-    val wh = spark.conf.get("spark.sql.warehouse.dir", "")
     val d = graft.Tables.table(spark, sf001, "documents").select("doc_id", "text")
     CorpusSink.writeBucketed(d, "corpus_bucketed_spec", "doc_id", 4, "doc_id")
     try {
@@ -46,13 +45,9 @@ class CorpusSinkSpec extends SparkSpec {
         .repartition(4, col("doc_id"))
       val joined = t.join(probe.hint("merge"), "doc_id")
       val plan = joined.queryExecution.executedPlan.toString
-      // the bucketed side must not re-shuffle on doc_id
-      val tableScanSide = plan.split("SortMergeJoin").last
       assert(plan.contains("Bucketed: true"), plan)
-      assert(!plan.split("\n").exists(l =>
-        l.contains("Exchange hashpartitioning(doc_id") && l.contains("REQUIRED_BY_STATEFUL")),
-        "unexpected exchange flavor")
-      // count exchanges: only the probe side may shuffle
+      // only the probe side may shuffle on the join key — the bucketed
+      // scan satisfies the join's distribution from its layout
       val exchanges = plan.split("\n").count(_.trim.startsWith("+- Exchange hashpartitioning(doc_id"))
       assert(exchanges <= 1, s"bucketed side reshuffled:\n$plan")
       assert(joined.count() == 50)
@@ -63,10 +58,10 @@ class CorpusSinkSpec extends SparkSpec {
 
   test("writeIvfCells: one directory per cell; a 2-cell probe reads only those dirs") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
-    val cells = graft.similarity.Similarity
+    val assigned = graft.similarity.Similarity
       .ivfAssignCells(e, "vec_id", "embedding", nLists = 4)
     val out = tmp("ivf_cells")
-    CorpusSink.writeIvfCells(e, cells.select(col("vec_id"), col("cell")), out, "vec_id")
+    CorpusSink.writeIvfCells(assigned, out)
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.forall(_.startsWith("cell=")) && dirs.length >= 2)
     // cells are centroid ids; probe the first two actual cells
