@@ -107,6 +107,41 @@ object CorpusOps {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-row decontamination: the streaming-capable twin of
+    * [[decontaminate]]. The benchmark n-gram set is materialized as a
+    * literal array and the filter is a codegen'd `arrays_overlap` per
+    * document — a pure row predicate, so it drops into ANY plan shape
+    * including a continuous ingest stream, where the join-based form
+    * cannot go (its per-doc shingle aggregation would need watermarked
+    * state). Membership is identical to [[decontaminate]] by
+    * construction: both test "shares any n-gram with the set".
+    *
+    * The per-doc cost is O(shingles x |benchmark grams|), so this is
+    * for BOUNDED benchmark suites only (the same boundedness
+    * [[decontaminate]]'s broadcast assumes); at typical sizes the
+    * literal array is a few MB of task binary, shipped once. */
+  def decontaminateRows(
+      df: DataFrame, benchGrams: Seq[String],
+      textCol: String, shingleN: Int = 3): DataFrame =
+    // coalesce: null text -> null shingles -> null predicate; the
+    // join-based form KEEPS null-text docs (they produce no shingles,
+    // so no contamination evidence) — match that contract
+    df.filter(coalesce(
+      !arrays_overlap(
+        TextFunctions.shingles(col(textCol), shingleN),
+        lit(benchGrams.toArray)),
+      lit(true)))
+
+  /** Collect the benchmark's distinct n-grams for
+    * [[decontaminateRows]] — the one deliberate driver-side collect in
+    * this module, justified by the benchmark-boundedness contract. */
+  def benchmarkGrams(
+      benchmark: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): Seq[String] =
+    graft.dedup.Dedup.shingleTable(benchmark, idCol, textCol, shingleN)
+      .select(col("g")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
   /** Repetition-based quality stats per document (Gopher-style rules):
     * fraction of duplicate words, most-frequent-word share, fraction of
     * duplicate word-2-grams, mean word length. All four are ratios of

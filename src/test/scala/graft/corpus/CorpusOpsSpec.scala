@@ -42,6 +42,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == Set(2L)) // doc 1 shares the 4-gram "alpha beta gamma delta"
   }
 
+  test("decontaminateRows == join-based decontaminate on real docs; works on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val corpus = d.filter(col("doc_id") % 10 =!= 7)
+    val bench = d.filter(col("doc_id") % 10 === 7)
+    val grams = CorpusOps.benchmarkGrams(bench, "doc_id", "text", shingleN = 4)
+    val viaJoin = CorpusOps.decontaminate(corpus, bench, "doc_id", "text", shingleN = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaRows = CorpusOps.decontaminateRows(corpus, grams, "text", shingleN = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaRows == viaJoin)
+    assert(viaRows.nonEmpty && viaRows.size < corpus.count())
+    // null text keeps the row, matching the join form's no-evidence contract
+    val withNull = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(CorpusOps.decontaminateRows(withNull, grams, "text").count() == 1)
+
+    // the same predicate drops into a continuous stream unchanged
+    val in = MemoryStream[(Long, String)]
+    val out = CorpusOps.decontaminateRows(
+      in.toDF().toDF("doc_id", "text"), grams, "text", shingleN = 4)
+    val q = out.writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      val rows = corpus.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      in.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("decon_stream")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == viaJoin)
+    } finally q.stop()
+  }
+
   test("repetitionStats computes exact ratios on a hand-checked doc") {
     import spark.implicits._
     // 8 words, 6 distinct ("a" x3), 7 bigrams, "a a" twice -> 6 distinct
