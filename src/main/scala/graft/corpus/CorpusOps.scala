@@ -108,28 +108,30 @@ object CorpusOps {
   }
 
   /** Per-row decontamination: the streaming-capable twin of
-    * [[decontaminate]]. The benchmark n-gram set is materialized as a
-    * literal array and the filter is a codegen'd `arrays_overlap` per
-    * document — a pure row predicate, so it drops into ANY plan shape
-    * including a continuous ingest stream, where the join-based form
-    * cannot go (its per-doc shingle aggregation would need watermarked
-    * state). Membership is identical to [[decontaminate]] by
-    * construction: both test "shares any n-gram with the set".
+    * [[decontaminate]]. Each document is probed against the benchmark
+    * n-gram set by the codegen'd
+    * [[graft.functions.ShingleOverlapSet]] kernel — tokenize + rolling
+    * n-gram + hash probe in one pass, O(words) per row, set built once
+    * per JVM (the composable `arrays_overlap`/`shingles` forms are
+    * 10-20x slower per row; see the expression's doc). A pure row
+    * predicate, so it drops into ANY plan shape including a continuous
+    * ingest stream, where the join-based form cannot go (its per-doc
+    * shingle aggregation would need watermarked state). Membership is
+    * identical to [[decontaminate]] by construction: both test "shares
+    * any n-gram with the set".
     *
-    * The per-doc cost is O(shingles x |benchmark grams|), so this is
-    * for BOUNDED benchmark suites only (the same boundedness
-    * [[decontaminate]]'s broadcast assumes); at typical sizes the
-    * literal array is a few MB of task binary, shipped once. */
+    * For BOUNDED benchmark suites only (the same boundedness
+    * [[decontaminate]]'s broadcast assumes): the gram set ships with
+    * the serialized plan, once per executor. */
   def decontaminateRows(
       df: DataFrame, benchGrams: Seq[String],
       textCol: String, shingleN: Int = 3): DataFrame =
-    // coalesce: null text -> null shingles -> null predicate; the
-    // join-based form KEEPS null-text docs (they produce no shingles,
-    // so no contamination evidence) — match that contract
+    // coalesce: null text -> null predicate; the join-based form KEEPS
+    // null-text docs (they produce no shingles, so no contamination
+    // evidence) — match that contract
     df.filter(coalesce(
-      !arrays_overlap(
-        TextFunctions.shingles(col(textCol), shingleN),
-        lit(benchGrams.toArray)),
+      !graft.functions.ShingleOverlapSet.shingleOverlapSet(
+        col(textCol), shingleN, benchGrams),
       lit(true)))
 
   /** Collect the benchmark's distinct n-grams for

@@ -170,6 +170,36 @@ object CorpusQueries {
         TF AS (SELECT doc_id, term, count(*) AS tf FROM T GROUP BY 1, 2)
         SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
         FROM TF GROUP BY term
-        ORDER BY df DESC, term LIMIT 20"""))
+        ORDER BY df DESC, term LIMIT 20""")),
+
+    GraftQuery(
+      "q63_decontaminate_rows",
+      "Per-row decontamination (the streaming-capable twin of q54): " +
+        "codegen'd arrays_overlap of each doc's 4-grams against the " +
+        "literal benchmark gram set — same survivor membership as the " +
+        "join form by construction, verified against the same oracle.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val corpus = d.filter(col("doc_id") % 10 =!= 7)
+        val bench = d.filter(col("doc_id") % 10 === 7)
+        val grams = CorpusOps.benchmarkGrams(bench, "doc_id", "text", shingleN = 4)
+        CorpusOps.decontaminateRows(corpus, grams, "text", shingleN = 4)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH CORPUS AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+        BENCH AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+        CW AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM CORPUS),
+        CS AS (SELECT DISTINCT doc_id,
+                      unnest([array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)]) AS g
+               FROM CW),
+        BW AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM BENCH),
+        BS AS (SELECT DISTINCT
+                      unnest([array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)]) AS g
+               FROM BW),
+        CONTAM AS (SELECT DISTINCT doc_id FROM CS WHERE g IN (SELECT g FROM BS))
+        SELECT doc_id FROM CORPUS
+        WHERE NOT EXISTS (SELECT 1 FROM CONTAM c WHERE c.doc_id = CORPUS.doc_id)
+        ORDER BY doc_id"""))
   )
 }
