@@ -27,10 +27,16 @@ import org.apache.spark.sql.functions._
   *    interval while their other pass is fast indicate host
   *    interference, not a code regression (the BENCH_r02/r03
   *    signature). They must NOT ride on the stdout contract line: the
-  *    driver stores only the tail of captured output, and a ~6.7 KB
-  *    line pushed `metric`/`value`/`queries` out of the window in
-  *    round 4. The stdout line stays the short
-  *    {"metric","value","unit","queries","sf"} contract (~2.5 KB).
+  *    driver stores only the LAST ~2000 chars of captured output
+  *    (every BENCH_r0N.json tail is exactly 2000 chars), and sbt's
+  *    `[info] ` prefix plus its trailing `[success] Total time` line
+  *    (~85 chars) eat into that window too. 63 full query names at
+  *    full double precision is ~2.9 KB — never fit, in ANY round. So
+  *    the stdout contract line uses the `qNN` prefix of each query
+  *    name as its key and 3-decimal values (~0.9 KB, room to double
+  *    the registry), exactly the `{"queries":{"q1":sec,…}}` shape the
+  *    contract specifies; the full-name full-precision map rides a
+  *    stderr diag line for human reading.
   */
 object Bench {
   private final case class Sample(sec: Double, startMs: Long, ok: Boolean)
@@ -70,8 +76,16 @@ object Bench {
       q.name -> t
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // "q13_customers_without_orders" -> "q13"; names are qNN_-prefixed so
+    // prefixes are unique — guard anyway and fall back to the full name
+    val shortKeys = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+    val useShort = shortKeys.values.toSet.size == shortKeys.size
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      "\"" + (if (useShort) shortKeys(k) else k) + "\":" + fmt3(v)
+    }.mkString("{", ",", "}")
     val passes = registry.map { q =>
       "\"" + q.name + "\":[" + byName1(q.name).sec + "," + byName2(q.name).sec + "]"
     }.mkString("{", ",", "}")
@@ -80,8 +94,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // diagnostics first, on stderr — never on the stdout contract line
+    System.err.println(s"""{"diag":"bench_full_names","queries":$qsFull}""")
     System.err.println(s"""{"diag":"bench_passes","passes":$passes,"starts":$starts}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

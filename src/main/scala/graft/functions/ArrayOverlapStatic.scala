@@ -46,9 +46,23 @@ case class ShingleOverlapSet(child: Expression, n: Int, items: Seq[String])
   }
 
   /** Called from generated code; the expression itself is the codegen
-    * reference, so the hash set rebuilds lazily per JVM. */
+    * reference, so the hash set rebuilds lazily per JVM.
+    *
+    * Tokenization is exact parity with the Spark-side
+    * `split(trim(text), "\s+")` ([[TextFunctions.words]] /
+    * `Dedup.shingleTable`): SQL `trim` strips U+0020 ONLY (Java
+    * `String.trim` strips every char <= U+0020), and Spark's `split`
+    * runs with limit -1, KEEPING the empty edge tokens that non-space
+    * whitespace at the ends produces. Diverging here would break
+    * `decontaminateRows`' membership-identical contract on text fringed
+    * with tabs/newlines. */
   def containsAnyShingle(text: UTF8String): Boolean = {
-    val words = text.toString.trim.split("\\s+")
+    val s = text.toString
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val words = ShingleOverlapSet.Whitespace.split(s.substring(b, e), -1)
     var i = 0
     val last = words.length - n
     val sb = new java.lang.StringBuilder
@@ -79,6 +93,9 @@ case class ShingleOverlapSet(child: Expression, n: Int, items: Seq[String])
 }
 
 object ShingleOverlapSet {
+  /** Same pattern Spark's `split` compiles for `"\\s+"`. */
+  private[functions] val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   def shingleOverlapSet(c: Column, n: Int, items: Seq[String]): Column =
     GraftBridge.column(ShingleOverlapSet(GraftBridge.expression(c), n, items))
 }

@@ -174,10 +174,11 @@ object CorpusQueries {
 
     GraftQuery(
       "q63_decontaminate_rows",
-      "Per-row decontamination (the streaming-capable twin of q54): " +
-        "codegen'd arrays_overlap of each doc's 4-grams against the " +
-        "literal benchmark gram set — same survivor membership as the " +
-        "join form by construction, verified against the same oracle.",
+      "Per-row decontamination (the streaming-capable twin of q54): the " +
+        "fused shingle_overlap_set codegen kernel probes each doc's " +
+        "4-grams against the benchmark gram set in one tokenize+hash " +
+        "pass — same survivor membership as the join form by " +
+        "construction, verified against the same oracle.",
       (spark, dir) => {
         val d = Tables.table(spark, dir, "documents")
         val corpus = d.filter(col("doc_id") % 10 =!= 7)

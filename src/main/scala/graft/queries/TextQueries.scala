@@ -146,8 +146,13 @@ object TextQueries {
               .cast("long").as("n_tokens"),
             graft.functions.TextFunctions.bpeishTokenCount(col("text"))
               .cast("long").as("n_bpeish"),
+            // nullif guard: an empty/whitespace-only doc has 0 pre-tokens;
+            // Spark's non-ANSI divide would return NULL but DuckDB IEEE
+            // division returns inf — make NULL the explicit contract on
+            // both sides rather than fixture-dependent
             (length(col("text")).cast("double") /
-              graft.functions.TextFunctions.bpeishTokenCount(col("text")))
+              nullif(graft.functions.TextFunctions.bpeishTokenCount(col("text")),
+                lit(0)))
               .as("chars_per_token"))
           .orderBy(col("doc_id"))
       },
@@ -156,7 +161,7 @@ object TextQueries {
                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
                CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+')) AS BIGINT) AS n_bpeish,
                CAST(length(text) AS DOUBLE) /
-                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+')) AS chars_per_token
+                 nullif(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+')), 0) AS chars_per_token
         FROM documents ORDER BY doc_id"""))
   )
 }

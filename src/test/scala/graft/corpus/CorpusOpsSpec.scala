@@ -77,6 +77,29 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateRows matches the join path on tab/newline-fringed text") {
+    import spark.implicits._
+    // Spark's tokenizer is split(trim(text), "\s+") where SQL trim strips
+    // spaces ONLY and split keeps empty edge tokens — so "\talpha ..."
+    // tokenizes to ["", "alpha", ...] and its 4-grams include
+    // " alpha beta gamma" (leading space). The kernel must reproduce
+    // exactly that, not Java String.trim semantics (which strips \t/\n
+    // and would silently KEEP doc 1 here).
+    val corpus = Seq(
+      (1L, "\talpha beta gamma delta"), // empty edge token → shares " alpha beta gamma"
+      (2L, "alpha beta gamma delta"),   // clean twin: only gram is the full 4 words
+      (3L, "plain disjoint words entirely\n")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "\talpha beta gamma\n")).toDF("doc_id", "text")
+    val grams = CorpusOps.benchmarkGrams(bench, "doc_id", "text", shingleN = 4)
+    val viaJoin = CorpusOps.decontaminate(corpus, bench, "doc_id", "text", shingleN = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaRows = CorpusOps.decontaminateRows(corpus, grams, "text", shingleN = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaRows == viaJoin)
+    assert(viaJoin == Set(2L, 3L))
+  }
+
   test("repetitionStats computes exact ratios on a hand-checked doc") {
     import spark.implicits._
     // 8 words, 6 distinct ("a" x3), 7 bigrams, "a a" twice -> 6 distinct
