@@ -254,6 +254,84 @@ object CorpusOps {
       .orderBy(col("df").desc, col("term"))
       .limit(k)
 
+  /** Boilerplate removal: every span occurring in MORE than
+    * `maxDocFreq` distinct documents is dropped from ALL of them (the
+    * C4/RefinedWeb frequent-line rule — navigation chrome, cookie
+    * banners, license headers). Complementary to [[spanDedup]]: that
+    * keeps a duplicated span's first occurrence, this removes
+    * high-frequency spans everywhere, and a span repeated only WITHIN
+    * one document is untouched (document frequency 1). Documents are
+    * reassembled from surviving spans; docs that were pure boilerplate
+    * vanish.
+    *
+    * The document frequency is computed WITHOUT a self-join and without
+    * `count(DISTINCT)` (not a window aggregate): `dense_rank` over
+    * (span-hash, doc id) reaches the distinct-doc count as its
+    * partition max — two window passes over ONE exchange on the 16-byte
+    * span hash, the same single-pipeline discipline as [[spanDedup]].
+    * A groupBy-df-then-join-back formulation would execute the span
+    * pipeline twice (no-subplan-sharing) AND put a hot span's whole
+    * row group through one aggregation task. */
+  def removeBoilerplate(
+      df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 4, maxDocFreq: Int = 2): DataFrame = {
+    val byDoc = Window.partitionBy(col("h")).orderBy(col(idCol))
+    val whole = Window.partitionBy(col("h"))
+    spanTable(df, idCol, textCol, spanWords)
+      .withColumn("h", md5(col("span").cast("binary")))
+      .withColumn("doc_rank", dense_rank().over(byDoc))
+      .withColumn("doc_freq", max(col("doc_rank")).over(whole))
+      .filter(col("doc_freq") <= maxDocFreq)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(struct(col("span_id"), col("span")))),
+            x => x("span")), " ").as("clean_text"),
+        count(lit(1)).as("n_spans"))
+  }
+
+  /** Corpus-statistics document scoring: each document joined against
+    * the corpus-wide token document-frequency table — the feature-build
+    * pass behind TF-IDF weighting, stopword discovery and
+    * "rare-token-heavy" quality flags. Outputs are exact integers
+    * (occurrence counts and df sums), so the oracle is hash-exact with
+    * no float analysis.
+    *
+    * Deliberately TWO passes over the corpus: pass 1 aggregates the
+    * bounded df table (vocabulary-sized output, Zipf-shaped), pass 2
+    * re-reads the docs and joins each token against it BROADCAST. That
+    * is the scale-correct layout — the alternative single-lineage
+    * window over the token key would put every occurrence of a hot
+    * token ("the", at 100 TB: billions of rows) through one window
+    * partition, and sharing the exploded-token frame across both join
+    * branches would re-execute it anyway (no subplan sharing). For a
+    * vocabulary too large to broadcast, drop the hint: the join keys on
+    * the token with AQE skew splitting — same semantics.
+    *
+    * Output per doc: `n_tokens` (occurrences), `n_distinct`, `df_min` /
+    * `df_max` (rarest / commonest token's document frequency), and
+    * `df_weight` = sum over occurrences of the token's df (the integer
+    * numerator of a mean-commonness score). */
+  def tokenFrequencyStats(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val tokens = df.repartition(n, col(idCol))
+      .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfTab = df.repartition(n, col(idCol))
+      .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(lit(1).as("one"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tokens.join(broadcast(dfTab), Seq("term"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        min(col("df")).as("df_min"),
+        max(col("df")).as("df_max"),
+        sum(col("tf") * col("df")).as("df_weight"))
+  }
+
   /** Per-source quota: keep at most `k` documents per source, first-k
     * by a deterministic order column (ingest order / doc id). The
     * standard corpus-mixing guard against one domain flooding the mix.

@@ -111,6 +111,39 @@ object TextFunctions {
   def minhashOverShingles(shingle: Column, salt: Int): Column =
     md5(concat(lit(s"$salt:"), shingle).cast("binary"))
 
+  /** PII patterns for [[redactPii]]. Deliberately engine-agnostic
+    * regex: character classes, literal dots and bounded repetition only
+    * — no `\b`/`\w`/`\s` shorthands (whose definitions differ between
+    * Java regex and RE2, see [[bpeishTokens]]) and no lookaround (RE2
+    * has none). Greedy quantifiers over disjoint character sets match
+    * identically under Java's backtracking and RE2's automaton. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val ipv4Pattern: String = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII redaction: emails, then NANP-style phone numbers, then IPv4
+    * addresses replaced with typed placeholder tags. Order matters and
+    * is part of the contract: emails first (so a digit-heavy local part
+    * is consumed whole), phones before IPs (disjoint patterns, but the
+    * fixed order makes the composition deterministic to mirror). Three
+    * codegen'd `regexp_replace` passes — the per-pattern pass structure
+    * is what production scrubbers use so patterns stay independently
+    * testable; Spark replaces ALL occurrences (the oracle needs the
+    * explicit 'g' flag). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipv4Pattern, "<IP>")
+
+  /** Match counts per PII class on the UNredacted text (audit trail for
+    * a scrubbing pass). */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(emailPattern)).cast("long").as("n_emails"),
+    regexp_count(text, lit(phonePattern)).cast("long").as("n_phones"),
+    regexp_count(text, lit(ipv4Pattern)).cast("long").as("n_ips"))
+
   /** P13: the reference's topic-name normalization chain
     * (producers/models/station.py:21-28): lower, then literal replaces
     * "/"->"_and_", " "->"_", "-"->"_", "'"->"". The single-char replaces

@@ -201,6 +201,57 @@ object CorpusQueries {
         CONTAM AS (SELECT DISTINCT doc_id FROM CS WHERE g IN (SELECT g FROM BS))
         SELECT doc_id FROM CORPUS
         WHERE NOT EXISTS (SELECT 1 FROM CONTAM c WHERE c.doc_id = CORPUS.doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q66_boilerplate_removal",
+      "C4-style frequent-span removal: 4-word spans occurring in > 2 " +
+        "distinct docs are dropped from ALL of them (vs q53's " +
+        "keep-first); docs reassembled from survivors. Distinct-doc " +
+        "counts via dense_rank max — one exchange, no count(DISTINCT), " +
+        "no self-join.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        CorpusOps.removeBoilerplate(d, "doc_id", "text", spanWords = 4, maxDocFreq = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        SPL AS (SELECT doc_id,
+                       [array_to_string(w[i*4+1:i*4+4], ' ')
+                        for i in range(0, CAST(ceil(len(w)/4.0) AS INT))] AS spans
+                FROM W),
+        SP AS (SELECT doc_id, unnest(spans) AS span,
+                      unnest(range(0, len(spans))) AS span_id FROM SPL),
+        DF AS (SELECT span, count(DISTINCT doc_id) AS df FROM SP GROUP BY span),
+        K AS (SELECT doc_id, span_id, SP.span FROM SP JOIN DF USING (span) WHERE df <= 2)
+        SELECT doc_id, string_agg(span, ' ' ORDER BY span_id) AS clean_text,
+               count(*) AS n_spans
+        FROM K GROUP BY doc_id ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q67_token_df_stats",
+      "Corpus-statistics scoring: each doc joined against the corpus " +
+        "token document-frequency table (broadcast) — the TF-IDF " +
+        "feature-build pass with integer outputs (df sums/extremes per " +
+        "doc).",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        CorpusOps.tokenFrequencyStats(d, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH T AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+                   FROM documents),
+        TF AS (SELECT doc_id, term, count(*) AS tf FROM T GROUP BY doc_id, term),
+        DF AS (SELECT term, count(*) AS df FROM TF GROUP BY term)
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(min(df) AS BIGINT) AS df_min,
+               CAST(max(df) AS BIGINT) AS df_max,
+               CAST(sum(tf * df) AS BIGINT) AS df_weight
+        FROM TF JOIN DF USING (term)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

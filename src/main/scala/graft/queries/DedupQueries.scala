@@ -274,6 +274,34 @@ object DedupQueries {
           FROM PAIRS JOIN SIG a ON PAIRS.id_a = a.doc_id
                      JOIN SIG b ON PAIRS.id_b = b.doc_id)
         SELECT id_a, id_b, n_agree FROM EST
-        WHERE n_agree >= 4 ORDER BY id_a, id_b"""))
+        WHERE n_agree >= 4 ORDER BY id_a, id_b""")),
+
+    GraftQuery(
+      "q64_incremental_dedup_bloom",
+      "q49's incremental dedup through the explicit bloom runtime " +
+        "filter: the new batch's fingerprints aggregate into a bloom " +
+        "sketch that prunes the accumulated index scan BEFORE the " +
+        "anti-join shuffle. No false negatives, so the oracle is the " +
+        "same exact-dedup SQL — fpp trades shuffle volume, never rows.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val index = Dedup.exactGroups(d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+          .select(col("fp"))
+        Dedup.dedupAgainstIndexBloom(
+            d.filter(col("doc_id") % 2 === 1), index, "doc_id", "text")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH IDX AS (
+          SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          FROM documents WHERE doc_id % 2 = 0),
+        NEW AS (
+          SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          FROM documents WHERE doc_id % 2 = 1),
+        S AS (SELECT doc_id, fp FROM NEW n
+              WHERE NOT EXISTS (SELECT 1 FROM IDX i WHERE i.fp = n.fp))
+        SELECT doc_id FROM S
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+        ORDER BY doc_id"""))
   )
 }

@@ -234,6 +234,47 @@ object SimilarityQueries {
                CAST(640 + octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,
                CAST(360 + octet_length(CAST(text AS BLOB)) % 360 AS INTEGER) AS height,
                md5(text) AS checksum
-        FROM documents ORDER BY media_id"""))
+        FROM documents ORDER BY media_id""")),
+
+    GraftQuery(
+      "q65_ann_sq8_topk",
+      "SQ8 compressed ANN: top-3 by 8-bit scalar-quantized L2 (global " +
+        "per-dim min/max ranges, fused quantize+distance codegen " +
+        "kernel). Integer distances with id tiebreak — hash-exact, no " +
+        "float margins; the 4x-smaller-scan variant of q25.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.sq8TopK(e, q, "vec_id", "embedding", k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH MM AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(embedding) AS x,
+                       unnest(range(1, len(embedding)+1)) AS i
+                FROM embeddings)
+          GROUP BY i),
+        MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
+        Q AS (
+          SELECT vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(embedding)+1)] AS qv
+          FROM embeddings, MML),
+        P AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                           for i in range(1, len(a.qv)+1)]) AS d
+          FROM Q a JOIN Q b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id % 50 = 0),
+        R AS (SELECT query_id, neighbor_id, CAST(d AS BIGINT) AS dist,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY d, neighbor_id) AS rank
+              FROM P)
+        SELECT query_id, rank, neighbor_id, dist FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank"""))
   )
 }

@@ -162,6 +162,47 @@ object TextQueries {
                CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+')) AS BIGINT) AS n_bpeish,
                CAST(length(text) AS DOUBLE) /
                  nullif(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+')), 0) AS chars_per_token
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q68_pii_redaction",
+      "PII scrub: emails, phone numbers and IPv4 addresses replaced " +
+        "with typed tags + per-class match counts (audit trail). The " +
+        "fixture text carries no PII, so a deterministic contact block " +
+        "is derived from each row's columns first; regexes are " +
+        "engine-agnostic character classes (no \\b/\\w/lookaround).",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val pii = concat_ws(" ",
+          substring(col("text"), 1, 40),
+          concat(lit("user"), col("doc_id").cast("string"),
+            lit("@"), col("source"), lit(".net")),
+          concat(lit("call 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")),
+          concat(lit("ip 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), ((col("doc_id") * 7) % 256).cast("string")))
+        d.select(
+            (col("doc_id") +: graft.functions.TextFunctions.piiCounts(pii)) :+
+              graft.functions.TextFunctions.redactPii(pii).as("redacted"): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH P AS (
+          SELECT doc_id,
+                 concat_ws(' ', substr(text, 1, 40),
+                   concat('user', CAST(doc_id AS VARCHAR), '@', source, '.net'),
+                   concat('call 415-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')),
+                   concat('ip 10.', CAST(doc_id % 256 AS VARCHAR), '.0.',
+                          CAST((doc_id * 7) % 256 AS VARCHAR))) AS pii
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(pii, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(pii, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+               regexp_replace(regexp_replace(regexp_replace(pii,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+        FROM P ORDER BY doc_id"""))
   )
 }

@@ -202,4 +202,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
+
+  /** Per-dimension [min, max] of the corpus vectors — the SQ8
+    * quantization ranges. A dims-sized global statistic (like the IVF
+    * centroid list): one aggregate job, collected once, embedded in the
+    * query plan. min/max are comparisons, not arithmetic, so the values
+    * are exact float32 — every engine computing them agrees. */
+  def sq8Ranges(corpus: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val mm = corpus
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("i"))
+      .collect()
+    (mm.map(_.getFloat(1).toDouble).toSeq, mm.map(_.getFloat(2).toDouble).toSeq)
+  }
+
+  /** Top-k by 8-bit scalar-quantized L2 distance
+    * ([[graft.functions.Sq8L2Distance]]): the compressed-index ANN
+    * variant. Same broadcast-queries/corpus-touched-once shape as
+    * [[bruteForceTopK]], but each comparison runs on uint8 codes —
+    * integer distances, deterministic (dist, id) ranking, no float
+    * tie margins.
+    *
+    * At 100 TB the corpus would store the quantized codes at WRITE time
+    * (4x smaller scan; `CorpusSink`-style layout) and this operator
+    * composes with the IVF cell layout ([[ivfAssignCells]]) to prune
+    * cells first — IVF-SQ8, the standard billion-scale recipe. Here the
+    * quantization is fused into the distance kernel, which proves the
+    * semantics; the ranges travel as plan literals either way. */
+  def sq8TopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val (mns, mxs) = sq8Ranges(corpus, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist",
+        graft.functions.Sq8L2Distance.sq8L2(col("q_vec"), col("c_vec"), mns, mxs))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
 }

@@ -157,4 +157,38 @@ class CorpusOpsSpec extends SparkSpec {
       assert(kept == expect, s"source $src")
     }
   }
+
+  test("removeBoilerplate drops frequent spans everywhere, keeps doc-internal repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav bar alpha beta"),   // "nav bar" df=3 -> dropped from all
+      (2L, "nav bar gamma delta"),
+      (3L, "nav bar epsilon zeta"),
+      (4L, "foo baz foo baz")       // repeated span, df=1 -> kept twice
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.removeBoilerplate(docs, "doc_id", "text",
+        spanWords = 2, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("alpha beta", 1L))
+    assert(out(2L) == ("gamma delta", 1L))
+    assert(out(3L) == ("epsilon zeta", 1L))
+    assert(out(4L) == ("foo baz foo baz", 2L))
+    // unlike spanDedup, which would keep doc 1's "nav bar" (first
+    // occurrence) and doc 4's first "foo baz" only
+    val sd = CorpusOps.spanDedup(docs, "doc_id", "text", spanWords = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sd(1L) == "nav bar alpha beta")
+    assert(sd(4L) == "foo baz")
+  }
+
+  test("tokenFrequencyStats hand-checked on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = CorpusOps.tokenFrequencyStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // df: a=2 docs, b=1, c=1
+    assert(out(1L) == ((3L, 2L, 1L, 2L, 5L))) // 2 occ of a (df 2) + 1 of b (df 1) -> weight 5
+    assert(out(2L) == ((2L, 2L, 1L, 2L, 3L)))
+  }
 }

@@ -199,4 +199,56 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("dedupAgainstIndexBloom: matches the exact path on real dups and prunes the index") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val corpus = Seq(
+      (0L, "alpha beta gamma"), (2L, "delta epsilon zeta"), (4L, "eta theta iota"),
+      (6L, "kappa lambda mu"), (8L, "nu xi omicron")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "ALPHA   beta gamma"),     // canonical dup of indexed doc 0 -> dropped
+      (3L, "fresh words here"),       // new, duplicated in-batch -> min id kept
+      (5L, "fresh  WORDS here"),      // in-batch dup of 3 -> dropped
+      (7L, "entirely novel content")  // new, unique -> kept
+    ).toDF("doc_id", "text")
+    val index = Dedup.exactGroups(corpus, "doc_id", "text").select(col("fp"))
+
+    val exact = Dedup.dedupAgainstIndex(batch, index, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomed = Dedup.dedupAgainstIndexBloom(batch, index, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(3L, 7L))
+    assert(bloomed == exact)
+
+    // the prune itself: every index fp the batch actually contains MUST
+    // survive (no false negatives), and with 1 batch-matching fp out of
+    // 5 indexed the filter should reject at least the clear misses
+    val bf = batch.select(TextFunctions.fingerprint(col("text")).as("fp"))
+      .stat.bloomFilter("fp", 1L << 10, 0.001)
+    val pruned = index.filter(
+      graft.functions.BloomMightContain.bloomMightContain(col("fp"), bf))
+      .collect().map(_.getString(0)).toSet
+    val mustKeep = corpus.filter(col("doc_id") === 0)
+      .select(TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    assert(mustKeep.subsetOf(pruned), "bloom pruned a true member (false negative)")
+    assert(pruned.size < 5, s"bloom pruned nothing: $pruned")
+  }
+
+  test("bloom probe is codegen'd and rejects non-string input at analysis") {
+    import spark.implicits._
+    val bf = Seq("x").toDF("s").stat.bloomFilter("s", 16, 0.01)
+    val df = spark.range(10).select(
+      graft.functions.BloomMightContain.bloomMightContain(
+        concat(lit("v"), col("id").cast("string")), bf).as("hit"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+    assert(df.collect().length == 10)
+    intercept[Exception] {
+      spark.range(3).select(
+        graft.functions.BloomMightContain.bloomMightContain(col("id"), bf)).collect()
+    }
+  }
 }

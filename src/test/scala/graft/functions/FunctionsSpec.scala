@@ -303,4 +303,26 @@ class TextFunctionsSpec extends SparkSpec {
       max(TextFunctions.qualityScore(col("text")))).collect()(0)
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
+
+  test("redactPii replaces every occurrence of all three classes; counts agree") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c%d@ex-ample.org or x@y.io, call 212-555-0199, host 192.168.0.1"),
+      (2L, "no personal data in this row at all"),
+      (3L, "ip 10.0.0.7 then 172.16.254.3 and phone 415-555-0000")
+    ).toDF("id", "text")
+    val out = df.select(
+        (col("id") +: TextFunctions.piiCounts(col("text"))) :+
+          TextFunctions.redactPii(col("text")).as("red"): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((2L, 1L, 1L,
+      "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP>")))
+    assert(out(2L) == ((0L, 0L, 0L, "no personal data in this row at all")))
+    assert(out(3L) == ((0L, 1L, 2L, "ip <IP> then <IP> and phone <PHONE>")))
+    // null text propagates as null, not a crash
+    val n = Seq((4L, null: String)).toDF("id", "text")
+      .select(TextFunctions.redactPii(col("text"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }

@@ -72,4 +72,58 @@ class SimilaritySpec extends SparkSpec {
       s"multi-probe should not lose recall: $recallMulti < $recall")
     assert(recallMulti > 0.5, s"recallMulti=$recallMulti")
   }
+
+  test("sq8TopK matches an independent JVM re-implementation on real vectors") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val out = Similarity.sq8TopK(e, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val (mns, mxs) = Similarity.sq8Ranges(e, "embedding")
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def quant(x: Float, i: Int): Long = {
+      val span = mxs(i) - mns(i)
+      if (span == 0.0) 0L
+      else math.min(255.0, math.max(0.0, math.floor((x.toDouble - mns(i)) * 255.0 / span))).toLong
+    }
+    def dist(a: Array[Float], b: Array[Float]): Long =
+      a.indices.map { i => val d = quant(a(i), i) - quant(b(i), i); d * d }.sum
+    val expected = for {
+      (qid, qv) <- vecs.toSeq.filter(_._1 % 50 == 0)
+      ((nid, d), rk) <- vecs.toSeq.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, dist(qv, nv)) }
+        .sortBy { case (nid, d) => (d, nid) }.take(3).zipWithIndex
+    } yield (qid, rk + 1L, nid, d)
+    assert(out.toSet == expected.toSet)
+    assert(out.forall { case (_, _, _, d) => d >= 0L })
+  }
+
+  test("sq8 distance: zero on identical vectors, clamps out-of-range probes, codegen'd") {
+    import spark.implicits._
+    import graft.functions.Sq8L2Distance.sq8L2
+    val df = Seq(
+      (1L, Array(0.0f, 1.0f), Array(0.0f, 1.0f)),
+      // -10/+10 are outside the [0,1] ranges -> clamp to codes 0/255
+      (2L, Array(-10.0f, 10.0f), Array(0.0f, 1.0f))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+        sq8L2(col("a"), col("b"), Seq(0.0, 0.0), Seq(1.0, 1.0)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 0L)
+    // a=(clamp->0, clamp->255), b=(0, 255): 255 quantizes to floor(255.0)=255
+    assert(out(2L) == 0L)
+    // spark.range + non-foldable arrays: a Seq-backed frame would
+    // constant-fold the whole projection into a LocalTableScan
+    val live = spark.range(4).select(
+      array(col("id").cast("float"), lit(1.0f)).as("a"),
+      array(lit(0.5f), col("id").cast("float")).as("b"))
+    val plan = live.select(sq8L2(col("a"), col("b"), Seq(0.0, 0.0), Seq(1.0, 1.0)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+    intercept[Exception] {
+      Seq((1L, Array(1.0, 2.0))).toDF("id", "v")
+        .select(sq8L2(col("v"), col("v"), Seq(0.0), Seq(1.0))).collect()
+    }
+  }
 }
