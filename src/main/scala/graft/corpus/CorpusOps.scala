@@ -348,4 +348,28 @@ object CorpusOps {
       .filter(col("rk") <= k)
       .drop("rk")
   }
+
+  /** Per-group top-k THROUGH the bounded-heap aggregator — the
+    * hot-group-safe alternative [[perSourceQuota]]'s doc promises:
+    * [[graft.functions.TopKAggregator]] keeps O(k) state per group with
+    * map-side partial top-k combines, so a corpus-sized group shuffles
+    * k candidates per input partition instead of sort-ranking every row
+    * in one window partition. Highest score wins, ties to the smaller
+    * id — output (group, rank, id), identical to the rank-window
+    * formulation (which is exactly what the oracle recomputes). */
+  def perSourceTopK(
+      df: DataFrame, sourceCol: String, scoreCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(sourceCol).cast("string"), col(scoreCol).cast("double"),
+        col(idCol).cast("long"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, s, id) => (s, id) }
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("ids"))
+      .toDF(sourceCol, "ids")
+      .select(col(sourceCol), posexplode(col("ids")).as(Seq("i", idCol)))
+      .select(col(sourceCol), (col("i") + 1).cast("long").as("rank"), col(idCol))
+  }
 }

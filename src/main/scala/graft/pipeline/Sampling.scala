@@ -76,6 +76,35 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Stratified rebalancing sample: each stratum (language, source,
+    * domain...) keeps its own stable hash slice at its own rate — the
+    * corpus-rebalancing step that reshapes a crawl's language/domain
+    * distribution into the training target distribution. Strata not in
+    * `rates` fall back to `defaultRate`; rates >= 1 keep the whole
+    * stratum.
+    *
+    * The hash key is `stratum:id` under one purpose salt, so slices
+    * are independent ACROSS strata and of every other salted decision
+    * (split, mixing, sharding); the rate lookup is a codegen'd CASE
+    * chain, so the whole selection is a per-row predicate — no
+    * sampleBy RNG state, no shuffle, rerun- and
+    * partition-invariant. */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "strata"): DataFrame = {
+    val bucket = hashBucket(salt,
+      concat_ws(":", col(strataCol), col(idCol).cast("string")))
+    def sliceCond(r: Double): Column = {
+      require(r >= 0.0, s"rate must be >= 0, got $r")
+      if (r >= 1.0) lit(true) else bucket < lit(hexThreshold(r))
+    }
+    val pred = rates.toSeq.sortBy(_._1).foldLeft(sliceCond(defaultRate)) {
+      case (acc, (s, r)) => when(col(strataCol) === s, sliceCond(r)).otherwise(acc)
+    }
+    df.filter(pred)
+  }
+
   /** Sharded concat-and-chunk packing: assigns each document to a
     * fixed-token-budget bin, the way LLM training shards are packed.
     *

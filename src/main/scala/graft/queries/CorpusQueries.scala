@@ -252,6 +252,26 @@ object CorpusQueries {
                CAST(max(df) AS BIGINT) AS df_max,
                CAST(sum(tf * df) AS BIGINT) AS df_weight
         FROM TF JOIN DF USING (term)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q70_per_source_topk",
+      "Per-source top-3 docs by size through the bounded-heap typed " +
+        "UDAF (TopKAggregator: O(k) state per group, map-side partial " +
+        "top-k) — the hot-group-safe replacement for q56's rank " +
+        "window; the oracle IS the rank window.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        CorpusOps.perSourceTopK(d, "source", "n_chars", "doc_id", k = 3)
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""
+        SELECT source,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
+               doc_id
+        FROM documents
+        QUALIFY rank <= 3
+        ORDER BY source, rank"""))
   )
 }

@@ -166,6 +166,32 @@ object PipelineQueries {
         SELECT doc_id, 'low' AS source FROM documents
         WHERE lang <> 'en'
           AND substr(md5('mix:low:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q69_stratified_sample",
+      "Stratified rebalancing sample by language: en kept at 0.25, fr " +
+        "at 0.5, de whole, everything else at the 0.1 default — each " +
+        "stratum its own independent md5 slice, the distribution-" +
+        "reshaping step of corpus assembly. Pure per-row predicate, no " +
+        "RNG, partition-invariant.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        Sampling.stratifiedSample(d, "doc_id", "lang",
+            Map("en" -> 0.25, "de" -> 1.0, "fr" -> 0.5), defaultRate = 0.1)
+          .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, lang FROM documents
+        WHERE CASE lang
+                WHEN 'de' THEN TRUE
+                WHEN 'en' THEN substr(md5('strata:' || lang || ':' ||
+                  CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+                WHEN 'fr' THEN substr(md5('strata:' || lang || ':' ||
+                  CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+                ELSE substr(md5('strata:' || lang || ':' ||
+                  CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+              END
         ORDER BY doc_id"""))
   )
 }

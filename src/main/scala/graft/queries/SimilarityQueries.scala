@@ -275,6 +275,62 @@ object SimilarityQueries {
                        ORDER BY d, neighbor_id) AS rank
               FROM P)
         SELECT query_id, rank, neighbor_id, dist FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q71_ann_ivf_sq8_topk",
+      "IVF-SQ8 composed ANN: q51's deterministic coarse quantizer " +
+        "prunes to the query's cell, q65's 8-bit-quantized integer " +
+        "distance ranks inside it — cell pruning and 4x code " +
+        "compression multiply (the Faiss IVF,SQ8 recipe). In-cell " +
+        "ranking is integer (dist, id): hash-exact.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfSq8TopK(e, q, "vec_id", "embedding", k = 3, nLists = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        MM AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(embedding) AS x,
+                       unnest(range(1, len(embedding)+1)) AS i
+                FROM embeddings)
+          GROUP BY i),
+        MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
+        QV AS (
+          SELECT vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(embedding)+1)] AS qv
+          FROM embeddings, MML),
+        P AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                           for i in range(1, len(a.qv)+1)]) AS d
+          FROM QV a
+          JOIN CELL ca ON ca.vec_id = a.vec_id
+          JOIN CELL cb ON cb.cell = ca.cell
+          JOIN QV b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id
+          WHERE a.vec_id % 50 = 0),
+        R AS (SELECT query_id, neighbor_id, CAST(d AS BIGINT) AS dist,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY d, neighbor_id) AS rank
+              FROM P)
+        SELECT query_id, rank, neighbor_id, dist FROM R
         WHERE rank <= 3 ORDER BY query_id, rank"""))
   )
 }

@@ -246,4 +246,36 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
+
+  /** IVF-SQ8: the composed billion-scale layout — the deterministic
+    * coarse quantizer ([[ivfCentroids]] + argmin-L2 cells) prunes the
+    * search to the query's cell, and candidates are scored by the
+    * 8-bit-quantized integer distance ([[graft.functions.Sq8L2Distance]])
+    * instead of full-precision cosine. Cell pruning divides work by
+    * nLists, SQ8 divides per-candidate scan bytes by 4 — the two
+    * compressions multiply, which is Faiss's `IVF<n>,SQ8` recipe. At
+    * write time `cell` partitions the stored QUANTIZED codes
+    * ([[graft.sinks.CorpusSink]]); the re-rank here is oracle-exact
+    * because the in-cell ranking is integer (dist, id). */
+  def ivfSq8TopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nLists: Int): DataFrame = {
+    val cent = ivfCentroids(corpus, idCol, vecCol, nLists)
+    val (mns, mxs) = sq8Ranges(corpus, vecCol)
+    val cc = assignWith(cent,
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      "neighbor_id", "c_vec")
+    val qc = assignWith(cent,
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    cc.join(broadcast(qc), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist",
+        graft.functions.Sq8L2Distance.sq8L2(col("q_vec"), col("c_vec"), mns, mxs))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
 }

@@ -191,4 +191,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L) == ((3L, 2L, 1L, 2L, 5L))) // 2 occ of a (df 2) + 1 of b (df 1) -> weight 5
     assert(out(2L) == ((2L, 2L, 1L, 2L, 3L)))
   }
+
+  test("perSourceTopK (bounded-heap UDAF) matches the rank-window formulation") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val viaUdaf = CorpusOps.perSourceTopK(d, "source", "n_chars", "doc_id", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    val viaWindow = d
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("rank"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaUdaf == viaWindow)
+    assert(viaUdaf.nonEmpty)
+  }
 }

@@ -71,4 +71,33 @@ class SamplingSpec extends SparkSpec {
     assert(both > exp2 * 0.6 && both < exp2 * 1.4,
       s"source-slice overlap $both vs independent-expected $exp2")
   }
+
+  test("stratifiedSample: per-stratum rates, rate-1 whole stratum, partition-invariant") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val rates = Map("en" -> 0.25, "de" -> 1.0, "fr" -> 0.5)
+    val out = Sampling.stratifiedSample(d, "doc_id", "lang", rates, defaultRate = 0.1)
+    val byLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = d.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    assert(byLang("de") == totals("de"), "rate 1.0 must keep the whole stratum")
+    val enFrac = byLang("en").toDouble / totals("en")
+    assert(enFrac > 0.10 && enFrac < 0.45, s"en frac $enFrac far from 0.25")
+    val frFrac = byLang("fr").toDouble / totals("fr")
+    assert(frFrac > 0.30 && frFrac < 0.70, s"fr frac $frFrac far from 0.5")
+
+    // default rate 0.0 drops unlisted strata entirely
+    val strict = Sampling.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.0)
+    assert(strict.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+
+    // the selection is a pure function of (stratum, id): repartitioning
+    // does not move it
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedSample(
+        d.repartition(7), "doc_id", "lang", rates, defaultRate = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2)
+  }
 }

@@ -126,4 +126,29 @@ class SimilaritySpec extends SparkSpec {
         .select(sq8L2(col("v"), col("v"), Seq(0.0), Seq(1.0))).collect()
     }
   }
+
+  test("ivfSq8TopK: neighbors come from the query's cell, ranked by quantized distance") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val out = Similarity.ivfSq8TopK(e, q, "vec_id", "embedding", k = 3, nLists = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val cells = Similarity.ivfAssignCells(e, "vec_id", "embedding", nLists = 8)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (qid, _, nid, _) =>
+      assert(cells(nid) == cells(qid), s"neighbor $nid outside query $qid's cell")
+    }
+    // within a query, rank order is by (dist, id) — and the sq8
+    // distance agrees with the flat sq8TopK's kernel on the same pair
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(r => (r._4, r._3)).sameElements(
+        sorted.map(r => (r._4, r._3)).sorted), s"ranks not by (dist,id): $sorted")
+    }
+    val flat = Similarity.sq8TopK(e, q, "vec_id", "embedding", k = e.count().toInt)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    out.foreach { case (qid, _, nid, d) =>
+      assert(flat((qid, nid)) == d, s"ivf-sq8 dist differs from flat sq8 for ($qid,$nid)")
+    }
+  }
 }
