@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (point-in-interval) join without a nested loop.
+  *
+  * Spark plans a pure range predicate — no equi-key — as
+  * BroadcastNestedLoopJoin: O(|points| x |intervals|) compares and a
+  * broadcast of one whole side, the first thing that dies at scale.
+  * The standard fix is bucketing: quantize the domain into fixed-width
+  * buckets, emit each interval once per bucket it covers, give each
+  * point its single containing bucket, and equi-join on the bucket id
+  * before applying the exact range predicate as a residual filter.
+  * The cross product shrinks to pairs that share a bucket, the join is
+  * a plain shuffled (or broadcast) hash join on a long key, and the
+  * residual keeps the semantics exact.
+  *
+  * A point lives in exactly one bucket, and an interval lists each
+  * covered bucket once — so every qualifying (point, interval) pair
+  * surfaces exactly once and NO distinct pass is needed (dedup after a
+  * fan-out join is itself a scale trap).
+  *
+  * `bucketWidth` trades fan-out for selectivity: intervals explode
+  * into (len / width + 1) rows, while a too-wide bucket degrades the
+  * prefilter toward the cross product. Pick it near the typical
+  * interval length. Skewed domains (all points in one hot bucket)
+  * inherit the engine's AQE skew-join handling since the join is a
+  * plain equi-join.
+  */
+object RangeJoin {
+
+  /** Join `points` to every interval containing them:
+    * `point >= startCol && point < endCol` (half-open).
+    *
+    * All three columns must be LONGS in one unit (epoch micros, token
+    * offsets, ...): integer bucket arithmetic is exact and
+    * engine-agnostic, where timestamp/interval types invite precision
+    * drift. Degenerate intervals (start >= end) match nothing and are
+    * dropped before the explode. Domain values must be non-negative
+    * (bucket id uses integer division).
+    */
+  def pointInInterval(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    // `div` is true integer division — routing through double division
+    // would silently lose precision above 2^53 (epoch micros are 2^50+)
+    val p = points.withColumn("_bucket", expr(s"$pointCol div $bucketWidth"))
+    val i = intervals
+      .filter(col(startCol) < col(endCol))
+      .withColumn("_bucket",
+        explode(sequence(
+          expr(s"$startCol div $bucketWidth"),
+          expr(s"($endCol - 1) div $bucketWidth"))))
+    p.join(i, Seq("_bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_bucket")
+  }
+}

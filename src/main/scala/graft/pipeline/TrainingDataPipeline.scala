@@ -47,6 +47,29 @@ object TrainingDataPipeline {
     Dedup.jaccardOnCandidates(docs, idCol, textCol, p, q)
       .select(col("id_b").as("id")).distinct()
 
+  /** Quality-aware near-dedup drop list: verified pairs -> connected
+    * components ([[Dedup.jaccardOnCandidates]] ->
+    * [[graft.dedup.Clusters.connectedComponents]]) -> keep the
+    * highest-quality member of each cluster
+    * ([[graft.dedup.Clusters.keepersByScore]]). Unlike [[nearDupIds]]'
+    * pairwise larger-id drop, this is transitive-chain-safe (A~B, B~C
+    * drops exactly two of the three, never an unpaired doc) and lets
+    * quality pick the survivor. Costs the component iteration
+    * (rounds = cluster diameter) on top of the pair list — use it for
+    * periodic full-corpus passes; [[nearDupIds]] stays the cheap
+    * first-pass default. */
+  def nearDupIdsByCluster(
+      docs: DataFrame, idCol: String, textCol: String,
+      p: Int = 1, q: Int = 2): DataFrame = {
+    val edges = Dedup.jaccardOnCandidates(docs, idCol, textCol, p, q)
+    val cc = graft.dedup.Clusters.connectedComponents(
+      docs.select(col(idCol)), idCol, edges)
+    val keepers = graft.dedup.Clusters.keepersByScore(
+      cc, TextAnalysis.qualityByDoc(docs, idCol, textCol), idCol, "quality")
+    cc.join(keepers.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol).as("id"))
+  }
+
   /** Full cleaning pass. Returns the surviving documents.
     *
     * `persistStages` caches each stage's survivor frame

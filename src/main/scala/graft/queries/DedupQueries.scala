@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Clusters, Dedup}
 
 /** Near-dedup operator verification: MinHash signatures, LSH candidate
   * pairs, n-gram Jaccard ground truth, SimHash. All constructions are
@@ -302,6 +302,124 @@ object DedupQueries {
               WHERE NOT EXISTS (SELECT 1 FROM IDX i WHERE i.fp = n.fp))
         SELECT doc_id FROM S
         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+        ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q72_dup_clusters",
+      "Duplicate clusters: connected components (min-label propagation, " +
+        "rounds = cluster diameter) over the LSH-verified pair list; " +
+        "every doc labeled with its component's min id, singletons " +
+        "included. Oracle is a DuckDB recursive CTE over the same edges.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val edges = Dedup.jaccardOnCandidates(d, "doc_id", "text", p = 1, q = 2)
+        Clusters.connectedComponents(d.select(col("doc_id")), "doc_id", edges)
+          .orderBy(col("doc_id"))
+      },
+      Some(shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + raw""",
+        H AS (SELECT doc_id, md5(g) AS hg FROM S),
+        SIG AS (
+          SELECT doc_id,
+                 min(substr(hg, 1, 4)) AS h0, min(substr(hg, 5, 4)) AS h1,
+                 min(substr(hg, 9, 4)) AS h2, min(substr(hg, 13, 4)) AS h3,
+                 min(substr(hg, 17, 4)) AS h4, min(substr(hg, 21, 4)) AS h5,
+                 min(substr(hg, 25, 4)) AS h6, min(substr(hg, 29, 4)) AS h7
+          FROM H GROUP BY doc_id),
+        B AS (
+          SELECT doc_id, t.b AS band,
+                 CASE t.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                          WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS bv
+          FROM SIG, unnest([0, 1, 2, 3]) AS t(b)),
+        C AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM B x JOIN B y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        N AS (SELECT doc_id, count(*) AS n FROM S GROUP BY doc_id),
+        P AS (SELECT c.id_a, c.id_b, count(*) AS common
+              FROM C c
+              JOIN S x ON x.doc_id = c.id_a
+              JOIN S y ON y.doc_id = c.id_b AND y.g = x.g
+              GROUP BY 1, 2),
+        E AS (SELECT P.id_a, P.id_b
+              FROM P JOIN N na ON P.id_a = na.doc_id JOIN N nb ON P.id_b = nb.doc_id
+              WHERE common * 2 >= (na.n + nb.n - common) * 1),
+        SYM AS (SELECT id_a AS src, id_b AS dst FROM E
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM E),
+        REACH AS (
+          SELECT doc_id AS id, doc_id AS r FROM documents
+          UNION
+          SELECT sy.dst AS id, REACH.r AS r
+          FROM SYM sy JOIN REACH ON REACH.id = sy.src)
+        SELECT id AS doc_id, min(r) AS cluster_id
+        FROM REACH GROUP BY id ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q73_cluster_canonical",
+      "Quality-aware cluster dedup: one keeper per duplicate cluster, " +
+        "chosen by highest quality score then min id — the policy " +
+        "pairwise min-id dedup cannot express. Composes q72's components " +
+        "with q18's quality scores; the rank window partitions by " +
+        "cluster (bounded groups), never the corpus.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val edges = Dedup.jaccardOnCandidates(d, "doc_id", "text", p = 1, q = 2)
+        val cc = Clusters.connectedComponents(d.select(col("doc_id")), "doc_id", edges)
+        val quality = graft.functions.TextAnalysis.qualityByDoc(d, "doc_id", "text")
+        Clusters.keepersByScore(cc, quality, "doc_id", "quality")
+          .orderBy(col("doc_id"))
+      },
+      Some(shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + raw""",
+        H AS (SELECT doc_id, md5(g) AS hg FROM S),
+        SIG AS (
+          SELECT doc_id,
+                 min(substr(hg, 1, 4)) AS h0, min(substr(hg, 5, 4)) AS h1,
+                 min(substr(hg, 9, 4)) AS h2, min(substr(hg, 13, 4)) AS h3,
+                 min(substr(hg, 17, 4)) AS h4, min(substr(hg, 21, 4)) AS h5,
+                 min(substr(hg, 25, 4)) AS h6, min(substr(hg, 29, 4)) AS h7
+          FROM H GROUP BY doc_id),
+        B AS (
+          SELECT doc_id, t.b AS band,
+                 CASE t.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                          WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS bv
+          FROM SIG, unnest([0, 1, 2, 3]) AS t(b)),
+        C AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM B x JOIN B y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        N AS (SELECT doc_id, count(*) AS n FROM S GROUP BY doc_id),
+        P AS (SELECT c.id_a, c.id_b, count(*) AS common
+              FROM C c
+              JOIN S x ON x.doc_id = c.id_a
+              JOIN S y ON y.doc_id = c.id_b AND y.g = x.g
+              GROUP BY 1, 2),
+        E AS (SELECT P.id_a, P.id_b
+              FROM P JOIN N na ON P.id_a = na.doc_id JOIN N nb ON P.id_b = nb.doc_id
+              WHERE common * 2 >= (na.n + nb.n - common) * 1),
+        SYM AS (SELECT id_a AS src, id_b AS dst FROM E
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM E),
+        REACH AS (
+          SELECT doc_id AS id, doc_id AS r FROM documents
+          UNION
+          SELECT sy.dst AS id, REACH.r AS r
+          FROM SYM sy JOIN REACH ON REACH.id = sy.src),
+        CC AS (SELECT id AS doc_id, min(r) AS cluster_id
+               FROM REACH GROUP BY id),
+        QW AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+        QS AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(w) AS DOUBLE) AS n_tokens,
+                 CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                 CAST(len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and')) + len(list_filter(w, x -> x = 'of')) AS DOUBLE) AS stop_hits
+          FROM QW),
+        Q AS (
+          SELECT doc_id,
+                 CAST(0.4 AS DOUBLE) * least(n_tokens / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 + CAST(0.3 AS DOUBLE) * (n_alpha / n_chars)
+                 + CAST(0.3 AS DOUBLE) * least(stop_hits * CAST(8.0 AS DOUBLE) / n_tokens, CAST(1.0 AS DOUBLE)) AS quality
+          FROM QS)
+        SELECT CC.doc_id AS doc_id, CC.cluster_id AS cluster_id, Q.quality AS quality
+        FROM CC JOIN Q ON CC.doc_id = Q.doc_id
+        QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, CC.doc_id) = 1
         ORDER BY doc_id"""))
   )
 }

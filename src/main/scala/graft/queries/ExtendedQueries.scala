@@ -382,6 +382,43 @@ object ExtendedQueries {
         SELECT cohort_week, week - cohort_week AS week_offset,
                CAST(count(*) AS BIGINT) AS n_users
         FROM A GROUP BY 1, 2
-        ORDER BY cohort_week, week_offset"""))
+        ORDER BY cohort_week, week_offset""")),
+
+    GraftQuery(
+      "q74_range_join",
+      "Pure range join (no equi key) via domain bucketing: 20 " +
+        "deterministic half-open maintenance windows derived from " +
+        "min(ts); each event joined to its containing window through a " +
+        "bucket equi-join + exact residual — never the " +
+        "BroadcastNestedLoopJoin Spark would plan for a bare range " +
+        "predicate. All arithmetic in epoch-micros longs on both sides.",
+      (spark, dir) => {
+        // 36 h window pitch, first 18 h active, 6 h join buckets
+        val span = 129600000000L
+        val active = span / 2
+        val bucket = 21600000000L
+        val e = Tables.table(spark, dir, "events")
+          .select(col("event_id"), unix_micros(col("ts")).as("pt"))
+        val base = e.agg(min(col("pt")).as("t0"))
+        val windows = base
+          .select(col("t0"), explode(sequence(lit(0L), lit(19L))).as("w_id"))
+          .select(col("w_id"),
+            (col("t0") + col("w_id") * lit(span)).as("w_start"),
+            (col("t0") + col("w_id") * lit(span) + lit(active)).as("w_end"))
+        graft.operators.RangeJoin
+          .pointInInterval(e, "pt", windows, "w_start", "w_end", bucket)
+          .select(col("event_id"), col("w_id"))
+          .orderBy(col("event_id"), col("w_id"))
+      },
+      Some("""
+        WITH E AS (SELECT event_id, epoch_us(ts) AS pt FROM events),
+        B AS (SELECT min(pt) AS t0 FROM E),
+        W AS (SELECT t.w AS w_id,
+                     t0 + t.w * 129600000000 AS w_start,
+                     t0 + t.w * 129600000000 + 64800000000 AS w_end
+              FROM B, unnest(range(0, 20)) AS t(w))
+        SELECT e.event_id, w.w_id
+        FROM E e JOIN W w ON e.pt >= w.w_start AND e.pt < w.w_end
+        ORDER BY event_id, w_id"""))
   )
 }

@@ -1,0 +1,84 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClustersSpec extends SparkSpec {
+
+  private def nodes(ids: Long*) = {
+    import spark.implicits._
+    ids.toDF("doc_id")
+  }
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("id_a", "id_b")
+  }
+
+  test("connectedComponents: transitive chain collapses to one min-id cluster") {
+    val out = Clusters.connectedComponents(
+        nodes(1L, 2L, 3L, 4L, 5L), "doc_id", edges((1L, 2L), (2L, 3L), (3L, 4L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
+  }
+
+  test("connectedComponents: multiple components and edge-order invariance") {
+    val e1 = edges((10L, 11L), (12L, 13L), (11L, 14L))
+    val e2 = edges((11L, 14L), (12L, 13L), (10L, 11L))
+    val n = nodes(10L, 11L, 12L, 13L, 14L, 15L)
+    val a = Clusters.connectedComponents(n, "doc_id", e1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Clusters.connectedComponents(n, "doc_id", e2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a == Map(10L -> 10L, 11L -> 10L, 14L -> 10L,
+      12L -> 12L, 13L -> 12L, 15L -> 15L))
+  }
+
+  test("connectedComponents: empty edge list yields all singletons") {
+    val out = Clusters.connectedComponents(nodes(7L, 8L), "doc_id", edges())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(7L -> 7L, 8L -> 8L))
+  }
+
+  test("connectedComponents: refuses to return unconverged labels") {
+    // a 5-hop chain cannot converge in one round (min label moves one
+    // hop per round); the operator must throw, never emit partial labels
+    val chain = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    intercept[IllegalStateException] {
+      Clusters.connectedComponents(
+        nodes(1L, 2L, 3L, 4L, 5L, 6L), "doc_id", chain, maxIter = 1)
+    }
+  }
+
+  test("keepersByScore: best score wins, min id breaks ties, singletons survive") {
+    import spark.implicits._
+    val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.3), (2L, 0.9), (3L, 0.9), (9L, 0.1))
+      .toDF("doc_id", "quality")
+    val out = Clusters.keepersByScore(cc, scores, "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 2 and 3 tie on 0.9 -> min id 2 keeps; singleton 9 keeps itself
+    assert(out == Set((2L, 1L, 0.9), (9L, 9L, 0.1)))
+  }
+
+  test("nearDupIdsByCluster drops all but one member of each transitive group") {
+    import spark.implicits._
+    // 1~2 and 2~3 verify pairwise, 1~3 need not: the pairwise policy
+    // would drop both 2 and 3; the cluster policy keeps the best member
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the sleepy dog"),
+      (4L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val dropped = graft.pipeline.TrainingDataPipeline
+      .nearDupIdsByCluster(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped.size == 2)              // exactly one of {1,2,3} survives
+    assert(dropped.subsetOf(Set(1L, 2L, 3L)))
+    assert(!dropped.contains(4L))          // the distinct doc is untouched
+  }
+}
