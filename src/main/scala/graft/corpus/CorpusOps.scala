@@ -372,4 +372,39 @@ object CorpusOps {
       .select(col(sourceCol), posexplode(col("ids")).as(Seq("i", idCol)))
       .select(col(sourceCol), (col("i") + 1).cast("long").as("rank"), col(idCol))
   }
+
+  /** Per-document n-gram novelty against everything ingested BEFORE it
+    * (doc id = ingestion order): of a doc's distinct shingles, how many
+    * first appeared in a lower-id doc. The standard "how much of this
+    * batch is new text" signal for dedup-pressure monitoring and
+    * crawl-frontier tuning — exact duplicates score 0 novelty, fresh
+    * text scores 1.
+    *
+    * Scale shape: one shuffle keyed on the shingle (the window
+    * computing each shingle's first-seen doc), then the per-doc hash
+    * agg. Both keys are id-or-hash sized; nothing quadratic, no
+    * driver state. Zero-shingle docs (shorter than the window) keep a
+    * row via the left join with NULL novelty — explicit, not
+    * fixture-dependent (same contract as q60's zero-token guard).
+    *
+    * Ref semantics: nothing in the reference computes this (its corpus
+    * surface stops at per-doc transforms); the operator follows the
+    * first-seen convention of [[graft.dedup.Dedup.exactGroups]]'
+    * min-id keeper. */
+  def noveltyScores(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    val s = graft.dedup.Dedup.shingleTable(df, idCol, textCol, shingleN)
+    val firstSeen = Window.partitionBy(col("g"))
+    val agg = s.withColumn("first_doc", min(col(idCol)).over(firstSeen))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") < col(idCol), 1L).otherwise(0L)).as("n_seen"))
+    df.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("novelty",
+        expr("CAST(1.0 AS DOUBLE) - CAST(n_seen AS DOUBLE) / nullif(CAST(n_shingles AS DOUBLE), CAST(0.0 AS DOUBLE))"))
+  }
 }

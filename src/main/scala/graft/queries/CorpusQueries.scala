@@ -272,6 +272,37 @@ object CorpusQueries {
                doc_id
         FROM documents
         QUALIFY rank <= 3
-        ORDER BY source, rank"""))
+        ORDER BY source, rank""")),
+
+    GraftQuery(
+      "q76_novelty_scores",
+      "Per-doc n-gram novelty vs everything ingested before it (doc id " +
+        "= ingestion order): share of the doc's distinct trigram " +
+        "shingles first seen in a lower-id doc. One shingle-keyed " +
+        "shuffle + per-doc agg; zero-shingle docs keep a NULL-novelty " +
+        "row by contract.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        CorpusOps.noveltyScores(d, "doc_id", "text", shingleN = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        S AS (SELECT DISTINCT doc_id,
+                     unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+              FROM W),
+        F AS (SELECT g, min(doc_id) AS first_doc FROM S GROUP BY g),
+        A AS (SELECT s.doc_id,
+                     count(*) AS n_shingles,
+                     SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END) AS n_seen
+              FROM S s JOIN F f ON s.g = f.g GROUP BY s.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(n_seen, 0) AS BIGINT) AS n_seen,
+               CAST(1.0 AS DOUBLE)
+                 - CAST(coalesce(n_seen, 0) AS DOUBLE)
+                   / nullif(CAST(coalesce(n_shingles, 0) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS novelty
+        FROM documents d LEFT JOIN A ON d.doc_id = A.doc_id
+        ORDER BY d.doc_id"""))
   )
 }

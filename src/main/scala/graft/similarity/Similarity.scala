@@ -278,4 +278,103 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
+
+  /** Product-quantization codebook: `m` subspaces of `dim / m`
+    * dimensions, `kCent` centroids each. Centroids are the md5-ranked
+    * sample rows ([[ivfCentroids]]' deterministic trick) restricted to
+    * each subspace — no k-means, so the codebook is expressible in
+    * portable SQL and the whole PQ pipeline stays oracle-verifiable.
+    * Returns the long-format table (s, j, sub_vec): m x kCent rows,
+    * always broadcast by consumers. The global-rank window runs over
+    * kCent rows (post-limit), not the corpus. */
+  def pqCodebook(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int, kCent: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val subDim = dim / m
+    val samples = ivfCentroids(corpus, idCol, vecCol, kCent)
+      .withColumn("j", (row_number().over(
+        Window.orderBy(md5(col("cent_id").cast("string")), col("cent_id"))) - 1)
+        .cast("long"))
+    (0 until m).map { s =>
+      samples.select(lit(s.toLong).as("s"), col("j"),
+        slice(col("cent_vec"), s * subDim + 1, subDim).as("sub_vec"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** PQ encoding: each vector becomes m small codes — per subspace the
+    * argmin-distance centroid index (SQ8 integer distance, tie-break
+    * min j). Long format (id, s, code); at write time this is the
+    * stored index: m bytes per vector instead of dim floats (32x
+    * smaller at m=8/dim=64), the memory-bandwidth play PQ exists for.
+    * Each subspace's assignment is a broadcast join against kCent rows
+    * reduced map-side by the `min_by` partial agg — the corpus reaches
+    * the shuffle as one row per (id, subspace). */
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int, dim: Int,
+      mns: Seq[Double], mxs: Seq[Double]): DataFrame = {
+    val subDim = dim / m
+    (0 until m).map { s =>
+      val cb = codebook.filter(col("s") === s).select(col("j"), col("sub_vec"))
+      val mn = mns.slice(s * subDim, (s + 1) * subDim)
+      val mx = mxs.slice(s * subDim, (s + 1) * subDim)
+      corpus
+        .select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("sub"))
+        .join(broadcast(cb))
+        .withColumn("d",
+          graft.functions.Sq8L2Distance.sq8L2(col("sub"), col("sub_vec"), mn, mx))
+        .groupBy(col(idCol))
+        .agg(min_by(col("j"), struct(col("d"), col("j"))).as("code"))
+        .select(col(idCol), lit(s.toLong).as("s"), col("code"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** PQ ANN top-k via asymmetric-distance lookup tables (the classic
+    * ADC recipe): the corpus is scanned as CODES only, while each
+    * query precomputes its distance to every (subspace, centroid) pair
+    * — a |Q| x m x kCent table built from tiny frames and broadcast.
+    * The scan side then never touches vectors: one broadcast-hash join
+    * on (s, code) and a (query, neighbor) sum. All distances are SQ8
+    * integer, so ranking is (dist, id) hash-exact like the other
+    * quantized variants.
+    *
+    * At 100 TB: codes are materialized once at write time
+    * ([[pqEncode]]; 32x compression), the LUT is per-query-batch work
+    * independent of corpus size, and the scan is the m-bytes-per-row
+    * code table — the standard billion-scale layout (compose with the
+    * IVF cell partitioner exactly like [[ivfSq8TopK]] to also prune
+    * which codes are read). */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int = 8, dim: Int = 64, kCent: Int = 16): DataFrame = {
+    val subDim = dim / m
+    val (mns, mxs) = sq8Ranges(corpus, vecCol)
+    val codebook = pqCodebook(corpus, idCol, vecCol, m, dim, kCent)
+    val codes = pqEncode(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
+      "neighbor_id", vecCol, codebook, m, dim, mns, mxs)
+    val lut = (0 until m).map { s =>
+      val cb = codebook.filter(col("s") === s).select(col("j"), col("sub_vec"))
+      val mn = mns.slice(s * subDim, (s + 1) * subDim)
+      val mx = mxs.slice(s * subDim, (s + 1) * subDim)
+      queries
+        .select(col(idCol).as("query_id"),
+          slice(col(vecCol), s * subDim + 1, subDim).as("q_sub"))
+        .join(cb)
+        .withColumn("d",
+          graft.functions.Sq8L2Distance.sq8L2(col("q_sub"), col("sub_vec"), mn, mx))
+        .select(col("query_id"), lit(s.toLong).as("ls"), col("j").as("lj"), col("d"))
+    }.reduce(_ unionAll _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    codes
+      .join(broadcast(lut), col("s") === col("ls") && col("code") === col("lj"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
 }

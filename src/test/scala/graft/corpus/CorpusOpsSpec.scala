@@ -206,4 +206,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaUdaf == viaWindow)
     assert(viaUdaf.nonEmpty)
   }
+
+  test("noveltyScores: dup scores 0, fresh scores 1, short doc gets NULL novelty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // exact dup of 1 -> novelty 0
+      (3L, "zeta eta theta iota kappa"),        // all-new trigrams -> novelty 1
+      (4L, "alpha beta gamma zeta eta theta"),  // mix of seen and new
+      (5L, "too short")                         // < 3 tokens: zero shingles
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.noveltyScores(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(1L) == ((3L, 0L, Some(1.0))))
+    assert(out(2L) == ((3L, 3L, Some(0.0))))
+    assert(out(3L) == ((3L, 0L, Some(1.0))))
+    // doc 4: "alpha beta gamma" seen in doc 1 and "zeta eta theta" in
+    // doc 3; the two bridging trigrams are new
+    assert(out(4L) == ((4L, 2L, Some(0.5))))
+    assert(out(5L) == ((0L, 0L, None)))
+  }
 }

@@ -151,4 +151,51 @@ class SimilaritySpec extends SparkSpec {
       assert(flat((qid, nid)) == d, s"ivf-sq8 dist differs from flat sq8 for ($qid,$nid)")
     }
   }
+
+  test("pqEncode: one code per (id, subspace), codes within the codebook") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val (mns, mxs) = Similarity.sq8Ranges(e, "embedding")
+    val cb = Similarity.pqCodebook(e, "vec_id", "embedding", m = 8, dim = 64, kCent = 16)
+    assert(cb.count() == 8 * 16)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, 8, 64, mns, mxs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val n = e.count()
+    assert(codes.length == n * 8)
+    assert(codes.map(_._1).distinct.length == codes.length) // one per (id, s)
+    assert(codes.forall { case (_, c) => c >= 0 && c < 16 })
+  }
+
+  test("pqTopK: deterministic, self-excluded, ADC dist 0 for a codebook vector vs itself-like twin") {
+    import spark.implicits._
+    // 2-dim corpus, m=2 subspaces of 1 dim: doc 10 duplicates doc 0's
+    // vector, so their codes agree in every subspace -> ADC distance 0
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(10.0f, 0.5f)),
+      (2L, Array(3.0f, 9.0f)),
+      (3L, Array(7.0f, 2.0f)),
+      (10L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0)
+    val out = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+        k = 4, m = 2, dim = 2, kCent = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.forall(_._3 != 0L))                    // self excluded
+    val first = out.find(_._2 == 1L).get
+    assert(first._3 == 10L && first._4 == 0L)         // duplicate wins at dist 0
+    val again = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+        k = 4, m = 2, dim = 2, kCent = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == again.toSeq)                  // deterministic
+  }
+
+  test("pqTopK recall overlaps brute force on real embeddings") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val approx = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((exact & approx).nonEmpty)
+  }
 }
