@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+
+  private def points = {
+    import spark.implicits._
+    Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 35L), (6L, 99L))
+      .toDF("pid", "pt")
+  }
+
+  // [0,20) spans two width-10 buckets; [18,22) straddles a boundary;
+  // [30,31) is sub-bucket; [40,40) is degenerate
+  private def intervals = {
+    import spark.implicits._
+    Seq((100L, 0L, 20L), (200L, 18L, 22L), (300L, 30L, 36L), (400L, 40L, 40L))
+      .toDF("iid", "s", "e")
+  }
+
+  test("pointInInterval: exact half-open semantics, multi-bucket and straddling intervals") {
+    val out = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", bucketWidth = 10L)
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set(
+      (1L, 100L), (2L, 100L), (3L, 100L),  // 5,10,19 in [0,20)
+      (3L, 200L),                          // 19 in [18,22)
+      (4L, 200L),                          // 20 excluded from [0,20), inside [18,22)
+      (5L, 300L)                           // 35 in [30,36)
+      // 99 matches nothing; [40,40) degenerate matches nothing
+    ))
+  }
+
+  test("pointInInterval: overlapping intervals surface each pair exactly once (no dedup pass)") {
+    import spark.implicits._
+    val iv = Seq((1L, 0L, 30L), (2L, 0L, 30L), (3L, 5L, 6L)).toDF("iid", "s", "e")
+    val out = RangeJoin.pointInInterval(points, "pt", iv, "s", "e", bucketWidth = 7L)
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.distinct.length, s"duplicated pairs: ${out.toSeq}")
+    assert(out.toSet ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L), (2L, 2L), (3L, 2L),
+        (4L, 2L), (1L, 3L)))
+  }
+
+  test("pointInInterval plans an equi-join on the bucket, never a nested loop") {
+    val plan = RangeJoin
+      .pointInInterval(points, "pt", intervals, "s", "e", bucketWidth = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the q74-shaped plain range join, for contrast, IS a nested loop
+    val naive = points.join(intervals, col("pt") >= col("s") && col("pt") < col("e"))
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("BroadcastNestedLoopJoin"), naive)
+  }
+}

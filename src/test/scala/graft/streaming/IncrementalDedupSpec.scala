@@ -1,0 +1,59 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class IncrementalDedupSpec extends SparkSpec {
+
+  test("dedupStreamToIndex drops within-batch AND cross-batch duplicates durably") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup").toString
+    val in = MemoryStream[(Long, String)]
+    val emitted = mutable.ArrayBuffer.empty[(Long, Long)] // (batchId, doc_id)
+
+    val q = IncrementalDedup.dedupStreamToIndex(
+        in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/index", s"$dir/ckpt") { (batch, id) =>
+      emitted.synchronized {
+        emitted ++= batch.select("doc_id").collect().map(r => id -> r.getLong(0))
+      }
+    }.start()
+    try {
+      in.addData((1L, "aaa bbb ccc"), (2L, "aaa bbb ccc"), (3L, "ddd eee fff"))
+      q.processAllAvailable()
+      // within-batch: fp of 1 and 2 collapse to min id 1
+      assert(emitted.map(_._2).toSet == Set(1L, 3L))
+
+      in.addData((4L, "aaa bbb ccc"), (5L, "ggg hhh iii"))
+      q.processAllAvailable()
+      // cross-batch: doc 4 duplicates batch-1 content -> dropped via the
+      // durable index (no watermark involved); doc 5 is new
+      assert(emitted.map(_._2).toSet == Set(1L, 3L, 5L))
+
+      // case/inner-whitespace variants hit the same canonical fingerprint
+      in.addData((6L, "AAA   bbb ccc"), (7L, "jjj"))
+      q.processAllAvailable()
+      assert(emitted.map(_._2).toSet == Set(1L, 3L, 5L, 7L))
+    } finally q.stop()
+
+    // the index holds exactly the distinct canonical fingerprints
+    val fps = spark.read.parquet(s"$dir/index").collect().map(_.getString(0))
+    assert(fps.length == 4 && fps.distinct.length == 4)
+
+    // batch backfill path shares the same definition: re-offering old
+    // content against the final index yields nothing
+    val again = IncrementalDedup.dedupBatch(
+      Seq((9L, "aaa bbb ccc")).toDF("doc_id", "text"), s"$dir/index", "doc_id", "text")
+    assert(again.count() == 0)
+  }
+
+  test("readIndex on a missing directory is an empty frame, so batch one works") {
+    val empty = IncrementalDedup.readIndex(spark, "/tmp/does/not/exist/graft_idx")
+    assert(empty.schema.fieldNames.sameElements(Array("fp")))
+    assert(empty.count() == 0)
+  }
+}
