@@ -397,6 +397,85 @@ object SimilarityQueries {
                        ORDER BY dist, neighbor_id) AS rank
               FROM ADC)
         SELECT query_id, rank, neighbor_id, dist FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q77_ann_ivf_pq_topk",
+      "IVF-PQ composed ANN (the Faiss billion-scale default): q51's " +
+        "deterministic coarse quantizer prunes to the query's cell, " +
+        "q75's PQ ADC lookup-table distance ranks inside it — cell " +
+        "pruning x 32x code compression. The cell restriction rides on " +
+        "the broadcast LUT; integer (dist, id) ranking, hash-exact.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+            k = 3, nLists = 8, m = 8, dim = 64, kCent = 16)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        MM AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(embedding) AS x,
+                       unnest(range(1, len(embedding)+1)) AS i
+                FROM embeddings)
+          GROUP BY i),
+        MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
+        QV AS (
+          SELECT vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(embedding)+1)] AS qv
+          FROM embeddings, MML),
+        CENTS AS (
+          SELECT vec_id,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        SUBC AS (
+          SELECT c.j, s.s AS s,
+                 q.qv[CAST(s.s*8+1 AS INTEGER):CAST(s.s*8+8 AS INTEGER)] AS sub
+          FROM CENTS c JOIN QV q ON q.vec_id = c.vec_id, range(0, 8) s(s)),
+        DSUB AS (
+          SELECT q.vec_id, sc.s, sc.j,
+                 list_sum([(q.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                           * (q.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                           for i in range(1, 9)]) AS d
+          FROM QV q, SUBC sc),
+        CODES AS (
+          SELECT vec_id, s, j FROM DSUB
+          QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) = 1),
+        LUT AS (
+          SELECT qq.vec_id AS query_id, sc.s, sc.j,
+                 list_sum([(qq.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                           * (qq.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                           for i in range(1, 9)]) AS d
+          FROM QV qq, SUBC sc WHERE qq.vec_id % 50 = 0),
+        ADC AS (
+          SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
+          FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
+          JOIN CELL ca ON ca.vec_id = l.query_id
+          JOIN CELL cb ON cb.vec_id = c.vec_id AND cb.cell = ca.cell
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2),
+        R AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist, neighbor_id) AS rank
+              FROM ADC)
+        SELECT query_id, rank, neighbor_id, dist FROM R
         WHERE rank <= 3 ORDER BY query_id, rank"""))
   )
 }

@@ -292,14 +292,28 @@ object Similarity {
       m: Int, dim: Int, kCent: Int): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     val subDim = dim / m
-    val samples = ivfCentroids(corpus, idCol, vecCol, kCent)
+    // Materialize the kCent sample rows ONCE (one corpus TakeOrdered
+    // job, like sq8Ranges' single stats job): the codebook frame is
+    // consumed by 2m plan branches (per-subspace encode + LUT), and as
+    // a lazy lineage each branch would re-run the corpus scan. A
+    // driver-side kCent x dim array is the global-artifact shape this
+    // data has anyway — at scale the codebook ships as a literal with
+    // the query plan exactly like the SQ8 ranges.
+    val spark = corpus.sparkSession
+    val sampleRows = ivfCentroids(corpus, idCol, vecCol, kCent)
       .withColumn("j", (row_number().over(
         Window.orderBy(md5(col("cent_id").cast("string")), col("cent_id"))) - 1)
         .cast("long"))
-    (0 until m).map { s =>
-      samples.select(lit(s.toLong).as("s"), col("j"),
-        slice(col("cent_vec"), s * subDim + 1, subDim).as("sub_vec"))
-    }.reduce(_ unionAll _)
+      .select(col("j"), col("cent_vec").cast("array<float>").as("cent_vec"))
+      .collect()
+    val rows = for {
+      r <- sampleRows.toSeq
+      s <- 0 until m
+    } yield (s.toLong, r.getLong(0),
+      r.getSeq[Float](1).slice(s * subDim, (s + 1) * subDim))
+    import spark.implicits._
+    rows.toDF("s", "j", "sub_vec")
+      .withColumn("sub_vec", col("sub_vec").cast("array<float>"))
   }
 
   /** PQ encoding: each vector becomes m small codes — per subspace the
@@ -354,7 +368,28 @@ object Similarity {
     val codes = pqEncode(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
       "neighbor_id", vecCol, codebook, m, dim, mns, mxs)
-    val lut = (0 until m).map { s =>
+    val lut = pqLut(queries, idCol, vecCol, codebook, m, dim, mns, mxs)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    codes
+      .join(broadcast(lut), col("s") === col("ls") && col("code") === col("lj"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
+  /** The per-query ADC lookup table: distance from each query's
+    * subvector to every (subspace, centroid) — |Q| x m x kCent rows
+    * from tiny frames, always broadcast by consumers. */
+  private def pqLut(
+      queries: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int, dim: Int,
+      mns: Seq[Double], mxs: Seq[Double]): DataFrame = {
+    val subDim = dim / m
+    (0 until m).map { s =>
       val cb = codebook.filter(col("s") === s).select(col("j"), col("sub_vec"))
       val mn = mns.slice(s * subDim, (s + 1) * subDim)
       val mx = mxs.slice(s * subDim, (s + 1) * subDim)
@@ -366,10 +401,43 @@ object Similarity {
           graft.functions.Sq8L2Distance.sq8L2(col("q_sub"), col("sub_vec"), mn, mx))
         .select(col("query_id"), lit(s.toLong).as("ls"), col("j").as("lj"), col("d"))
     }.reduce(_ unionAll _)
+  }
+
+  /** IVF-PQ: the full billion-scale composition — the deterministic
+    * coarse quantizer restricts each query to its cell
+    * ([[ivfCentroids]] + the shared argmin assignment) and the PQ ADC
+    * distance ranks inside it. Cell pruning divides candidates by
+    * nLists; PQ shrinks what the scan reads per candidate to m code
+    * bytes — multiplied, this is Faiss's `IVF<n>,PQ<m>` layout, the
+    * default at billion scale. The cell restriction rides ON the
+    * broadcast LUT (each query's cell joins into its LUT rows), so the
+    * code-table side still sees exactly one broadcast-hash join and
+    * one aggregation. Integer (dist, id) in-cell ranking keeps the
+    * oracle hash-exact. */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nLists: Int = 8, m: Int = 8, dim: Int = 64, kCent: Int = 16): DataFrame = {
+    val cent = ivfCentroids(corpus, idCol, vecCol, nLists)
+    val (mns, mxs) = sq8Ranges(corpus, vecCol)
+    val codebook = pqCodebook(corpus, idCol, vecCol, m, dim, kCent)
+    val cc = assignWith(cent,
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      "neighbor_id", "c_vec").select(col("neighbor_id"), col("cell"))
+    val qc = assignWith(cent,
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec").select(col("query_id"), col("cell").as("q_cell"))
+    val codes = pqEncode(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
+        "neighbor_id", vecCol, codebook, m, dim, mns, mxs)
+      .join(cc, Seq("neighbor_id"))
+    val lut = pqLut(queries, idCol, vecCol, codebook, m, dim, mns, mxs)
+      .join(qc, Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
     codes
-      .join(broadcast(lut), col("s") === col("ls") && col("code") === col("lj"))
+      .join(broadcast(lut),
+        col("s") === col("ls") && col("code") === col("lj") &&
+          col("cell") === col("q_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("d")).as("dist"))

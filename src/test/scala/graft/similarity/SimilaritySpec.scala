@@ -189,6 +189,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)                  // deterministic
   }
 
+  test("ivfPqTopK: neighbors stay in the query's cell, dists agree with flat PQ") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val out = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val cells = Similarity.ivfAssignCells(e, "vec_id", "embedding", nLists = 8)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (qid, _, nid, _) =>
+      assert(cells(nid) == cells(qid), s"neighbor $nid outside query $qid's cell")
+    }
+    // the ADC distance is the same number flat PQ computes for the pair
+    val flat = Similarity.pqTopK(e, q, "vec_id", "embedding", k = e.count().toInt)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    out.foreach { case (qid, _, nid, d) =>
+      assert(flat((qid, nid)) == d, s"ivf-pq dist differs from flat pq for ($qid,$nid)")
+    }
+  }
+
   test("pqTopK recall overlaps brute force on real embeddings") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)
