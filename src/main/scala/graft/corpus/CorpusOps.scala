@@ -407,4 +407,33 @@ object CorpusOps {
       .withColumn("novelty",
         expr("CAST(1.0 AS DOUBLE) - CAST(n_seen AS DOUBLE) / nullif(CAST(n_shingles AS DOUBLE), CAST(0.0 AS DOUBLE))"))
   }
+
+  /** Per-document out-of-vocabulary rate against the corpus' own top-k
+    * vocabulary ([[vocabulary]]) — the tokenizer-health / domain-drift
+    * signal: a doc whose tokens mostly miss the head vocabulary is
+    * boilerplate, another language, or noise. The vocabulary is a
+    * k-row global artifact broadcast into a left join (token side never
+    * reshuffles beyond its per-doc agg); token counting reuses the
+    * id-partitioned explode discipline of [[vocabulary]]. Zero-token
+    * docs keep a row with NULL rate (q60's zero-guard contract). */
+  def oovStats(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 20): DataFrame = {
+    val vocab = vocabulary(df, idCol, textCol, k)
+      .select(col("term"), lit(1).as("in_v"))
+    val toks = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode(graft.functions.TextFunctions.words(col(textCol))).as("term"))
+    val agg = toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        expr("CAST(n_oov AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), CAST(0.0 AS DOUBLE))"))
+  }
 }

@@ -39,6 +39,22 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-source duplication report — the dedup-pressure dashboard row:
+    * doc count, distinct-content count (within the source), and the
+    * duplicate fraction. One hash agg on (source, 16-byte fingerprint)
+    * then a per-source rollup; nothing quadratic, no text shuffled.
+    * `n_unique` counts content distinct WITHIN its source — the same
+    * content in two sources is no duplicate here (cross-source overlap
+    * is [[dedupAgainstIndex]]'s question). */
+  def dedupReport(df: DataFrame, srcCol: String, textCol: String): DataFrame =
+    df.select(col(srcCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col(srcCol), col("fp"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(srcCol))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_unique"))
+      .withColumn("dup_rate",
+        expr("CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+
   /** Exploded distinct word-n-gram shingle table: (id, g).
     *
     * Formulated as posexplode + windowed `lead` rather than the

@@ -58,4 +58,33 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_bucket")
   }
+
+  /** Join two interval sets on overlap (half-open:
+    * `lStart < rEnd && rStart < lEnd`), same bucketing idea as
+    * [[pointInInterval]] — but an overlapping PAIR now shares every
+    * bucket both intervals cover, so naive bucket-join-then-filter
+    * would emit it once per shared bucket. Instead of a dedup pass
+    * (a shuffle over the whole join output), each pair is claimed by
+    * exactly ONE bucket: the bucket containing the overlap's start,
+    * `max(lStart, rStart)` — computable from the pair alone, so a
+    * cheap post-join predicate keeps exactly one copy. Both sides
+    * explode by their covered buckets; all columns must be
+    * non-negative longs in one unit. */
+  def intervalOverlap(
+      left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def explodeBuckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(s) < col(e))
+        .withColumn("_bucket",
+          explode(sequence(
+            expr(s"$s div $bucketWidth"),
+            expr(s"($e - 1) div $bucketWidth"))))
+    explodeBuckets(left, lStart, lEnd)
+      .join(explodeBuckets(right, rStart, rEnd), Seq("_bucket"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("_bucket") === expr(s"greatest($lStart, $rStart) div $bucketWidth"))
+      .drop("_bucket")
+  }
 }

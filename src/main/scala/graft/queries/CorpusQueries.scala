@@ -303,6 +303,35 @@ object CorpusQueries {
                  - CAST(coalesce(n_seen, 0) AS DOUBLE)
                    / nullif(CAST(coalesce(n_shingles, 0) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS novelty
         FROM documents d LEFT JOIN A ON d.doc_id = A.doc_id
+        ORDER BY d.doc_id""")),
+
+    GraftQuery(
+      "q79_oov_rate",
+      "Per-doc out-of-vocabulary rate vs the corpus' own top-20 " +
+        "vocabulary (q59's artifact broadcast into a left join) — the " +
+        "tokenizer-health / domain-drift signal. Zero-token docs keep a " +
+        "NULL-rate row by contract.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        CorpusOps.oovStats(d, "doc_id", "text", k = 20)
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        T AS (SELECT doc_id, unnest(w) AS term FROM W),
+        TF AS (SELECT doc_id, term, count(*) AS tf FROM T GROUP BY 1, 2),
+        V AS (SELECT term FROM (
+                SELECT term, count(*) AS df FROM TF GROUP BY term
+                ORDER BY df DESC, term LIMIT 20)),
+        A AS (SELECT t.doc_id, count(*) AS n_tokens,
+                     SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+              FROM T t LEFT JOIN V v ON t.term = v.term GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(coalesce(n_oov, 0) AS DOUBLE)
+                 / nullif(CAST(coalesce(n_tokens, 0) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS oov_rate
+        FROM documents d LEFT JOIN A ON d.doc_id = A.doc_id
         ORDER BY d.doc_id"""))
   )
 }

@@ -420,6 +420,28 @@ object DedupQueries {
         SELECT CC.doc_id AS doc_id, CC.cluster_id AS cluster_id, Q.quality AS quality
         FROM CC JOIN Q ON CC.doc_id = Q.doc_id
         QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, CC.doc_id) = 1
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q80_dedup_report",
+      "Per-source duplication dashboard: doc count, within-source " +
+        "distinct-content count on the canonical fingerprint, duplicate " +
+        "fraction. One (source, fp) hash agg + per-source rollup — " +
+        "no text shuffled.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        Dedup.dedupReport(d, "source", "text").orderBy(col("source"))
+      },
+      Some(raw"""
+        WITH F AS (
+          SELECT source, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+                 count(*) AS n
+          FROM documents GROUP BY 1, 2)
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_unique,
+               CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_rate
+        FROM F GROUP BY source
+        ORDER BY source"""))
   )
 }

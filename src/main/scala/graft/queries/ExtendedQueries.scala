@@ -419,6 +419,50 @@ object ExtendedQueries {
               FROM B, unnest(range(0, 20)) AS t(w))
         SELECT e.event_id, w.w_id
         FROM E e JOIN W w ON e.pt >= w.w_start AND e.pt < w.w_end
-        ORDER BY event_id, w_id"""))
+        ORDER BY event_id, w_id""")),
+
+    GraftQuery(
+      "q78_interval_overlap_join",
+      "Interval-overlap join via bucket claiming: per-user daily " +
+        "activity spans (min..max event time per user-day) joined to " +
+        "the q74 maintenance windows they overlap. Each overlapping " +
+        "pair is claimed by exactly one bucket — the one holding " +
+        "max(starts) — so there is no dedup shuffle over the join " +
+        "output and no nested loop.",
+      (spark, dir) => {
+        val span = 129600000000L
+        val active = span / 2
+        val bucket = 21600000000L
+        val day = 86400000000L
+        val e = Tables.table(spark, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("pt"))
+        val spans = e
+          .withColumn("day", expr(s"pt div $day"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(min(col("pt")).as("a_start"), (max(col("pt")) + 1).as("a_end"))
+        val base = e.agg(min(col("pt")).as("t0"))
+        val windows = base
+          .select(col("t0"), explode(sequence(lit(0L), lit(19L))).as("w_id"))
+          .select(col("w_id"),
+            (col("t0") + col("w_id") * lit(span)).as("w_start"),
+            (col("t0") + col("w_id") * lit(span) + lit(active)).as("w_end"))
+        graft.operators.RangeJoin
+          .intervalOverlap(spans, "a_start", "a_end", windows, "w_start", "w_end", bucket)
+          .select(col("user_id"), col("day"), col("w_id"))
+          .orderBy(col("user_id"), col("day"), col("w_id"))
+      },
+      Some("""
+        WITH E AS (SELECT user_id, epoch_us(ts) AS pt FROM events),
+        A AS (SELECT user_id, pt // 86400000000 AS day,
+                     min(pt) AS a_start, max(pt) + 1 AS a_end
+              FROM E GROUP BY 1, 2),
+        B AS (SELECT min(pt) AS t0 FROM E),
+        W AS (SELECT t.w AS w_id,
+                     t0 + t.w * 129600000000 AS w_start,
+                     t0 + t.w * 129600000000 + 64800000000 AS w_end
+              FROM B, unnest(range(0, 20)) AS t(w))
+        SELECT a.user_id, a.day, w.w_id
+        FROM A a JOIN W w ON a.a_start < w.w_end AND w.w_start < a.a_end
+        ORDER BY user_id, day, w_id"""))
   )
 }

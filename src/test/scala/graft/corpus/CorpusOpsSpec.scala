@@ -228,4 +228,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(4L) == ((4L, 2L, Some(0.5))))
     assert(out(5L) == ((0L, 0L, None)))
   }
+
+  test("oovStats: head-vocab tokens score 0, tail tokens count as OOV") {
+    import spark.implicits._
+    // k=2 vocabulary by doc frequency: "aa" (df 3) and "bb" (df 2)
+    val docs = Seq(
+      (1L, "aa bb aa"),
+      (2L, "aa bb"),
+      (3L, "aa xx yy")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.oovStats(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(1L) == ((3L, 0L, Some(0.0))))
+    assert(out(2L) == ((2L, 0L, Some(0.0))))
+    assert(out(3L) == ((3L, 2L, Some(2.0 / 3.0))))
+  }
 }

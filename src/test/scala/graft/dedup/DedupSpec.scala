@@ -23,6 +23,18 @@ class DedupSpec extends SparkSpec {
     assert(dup.getLong(1) == 1L) // keep_id = min(1,2)
   }
 
+  test("dedupReport: within-source duplicate fractions, cross-source content not counted") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x", "same text"), (2L, "x", "same text"), (3L, "x", "other"),
+      (4L, "y", "same text") // same content as source x: NOT a dup within y
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.dedupReport(d, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("x") == ((3L, 2L, 1.0 / 3.0)))
+    assert(out("y") == ((1L, 1L, 0.0)))
+  }
+
   test("minhash signatures: identical docs identical, near-dups mostly equal") {
     val sig = Dedup.minhashSignature(docs, "doc_id", "text", nHashes = 8).collect()
       .map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap

@@ -45,6 +45,29 @@ class RangeJoinSpec extends SparkSpec {
         (4L, 2L), (1L, 3L)))
   }
 
+  test("intervalOverlap: half-open overlap semantics, exactly-once across shared buckets") {
+    import spark.implicits._
+    // [0,100) shares many width-10 buckets with [50,90): must emit once.
+    // [10,20) touches [20,30) only at the endpoint: no overlap.
+    val a = Seq((1L, 0L, 100L), (2L, 10L, 20L), (3L, 200L, 210L)).toDF("aid", "as", "ae")
+    val b = Seq((10L, 50L, 90L), (20L, 20L, 30L), (30L, 205L, 300L)).toDF("bid", "bs", "be")
+    val out = RangeJoin.intervalOverlap(a, "as", "ae", b, "bs", "be", bucketWidth = 10L)
+      .select(col("aid"), col("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.distinct.length, s"duplicated pairs: ${out.toSeq}")
+    assert(out.toSet == Set((1L, 10L), (1L, 20L), (3L, 30L)))
+  }
+
+  test("intervalOverlap plans no nested loop either") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 100L)).toDF("aid", "as", "ae")
+    val b = Seq((10L, 50L, 90L)).toDF("bid", "bs", "be")
+    val plan = RangeJoin.intervalOverlap(a, "as", "ae", b, "bs", "be", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pointInInterval plans an equi-join on the bucket, never a nested loop") {
     val plan = RangeJoin
       .pointInInterval(points, "pt", intervals, "s", "e", bucketWidth = 10L)
