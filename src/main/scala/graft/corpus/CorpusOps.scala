@@ -436,4 +436,27 @@ object CorpusOps {
       .withColumn("oov_rate",
         expr("CAST(n_oov AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), CAST(0.0 AS DOUBLE))"))
   }
+
+  /** Snapshot diff (the CDC / data-versioning primitive): classify
+    * every entity across two corpus versions as added / removed /
+    * changed / unchanged, comparing content by the canonical
+    * fingerprint. One full-outer shuffle join on the entity key with
+    * only (key, 16-byte fp) ever shuffled — no text moves, nothing
+    * quadratic, so diffing two 100 TB snapshots costs one
+    * hash-partitioned pass over each. Keys must be unique within each
+    * snapshot (the usual primary-key contract for CDC; duplicate keys
+    * would fan out the join). */
+  def snapshotDiff(
+      oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, textCol: String): DataFrame = {
+    val fp = graft.functions.TextFunctions.fingerprint(col(textCol))
+    val o = oldSnap.select(col(keyCol).as("k"), fp.as("old_fp"))
+    val n = newSnap.select(col(keyCol).as("k"), fp.as("new_fp"))
+    o.join(n, Seq("k"), "full_outer")
+      .select(col("k").as(keyCol),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -332,6 +332,36 @@ object CorpusQueries {
                CAST(coalesce(n_oov, 0) AS DOUBLE)
                  / nullif(CAST(coalesce(n_tokens, 0) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS oov_rate
         FROM documents d LEFT JOIN A ON d.doc_id = A.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    GraftQuery(
+      "q81_snapshot_diff",
+      "Snapshot diff (CDC): two synthetic corpus versions keyed by " +
+        "doc_id div 2 (old = even ids minus every 25th key, new = odd " +
+        "ids minus every 23rd key) classified added / removed / changed " +
+        "/ unchanged by canonical-fingerprint compare — one full-outer " +
+        "join shuffling only (key, 16-byte fp), no text.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val keyed = d.withColumn("k", expr("doc_id div 2"))
+        val oldSnap = keyed.filter(col("doc_id") % 2 === 0 && col("k") % 25 =!= 0)
+        val newSnap = keyed.filter(col("doc_id") % 2 === 1 && col("k") % 23 =!= 0)
+        CorpusOps.snapshotDiff(oldSnap, newSnap, "k", "text")
+          .orderBy(col("k"))
+      },
+      Some(raw"""
+        WITH O AS (
+          SELECT doc_id // 2 AS k, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          FROM documents WHERE doc_id % 2 = 0 AND (doc_id // 2) % 25 <> 0),
+        N AS (
+          SELECT doc_id // 2 AS k, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          FROM documents WHERE doc_id % 2 = 1 AND (doc_id // 2) % 23 <> 0)
+        SELECT coalesce(o.k, n.k) AS k,
+               CASE WHEN o.k IS NULL THEN 'added'
+                    WHEN n.k IS NULL THEN 'removed'
+                    WHEN o.fp <> n.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM O o FULL OUTER JOIN N n ON o.k = n.k
+        ORDER BY k"""))
   )
 }

@@ -245,4 +245,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, Some(0.0))))
     assert(out(3L) == ((3L, 2L, Some(2.0 / 3.0))))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; canonical compare") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "stays the same"),
+      (2L, "will change"),
+      (3L, "will be removed"),
+      (4L, "Canonical   FORM")
+    ).toDF("k", "text")
+    val newSnap = Seq(
+      (1L, "stays the same"),
+      (2L, "has changed"),
+      (4L, "canonical form"),   // same canonical fingerprint as old
+      (5L, "brand new")
+    ).toDF("k", "text")
+    val out = CorpusOps.snapshotDiff(oldSnap, newSnap, "k", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
 }

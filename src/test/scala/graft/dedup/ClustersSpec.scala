@@ -52,6 +52,32 @@ class ClustersSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents matches a reference union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val es = Seq.fill(25)((rnd.nextInt(n), rnd.nextInt(n)))
+        .filter(p => p._1 != p._2)
+        .map { case (a, b) => (math.min(a, b).toLong, math.max(a, b).toLong) }
+        .distinct
+      // reference union-find: larger root always attaches under the
+      // smaller, so each component's root IS its min id
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Clusters.connectedComponents(
+          (0L until n.toLong).toDF("doc_id"), "doc_id", es.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges: $es")
+    }
+  }
+
   test("keepersByScore: best score wins, min id breaks ties, singletons survive") {
     import spark.implicits._
     val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
