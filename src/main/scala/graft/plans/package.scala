@@ -91,6 +91,30 @@ package graft
   *    testing is the directory/file layout readers prune on, not a
   *    custom committer.
   *
+  * Round-6 additions, same discipline:
+  *  - Connected components ([[graft.dedup.Clusters]]) — the classic
+  *    "needs a graph engine" candidate — is a driver-side loop of
+  *    tier-(a) rounds (equi-join + groupBy min per round, convergence
+  *    by one scalar aggregate). A tier-(c) iterative plan node (or
+  *    Pregel runtime) would only help if rounds were many; near-dup
+  *    clusters have single-digit diameters, and `localCheckpoint`
+  *    already caps the lineage the loop would otherwise grow.
+  *  - Range and interval-overlap joins ([[graft.operators.RangeJoin]])
+  *    are the textbook case FOR a custom strategy in engines without
+  *    one — but bucketing reduces both to tier (a): explode intervals
+  *    by covered bucket, equi-join, exact residual (pairs claimed by
+  *    one bucket, so no dedup). Plan-asserted to never degrade to
+  *    BroadcastNestedLoopJoin, which is what a bare range predicate
+  *    plans as.
+  *  - PQ / IVF-PQ ANN ([[graft.similarity.Similarity]]) stay tier (a)
+  *    by turning the quantized geometry into data: the codebook and
+  *    SQ8 ranges are tiny driver-side artifacts embedded in the plan,
+  *    encoding is per-subspace broadcast joins + `min_by` partial
+  *    aggs, and ADC search is one broadcast lookup-table join over a
+  *    codes-only scan. The only custom code is the existing
+  *    [[graft.functions.Sq8L2Distance]] codegen kernel, reused per
+  *    subspace with sliced range literals.
+  *
   * When a future round adds an operator Spark genuinely cannot express,
   * it lands here with the `SparkSessionExtensions` wiring already in
   * place ([[graft.GraftExtensions]]).

@@ -63,4 +63,38 @@ object CorpusSink {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(cellCol)
       .parquet(path)
+
+  /** PQ-serving layout: the materialized index
+    * [[graft.similarity.Similarity.pqTopK]]'s doc promises — encode
+    * once at write time, search forever on codes.
+    *
+    *   `path/codes`    — one row per vector: (id, codes array<long>[m])
+    *                     — m small ints instead of dim floats (~32x);
+    *   `path/codebook` — (s, j, sub_vec), m x kCent rows;
+    *   `path/ranges`   — (i, mn, mx), the SQ8 quantization ranges the
+    *                     codebook distances were computed under.
+    *
+    * A query-time probe broadcasts its ADC lookup table built from
+    * codebook + ranges and scans ONLY `codes` — the scan the 32x
+    * compression exists for. Codebook and ranges are tiny global
+    * artifacts written single-file for cheap driver loads. */
+  def writePqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      m: Int = 8, dim: Int = 64, kCent: Int = 16): Unit = {
+    import graft.similarity.Similarity
+    val spark = corpus.sparkSession
+    val (mns, mxs) = Similarity.sq8Ranges(corpus, vecCol)
+    val codebook = Similarity.pqCodebook(corpus, idCol, vecCol, m, dim, kCent)
+    Similarity.pqEncode(corpus, idCol, vecCol, codebook, m, dim, mns, mxs)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("sc"))
+      .select(col(idCol), expr("transform(sc, x -> x.code)").as("codes"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+    codebook.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codebook")
+    import spark.implicits._
+    mns.indices.map(i => (i.toLong, mns(i), mxs(i))).toDF("i", "mn", "mx")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/ranges")
+  }
 }

@@ -73,4 +73,31 @@ class CorpusSinkSpec extends SparkSpec {
     assert(probe.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet == probeCells.toSet)
   }
+
+  test("writePqIndex: codes/codebook/ranges layout, codes agree with pqEncode") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val out = tmp("pq_index")
+    CorpusSink.writePqIndex(e, "vec_id", "embedding", out)
+    assert(Seq("codes", "codebook", "ranges")
+      .forall(d => new java.io.File(s"$out/$d").isDirectory))
+
+    val codes = spark.read.parquet(s"$out/codes")
+    assert(codes.count() == e.count())
+    assert(codes.filter(size(col("codes")) =!= 8).count() == 0)
+
+    val cb = spark.read.parquet(s"$out/codebook")
+    assert(cb.count() == 8 * 16)
+    val ranges = spark.read.parquet(s"$out/ranges")
+    assert(ranges.count() == 64)
+
+    // stored codes are exactly the live encoder's output
+    val sim = graft.similarity.Similarity
+    val (mns, mxs) = sim.sq8Ranges(e, "embedding")
+    val live = sim.pqEncode(e, "vec_id", "embedding",
+        sim.pqCodebook(e, "vec_id", "embedding", 8, 64, 16), 8, 64, mns, mxs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val stored = codes.select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
+    assert(stored == live)
+  }
 }
