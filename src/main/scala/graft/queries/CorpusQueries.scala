@@ -362,6 +362,88 @@ object CorpusQueries {
                     WHEN o.fp <> n.fp THEN 'changed'
                     ELSE 'unchanged' END AS status
         FROM O o FULL OUTER JOIN N n ON o.k = n.k
-        ORDER BY k"""))
+        ORDER BY k""")),
+
+    GraftQuery(
+      "q82_corpus_health",
+      "Per-source corpus health dashboard: docs, distinct content, " +
+        "dup rate, english share, high-quality share, token/char " +
+        "volume — the monitoring rollup a curation pipeline publishes " +
+        "each run. All counters integer (threshold compares on " +
+        "bit-identical doubles), rates single divisions; per-doc " +
+        "signals join on doc_id, then one per-source agg.",
+      (spark, dir) => {
+        import graft.functions.{TextAnalysis, TextFunctions}
+        val d = Tables.table(spark, dir, "documents")
+        val lang = TextAnalysis.langIdByDoc(d, "doc_id", "text")
+          .select(col("doc_id"), col("lang_pred"))
+        val qual = TextAnalysis.qualityByDoc(d, "doc_id", "text")
+        d.select(col("doc_id"), col("source"), col("n_chars"),
+            TextFunctions.fingerprint(col("text")).as("fp"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .join(lang, "doc_id").join(qual, "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("fp")).as("n_unique"),
+            sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"),
+            sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_high_quality"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(col("n_chars")).as("total_chars"))
+          .withColumn("dup_rate",
+            expr("CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+          .withColumn("avg_chars",
+            expr("CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+          .orderBy(col("source"))
+      },
+      Some(raw"""
+        WITH W AS (
+          SELECT doc_id, source, n_chars, text,
+                 string_split_regex(trim(text), '\s+') AS w
+          FROM documents),
+        LS AS (
+          SELECT doc_id,
+                 len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and')) + len(list_filter(w, x -> x = 'of')) AS en,
+                 len(list_filter(w, x -> x = 'der')) + len(list_filter(w, x -> x = 'die')) + len(list_filter(w, x -> x = 'und')) AS de,
+                 len(list_filter(w, x -> x = 'le')) + len(list_filter(w, x -> x = 'la')) + len(list_filter(w, x -> x = 'et')) AS fr,
+                 len(list_filter(w, x -> x = 'el')) + len(list_filter(w, x -> x = 'los')) + len(list_filter(w, x -> x = 'y')) AS es
+          FROM W),
+        L AS (
+          SELECT doc_id,
+                 CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+                      WHEN en = greatest(en, de, fr, es) THEN 'en'
+                      WHEN de = greatest(en, de, fr, es) THEN 'de'
+                      WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                      ELSE 'es' END AS lang_pred
+          FROM LS),
+        QS AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS q_chars,
+                 CAST(len(w) AS DOUBLE) AS q_tokens,
+                 CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS q_alpha,
+                 CAST(len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and')) + len(list_filter(w, x -> x = 'of')) AS DOUBLE) AS stop_hits
+          FROM W),
+        Q AS (
+          SELECT doc_id,
+                 CAST(0.4 AS DOUBLE) * least(q_tokens / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 + CAST(0.3 AS DOUBLE) * (q_alpha / q_chars)
+                 + CAST(0.3 AS DOUBLE) * least(stop_hits * CAST(8.0 AS DOUBLE) / q_tokens, CAST(1.0 AS DOUBLE)) AS quality
+          FROM QS),
+        P AS (
+          SELECT doc_id, source, n_chars, len(w) AS n_tokens,
+                 md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          FROM W)
+        SELECT p.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT p.fp) AS BIGINT) AS n_unique,
+               CAST(SUM(CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+               CAST(SUM(CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
+               CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(p.n_chars) AS BIGINT) AS total_chars,
+               CAST(count(*) - count(DISTINCT p.fp) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS dup_rate,
+               CAST(SUM(p.n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+        FROM P p JOIN L l ON p.doc_id = l.doc_id JOIN Q q ON p.doc_id = q.doc_id
+        GROUP BY p.source
+        ORDER BY p.source"""))
   )
 }
