@@ -43,6 +43,33 @@ object StatefulOps {
       .groupBy(window(col(tsCol), windowDur, slideDur), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Trending terms over event-time windows: tokenize + explode into
+    * [[windowedCounts]] (tumbling windows, watermark-bounded state).
+    * In append mode a window's counts emit exactly once, when the
+    * watermark closes it — so the per-window top-k rank runs
+    * downstream as BATCH work on closed windows
+    * ([[topKPerWindow]] inside foreachBatch), never as unbounded
+    * streaming state. Token explosion happens before the shuffle the
+    * windowed groupBy needs anyway; state is (active windows x
+    * distinct terms), the corpus-size-independent bound. */
+  def trendingTerms(
+      docs: DataFrame, tsCol: String, textCol: String,
+      windowDur: String, watermarkDelay: String): DataFrame =
+    windowedCounts(
+      docs.select(col(tsCol),
+        explode(graft.functions.TextFunctions.words(col(textCol))).as("term")),
+      tsCol, "term", windowDur, windowDur, watermarkDelay)
+
+  /** Batch top-k companion for [[trendingTerms]]' foreachBatch stage:
+    * rank closed windows' terms by (count desc, term) and keep k per
+    * window. Partitioned by window — bounded groups, no global sort. */
+  def topKPerWindow(closed: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("window")).orderBy(col("n").desc, col("term"))
+    closed.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Streaming exact dedup: first-seen-wins per key, state bounded by
     * the watermark (`dropDuplicatesWithinWatermark` — duplicates are
     * only tracked while they can still arrive). The streaming face of

@@ -57,6 +57,41 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trendingTerms: closed windows emit final counts; topKPerWindow ranks them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StatefulOps.trendingTerms(
+      in.toDF().toDF("ts", "text"), "ts", "text",
+      windowDur = "10 minutes", watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("trending")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), "aa aa bb"), (ts(2), "aa cc"))
+      q.processAllAvailable()
+      // first window still open: append emits nothing yet
+      assert(spark.table("trending").count() == 0)
+
+      // an event far past the window end advances the watermark
+      in.addData((ts(25), "zz"))
+      q.processAllAvailable()
+      in.addData((ts(26), "zz"))
+      q.processAllAvailable()
+
+      val closed = spark.table("trending")
+      val counts = closed.collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(counts == Map("aa" -> 3L, "bb" -> 1L, "cc" -> 1L))
+
+      val top1 = StatefulOps.topKPerWindow(closed, k = 1)
+        .select("term", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(top1.toSeq == Seq(("aa", 1L)))
+    } finally q.stop()
+  }
+
   test("upsertLatestTws (transformWithState/RocksDB) matches upsertLatest semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
