@@ -444,6 +444,53 @@ object CorpusQueries {
                CAST(SUM(p.n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
         FROM P p JOIN L l ON p.doc_id = l.doc_id JOIN Q q ON p.doc_id = q.doc_id
         GROUP BY p.source
-        ORDER BY p.source"""))
+        ORDER BY p.source""")),
+
+    GraftQuery(
+      "q83_tokenize_ids",
+      "Materialize training tokens: encode each doc as the id sequence " +
+        "of its words under the corpus top-50 vocabulary (id = df rank, " +
+        "OOV -> 0, order preserved) — the step between curation and " +
+        "token packing. Vocab broadcast; one doc-keyed shuffle; ids " +
+        "emitted comma-joined for engine-agnostic compare.",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.TextFunctions
+        val d = Tables.table(spark, dir, "documents")
+        val vocab = CorpusOps.vocabulary(d, "doc_id", "text", k = 50)
+          .withColumn("tid", row_number().over(
+            Window.orderBy(col("df").desc, col("term"))).cast("long"))
+          .select(col("term"), col("tid"))
+        val toks = d
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"),
+            posexplode(TextFunctions.words(col("text"))).as(Seq("pos", "term")))
+        val enc = toks.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy(col("doc_id"))
+          .agg(array_join(
+            transform(
+              sort_array(collect_list(struct(col("pos"),
+                coalesce(col("tid"), lit(0L)).as("tid")))),
+              x => x("tid").cast("string")), ",").as("ids"))
+        d.select(col("doc_id")).join(enc, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("ids"), lit("")).as("ids"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        T AS (SELECT doc_id, t.pos AS pos, w[CAST(t.pos AS INTEGER)] AS term
+              FROM W, unnest(range(1, len(w)+1)) AS t(pos)),
+        TF AS (SELECT doc_id, term, count(*) AS tf FROM T GROUP BY 1, 2),
+        V AS (SELECT term,
+                     row_number() OVER (ORDER BY df DESC, term) AS tid
+              FROM (SELECT term, count(*) AS df FROM TF GROUP BY term
+                    ORDER BY df DESC, term LIMIT 50)),
+        E AS (SELECT t.doc_id,
+                     string_agg(CAST(coalesce(v.tid, 0) AS VARCHAR), ','
+                       ORDER BY t.pos) AS ids
+              FROM T t LEFT JOIN V v ON t.term = v.term GROUP BY t.doc_id)
+        SELECT d.doc_id, coalesce(e.ids, '') AS ids
+        FROM documents d LEFT JOIN E e ON d.doc_id = e.doc_id
+        ORDER BY d.doc_id"""))
   )
 }
