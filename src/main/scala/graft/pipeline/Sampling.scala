@@ -89,6 +89,28 @@ object Sampling {
     * chain, so the whole selection is a per-row predicate — no
     * sampleBy RNG state, no shuffle, rerun- and
     * partition-invariant. */
+  /** Deterministic uniform-without-replacement sample of k rows per
+    * group: rank by the salted md5 of the id (a deterministic "random"
+    * permutation — same salt-independence argument as [[withSplit]])
+    * and keep the first k. The reservoir-sampling replacement for
+    * pipelines that must be rerun-reproducible: no RNG state, no
+    * seed-per-partition coupling, membership stable under
+    * repartitioning and reruns. The rank window partitions by group;
+    * for a corpus-sized hot group the bounded-heap
+    * [[graft.functions.TopKAggregator]] formulation substitutes (k
+    * smallest hashes per group), exactly as in
+    * [[graft.corpus.CorpusOps.perSourceTopK]]. */
+  def uniformPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, k: Int,
+      salt: String = "sample"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
   def stratifiedSample(
       df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,

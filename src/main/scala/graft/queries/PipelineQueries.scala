@@ -192,6 +192,46 @@ object PipelineQueries {
                 ELSE substr(md5('strata:' || lang || ':' ||
                   CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
               END
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q84_uniform_sample",
+      "Deterministic uniform 30-per-source sample: rank by salted md5 " +
+        "of the doc id (a reproducible permutation) and keep the first " +
+        "30 per source — the reservoir-sampling replacement with no RNG " +
+        "state, stable under reruns and repartitioning.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        Sampling.uniformPerGroup(d, "source", "doc_id", k = 30)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source
+          ORDER BY md5('sample' || ':' || CAST(doc_id AS VARCHAR)), doc_id) <= 30
+        ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q85_dup_size_histogram",
+      "Exact-duplicate group-size histogram: how many contents exist in " +
+        "1, 2, ... copies — the other monitoring view of dedup pressure " +
+        "(q80 is per-source, this is per-multiplicity). Two hash aggs " +
+        "on the 16-byte fingerprint; no text shuffled.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        graft.dedup.Dedup.exactGroups(d, "doc_id", "text")
+          .groupBy(col("n_copies"))
+          .agg(count(lit(1)).as("n_groups"))
+          .orderBy(col("n_copies"))
+      },
+      Some(raw"""
+        WITH G AS (
+          SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+                 count(*) AS n_copies
+          FROM documents GROUP BY fp)
+        SELECT n_copies, CAST(count(*) AS BIGINT) AS n_groups
+        FROM G GROUP BY n_copies
+        ORDER BY n_copies"""))
   )
 }

@@ -100,4 +100,19 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == ids2)
   }
+
+  test("uniformPerGroup: exactly k per group, rerun- and partition-invariant, salt-sensitive") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val s1 = Sampling.uniformPerGroup(d, "source", "doc_id", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val perGroup = Sampling.uniformPerGroup(d, "source", "doc_id", k = 10)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(perGroup.forall(_ == 10))
+    val s2 = Sampling.uniformPerGroup(d.repartition(7), "source", "doc_id", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    val other = Sampling.uniformPerGroup(d, "source", "doc_id", k = 10, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 != other) // a different salt draws a different sample
+  }
 }
