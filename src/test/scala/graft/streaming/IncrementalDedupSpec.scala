@@ -51,6 +51,38 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(again.count() == 0)
   }
 
+  test("streamed batches == one batch pass against the same growing index (real fixture)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.table(spark, sf001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+
+    // streaming: two micro-batches through the durable index
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_parity").toString
+    val in = MemoryStream[(Long, String)]
+    val streamed = mutable.ArrayBuffer.empty[Long]
+    val q = IncrementalDedup.dedupStreamToIndex(
+        in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/index", s"$dir/ckpt") { (batch, _) =>
+      streamed.synchronized {
+        streamed ++= batch.select("doc_id").collect().map(_.getLong(0))
+      }
+    }.start()
+    try {
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch twin: dedup b1 against empty, then b2 against b1's survivors
+    val s1 = graft.dedup.Dedup.exactGroups(b1.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+    val survivors1 = s1.select(org.apache.spark.sql.functions.col("keep_id")).collect().map(_.getLong(0)).toSet
+    val s2 = graft.dedup.Dedup.dedupAgainstIndex(
+        b2.toSeq.toDF("doc_id", "text"), s1.select("fp"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.toSet == (survivors1 ++ s2))
+  }
+
   test("readIndex on a missing directory is an empty frame, so batch one works") {
     val empty = IncrementalDedup.readIndex(spark, "/tmp/does/not/exist/graft_idx")
     assert(empty.schema.fieldNames.sameElements(Array("fp")))
