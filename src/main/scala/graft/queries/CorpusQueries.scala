@@ -491,6 +491,78 @@ object CorpusQueries {
               FROM T t LEFT JOIN V v ON t.term = v.term GROUP BY t.doc_id)
         SELECT d.doc_id, coalesce(e.ids, '') AS ids
         FROM documents d LEFT JOIN E e ON d.doc_id = e.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    GraftQuery(
+      "q86_quality_histogram",
+      "Quality-score decile histogram (band = floor(quality*10), an " +
+        "integer derived identically from the bit-identical score on " +
+        "both engines) — the distribution view quality thresholds are " +
+        "tuned against.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        graft.functions.TextAnalysis.qualityByDoc(d, "doc_id", "text")
+          .withColumn("band", floor(col("quality") * 10).cast("long"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("band"))
+      },
+      Some(raw"""
+        WITH W AS (
+          SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        S AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(w) AS DOUBLE) AS n_tokens,
+                 CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                 CAST(len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and')) + len(list_filter(w, x -> x = 'of')) AS DOUBLE) AS stop_hits
+          FROM W),
+        Q AS (
+          SELECT doc_id,
+                 CAST(0.4 AS DOUBLE) * least(n_tokens / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 + CAST(0.3 AS DOUBLE) * (n_alpha / n_chars)
+                 + CAST(0.3 AS DOUBLE) * least(stop_hits * CAST(8.0 AS DOUBLE) / n_tokens, CAST(1.0 AS DOUBLE)) AS quality
+          FROM S)
+        SELECT CAST(floor(quality * 10) AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM Q GROUP BY band ORDER BY band""")),
+
+    GraftQuery(
+      "q87_source_overlap",
+      "Inter-source n-gram overlap matrix: distinct trigram shingles " +
+        "shared by each source pair — the cross-source contamination " +
+        "signal. Single scan: distinct (source, shingle), per-shingle " +
+        "source set, pair explode (the LSH bucket pattern, groups " +
+        "bounded by source count), one rollup. No self-join of the " +
+        "shingle pipeline.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        // shingle per doc (id-partitioned explode parallelism), then
+        // attach source — shingling BY source would window over
+        // |sources| partitions, a 5-task skew
+        graft.dedup.Dedup.shingleTable(d, "doc_id", "text")
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), col("g")).distinct()
+          .groupBy(col("g"))
+          .agg(sort_array(collect_set(col("source"))).as("ss"))
+          .filter(size(col("ss")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ss, (x, i) ->
+              |  transform(slice(ss, i + 2, size(ss) - i - 1),
+              |    y -> struct(x AS source_a, y AS source_b))))""".stripMargin)).as("p"))
+          .select(col("p.source_a"), col("p.source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(raw"""
+        WITH W AS (SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        SF AS (SELECT DISTINCT source,
+                      unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+               FROM W)
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM SF a JOIN SF b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
