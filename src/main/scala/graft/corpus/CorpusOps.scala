@@ -450,13 +450,17 @@ object CorpusOps {
       oldSnap: DataFrame, newSnap: DataFrame,
       keyCol: String, textCol: String): DataFrame = {
     val fp = graft.functions.TextFunctions.fingerprint(col(textCol))
-    val o = oldSnap.select(col(keyCol).as("k"), fp.as("old_fp"))
-    val n = newSnap.select(col(keyCol).as("k"), fp.as("new_fp"))
+    // presence flags, NOT fp-nullness: a NULL text fingerprints to NULL,
+    // and inferring absence from it would misclassify such rows (a
+    // removed NULL-text entity would read as 'added'). The flags are
+    // non-null on exactly the side the key exists on.
+    val o = oldSnap.select(col(keyCol).as("k"), fp.as("old_fp"), lit(true).as("in_old"))
+    val n = newSnap.select(col(keyCol).as("k"), fp.as("new_fp"), lit(true).as("in_new"))
     o.join(n, Seq("k"), "full_outer")
       .select(col("k").as(keyCol),
-        when(col("old_fp").isNull, "added")
-          .when(col("new_fp").isNull, "removed")
-          .when(col("old_fp") =!= col("new_fp"), "changed")
-          .otherwise("unchanged").as("status"))
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(col("old_fp") <=> col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"))
   }
 }

@@ -59,21 +59,23 @@ object Clusters {
     var labels = nodes.select(col(idCol).cast("long").as("id"))
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(sym("dst").as("nid"))
         .agg(min(col("label")).as("nbr_label"))
+      // keep the previous label through the checkpoint so convergence is
+      // an exact changed-row COUNT — a sum(label) delta would NPE on an
+      // empty node set and can alias to zero under 64-bit wrap at the
+      // corpus sizes this targets
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(labels("id"),
+        .select(labels("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint()
-      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      val changed = next.filter(col("label") < col("old_label")).count()
+      labels = next.drop("old_label")
+      converged = changed == 0L
       round += 1
     }
     if (!converged) throw new IllegalStateException(

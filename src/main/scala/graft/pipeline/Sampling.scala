@@ -89,6 +89,22 @@ object Sampling {
     * chain, so the whole selection is a per-row predicate — no
     * sampleBy RNG state, no shuffle, rerun- and
     * partition-invariant. */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "strata"): DataFrame = {
+    val bucket = hashBucket(salt,
+      concat_ws(":", col(strataCol), col(idCol).cast("string")))
+    def sliceCond(r: Double): Column = {
+      require(r >= 0.0, s"rate must be >= 0, got $r")
+      if (r >= 1.0) lit(true) else bucket < lit(hexThreshold(r))
+    }
+    val pred = rates.toSeq.sortBy(_._1).foldLeft(sliceCond(defaultRate)) {
+      case (acc, (s, r)) => when(col(strataCol) === s, sliceCond(r)).otherwise(acc)
+    }
+    df.filter(pred)
+  }
+
   /** Deterministic uniform-without-replacement sample of k rows per
     * group: rank by the salted md5 of the id (a deterministic "random"
     * permutation — same salt-independence argument as [[withSplit]])
@@ -109,22 +125,6 @@ object Sampling {
     df.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .drop("rk")
-  }
-
-  def stratifiedSample(
-      df: DataFrame, idCol: String, strataCol: String,
-      rates: Map[String, Double], defaultRate: Double = 0.0,
-      salt: String = "strata"): DataFrame = {
-    val bucket = hashBucket(salt,
-      concat_ws(":", col(strataCol), col(idCol).cast("string")))
-    def sliceCond(r: Double): Column = {
-      require(r >= 0.0, s"rate must be >= 0, got $r")
-      if (r >= 1.0) lit(true) else bucket < lit(hexThreshold(r))
-    }
-    val pred = rates.toSeq.sortBy(_._1).foldLeft(sliceCond(defaultRate)) {
-      case (acc, (s, r)) => when(col(strataCol) === s, sliceCond(r)).otherwise(acc)
-    }
-    df.filter(pred)
   }
 
   /** Sharded concat-and-chunk packing: assigns each document to a

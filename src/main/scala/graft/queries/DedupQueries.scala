@@ -19,6 +19,45 @@ object DedupQueries {
                  unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
           FROM W)"""
 
+  /** Shared DuckDB CTE chain (appended after the RECURSIVE shingle
+    * CTE): LSH-verified pairs -> symmetric edges -> min-label reachability
+    * — the single definition q72 and q73 both build on, so the banding
+    * scheme and 1:2 threshold can never drift between their oracles. */
+  private val clusterCte: String = raw"""
+        H AS (SELECT doc_id, md5(g) AS hg FROM S),
+        SIG AS (
+          SELECT doc_id,
+                 min(substr(hg, 1, 4)) AS h0, min(substr(hg, 5, 4)) AS h1,
+                 min(substr(hg, 9, 4)) AS h2, min(substr(hg, 13, 4)) AS h3,
+                 min(substr(hg, 17, 4)) AS h4, min(substr(hg, 21, 4)) AS h5,
+                 min(substr(hg, 25, 4)) AS h6, min(substr(hg, 29, 4)) AS h7
+          FROM H GROUP BY doc_id),
+        B AS (
+          SELECT doc_id, t.b AS band,
+                 CASE t.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                          WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS bv
+          FROM SIG, unnest([0, 1, 2, 3]) AS t(b)),
+        C AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM B x JOIN B y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        N AS (SELECT doc_id, count(*) AS n FROM S GROUP BY doc_id),
+        P AS (SELECT c.id_a, c.id_b, count(*) AS common
+              FROM C c
+              JOIN S x ON x.doc_id = c.id_a
+              JOIN S y ON y.doc_id = c.id_b AND y.g = x.g
+              GROUP BY 1, 2),
+        E AS (SELECT P.id_a, P.id_b
+              FROM P JOIN N na ON P.id_a = na.doc_id JOIN N nb ON P.id_b = nb.doc_id
+              WHERE common * 2 >= (na.n + nb.n - common) * 1),
+        SYM AS (SELECT id_a AS src, id_b AS dst FROM E
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM E),
+        REACH AS (
+          SELECT doc_id AS id, doc_id AS r FROM documents
+          UNION
+          SELECT sy.dst AS id, REACH.r AS r
+          FROM SYM sy JOIN REACH ON REACH.id = sy.src)"""
+
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -316,39 +355,7 @@ object DedupQueries {
         Clusters.connectedComponents(d.select(col("doc_id")), "doc_id", edges)
           .orderBy(col("doc_id"))
       },
-      Some(shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + raw""",
-        H AS (SELECT doc_id, md5(g) AS hg FROM S),
-        SIG AS (
-          SELECT doc_id,
-                 min(substr(hg, 1, 4)) AS h0, min(substr(hg, 5, 4)) AS h1,
-                 min(substr(hg, 9, 4)) AS h2, min(substr(hg, 13, 4)) AS h3,
-                 min(substr(hg, 17, 4)) AS h4, min(substr(hg, 21, 4)) AS h5,
-                 min(substr(hg, 25, 4)) AS h6, min(substr(hg, 29, 4)) AS h7
-          FROM H GROUP BY doc_id),
-        B AS (
-          SELECT doc_id, t.b AS band,
-                 CASE t.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
-                          WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS bv
-          FROM SIG, unnest([0, 1, 2, 3]) AS t(b)),
-        C AS (
-          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-          FROM B x JOIN B y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-        N AS (SELECT doc_id, count(*) AS n FROM S GROUP BY doc_id),
-        P AS (SELECT c.id_a, c.id_b, count(*) AS common
-              FROM C c
-              JOIN S x ON x.doc_id = c.id_a
-              JOIN S y ON y.doc_id = c.id_b AND y.g = x.g
-              GROUP BY 1, 2),
-        E AS (SELECT P.id_a, P.id_b
-              FROM P JOIN N na ON P.id_a = na.doc_id JOIN N nb ON P.id_b = nb.doc_id
-              WHERE common * 2 >= (na.n + nb.n - common) * 1),
-        SYM AS (SELECT id_a AS src, id_b AS dst FROM E
-                UNION ALL SELECT id_b AS src, id_a AS dst FROM E),
-        REACH AS (
-          SELECT doc_id AS id, doc_id AS r FROM documents
-          UNION
-          SELECT sy.dst AS id, REACH.r AS r
-          FROM SYM sy JOIN REACH ON REACH.id = sy.src)
+      Some(shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + "," + clusterCte + raw"""
         SELECT id AS doc_id, min(r) AS cluster_id
         FROM REACH GROUP BY id ORDER BY doc_id""")),
 
@@ -367,39 +374,7 @@ object DedupQueries {
         Clusters.keepersByScore(cc, quality, "doc_id", "quality")
           .orderBy(col("doc_id"))
       },
-      Some(shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + raw""",
-        H AS (SELECT doc_id, md5(g) AS hg FROM S),
-        SIG AS (
-          SELECT doc_id,
-                 min(substr(hg, 1, 4)) AS h0, min(substr(hg, 5, 4)) AS h1,
-                 min(substr(hg, 9, 4)) AS h2, min(substr(hg, 13, 4)) AS h3,
-                 min(substr(hg, 17, 4)) AS h4, min(substr(hg, 21, 4)) AS h5,
-                 min(substr(hg, 25, 4)) AS h6, min(substr(hg, 29, 4)) AS h7
-          FROM H GROUP BY doc_id),
-        B AS (
-          SELECT doc_id, t.b AS band,
-                 CASE t.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
-                          WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS bv
-          FROM SIG, unnest([0, 1, 2, 3]) AS t(b)),
-        C AS (
-          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-          FROM B x JOIN B y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-        N AS (SELECT doc_id, count(*) AS n FROM S GROUP BY doc_id),
-        P AS (SELECT c.id_a, c.id_b, count(*) AS common
-              FROM C c
-              JOIN S x ON x.doc_id = c.id_a
-              JOIN S y ON y.doc_id = c.id_b AND y.g = x.g
-              GROUP BY 1, 2),
-        E AS (SELECT P.id_a, P.id_b
-              FROM P JOIN N na ON P.id_a = na.doc_id JOIN N nb ON P.id_b = nb.doc_id
-              WHERE common * 2 >= (na.n + nb.n - common) * 1),
-        SYM AS (SELECT id_a AS src, id_b AS dst FROM E
-                UNION ALL SELECT id_b AS src, id_a AS dst FROM E),
-        REACH AS (
-          SELECT doc_id AS id, doc_id AS r FROM documents
-          UNION
-          SELECT sy.dst AS id, REACH.r AS r
-          FROM SYM sy JOIN REACH ON REACH.id = sy.src),
+      Some(shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + "," + clusterCte + raw""",
         CC AS (SELECT id AS doc_id, min(r) AS cluster_id
                FROM REACH GROUP BY id),
         QW AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w

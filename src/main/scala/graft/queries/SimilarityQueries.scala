@@ -17,6 +17,51 @@ import graft.similarity.Similarity
   */
 object SimilarityQueries {
 
+  /** Shared DuckDB CTE block for the PQ oracles (q75/q77): SQ8
+    * quantization ranges -> quantized vectors -> md5-ranked sample
+    * codebook -> per-subspace codes and query ADC lookup table. One
+    * definition so the quantization grid and codebook ranking can
+    * never drift between the flat-PQ and IVF-PQ oracles. */
+  private val pqCte: String = """MM AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(embedding) AS x,
+                       unnest(range(1, len(embedding)+1)) AS i
+                FROM embeddings)
+          GROUP BY i),
+        MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
+        QV AS (
+          SELECT vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(embedding)+1)] AS qv
+          FROM embeddings, MML),
+        CENTS AS (
+          SELECT vec_id,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        SUBC AS (
+          SELECT c.j, s.s AS s,
+                 q.qv[CAST(s.s*8+1 AS INTEGER):CAST(s.s*8+8 AS INTEGER)] AS sub
+          FROM CENTS c JOIN QV q ON q.vec_id = c.vec_id, range(0, 8) s(s)),
+        DSUB AS (
+          SELECT q.vec_id, sc.s, sc.j,
+                 list_sum([(q.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                           * (q.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                           for i in range(1, 9)]) AS d
+          FROM QV q, SUBC sc),
+        CODES AS (
+          SELECT vec_id, s, j FROM DSUB
+          QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) = 1),
+        LUT AS (
+          SELECT qq.vec_id AS query_id, sc.s, sc.j,
+                 list_sum([(qq.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                           * (qq.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                           for i in range(1, 9)]) AS d
+          FROM QV qq, SUBC sc WHERE qq.vec_id % 50 = 0)"""
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -347,46 +392,7 @@ object SimilarityQueries {
             k = 3, m = 8, dim = 64, kCent = 16)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("""
-        WITH MM AS (
-          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
-          FROM (SELECT unnest(embedding) AS x,
-                       unnest(range(1, len(embedding)+1)) AS i
-                FROM embeddings)
-          GROUP BY i),
-        MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
-        QV AS (
-          SELECT vec_id,
-                 [CAST(least(greatest(coalesce(
-                      floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
-                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
-                      0.0), 255.0) AS BIGINT)
-                  for i in range(1, len(embedding)+1)] AS qv
-          FROM embeddings, MML),
-        CENTS AS (
-          SELECT vec_id,
-                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
-          FROM embeddings
-          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        SUBC AS (
-          SELECT c.j, s.s AS s,
-                 q.qv[CAST(s.s*8+1 AS INTEGER):CAST(s.s*8+8 AS INTEGER)] AS sub
-          FROM CENTS c JOIN QV q ON q.vec_id = c.vec_id, range(0, 8) s(s)),
-        DSUB AS (
-          SELECT q.vec_id, sc.s, sc.j,
-                 list_sum([(q.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
-                           * (q.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
-                           for i in range(1, 9)]) AS d
-          FROM QV q, SUBC sc),
-        CODES AS (
-          SELECT vec_id, s, j FROM DSUB
-          QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) = 1),
-        LUT AS (
-          SELECT qq.vec_id AS query_id, sc.s, sc.j,
-                 list_sum([(qq.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
-                           * (qq.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
-                           for i in range(1, 9)]) AS d
-          FROM QV qq, SUBC sc WHERE qq.vec_id % 50 = 0),
+      Some("\n        WITH " + pqCte + """,
         ADC AS (
           SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
           FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
@@ -425,45 +431,7 @@ object SimilarityQueries {
         CELL AS (
           SELECT vec_id, cent_id AS cell FROM D
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
-        MM AS (
-          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
-          FROM (SELECT unnest(embedding) AS x,
-                       unnest(range(1, len(embedding)+1)) AS i
-                FROM embeddings)
-          GROUP BY i),
-        MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
-        QV AS (
-          SELECT vec_id,
-                 [CAST(least(greatest(coalesce(
-                      floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
-                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
-                      0.0), 255.0) AS BIGINT)
-                  for i in range(1, len(embedding)+1)] AS qv
-          FROM embeddings, MML),
-        CENTS AS (
-          SELECT vec_id,
-                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
-          FROM embeddings
-          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        SUBC AS (
-          SELECT c.j, s.s AS s,
-                 q.qv[CAST(s.s*8+1 AS INTEGER):CAST(s.s*8+8 AS INTEGER)] AS sub
-          FROM CENTS c JOIN QV q ON q.vec_id = c.vec_id, range(0, 8) s(s)),
-        DSUB AS (
-          SELECT q.vec_id, sc.s, sc.j,
-                 list_sum([(q.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
-                           * (q.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
-                           for i in range(1, 9)]) AS d
-          FROM QV q, SUBC sc),
-        CODES AS (
-          SELECT vec_id, s, j FROM DSUB
-          QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) = 1),
-        LUT AS (
-          SELECT qq.vec_id AS query_id, sc.s, sc.j,
-                 list_sum([(qq.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
-                           * (qq.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
-                           for i in range(1, 9)]) AS d
-          FROM QV qq, SUBC sc WHERE qq.vec_id % 50 = 0),
+        """ + pqCte + """,
         ADC AS (
           SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
           FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j

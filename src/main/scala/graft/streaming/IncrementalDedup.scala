@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
@@ -24,40 +24,55 @@ import graft.functions.TextFunctions
   * batch's within-batch dups collapse by the min-id window — all
   * inherited from the batch operator. Use
   * [[Dedup.dedupAgainstIndexBloom]]'s explicit bloom variant inside
-  * `dedupBatch` when the index outgrows the batch by enough that
+  * the batch body when the index outgrows the batch by enough that
   * pruning its scan matters.
   *
-  * Exactly-once: foreachBatch re-runs a failed batch under the same
-  * batchId. A re-run may re-append fingerprints the failed attempt
-  * already wrote — harmless by construction, because the index is a
-  * SET under anti-join semantics (duplicate fp rows change no
-  * membership decision and the window reads only `fp`). Downstream
-  * `emit` receives the same survivor rows and must be idempotent per
-  * batchId, the standard foreachBatch contract.
+  * Replay safety (exactly-once): foreachBatch re-runs a failed batch
+  * under the same batchId, and the failure can land AFTER the index
+  * write but BEFORE the checkpoint commit. The index is therefore
+  * partitioned by batch id (`indexDir/batch=N`) and each batch (a)
+  * dedups against strictly EARLIER partitions only and (b) overwrites
+  * its own partition. A replayed batch thus sees exactly the index its
+  * first attempt saw — same survivors to `emit`, same fingerprints
+  * rewritten — instead of anti-joining its own leftovers and emitting
+  * zero rows (which, with the standard overwrite-per-batchId sink,
+  * would silently erase the batch's survivors). `emit` must be
+  * idempotent per batchId, the usual foreachBatch contract.
   */
 object IncrementalDedup {
 
-  private val indexSchema = StructType(Seq(StructField("fp", StringType)))
+  private val indexSchema = StructType(Seq(
+    StructField("fp", StringType), StructField("batch", LongType)))
 
-  /** The accumulated fingerprint index, or an empty frame on the very
-    * first batch (missing directory). */
-  def readIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+  /** Fingerprint partitions written by batches strictly before
+    * `beforeBatch` (every batch when omitted); empty on the very first
+    * batch (missing directory). Any OTHER read failure propagates —
+    * silently treating a corrupt/unreadable index as empty would void
+    * the durable-dedup guarantee and re-emit months of duplicates. */
+  def readIndex(
+      spark: SparkSession, indexDir: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame =
     try spark.read.schema(indexSchema).parquet(indexDir)
-    catch { case _: org.apache.spark.sql.AnalysisException =>
-      spark.createDataFrame(new java.util.ArrayList[Row](), indexSchema)
+      .filter(col("batch") < beforeBatch)
+    catch {
+      case e: AnalysisException if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(new java.util.ArrayList[Row](), indexSchema)
     }
 
-  /** One micro-batch: survivors of the batch against the index (also
-    * exposed for batch backfills so both paths share one definition). */
+  /** One micro-batch: survivors of `batch` against the index state as
+    * of `beforeBatch` (also the batch-backfill entry point, so both
+    * paths share one definition). */
   def dedupBatch(
-      batch: DataFrame, indexDir: String, idCol: String, textCol: String): DataFrame =
+      batch: DataFrame, indexDir: String, idCol: String, textCol: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame =
     Dedup.dedupAgainstIndex(
-      batch, readIndex(batch.sparkSession, indexDir), idCol, textCol)
+      batch, readIndex(batch.sparkSession, indexDir, beforeBatch),
+      idCol, textCol)
 
   /** Streaming writer: `emit` sees each batch's surviving documents,
-    * then their fingerprints are appended to `indexDir`. Start with
-    * `.start()`; outputMode is Update (per-batch deltas, no global
-    * result table). */
+    * then their fingerprints land in the batch's own index partition.
+    * Start with `.start()`; outputMode is Update (per-batch deltas, no
+    * global result table). */
   def dedupStreamToIndex(
       docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, checkpointDir: String)(
@@ -66,12 +81,12 @@ object IncrementalDedup {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fresh = dedupBatch(batch, indexDir, idCol, textCol)
+        val fresh = dedupBatch(batch, indexDir, idCol, textCol, beforeBatch = batchId)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           emit(fresh, batchId)
           fresh.select(TextFunctions.fingerprint(col(textCol)).as("fp"))
-            .write.mode("append").parquet(indexDir)
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
         } finally fresh.unpersist()
         ()
       }

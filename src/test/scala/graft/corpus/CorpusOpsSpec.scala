@@ -265,4 +265,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "unchanged", 5L -> "added"))
   }
+
+  test("snapshotDiff: NULL text classifies by key presence, not fingerprint nullness") {
+    import spark.implicits._
+    val nul: String = null
+    val oldSnap = Seq((1L, nul), (2L, nul), (4L, "real text"))
+      .toDF("k", "text")
+    val newSnap = Seq((2L, nul), (3L, nul), (4L, nul))
+      .toDF("k", "text")
+    val out = CorpusOps.snapshotDiff(oldSnap, newSnap, "k", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "removed",    // NULL-text entity gone from new: removed, NOT added
+      2L -> "unchanged",  // NULL on both sides: same (absent) content
+      3L -> "added",
+      4L -> "changed"))   // real text -> NULL is a content change
+  }
 }

@@ -36,6 +36,13 @@ class ClustersSpec extends SparkSpec {
       12L -> 12L, 13L -> 12L, 15L -> 15L))
   }
 
+  test("connectedComponents: empty node set returns an empty frame, no NPE") {
+    import spark.implicits._
+    val out = Clusters.connectedComponents(
+      Seq.empty[Long].toDF("doc_id"), "doc_id", edges())
+    assert(out.count() == 0)
+  }
+
   test("connectedComponents: empty edge list yields all singletons") {
     val out = Clusters.connectedComponents(nodes(7L, 8L), "doc_id", edges())
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -40,15 +40,32 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(emitted.map(_._2).toSet == Set(1L, 3L, 5L, 7L))
     } finally q.stop()
 
-    // the index holds exactly the distinct canonical fingerprints
-    val fps = spark.read.parquet(s"$dir/index").collect().map(_.getString(0))
+    // the index holds exactly the distinct canonical fingerprints,
+    // partitioned by the batch that first saw each
+    val idx = spark.read.parquet(s"$dir/index")
+    val fps = idx.select("fp").collect().map(_.getString(0))
     assert(fps.length == 4 && fps.distinct.length == 4)
+    assert(idx.select("batch").distinct().count() == 3)
 
     // batch backfill path shares the same definition: re-offering old
     // content against the final index yields nothing
     val again = IncrementalDedup.dedupBatch(
       Seq((9L, "aaa bbb ccc")).toDF("doc_id", "text"), s"$dir/index", "doc_id", "text")
     assert(again.count() == 0)
+
+    // replay safety: re-running batch 2's data AS batch 2 (dedup
+    // against strictly earlier partitions) reproduces its original
+    // survivors even though batch 2's own fingerprints are already in
+    // the index — the post-append-crash replay case
+    val batch2 = Seq((6L, "AAA   bbb ccc"), (7L, "jjj")).toDF("doc_id", "text")
+    val replayed = IncrementalDedup.dedupBatch(
+        batch2, s"$dir/index", "doc_id", "text", beforeBatch = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replayed == Set(7L))
+    // without the batch fence the same data anti-joins its own leftovers
+    val fenceless = IncrementalDedup.dedupBatch(
+      batch2, s"$dir/index", "doc_id", "text")
+    assert(fenceless.count() == 0)
   }
 
   test("streamed batches == one batch pass against the same growing index (real fixture)") {
@@ -85,7 +102,7 @@ class IncrementalDedupSpec extends SparkSpec {
 
   test("readIndex on a missing directory is an empty frame, so batch one works") {
     val empty = IncrementalDedup.readIndex(spark, "/tmp/does/not/exist/graft_idx")
-    assert(empty.schema.fieldNames.sameElements(Array("fp")))
+    assert(empty.schema.fieldNames.sameElements(Array("fp", "batch")))
     assert(empty.count() == 0)
   }
 }
