@@ -289,7 +289,8 @@ object Similarity {
     * kCent rows (post-limit), not the corpus. */
   def pqCodebook(
       corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, dim: Int, kCent: Int): DataFrame = {
+      m: Int, dim: Int, kCent: Int,
+      mns: Seq[Double], mxs: Seq[Double]): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     val subDim = dim / m
     // Materialize the kCent sample rows ONCE (one corpus TakeOrdered
@@ -309,10 +310,17 @@ object Similarity {
     val rows = for {
       r <- sampleRows.toSeq
       s <- 0 until m
-    } yield (s.toLong, r.getLong(0),
-      r.getSeq[Float](1).slice(s * subDim, (s + 1) * subDim))
+    } yield {
+      val sub = r.getSeq[Float](1).slice(s * subDim, (s + 1) * subDim)
+      // quantize driver-side under the SAME per-dimension grid the
+      // corpus-side Sq8Quantize expression applies — stored sub_vec
+      // floats ride along for inspection, qsub is what distances use
+      (s.toLong, r.getLong(0), sub,
+        sub.indices.map(i => graft.functions.Sq8.quantize(
+          sub(i).toDouble, mns(s * subDim + i), mxs(s * subDim + i))))
+    }
     import spark.implicits._
-    rows.toDF("s", "j", "sub_vec")
+    rows.toDF("s", "j", "sub_vec", "qsub")
       .withColumn("sub_vec", col("sub_vec").cast("array<float>"))
   }
 
@@ -329,19 +337,26 @@ object Similarity {
       codebook: DataFrame, m: Int, dim: Int,
       mns: Seq[Double], mxs: Seq[Double]): DataFrame = {
     val subDim = dim / m
-    (0 until m).map { s =>
-      val cb = codebook.filter(col("s") === s).select(col("j"), col("sub_vec"))
-      val mn = mns.slice(s * subDim, (s + 1) * subDim)
-      val mx = mxs.slice(s * subDim, (s + 1) * subDim)
-      corpus
-        .select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("sub"))
-        .join(broadcast(cb))
-        .withColumn("d",
-          graft.functions.Sq8L2Distance.sq8L2(col("sub"), col("sub_vec"), mn, mx))
-        .groupBy(col(idCol))
-        .agg(min_by(col("j"), struct(col("d"), col("j"))).as("code"))
-        .select(col(idCol), lit(s.toLong).as("s"), col("code"))
-    }.reduce(_ unionAll _)
+    // ONE corpus scan: quantize the full vector once (Sq8Quantize),
+    // explode its m subspace slices, and score all subspaces through a
+    // single broadcast join keyed on s — a per-subspace union of scans
+    // would read the corpus m times. Slicing the quantized vector is
+    // exactly quantizing the slice (the grid is per-dimension), and the
+    // codebook side carries its pre-quantized qsub, so the integer
+    // distance ([[graft.functions.IntArrayL2]]) matches the fused
+    // [[graft.functions.Sq8L2Distance]] kernel bit-for-bit.
+    val subs = (0 until m).map(s => struct(lit(s.toLong).as("s"),
+      slice(col("qv"), s * subDim + 1, subDim).as("sub")))
+    corpus
+      .select(col(idCol),
+        graft.functions.Sq8Quantize.sq8Quantize(col(vecCol), mns, mxs).as("qv"))
+      .select(col(idCol), explode(array(subs: _*)).as("sv"))
+      .select(col(idCol), col("sv.s").as("s"), col("sv.sub").as("sub"))
+      .join(broadcast(codebook.select(col("s"), col("j"), col("qsub"))), Seq("s"))
+      .withColumn("d", graft.functions.IntArrayL2.intArrayL2(col("sub"), col("qsub")))
+      .groupBy(col(idCol), col("s"))
+      .agg(min_by(col("j"), struct(col("d"), col("j"))).as("code"))
+      .select(col(idCol), col("s"), col("code"))
   }
 
   /** PQ ANN top-k via asymmetric-distance lookup tables (the classic
@@ -364,7 +379,7 @@ object Similarity {
       k: Int, m: Int = 8, dim: Int = 64, kCent: Int = 16): DataFrame = {
     val subDim = dim / m
     val (mns, mxs) = sq8Ranges(corpus, vecCol)
-    val codebook = pqCodebook(corpus, idCol, vecCol, m, dim, kCent)
+    val codebook = pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs)
     val codes = pqEncode(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
       "neighbor_id", vecCol, codebook, m, dim, mns, mxs)
@@ -389,18 +404,18 @@ object Similarity {
       codebook: DataFrame, m: Int, dim: Int,
       mns: Seq[Double], mxs: Seq[Double]): DataFrame = {
     val subDim = dim / m
-    (0 until m).map { s =>
-      val cb = codebook.filter(col("s") === s).select(col("j"), col("sub_vec"))
-      val mn = mns.slice(s * subDim, (s + 1) * subDim)
-      val mx = mxs.slice(s * subDim, (s + 1) * subDim)
-      queries
-        .select(col(idCol).as("query_id"),
-          slice(col(vecCol), s * subDim + 1, subDim).as("q_sub"))
-        .join(cb)
-        .withColumn("d",
-          graft.functions.Sq8L2Distance.sq8L2(col("q_sub"), col("sub_vec"), mn, mx))
-        .select(col("query_id"), lit(s.toLong).as("ls"), col("j").as("lj"), col("d"))
-    }.reduce(_ unionAll _)
+    // same single-scan shape as [[pqEncode]] (the query side is tiny,
+    // but one definition keeps the distances provably identical)
+    val subs = (0 until m).map(s => struct(lit(s.toLong).as("s"),
+      slice(col("qv"), s * subDim + 1, subDim).as("sub")))
+    queries
+      .select(col(idCol).as("query_id"),
+        graft.functions.Sq8Quantize.sq8Quantize(col(vecCol), mns, mxs).as("qv"))
+      .select(col("query_id"), explode(array(subs: _*)).as("sv"))
+      .select(col("query_id"), col("sv.s").as("s"), col("sv.sub").as("sub"))
+      .join(codebook.select(col("s"), col("j"), col("qsub")), Seq("s"))
+      .withColumn("d", graft.functions.IntArrayL2.intArrayL2(col("sub"), col("qsub")))
+      .select(col("query_id"), col("s").as("ls"), col("j").as("lj"), col("d"))
   }
 
   /** IVF-PQ: the full billion-scale composition — the deterministic
@@ -419,7 +434,7 @@ object Similarity {
       k: Int, nLists: Int = 8, m: Int = 8, dim: Int = 64, kCent: Int = 16): DataFrame = {
     val cent = ivfCentroids(corpus, idCol, vecCol, nLists)
     val (mns, mxs) = sq8Ranges(corpus, vecCol)
-    val codebook = pqCodebook(corpus, idCol, vecCol, m, dim, kCent)
+    val codebook = pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs)
     val cc = assignWith(cent,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
       "neighbor_id", "c_vec").select(col("neighbor_id"), col("cell"))

@@ -84,7 +84,7 @@ object CorpusSink {
     import graft.similarity.Similarity
     val spark = corpus.sparkSession
     val (mns, mxs) = Similarity.sq8Ranges(corpus, vecCol)
-    val codebook = Similarity.pqCodebook(corpus, idCol, vecCol, m, dim, kCent)
+    val codebook = Similarity.pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs)
     Similarity.pqEncode(corpus, idCol, vecCol, codebook, m, dim, mns, mxs)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("sc"))

@@ -325,4 +325,26 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.redactPii(col("text"))).collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("Sq8Quantize + IntArrayL2 == fused Sq8L2Distance, element-exact") {
+    import spark.implicits._
+    val mns = Seq(0.0, -1.0, 2.0)
+    val mxs = Seq(1.0, 1.0, 2.0) // last dim degenerate span -> code 0
+    val df = Seq(
+      (1L, Array(0.25f, -0.5f, 2.0f), Array(0.75f, 0.5f, 2.0f)),
+      (2L, Array(-9.0f, 9.0f, 2.0f), Array(1.0f, -1.0f, 2.0f)) // clamped ends
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+        Sq8Quantize.sq8Quantize(col("a"), mns, mxs).as("qa"),
+        Sq8Quantize.sq8Quantize(col("b"), mns, mxs).as("qb"),
+        Sq8L2Distance.sq8L2(col("a"), col("b"), mns, mxs).as("fused"))
+      .withColumn("viaCodes", IntArrayL2.intArrayL2(col("qa"), col("qb")))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(4) == r.getLong(3), s"codes path != fused for id ${r.getLong(0)}")
+      assert(r.getSeq[Long](1).forall(c => c >= 0 && c <= 255))
+    }
+    // degenerate-span dim quantizes to 0 on both sides
+    assert(out.forall(r => r.getSeq[Long](1)(2) == 0L && r.getSeq[Long](2)(2) == 0L))
+  }
 }

@@ -155,7 +155,8 @@ class SimilaritySpec extends SparkSpec {
   test("pqEncode: one code per (id, subspace), codes within the codebook") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val (mns, mxs) = Similarity.sq8Ranges(e, "embedding")
-    val cb = Similarity.pqCodebook(e, "vec_id", "embedding", m = 8, dim = 64, kCent = 16)
+    val cb = Similarity.pqCodebook(e, "vec_id", "embedding",
+      m = 8, dim = 64, kCent = 16, mns, mxs)
     assert(cb.count() == 8 * 16)
     val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, 8, 64, mns, mxs)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))

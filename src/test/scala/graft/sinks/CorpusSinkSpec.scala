@@ -94,7 +94,7 @@ class CorpusSinkSpec extends SparkSpec {
     val sim = graft.similarity.Similarity
     val (mns, mxs) = sim.sq8Ranges(e, "embedding")
     val live = sim.pqEncode(e, "vec_id", "embedding",
-        sim.pqCodebook(e, "vec_id", "embedding", 8, 64, 16), 8, 64, mns, mxs)
+        sim.pqCodebook(e, "vec_id", "embedding", 8, 64, 16, mns, mxs), 8, 64, mns, mxs)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val stored = codes.select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
       .collect().map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
