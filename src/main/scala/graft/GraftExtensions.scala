@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Norm, MinHashSketchAgg, RollingHash}
+import graft.functions.{CosineSimilarity, DotProduct, IntArrayL2, L2Norm, MinHashSketchAgg, RollingHash, Sq8L2Distance, Sq8Quantize}
 import graft.sources.AvroDecode
 
 /** SQL-surface registration for graft's custom Catalyst expressions, so
@@ -57,7 +57,33 @@ object GraftFunctions {
     "avro_decode" -> (es => AvroDecode(
       es(0),
       es(1).eval().toString,
-      if (es.length > 2) es(2).eval().asInstanceOf[Boolean] else false)))
+      if (es.length > 2) es(2).eval().asInstanceOf[Boolean] else false)),
+    // SQ8 family: ranges are literal double arrays (plan-embedded global
+    // stats); non-literal ranges degrade to the empty seq the
+    // expressions' checkInputDataTypes rejects cleanly
+    "sq8_quantize" -> (es =>
+      Sq8Quantize(es(0), foldedDoubles(es(1)), foldedDoubles(es(2)))),
+    "sq8_l2_distance" -> (es =>
+      Sq8L2Distance(es(0), es(1), foldedDoubles(es(2)), foldedDoubles(es(3)))),
+    "int_array_l2" -> (es => IntArrayL2(es(0), es(1))))
+
+  private def foldedDoubles(e: Expression): Seq[Double] =
+    if (!e.foldable) Seq.empty
+    else e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        e.dataType match {
+          case org.apache.spark.sql.types.ArrayType(et, _) =>
+            (0 until a.numElements()).map(i => a.get(i, et) match {
+              case d: java.lang.Double => d.doubleValue()
+              case f: java.lang.Float => f.doubleValue()
+              case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+              case n: java.lang.Number => n.doubleValue()
+              case _ => Double.NaN
+            })
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
 
   /** Idempotently register the graft functions on a live session. */
   def register(spark: SparkSession): Unit =

@@ -83,6 +83,16 @@ class RollingHashSpec extends SparkSpec {
     val agg = spark.sql(
       "SELECT minhash_sketch(s, 4) AS sk FROM graft_fn_test").collect()(0)
     assert(agg.getSeq[Long](0).length == 4)
+
+    // SQ8 family: literal-array ranges, SQL == Column API
+    val sq8 = spark.sql(
+      """SELECT sq8_quantize(a, array(0.0D, 0.0D), array(1.0D, 1.0D)) AS qa,
+        |       sq8_l2_distance(a, b, array(0.0D, 0.0D), array(1.0D, 1.0D)) AS d,
+        |       int_array_l2(array(1L, 2L), array(3L, 5L)) AS il
+        |FROM graft_fn_test""".stripMargin).collect()(0)
+    assert(sq8.getSeq[Long](0) == Seq(255L, 0L))
+    assert(sq8.getLong(1) == 0L)
+    assert(sq8.getLong(2) == 13L)
   }
 }
 
