@@ -266,6 +266,55 @@ object SimilarityQueries {
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     GraftQuery(
+      "q88_ann_ivf_multiprobe",
+      "Multi-probe IVF: each query probes its 2 nearest cells before " +
+        "the exact cosine re-rank — the IVF recall lever (q46's " +
+        "Hamming-1 expansion, for the cell layout). Probe list built " +
+        "on the broadcast side; corpus touched once; a neighbor lives " +
+        "in exactly one cell, so no dedup pass follows.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfMultiProbeTopK(e, q, "vec_id", "embedding",
+            k = 3, nLists = 8, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        PROBE AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          WHERE vec_id % 50 = 0
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) <= 2),
+        CAND AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q
+          JOIN PROBE pq ON pq.vec_id = q.vec_id
+          JOIN CELL cc ON cc.cell = pq.cell
+          JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+          CROSS JOIN range(1, 65) i(i)
+          GROUP BY 1, 2),
+        R AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+          FROM CAND)
+        SELECT query_id, rank, neighbor_id FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
       "q26_multimodal_features",
       "Binary media column + metadata struct + stub feature extraction.",
       (spark, dir) => {

@@ -168,6 +168,40 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Multi-probe IVF: each query probes its `nProbe` NEAREST cells
+    * (not just the argmin cell) before the exact cosine re-rank — the
+    * IVF recall lever, exactly as Hamming-1 expansion is for the
+    * sign-LSH path ([[lshTopK]]'s nProbe). The probe list is built on
+    * the BROADCAST side (|Q| x nLists distance pairs ranked to
+    * |Q| x nProbe rows), so the corpus is still touched once and the
+    * join stays a broadcast-hash on the cell id. With the cell-
+    * partitioned write layout a probe reads nProbe directories. */
+  def ivfMultiProbeTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nLists: Int, nProbe: Int = 2): DataFrame = {
+    val cent = ivfCentroids(corpus, idCol, vecCol, nLists)
+    val cc = assignWith(cent,
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      "neighbor_id", "c_vec")
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2"), col("cent_id"))
+    val qProbes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .join(broadcast(cent))
+      .withColumn("l2", VectorFunctions.l2Sq(col("q_vec"), col("cent_vec")))
+      .withColumn("cell_rank", row_number().over(probeW))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cc.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Bucketed ANN: exact cosine top-k over each query's candidate set.
     * `nProbe = 1` probes only the query's own sign bucket
     * (|corpus|/2^nBits candidates); `nProbe > 1` additionally probes

@@ -209,6 +209,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfMultiProbeTopK: wider candidate pool, never worse recall than single probe") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val single = Similarity.ivfDeterministicTopK(e, q, "vec_id", "embedding", k = 3, nLists = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val multi = Similarity.ivfMultiProbeTopK(e, q, "vec_id", "embedding",
+        k = 3, nLists = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((exact & multi).size >= (exact & single).size)
+    assert(multi.forall { case (qid, nid) => qid != nid })
+    // all-cells probe degenerates to exact brute force
+    val all = Similarity.ivfMultiProbeTopK(e, q, "vec_id", "embedding",
+        k = 3, nLists = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(all == exact)
+  }
+
   test("pqTopK recall overlaps brute force on real embeddings") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)
