@@ -67,23 +67,29 @@ object GraftFunctions {
       Sq8L2Distance(es(0), es(1), foldedDoubles(es(2)), foldedDoubles(es(3)))),
     "int_array_l2" -> (es => IntArrayL2(es(0), es(1))))
 
-  private def foldedDoubles(e: Expression): Seq[Double] =
-    if (!e.foldable) Seq.empty
-    else e.eval() match {
-      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        e.dataType match {
-          case org.apache.spark.sql.types.ArrayType(et, _) =>
-            (0 until a.numElements()).map(i => a.get(i, et) match {
-              case d: java.lang.Double => d.doubleValue()
-              case f: java.lang.Float => f.doubleValue()
-              case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
-              case n: java.lang.Number => n.doubleValue()
-              case _ => Double.NaN
-            })
-          case _ => Seq.empty
-        }
-      case _ => Seq.empty
-    }
+  private def foldedDoubles(e: Expression): Seq[Double] = {
+    val vals =
+      if (!e.foldable) Seq.empty
+      else e.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          e.dataType match {
+            case org.apache.spark.sql.types.ArrayType(et, _) =>
+              (0 until a.numElements()).map(i => a.get(i, et) match {
+                case d: java.lang.Double => d.doubleValue()
+                case f: java.lang.Float => f.doubleValue()
+                case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+                case n: java.lang.Number => n.doubleValue()
+                case _ => Double.NaN
+              })
+            case _ => Seq.empty
+          }
+        case _ => Seq.empty
+      }
+    // a NULL / non-numeric element would quantize everything to code 0
+    // through NaN arithmetic — degrade to the empty seq the expressions'
+    // type check rejects, keeping bad ranges an ANALYSIS error
+    if (vals.exists(_.isNaN)) Seq.empty else vals
+  }
 
   /** Idempotently register the graft functions on a live session. */
   def register(spark: SparkSession): Unit =

@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   * reliable `checkpoint` to the DFS replaces this; local checkpoints
   * die with executors).
   *
-  * Convergence is detected with a scalar aggregate, not a row fetch:
-  * labels only ever decrease, so `sum(label)` strictly decreases iff
-  * any label changed; equal sums two rounds running means fixpoint.
+  * Convergence is detected with an exact per-round changed-row count
+  * (each round keeps the previous label alongside the new one, and the
+  * round is final when no row strictly decreased) — a single scalar
+  * action per round, robust to empty inputs and immune to the
+  * aggregate-overflow aliasing a sum-of-labels delta would risk at
+  * full corpus scale.
   */
 object Clusters {
 

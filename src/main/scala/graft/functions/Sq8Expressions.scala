@@ -164,7 +164,13 @@ object Sq8Quantize {
 /** Squared L2 distance between two `array<long>` code vectors (sum of
   * squared element diffs over the shorter length) — the integer
   * distance the PQ/SQ8 serving path runs over STORED codes, where
-  * [[Sq8L2Distance]] is its fused quantize-on-the-fly twin. */
+  * [[Sq8L2Distance]] is its fused quantize-on-the-fly twin.
+  *
+  * Contract: inputs are small quantization CODES (SQ8: 0..255 — exact
+  * up to ~2^44 dimensions). The long arithmetic is unchecked for
+  * speed, so feeding arbitrary bigints (element diffs above ~3e9)
+  * wraps silently; this is a code-vector kernel, not a general vector
+  * distance. */
 case class IntArrayL2(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType

@@ -318,9 +318,13 @@ object Similarity {
     * sample rows ([[ivfCentroids]]' deterministic trick) restricted to
     * each subspace — no k-means, so the codebook is expressible in
     * portable SQL and the whole PQ pipeline stays oracle-verifiable.
-    * Returns the long-format table (s, j, sub_vec): m x kCent rows,
-    * always broadcast by consumers. The global-rank window runs over
-    * kCent rows (post-limit), not the corpus. */
+    * Returns the long-format table (s, j, sub_vec, qsub): m x kCent
+    * rows, always broadcast by consumers. `qsub` — the centroid
+    * subvector pre-quantized under the shared [[graft.functions.Sq8]]
+    * grid — is what [[pqEncode]]/[[pqTopK]] distances actually
+    * consume; the float `sub_vec` rides along for inspection. The
+    * global-rank window runs over kCent rows (post-limit), not the
+    * corpus. */
   def pqCodebook(
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, dim: Int, kCent: Int,

@@ -46,14 +46,18 @@ object IncrementalDedup {
 
   /** Fingerprint partitions written by batches strictly before
     * `beforeBatch` (every batch when omitted); empty on the very first
-    * batch (missing directory). Any OTHER read failure propagates —
+    * batch (missing directory). Rows without a batch partition (an
+    * index dir seeded by a plain fp-only parquet write, e.g. a batch
+    * backfill) read as batch NULL and count as OLDEST — coalesced to
+    * -1 rather than NULL-dropped by the comparison, so seeded history
+    * is never silently ignored. Any OTHER read failure propagates —
     * silently treating a corrupt/unreadable index as empty would void
     * the durable-dedup guarantee and re-emit months of duplicates. */
   def readIndex(
       spark: SparkSession, indexDir: String,
       beforeBatch: Long = Long.MaxValue): DataFrame =
     try spark.read.schema(indexSchema).parquet(indexDir)
-      .filter(col("batch") < beforeBatch)
+      .filter(coalesce(col("batch"), lit(-1L)) < beforeBatch)
     catch {
       case e: AnalysisException if e.getCondition == "PATH_NOT_FOUND" =>
         spark.createDataFrame(new java.util.ArrayList[Row](), indexSchema)

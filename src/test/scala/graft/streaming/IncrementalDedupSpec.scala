@@ -100,6 +100,22 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(streamed.toSet == (survivors1 ++ s2))
   }
 
+  test("a seeded flat index (no batch partitions) counts as oldest history, not dropped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_seed").toString
+    // a batch backfill seeds the index with plain fp rows at the root
+    Seq("aaa bbb ccc").toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+      .write.parquet(s"$dir/index")
+    val out = IncrementalDedup.dedupBatch(
+        Seq((1L, "aaa bbb ccc"), (2L, "new text here")).toDF("doc_id", "text"),
+        s"$dir/index", "doc_id", "text", beforeBatch = 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // even for batch 0, NULL-batch seed rows are visible (coalesced to -1)
+    assert(out == Set(2L))
+  }
+
   test("readIndex on a missing directory is an empty frame, so batch one works") {
     val empty = IncrementalDedup.readIndex(spark, "/tmp/does/not/exist/graft_idx")
     assert(empty.schema.fieldNames.sameElements(Array("fp", "batch")))
