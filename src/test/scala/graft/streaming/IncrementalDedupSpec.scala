@@ -116,6 +116,45 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out == Set(2L))
   }
 
+  test("a seeded index keeps working AFTER streamed batch partitions land beside it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_seed_stream").toString
+    // backfill seed: flat fp-only files at the index ROOT
+    Seq("aaa bbb ccc").toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+      .write.parquet(s"$dir/index")
+
+    val in = MemoryStream[(Long, String)]
+    val emitted = mutable.ArrayBuffer.empty[Long]
+    val q = IncrementalDedup.dedupStreamToIndex(
+        in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/index", s"$dir/ckpt") { (batch, _) =>
+      emitted.synchronized {
+        emitted ++= batch.select("doc_id").collect().map(_.getLong(0))
+      }
+    }.start()
+    try {
+      // batch 0 writes index/batch=0 NEXT TO the seed's root files; doc 1
+      // duplicates seeded content and must be dropped via the seed rows
+      in.addData((1L, "aaa bbb ccc"), (2L, "first new text"))
+      q.processAllAvailable()
+      assert(emitted.toSet == Set(2L))
+      // the index dir now MIXES root seed files and batch=0 — the next
+      // batch must still read BOTH (this is the layout partition
+      // discovery alone rejects): 3 dups the seed, 4 dups batch 0
+      in.addData((3L, "aaa bbb ccc"), (4L, "first new text"), (5L, "second new text"))
+      q.processAllAvailable()
+      assert(emitted.toSet == Set(2L, 5L))
+    } finally q.stop()
+
+    // a direct re-read of the mixed layout sees seed (batch=-1) + streamed rows
+    val idx = IncrementalDedup.readIndex(spark, s"$dir/index")
+    assert(idx.count() == 3)
+    assert(idx.filter(org.apache.spark.sql.functions.col("batch") === -1L).count() == 1)
+  }
+
   test("readIndex on a missing directory is an empty frame, so batch one works") {
     val empty = IncrementalDedup.readIndex(spark, "/tmp/does/not/exist/graft_idx")
     assert(empty.schema.fieldNames.sameElements(Array("fp", "batch")))
