@@ -67,28 +67,44 @@ object GraftFunctions {
       Sq8L2Distance(es(0), es(1), foldedDoubles(es(2)), foldedDoubles(es(3)))),
     "int_array_l2" -> (es => IntArrayL2(es(0), es(1))))
 
+  // Bad range arguments fail HERE with the actual cause, not downstream:
+  // degrading silently to an empty Seq made the expressions'
+  // checkInputDataTypes report the misleading "requires equal-length
+  // non-empty min/max ranges, got 0 and 0" for every failure mode.
+  private def rangeError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+
   private def foldedDoubles(e: Expression): Seq[Double] = {
-    val vals =
-      if (!e.foldable) Seq.empty
-      else e.eval() match {
-        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-          e.dataType match {
-            case org.apache.spark.sql.types.ArrayType(et, _) =>
-              (0 until a.numElements()).map(i => a.get(i, et) match {
-                case d: java.lang.Double => d.doubleValue()
-                case f: java.lang.Float => f.doubleValue()
-                case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
-                case n: java.lang.Number => n.doubleValue()
-                case _ => Double.NaN
-              })
-            case _ => Seq.empty
-          }
-        case _ => Seq.empty
-      }
-    // a NULL / non-numeric element would quantize everything to code 0
-    // through NaN arithmetic — degrade to the empty seq the expressions'
-    // type check rejects, keeping bad ranges an ANALYSIS error
-    if (vals.exists(_.isNaN)) Seq.empty else vals
+    if (!e.foldable) rangeError(
+      "sq8 ranges must be foldable literal arrays of doubles " +
+        "(plan-embedded global stats), got a non-literal expression: " + e.sql)
+    val vals = e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        e.dataType match {
+          case org.apache.spark.sql.types.ArrayType(et, _) =>
+            (0 until a.numElements()).map(i => a.get(i, et) match {
+              case d: java.lang.Double => d.doubleValue()
+              case f: java.lang.Float => f.doubleValue()
+              case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+              case n: java.lang.Number => n.doubleValue()
+              // a NULL / non-numeric element would quantize everything to
+              // code 0 through NaN arithmetic — name the element instead
+              case null => rangeError(
+                s"sq8 range arrays must not contain NULL (element $i of ${e.sql})")
+              case other => rangeError(
+                s"sq8 range arrays must hold numbers, got '$other' " +
+                  s"(element $i of ${e.sql})")
+            })
+          case _ => rangeError(
+            "sq8 ranges must be arrays of doubles, got " + e.dataType.sql)
+        }
+      case _ => rangeError(
+        "sq8 ranges must be arrays of doubles, got " + e.dataType.sql)
+    }
+    if (vals.exists(_.isNaN)) rangeError(
+      "sq8 range arrays must not contain NaN: " + e.sql)
+    vals
   }
 
   /** Idempotently register the graft functions on a live session. */

@@ -30,6 +30,36 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Per-interval bucket fan-out cap: an interval explodes into
+    * (len / bucketWidth + 1) rows, so ONE pathological interval — an
+    * open-ended sentinel end like Long.MaxValue is the classic — would
+    * either exceed Spark's max array length inside `sequence()` (one
+    * opaque failure killing the whole job) or silently fan out millions
+    * of skewed rows just under that limit. Intervals covering more than
+    * this many buckets fail FAST with an actionable message naming the
+    * offending bounds; the fix is always a wider `bucketWidth` or
+    * clamping sentinel ends before the join, never a bigger cap. */
+  val MaxBucketsPerInterval: Long = 1L << 20
+
+  /** The exploded covered-bucket ids of [start, end), guarded by
+    * [[MaxBucketsPerInterval]]. The guard rides inside the sequence's
+    * end argument (a when/raise_error branch), so column pruning can
+    * never drop it — it is evaluated exactly when the fan-out it
+    * bounds would happen. `div` is true integer division — routing
+    * through double division would silently lose precision above 2^53
+    * (epoch micros are 2^50+). */
+  private def coveredBuckets(s: String, e: String, bucketWidth: Long) = {
+    val startBucket = expr(s"$s div $bucketWidth")
+    val endBucket = expr(s"($e - 1) div $bucketWidth")
+    val guardedEnd = when(
+      endBucket - startBucket < lit(MaxBucketsPerInterval), endBucket)
+      .otherwise(raise_error(concat(
+        lit(s"interval covers more than $MaxBucketsPerInterval buckets: start="),
+        col(s), lit(" end="), col(e), lit(s" bucketWidth=$bucketWidth — raise " +
+          "bucketWidth or clamp open-ended sentinel intervals"))))
+    explode(sequence(startBucket, guardedEnd))
+  }
+
   /** Join `points` to every interval containing them:
     * `point >= startCol && point < endCol` (half-open).
     *
@@ -38,22 +68,18 @@ object RangeJoin {
     * engine-agnostic, where timestamp/interval types invite precision
     * drift. Degenerate intervals (start >= end) match nothing and are
     * dropped before the explode. Domain values must be non-negative
-    * (bucket id uses integer division).
+    * (bucket id uses integer division). Intervals wider than
+    * [[MaxBucketsPerInterval]] buckets raise rather than fan out.
     */
   def pointInInterval(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    // `div` is true integer division — routing through double division
-    // would silently lose precision above 2^53 (epoch micros are 2^50+)
     val p = points.withColumn("_bucket", expr(s"$pointCol div $bucketWidth"))
     val i = intervals
       .filter(col(startCol) < col(endCol))
-      .withColumn("_bucket",
-        explode(sequence(
-          expr(s"$startCol div $bucketWidth"),
-          expr(s"($endCol - 1) div $bucketWidth"))))
+      .withColumn("_bucket", coveredBuckets(startCol, endCol, bucketWidth))
     p.join(i, Seq("_bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_bucket")
@@ -77,10 +103,7 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def explodeBuckets(df: DataFrame, s: String, e: String): DataFrame =
       df.filter(col(s) < col(e))
-        .withColumn("_bucket",
-          explode(sequence(
-            expr(s"$s div $bucketWidth"),
-            expr(s"($e - 1) div $bucketWidth"))))
+        .withColumn("_bucket", coveredBuckets(s, e, bucketWidth))
     explodeBuckets(left, lStart, lEnd)
       .join(explodeBuckets(right, rStart, rEnd), Seq("_bucket"))
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))

@@ -94,6 +94,27 @@ class RollingHashSpec extends SparkSpec {
     assert(sq8.getLong(1) == 0L)
     assert(sq8.getLong(2) == 13L)
   }
+
+  test("sq8 SQL range errors name the actual cause, not '0 and 0'") {
+    import spark.implicits._
+    Seq(Array(1.0f, 0.0f)).toDF("a").createOrReplaceTempView("graft_sq8_err")
+    def failing(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    // non-literal range argument
+    val nonLit = failing(
+      "SELECT sq8_quantize(a, a, array(1.0D, 1.0D)) FROM graft_sq8_err")
+    assert(nonLit.contains("foldable literal arrays"), nonLit)
+    // NULL element inside a literal array
+    val withNull = failing(
+      "SELECT sq8_quantize(a, array(0.0D, NULL), array(1.0D, 1.0D)) FROM graft_sq8_err")
+    assert(withNull.contains("must not contain NULL"), withNull)
+    assert(withNull.contains("element 1"), withNull)
+    // the well-formed shape-mismatch message still comes from the
+    // expression's own type check
+    val mismatch = failing(
+      "SELECT sq8_quantize(a, array(0.0D), array(1.0D, 1.0D)) FROM graft_sq8_err")
+    assert(mismatch.contains("equal-length"), mismatch)
+  }
 }
 
 class MinHashSketchAggSpec extends SparkSpec {

@@ -68,6 +68,35 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("a sentinel open-ended interval fails fast with the offending bounds, not mid-explode") {
+    import spark.implicits._
+    // Long.MaxValue end: unguarded, sequence() would blow past Spark's
+    // max array length with an opaque error (or just under it, silently
+    // fan out millions of rows)
+    val sentinel = Seq((1L, 0L, Long.MaxValue)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "pt", sentinel, "s", "e", bucketWidth = 10L)
+        .count()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("interval covers more than"), s"got: $msg")
+    assert(msg.contains("bucketWidth"), s"got: $msg")
+    // the same guard protects intervalOverlap's two exploded sides
+    val ex2 = intercept[Exception] {
+      RangeJoin.intervalOverlap(
+        Seq((1L, 0L, 100L)).toDF("aid", "as", "ae"),
+        "as", "ae", sentinel, "s", "e", bucketWidth = 10L).count()
+    }
+    val msg2 = Option(ex2.getMessage).getOrElse("") +
+      Option(ex2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("interval covers more than"), s"got: $msg2")
+    // wide-but-legal intervals still work: 2^20 - 1 buckets is under the cap
+    val wide = Seq((1L, 0L, 10L * ((1L << 20) - 1))).toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(
+      points, "pt", wide, "s", "e", bucketWidth = 10L).count() >= 1)
+  }
+
   test("pointInInterval plans an equi-join on the bucket, never a nested loop") {
     val plan = RangeJoin
       .pointInInterval(points, "pt", intervals, "s", "e", bucketWidth = 10L)
