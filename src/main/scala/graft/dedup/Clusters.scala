@@ -20,14 +20,25 @@ import org.apache.spark.sql.functions._
   * the label table plus a groupBy on the destination id: shuffle keys
   * are single longs, work is O(|E|) per round, and rounds = cluster
   * DIAMETER, not corpus size. Near-dup clusters are shallow (dozens of
-  * members, diameter a handful), so this beats the O(log n)
-  * large-star/small-star alternating scheme in practice — that variant
-  * is the escape hatch if a pathological corpus ever chains thousands
-  * of docs. Each round's label table is `localCheckpoint`ed: the
-  * iteration would otherwise grow an exponentially-deep lineage that
-  * re-executes every prior round on each action (on a real cluster a
-  * reliable `checkpoint` to the DFS replaces this; local checkpoints
-  * die with executors).
+  * members, diameter a handful), so plain propagation wins in practice;
+  * a pathological corpus that CHAINS thousands of docs (boilerplate-
+  * linked pages are the classic) escalates automatically: past
+  * `shortcutAfter` rounds each round also shortcuts label := label of
+  * label (pointer doubling, the classic PRAM / hash-to-min trick), so
+  * remaining distance to the component min halves per round and even a
+  * million-hop chain converges in O(log diameter) extra rounds. The
+  * shortcut is one extra self-join of the label table per round, which
+  * is why it is not on from round one — ordinary shallow clusters
+  * never pay for it.
+  *
+  * Each round's label table has its lineage truncated: the iteration
+  * would otherwise grow an exponentially-deep plan that re-executes
+  * every prior round on each action. By default that is
+  * `localCheckpoint` (fast, but its blocks die with executors — an
+  * executor loss mid-iteration fails the job); pass `checkpointDir` to
+  * use reliable `checkpoint` into that directory instead, which
+  * survives executor loss and is the production setting on a real
+  * cluster.
   *
   * Convergence is detected with an exact per-round changed-row count
   * (each round keeps the previous label alongside the new one, and the
@@ -44,6 +55,14 @@ object Clusters {
     * @param edges  verified pair list; `srcCol`/`dstCol` reference
     *               `idCol` values. Extra columns are ignored. Nodes
     *               absent from `edges` come out as singletons.
+    * @param checkpointDir reliable-checkpoint directory for per-round
+    *               lineage truncation (survives executor loss; the
+    *               production setting). Default None = `localCheckpoint`
+    *               (faster, test/single-JVM setting).
+    * @param shortcutAfter rounds of plain propagation before each round
+    *               additionally pointer-doubles (label := label of
+    *               label), making pathological long chains converge in
+    *               O(log diameter) rounds instead of hitting `maxIter`.
     * @return (`idCol`, cluster_id) — cluster_id is the min doc id of
     *         the component, so output ids are stable under re-runs and
     *         under edge-list reordering.
@@ -53,15 +72,24 @@ object Clusters {
   def connectedComponents(
       nodes: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String = "id_a", dstCol: String = "id_b",
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      checkpointDir: Option[String] = None,
+      shortcutAfter: Int = 5): DataFrame = {
     require(maxIter >= 1, "maxIter must be at least 1")
+    require(shortcutAfter >= 0, "shortcutAfter must be non-negative")
+    val truncate: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        nodes.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     // symmetrize once and materialize: every round joins this frame
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col(idCol).cast("long").as("id"))
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    val sym = truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+    var labels = truncate(
+      nodes.select(col(idCol).cast("long").as("id"))
+        .withColumn("label", col("id")))
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
@@ -72,10 +100,29 @@ object Clusters {
       // an exact changed-row COUNT — a sum(label) delta would NPE on an
       // empty node set and can alias to zero under 64-bit wrap at the
       // corpus sizes this targets
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      val propagated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(labels("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+      // pointer doubling past the escalation threshold: label(x) :=
+      // label(label(x)). A label is always the id of a component member
+      // and label(m) <= m, so the shortcut stays component-internal and
+      // monotonically non-increasing — the fixpoint argument and the
+      // changed-count convergence test are unchanged, only reached
+      // exponentially faster on long chains.
+      val next =
+        if (round < shortcutAfter) truncate(propagated)
+        else {
+          // materialize BEFORE the self-join: two consumers of the lazy
+          // propagation frame would execute its join+agg subtree twice
+          val prop = truncate(propagated)
+          val parent = prop.select(col("id").as("pid"), col("label").as("plabel"))
+          // post-projection names are unique, so plain col() refs avoid
+          // the self-join attribute ambiguity prop("...") would invite
+          truncate(
+            prop.join(parent, col("label") === col("pid"), "left")
+              .select(col("id"), col("old_label"),
+                least(col("label"), coalesce(col("plabel"), col("label"))).as("label")))
+        }
       val changed = next.filter(col("label") < col("old_label")).count()
       labels = next.drop("old_label")
       converged = changed == 0L
@@ -83,7 +130,8 @@ object Clusters {
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — " +
-        "raise maxIter or switch to the large-star/small-star scheme")
+        "raise maxIter (or lower shortcutAfter; pointer doubling converges " +
+        "in O(log diameter) rounds once active)")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

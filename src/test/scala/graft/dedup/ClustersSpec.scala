@@ -59,6 +59,42 @@ class ClustersSpec extends SparkSpec {
     }
   }
 
+  test("pointer doubling converges a >30-diameter chain within default maxIter") {
+    import spark.implicits._
+    // an 80-hop chain: plain propagation moves the min label one hop per
+    // round and would need 80 rounds (> default maxIter 30); with the
+    // shortcut active past round 5 the remaining distance halves per
+    // round, so the default parameters must converge
+    val n = 81L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Clusters.connectedComponents(
+        (0L until n).toDF("doc_id"), "doc_id", chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n.toInt)
+    assert(out.values.forall(_ == 0L), out.toSeq.sortBy(_._1).take(10).toString)
+    // without the shortcut the same chain must throw, not mislabel
+    intercept[IllegalStateException] {
+      Clusters.connectedComponents(
+        (0L until n).toDF("doc_id"), "doc_id", chain,
+        shortcutAfter = Int.MaxValue)
+    }
+  }
+
+  test("reliable checkpointDir mode: same labels, checkpoint files on disk") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val out = Clusters.connectedComponents(
+        nodes(1L, 2L, 3L, 4L, 5L), "doc_id",
+        edges((1L, 2L), (2L, 3L), (3L, 4L)),
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
+    // reliable checkpoints actually landed in the requested directory
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, s"no checkpoint files under $dir")
+  }
+
   test("connectedComponents matches a reference union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
