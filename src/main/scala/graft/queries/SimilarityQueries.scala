@@ -318,6 +318,114 @@ object SimilarityQueries {
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     GraftQuery(
+      "q90_ann_ivf_sq8_multiprobe",
+      "Multi-probe IVF-SQ8: q71's composed layout with q88's recall " +
+        "lever — each query probes its 2 nearest cells, candidates " +
+        "ranked by the 8-bit-quantized integer distance. The probe " +
+        "list rides the broadcast side; the corpus is touched once; a " +
+        "neighbor lives in one cell so no dedup follows. Probe-2/3 " +
+        "cell-distance margins are q88's (>= 4.0e-3 at every SF, same " +
+        "centroids/distances/query set); in-cell ranking is integer " +
+        "(dist, id) — hash-exact.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfSq8TopK(e, q, "vec_id", "embedding",
+            k = 3, nLists = 8, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        PROBE AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          WHERE vec_id % 50 = 0
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) <= 2),
+        MM AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(embedding) AS x,
+                       unnest(range(1, len(embedding)+1)) AS i
+                FROM embeddings)
+          GROUP BY i),
+        MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
+        QV AS (
+          SELECT vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(embedding)+1)] AS qv
+          FROM embeddings, MML),
+        P AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                           for i in range(1, len(a.qv)+1)]) AS d
+          FROM QV a
+          JOIN PROBE pa ON pa.vec_id = a.vec_id
+          JOIN CELL cb ON cb.cell = pa.cell
+          JOIN QV b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id),
+        R AS (SELECT query_id, neighbor_id, CAST(d AS BIGINT) AS dist,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY d, neighbor_id) AS rank
+              FROM P)
+        SELECT query_id, rank, neighbor_id, dist FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q91_ann_ivf_pq_multiprobe",
+      "Multi-probe IVF-PQ: q77's billion-scale composition with q88's " +
+        "recall lever — the 2-cell probe list multiplies the broadcast " +
+        "ADC LUT, never the codes scan; a neighbor's single cell " +
+        "matches at most one probe row, so each LUT hit stays unique. " +
+        "Probe margins are q88's; ADC distances integer — hash-exact.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+            k = 3, nLists = 8, m = 8, dim = 64, kCent = 16, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        PROBE AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          WHERE vec_id % 50 = 0
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) <= 2),
+        """ + pqCte + """,
+        ADC AS (
+          SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
+          FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
+          JOIN PROBE pa ON pa.vec_id = l.query_id
+          JOIN CELL cb ON cb.vec_id = c.vec_id AND cb.cell = pa.cell
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2),
+        R AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist, neighbor_id) AS rank
+              FROM ADC)
+        SELECT query_id, rank, neighbor_id, dist FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
       "q26_multimodal_features",
       "Binary media column + metadata struct + stub feature extraction.",
       (spark, dir) => {

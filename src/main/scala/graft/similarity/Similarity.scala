@@ -176,6 +176,25 @@ object Similarity {
     * |Q| x nProbe rows), so the corpus is still touched once and the
     * join stays a broadcast-hash on the cell id. With the cell-
     * partitioned write layout a probe reads nProbe directories. */
+  /** The nProbe nearest cells per query — the probe list every
+    * multi-probe IVF variant shares, built on the (small, broadcast)
+    * query side: |Q| x nLists distance pairs ranked by (l2, cent_id)
+    * down to |Q| x nProbe rows. Rank 1 is exactly [[assignWith]]'s
+    * argmin cell (same distance, same tie-break), so nProbe=1 callers
+    * may use either interchangeably. Returns (idCol, vecCol, cell). */
+  private def probeCells(
+      cent: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int): DataFrame = {
+    val probeW = Window.partitionBy(col(idCol))
+      .orderBy(col("l2"), col("cent_id"))
+    queries
+      .join(broadcast(cent))
+      .withColumn("l2", VectorFunctions.l2Sq(col(vecCol), col("cent_vec")))
+      .withColumn("cell_rank", row_number().over(probeW))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
+  }
+
   def ivfMultiProbeTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nLists: Int, nProbe: Int = 2): DataFrame = {
@@ -183,15 +202,9 @@ object Similarity {
     val cc = assignWith(cent,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
       "neighbor_id", "c_vec")
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("l2"), col("cent_id"))
-    val qProbes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .join(broadcast(cent))
-      .withColumn("l2", VectorFunctions.l2Sq(col("q_vec"), col("cent_vec")))
-      .withColumn("cell_rank", row_number().over(probeW))
-      .filter(col("cell_rank") <= nProbe)
-      .select(col("query_id"), col("q_vec"), col("cent_id").as("cell"))
+    val qProbes = probeCells(cent,
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec", nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cc.join(broadcast(qProbes), Seq("cell"))
@@ -293,15 +306,24 @@ object Similarity {
     * because the in-cell ranking is integer (dist, id). */
   def ivfSq8TopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nLists: Int): DataFrame = {
+      k: Int, nLists: Int, nProbe: Int = 1): DataFrame = {
     val cent = ivfCentroids(corpus, idCol, vecCol, nLists)
     val (mns, mxs) = sq8Ranges(corpus, vecCol)
     val cc = assignWith(cent,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
       "neighbor_id", "c_vec")
-    val qc = assignWith(cent,
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      "query_id", "q_vec")
+    // nProbe=1 keeps the min_by partial-agg assignment plan; the probe
+    // window only enters for true multi-probe. A neighbor lives in ONE
+    // cell and probe cells are distinct, so no dedup pass follows
+    // (exactly [[ivfMultiProbeTopK]]'s argument).
+    val qc =
+      if (nProbe <= 1)
+        assignWith(cent,
+          queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+          "query_id", "q_vec")
+      else probeCells(cent,
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        "query_id", "q_vec", nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
     cc.join(broadcast(qc), Seq("cell"))
@@ -469,16 +491,27 @@ object Similarity {
     * oracle hash-exact. */
   def ivfPqTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nLists: Int = 8, m: Int = 8, dim: Int = 64, kCent: Int = 16): DataFrame = {
+      k: Int, nLists: Int = 8, m: Int = 8, dim: Int = 64, kCent: Int = 16,
+      nProbe: Int = 1): DataFrame = {
     val cent = ivfCentroids(corpus, idCol, vecCol, nLists)
     val (mns, mxs) = sq8Ranges(corpus, vecCol)
     val codebook = pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs)
     val cc = assignWith(cent,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
       "neighbor_id", "c_vec").select(col("neighbor_id"), col("cell"))
-    val qc = assignWith(cent,
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      "query_id", "q_vec").select(col("query_id"), col("cell").as("q_cell"))
+    // multi-probe widens the LUT by nProbe cells per query (the cell
+    // restriction rides ON the broadcast LUT, so the codes side is
+    // untouched); a neighbor's single cell matches at most one distinct
+    // probe row, so each (s, code) LUT hit stays unique — no dedup.
+    val qc =
+      (if (nProbe <= 1)
+         assignWith(cent,
+           queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+           "query_id", "q_vec")
+       else probeCells(cent,
+         queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+         "query_id", "q_vec", nProbe))
+        .select(col("query_id"), col("cell").as("q_cell"))
     val codes = pqEncode(
         corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
         "neighbor_id", vecCol, codebook, m, dim, mns, mxs)

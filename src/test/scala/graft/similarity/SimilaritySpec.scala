@@ -228,6 +228,36 @@ class SimilaritySpec extends SparkSpec {
     assert(all == exact)
   }
 
+  test("multi-probe IVF-SQ8/IVF-PQ: superset candidates, nProbe=1 unchanged, all-cells = flat") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    // SQ8: nProbe=1 must be exactly the single-probe operator (shared
+    // tie-break contract between assignWith and probeCells rank 1)
+    val sq8Single = pairs(Similarity.ivfSq8TopK(e, q, "vec_id", "embedding", k = 3, nLists = 8))
+    val sq8Probe1 = pairs(Similarity.ivfSq8TopK(e, q, "vec_id", "embedding", k = 3, nLists = 8, nProbe = 1))
+    assert(sq8Single == sq8Probe1)
+    // recall vs the SQ8 brute-force ranking never drops with more probes
+    val sq8Flat = pairs(Similarity.sq8TopK(e, q, "vec_id", "embedding", k = 3))
+    val sq8Multi = pairs(Similarity.ivfSq8TopK(e, q, "vec_id", "embedding", k = 3, nLists = 8, nProbe = 2))
+    assert((sq8Flat & sq8Multi).size >= (sq8Flat & sq8Single).size)
+    // probing every cell degenerates to the flat SQ8 ranking
+    val sq8All = pairs(Similarity.ivfSq8TopK(e, q, "vec_id", "embedding", k = 3, nLists = 8, nProbe = 8))
+    assert(sq8All == sq8Flat)
+
+    // PQ: same three contracts against the flat ADC ranking
+    val pqSingle = pairs(Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 3))
+    val pqProbe1 = pairs(Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 3, nProbe = 1))
+    assert(pqSingle == pqProbe1)
+    val pqFlat = pairs(Similarity.pqTopK(e, q, "vec_id", "embedding", k = 3))
+    val pqMulti = pairs(Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 3, nProbe = 2))
+    assert((pqFlat & pqMulti).size >= (pqFlat & pqSingle).size)
+    val pqAll = pairs(Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 3, nProbe = 8))
+    assert(pqAll == pqFlat)
+  }
+
   test("pqTopK recall overlaps brute force on real embeddings") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)
