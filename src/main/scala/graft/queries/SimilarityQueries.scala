@@ -62,6 +62,37 @@ object SimilarityQueries {
                            for i in range(1, 9)]) AS d
           FROM QV qq, SUBC sc WHERE qq.vec_id % 50 = 0)"""
 
+  /** The IVF-PQ top-3 oracle, shared VERBATIM by q77 (inline operator)
+    * and q89 (probe of the written index): both must produce exactly
+    * this ranking — that q89 does so while scanning only the stored
+    * codes/cell=N dirs is the point of the query. */
+  private val ivfPqOracle: String = """
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        """ + pqCte + """,
+        ADC AS (
+          SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
+          FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
+          JOIN CELL ca ON ca.vec_id = l.query_id
+          JOIN CELL cb ON cb.vec_id = c.vec_id AND cb.cell = ca.cell
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2),
+        R AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist, neighbor_id) AS rank
+              FROM ADC)
+        SELECT query_id, rank, neighbor_id, dist FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank"""
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -579,31 +610,28 @@ object SimilarityQueries {
             k = 3, nLists = 8, m = 8, dim = 64, kCent = 16)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("""
-        WITH CENT AS (
-          SELECT vec_id AS cent_id, embedding AS cent_vec
-          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-        D AS (
-          SELECT e.vec_id, c.cent_id,
-                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
-          FROM embeddings e, CENT c, range(1, 65) i(i)
-          GROUP BY e.vec_id, c.cent_id),
-        CELL AS (
-          SELECT vec_id, cent_id AS cell FROM D
-          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
-        """ + pqCte + """,
-        ADC AS (
-          SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
-          FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
-          JOIN CELL ca ON ca.vec_id = l.query_id
-          JOIN CELL cb ON cb.vec_id = c.vec_id AND cb.cell = ca.cell
-          WHERE c.vec_id <> l.query_id
-          GROUP BY 1, 2),
-        R AS (SELECT query_id, neighbor_id, dist,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY dist, neighbor_id) AS rank
-              FROM ADC)
-        SELECT query_id, rank, neighbor_id, dist FROM R
-        WHERE rank <= 3 ORDER BY query_id, rank"""))
+      Some(ivfPqOracle)),
+
+    GraftQuery(
+      "q89_ann_from_index",
+      "ANN served from a WRITTEN index: writeIvfPqIndex materializes " +
+        "codes (one dir per coarse cell) + centroids/codebook/ranges, " +
+        "then ivfPqTopKFromIndex answers q77's exact ranking from the " +
+        "stored artifacts alone — corpus vectors never re-read, probed " +
+        "cell dirs pruned statically (plan-asserted in spec). Shares " +
+        "q77's oracle SQL verbatim; integer (dist, id) ranking, " +
+        "hash-exact.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_q89_index").toString
+        graft.sinks.CorpusSink.writeIvfPqIndex(
+          e, "vec_id", "embedding", idx, nLists = 8, m = 8, dim = 64, kCent = 16)
+        Similarity.ivfPqTopKFromIndex(spark, idx, q, "vec_id", "embedding",
+            k = 3, m = 8, dim = 64, nProbe = 1)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqOracle))
   )
 }

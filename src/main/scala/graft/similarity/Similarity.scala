@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -476,6 +476,73 @@ object Similarity {
       .join(codebook.select(col("s"), col("j"), col("qsub")), Seq("s"))
       .withColumn("d", graft.functions.IntArrayL2.intArrayL2(col("sub"), col("qsub")))
       .select(col("query_id"), col("s").as("ls"), col("j").as("lj"), col("d"))
+  }
+
+  /** Top-k from a WRITTEN IVF-PQ index
+    * ([[graft.sinks.CorpusSink.writeIvfPqIndex]]'s layout) — the
+    * serving path the inline operators' docstrings promise: corpus
+    * vectors are NEVER read; the probe touches
+    *
+    *  - `centroids` / `ranges` / `codebook`: tiny global artifacts
+    *    (nLists, dim, m x kCent rows) that parameterize the query-side
+    *    work exactly as the inline [[ivfPqTopK]] computes them;
+    *  - `codes/cell=N`: ONLY the query batch's probed cell directories
+    *    — the probe cell set is collected driver-side (|Q| x nProbe
+    *    longs, a per-query-batch artifact like the ADC LUT itself) and
+    *    applied as a literal IN filter, so the pruning is static
+    *    partition pruning visible in the plan's PartitionFilters, and
+    *    the scan reads m bytes per candidate.
+    *
+    * Identical output to [[ivfPqTopK]] with the same parameters by
+    * construction: stored codes/codebook/ranges are exact integers and
+    * float64 stats, and the query-side cell assignment recomputes the
+    * same argmin over the same stored centroids. `m`/`dim` must match
+    * the write (the stored artifacts carry no schema header — the
+    * caller owns index versioning). */
+  def ivfPqTopKFromIndex(
+      spark: SparkSession, indexPath: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, dim: Int = 64, nProbe: Int = 1): DataFrame = {
+    val cent = spark.read.parquet(s"$indexPath/centroids")
+    val rangeRows = spark.read.parquet(s"$indexPath/ranges")
+      .orderBy(col("i")).collect()
+    val mns = rangeRows.map(_.getDouble(1)).toSeq
+    val mxs = rangeRows.map(_.getDouble(2)).toSeq
+    val codebook = spark.read.parquet(s"$indexPath/codebook")
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qc =
+      (if (nProbe <= 1) assignWith(cent, q, "query_id", "q_vec")
+       else probeCells(cent, q, "query_id", "q_vec", nProbe))
+        .select(col("query_id"), col("cell").as("q_cell"))
+    val probedCells = qc.select(col("q_cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // literal IN over the hive partition column (typed by directory
+    // inference) -> static PartitionFilters; unprobed cell dirs are
+    // never opened. An empty query batch probes nothing.
+    val cellFilter =
+      if (probedCells.isEmpty) lit(false)
+      else expr(s"cell IN (${probedCells.mkString(",")})")
+    val codes = spark.read.parquet(s"$indexPath/codes")
+      .filter(cellFilter)
+      .select(col(idCol).as("neighbor_id"), col("cell").cast("long").as("cell"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .select(col("neighbor_id"), col("cell"),
+        col("s").cast("long").as("s"), col("code"))
+    val lut = pqLut(queries, idCol, vecCol, codebook, m, dim, mns, mxs)
+      .join(qc, Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    codes
+      .join(broadcast(lut),
+        col("s") === col("ls") && col("code") === col("lj") &&
+          col("cell") === col("q_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
 
   /** IVF-PQ: the full billion-scale composition — the deterministic

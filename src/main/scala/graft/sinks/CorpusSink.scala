@@ -82,14 +82,60 @@ object CorpusSink {
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       m: Int = 8, dim: Int = 64, kCent: Int = 16): Unit = {
     import graft.similarity.Similarity
-    val spark = corpus.sparkSession
     val (mns, mxs) = Similarity.sq8Ranges(corpus, vecCol)
     val codebook = Similarity.pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs)
-    Similarity.pqEncode(corpus, idCol, vecCol, codebook, m, dim, mns, mxs)
+    packedCodes(corpus, idCol, vecCol, codebook, m, dim, mns, mxs)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+    writePqArtifacts(corpus, path, codebook, mns, mxs)
+  }
+
+  /** IVF-PQ serving layout — [[writePqIndex]] composed with the IVF
+    * cell partitioner, the materialized form of
+    * [[graft.similarity.Similarity.ivfPqTopK]]:
+    *
+    *   `path/codes/cell=N` — per-vector PQ codes, one DIRECTORY per
+    *                         coarse cell, so a probe reads exactly its
+    *                         nProbe cell dirs (partition pruning) and
+    *                         only m code bytes per candidate;
+    *   `path/centroids`    — (cent_id, cent_vec), the coarse quantizer;
+    *   `path/codebook` / `path/ranges` — as [[writePqIndex]].
+    *
+    * [[graft.similarity.Similarity.ivfPqTopKFromIndex]] answers top-k
+    * from this layout alone — the corpus vectors are never read again. */
+  def writeIvfPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nLists: Int = 8, m: Int = 8, dim: Int = 64, kCent: Int = 16): Unit = {
+    import graft.similarity.Similarity
+    val (mns, mxs) = Similarity.sq8Ranges(corpus, vecCol)
+    val codebook = Similarity.pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs)
+    packedCodes(corpus, idCol, vecCol, codebook, m, dim, mns, mxs)
+      .join(Similarity.ivfAssignCells(corpus, idCol, vecCol, nLists)
+        .select(col(idCol), col("cell")), Seq(idCol))
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/codes")
+    Similarity.ivfCentroids(corpus, idCol, vecCol, nLists).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    writePqArtifacts(corpus, path, codebook, mns, mxs)
+  }
+
+  /** One row per vector with its m codes packed into an array — the
+    * stored form both PQ layouts share. */
+  private def packedCodes(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int, dim: Int,
+      mns: Seq[Double], mxs: Seq[Double]): DataFrame =
+    graft.similarity.Similarity
+      .pqEncode(corpus, idCol, vecCol, codebook, m, dim, mns, mxs)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("sc"))
       .select(col(idCol), expr("transform(sc, x -> x.code)").as("codes"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+
+  private def writePqArtifacts(
+      corpus: DataFrame, path: String, codebook: DataFrame,
+      mns: Seq[Double], mxs: Seq[Double]): Unit = {
+    val spark = corpus.sparkSession
     codebook.coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/codebook")
     import spark.implicits._

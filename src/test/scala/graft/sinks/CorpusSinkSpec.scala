@@ -74,6 +74,49 @@ class CorpusSinkSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == probeCells.toSet)
   }
 
+  test("writeIvfPqIndex + ivfPqTopKFromIndex: q77's ranking from stored artifacts only") {
+    val sim = graft.similarity.Similarity
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val out = tmp("ivf_pq_index")
+    CorpusSink.writeIvfPqIndex(e, "vec_id", "embedding", out)
+    assert(Seq("codes", "centroids", "codebook", "ranges")
+      .forall(d => new java.io.File(s"$out/$d").isDirectory))
+    val cellDirs = new java.io.File(s"$out/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.startsWith("cell=")))
+
+    // make the query side a LOCAL frame so the probe plan's ONLY file
+    // scans are the index artifacts — proving corpus vectors are never
+    // re-read is the point of the layout
+    val spark2 = spark
+    import spark2.implicits._
+    val qLocal = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+
+    val served = sim.ivfPqTopKFromIndex(spark, out, qLocal, "vec_id", "embedding", k = 3)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"), plan)
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+
+    // identical ranking to the inline operator (q77's semantics)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val inline = sim.ivfPqTopK(e, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = served
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == inline)
+
+    // multi-probe rides the same written layout
+    val servedMp = sim.ivfPqTopKFromIndex(
+        spark, out, qLocal, "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val inlineMp = sim.ivfPqTopK(e, q, "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(servedMp == inlineMp)
+  }
+
   test("writePqIndex: codes/codebook/ranges layout, codes agree with pqEncode") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val out = tmp("pq_index")
