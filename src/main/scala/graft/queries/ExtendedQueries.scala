@@ -31,6 +31,34 @@ object ExtendedQueries {
         FROM lineitem""")),
 
     GraftQuery(
+      "q92_approx_distinct",
+      "HLL++ approx_count_distinct wired to the oracle gate: the Spark " +
+        "side computes BOTH the exact distinct counts and the HLL " +
+        "estimates (rsd 5%) in one aggregation, and emits the exact " +
+        "counts plus a boolean asserting every estimate landed within " +
+        "2x rsd of its exact value; the oracle recomputes the exact " +
+        "counts and expects TRUE. The estimate itself is deliberately " +
+        "not hash-compared (engines' sketches differ); the query is " +
+        "green only while Spark's estimates stay inside the documented " +
+        "tolerance. HLL merge is commutative with a fixed hash, so the " +
+        "flag is deterministic under any partitioning.",
+      (spark, dir) =>
+        Tables.table(spark, dir, "lineitem").agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.05).as("a_parts"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.05).as("a_supps"))
+        .select(col("n_parts"), col("n_supps"),
+          (abs(col("a_parts") - col("n_parts")) <= col("n_parts") * 0.10 &&
+            abs(col("a_supps") - col("n_supps")) <= col("n_supps") * 0.10)
+            .as("within_tolerance")),
+      Some("""
+        SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               TRUE AS within_tolerance
+        FROM lineitem""")),
+
+    GraftQuery(
       "q30_set_ops",
       "UNION / INTERSECT / EXCEPT over two key sets, tagged into one result.",
       (spark, dir) => {
