@@ -116,11 +116,15 @@ object Dedup {
     * shuffle the full bucket table both ways; the groupBy touches the
     * signature once. Bucket membership lists are tiny (only colliding
     * docs), so the pair-expansion lambda cost is negligible. */
-  def lshCandidates(
+  /** The exploded LSH band-value table of a minhash signature frame:
+    * (id, band, bv) — nBands rows per doc, bv an md5 over the band's
+    * hash components. This IS the durable near-dup index row format
+    * ([[graft.streaming.NearDedupStream]] appends exactly these rows
+    * per batch); [[lshCandidates]] derives in-batch candidate pairs by
+    * bucketing it. */
+  def bandTable(
       sig: DataFrame, idCol: String,
-      nHashes: Int = 8, rowsPerBand: Int = 2,
-      maxBucket: Int = 100000): DataFrame = {
-    require(maxBucket >= 2, "maxBucket must allow at least one pair")
+      nHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val nBands = nHashes / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
@@ -129,6 +133,14 @@ object Dedup {
     sig
       .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bd"))
       .select(col("id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+  }
+
+  def lshCandidates(
+      sig: DataFrame, idCol: String,
+      nHashes: Int = 8, rowsPerBand: Int = 2,
+      maxBucket: Int = 100000): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must allow at least one pair")
+    bandTable(sig, idCol, nHashes, rowsPerBand)
       .groupBy(col("band"), col("bv"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       // Hot-bucket cap (standard practice): a degenerate band value shared

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
@@ -41,8 +41,6 @@ import graft.functions.TextFunctions
   */
 object IncrementalDedup {
 
-  private val indexSchema = StructType(Seq(
-    StructField("fp", StringType), StructField("batch", LongType)))
   private val seedSchema = StructType(Seq(StructField("fp", StringType)))
 
   /** Fingerprint partitions written by batches strictly before
@@ -50,43 +48,13 @@ object IncrementalDedup {
     * batch (missing directory). Root-level data files (an index dir
     * seeded by a plain fp-only parquet write, e.g. a batch backfill)
     * count as OLDEST history (batch -1), so seeded history is never
-    * silently ignored.
-    *
-    * Root files and `batch=N` partition directories are listed and read
-    * as two separate frames unioned — NOT one partition-discovery read:
-    * once the stream writes its first `batch=N` partition next to seed
-    * files, Spark's discovery would reject the mixed layout with
-    * "Conflicting directory structures detected" and halt the stream,
-    * so the seed-then-stream flow only worked until the first streamed
-    * batch. The listing is one driver-side directory scan (O(#batches)
-    * entries). Any read failure beyond a missing root propagates —
-    * silently treating a corrupt/unreadable index as empty would void
-    * the durable-dedup guarantee and re-emit months of duplicates. */
+    * silently ignored even once streamed `batch=N` partitions land
+    * beside the seed files (the mixed layout [[BatchIndex]] exists
+    * for). */
   def readIndex(
       spark: SparkSession, indexDir: String,
-      beforeBatch: Long = Long.MaxValue): DataFrame = {
-    val empty = spark.createDataFrame(new java.util.ArrayList[Row](), indexSchema)
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) empty
-    else {
-      val entries = fs.listStatus(root)
-      val batchDirs = entries.filter(e =>
-        e.isDirectory && e.getPath.getName.startsWith("batch="))
-      val seedFiles = entries.filter(e =>
-        e.isFile && e.getPath.getName.endsWith(".parquet"))
-      val parts =
-        (if (batchDirs.isEmpty) Nil
-         else Seq(spark.read.option("basePath", indexDir).schema(indexSchema)
-           .parquet(batchDirs.map(_.getPath.toString).toIndexedSeq: _*))) ++
-        (if (seedFiles.isEmpty) Nil
-         else Seq(spark.read.schema(seedSchema)
-           .parquet(seedFiles.map(_.getPath.toString).toIndexedSeq: _*)
-           .withColumn("batch", lit(-1L))))
-      parts.reduceOption(_.unionByName(_)).getOrElse(empty)
-        .filter(coalesce(col("batch"), lit(-1L)) < beforeBatch)
-    }
-  }
+      beforeBatch: Long = Long.MaxValue): DataFrame =
+    BatchIndex.read(spark, indexDir, seedSchema, beforeBatch)
 
   /** One micro-batch: survivors of `batch` against the index state as
     * of `beforeBatch` (also the batch-backfill entry point, so both

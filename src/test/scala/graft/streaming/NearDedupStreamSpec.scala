@@ -1,0 +1,123 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+
+class NearDedupStreamSpec extends SparkSpec {
+
+  private val base =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+
+  test("near-dup variants drop within-batch, cross-batch, and exactly — durably") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("near_dedup").toString
+    val in = MemoryStream[(Long, String)]
+    val emitted = mutable.ArrayBuffer.empty[Long]
+
+    val q = NearDedupStream.nearDedupStreamToIndex(
+        in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/index", s"$dir/ckpt") { (batch, _) =>
+      emitted.synchronized {
+        emitted ++= batch.select("doc_id").collect().map(_.getLong(0))
+      }
+    }.start()
+    try {
+      // batch 0: 2 is a near-variant of 1 (within-batch), 3 is distinct
+      in.addData(
+        (1L, base),
+        (2L, base + " mike november"),
+        (3L, "one two three four five six seven eight nine ten eleven twelve"))
+      q.processAllAvailable()
+      assert(emitted.toSet == Set(1L, 3L))
+
+      // batch 1: 4 is a DIFFERENT variant of 1 (canonical-variant case —
+      // not byte-identical to anything admitted), 5 is an exact copy of
+      // 1, 6 is new
+      in.addData(
+        (4L, base + " oscar papa"),
+        (5L, base),
+        (6L, "separate vocabulary entirely again here with more unique words now"))
+      q.processAllAvailable()
+      assert(emitted.toSet == Set(1L, 3L, 6L))
+    } finally q.stop()
+
+    // the index holds exactly the admitted docs' texts and their bands
+    val docsIdx = NearDedupStream.readDocs(spark, s"$dir/index")
+    assert(docsIdx.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 6L))
+    val bandsIdx = NearDedupStream.readBands(spark, s"$dir/index")
+    assert(bandsIdx.select("id").distinct().collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L, 6L))
+    assert(bandsIdx.count() == 3 * 4) // nBands = 8 hashes / 2 rows
+
+    // replay safety: re-running batch 1's data AS batch 1 reproduces its
+    // survivors even though 6's own bands are already indexed
+    val batch1 = Seq(
+      (4L, base + " oscar papa"), (5L, base),
+      (6L, "separate vocabulary entirely again here with more unique words now")
+    ).toDF("doc_id", "text")
+    val replayed = NearDedupStream.nearDedupBatch(
+        batch1, s"$dir/index", "doc_id", "text", beforeBatch = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replayed == Set(6L))
+    // without the fence the same data anti-joins its own leftovers
+    val fenceless = NearDedupStream.nearDedupBatch(
+      batch1, s"$dir/index", "doc_id", "text")
+    assert(fenceless.count() == 0)
+  }
+
+  test("streamed near-dedup == the batch candidates->verify composition (real fixture)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.table(spark, sf001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+
+    val dir = java.nio.file.Files.createTempDirectory("near_dedup_parity").toString
+    val in = MemoryStream[(Long, String)]
+    val streamed = mutable.ArrayBuffer.empty[Long]
+    val q = NearDedupStream.nearDedupStreamToIndex(
+        in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/index", s"$dir/ckpt") { (batch, _) =>
+      streamed.synchronized {
+        streamed ++= batch.select("doc_id").collect().map(_.getLong(0))
+      }
+    }.start()
+    try {
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch twin, composed INDEPENDENTLY from the Dedup primitives:
+    // survivors of b1 = b1 minus larger ids of its verified pairs
+    def withinSurvivors(b: Seq[(Long, String)]): Seq[(Long, String)] = {
+      val drop = Dedup.jaccardOnCandidates(
+          b.toDF("doc_id", "text"), "doc_id", "text")
+        .select("id_b").collect().map(_.getLong(0)).toSet
+      b.filterNot(d => drop(d._1))
+    }
+    val s1 = withinSurvivors(b1.toSeq)
+    val s2w = withinSurvivors(b2.toSeq)
+    // cross-batch: band collisions between b2's within-survivors and s1
+    def bands(rows: Seq[(Long, String)]) =
+      Dedup.bandTable(
+        Dedup.minhashSignature(rows.toDF("doc_id", "text"), "doc_id", "text"),
+        "doc_id")
+    val cand = bands(s2w).as("nb")
+      .join(bands(s1).as("ob"), Seq("band", "bv"))
+      .select(col("ob.id").as("id_a"), col("nb.id").as("id_b")).distinct()
+    val crossDrop = Dedup.jaccardVerify(
+        (s1 ++ s2w).toDF("doc_id", "text"), cand, "doc_id", "text")
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val expected = s1.map(_._1).toSet ++ s2w.map(_._1).filterNot(crossDrop).toSet
+    assert(streamed.toSet == expected)
+    // the fixture actually exercises the near-dup path across batches
+    assert(crossDrop.nonEmpty || Dedup.jaccardOnCandidates(
+      docs.toSeq.toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+  }
+}
