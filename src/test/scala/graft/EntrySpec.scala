@@ -79,6 +79,40 @@ class PropertySpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("shingle_overlap_set membership == the SQL shingles twin on mixed-whitespace text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // every Java-regex \s char PLUS U+00A0 NBSP (which \s does NOT
+    // match — both sides must agree it is a word character): the exact
+    // fringe where the round-5 kernel/SQL divergence lived
+    val wsGen = Gen.chooseNum(1, 3).flatMap(k => Gen.listOfN(k,
+      Gen.oneOf(' ', '\t', '\n', '\r', '\u000b', '\f', '\u00a0'))).map(_.mkString)
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val textGen = for {
+      lead <- Gen.option(wsGen)
+      k <- Gen.chooseNum(0, 8)
+      words <- Gen.listOfN(k, wordGen)
+      seps <- Gen.listOfN(math.max(k - 1, 0), wsGen)
+      trail <- Gen.option(wsGen)
+    } yield lead.getOrElse("") +
+      words.zipAll(seps, "", "").map { case (w, s) => w + s }.mkString +
+      trail.getOrElse("")
+    val gramGen = Gen.listOfN(3, wordGen).map(_.mkString(" "))
+    check(Prop.forAll(
+      Gen.listOfN(8, textGen), Gen.nonEmptyListOf(gramGen)) { (texts, grams) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val out = df.select(
+        graft.functions.ShingleOverlapSet
+          .shingleOverlapSet(col("text"), 3, grams.distinct).as("kernel"),
+        arrays_overlap(
+          graft.functions.TextFunctions.shingles(col("text"), 3),
+          array(grams.distinct.map(lit): _*)).as("sql")
+      ).collect()
+      out.forall(r => !r.isNullAt(1) && r.getBoolean(0) == r.getBoolean(1))
+    }, n = 25)
+  }
+
   test("funnel reach is monotone: counts never increase with step index") {
     import spark.implicits._
     val evGen = for {
