@@ -209,6 +209,81 @@ object DedupQueries {
         ORDER BY doc_id""")),
 
     GraftQuery(
+      "q93_incremental_near_dedup",
+      "Incremental NEAR-dedup: a new batch (odd ids) against a durable " +
+        "LSH band index seeded from the accumulated corpus (even ids) — " +
+        "q49's production flow for NEAR duplicates, and the exact batch " +
+        "core the streaming NearDedupStream runs per micro-batch " +
+        "(within-batch candidates->verify, then band-join + verify " +
+        "against the index, old texts semi-join-pruned). Also exercises " +
+        "the root-file index seed path end-to-end. Oracle composes " +
+        "q43's CTEs into the two-set version; integer 1:2 threshold, " +
+        "hash-exact.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val old = d.filter(col("doc_id") % 2 === 0)
+        val fresh = d.filter(col("doc_id") % 2 === 1)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_q93_index").toString
+        Dedup.bandTable(
+            Dedup.minhashSignature(old, "doc_id", "text"), "doc_id")
+          .write.parquet(s"$idx/bands")
+        old.select(col("doc_id").as("id"), col("text"))
+          .write.parquet(s"$idx/docs")
+        graft.streaming.NearDedupStream
+          .nearDedupBatch(fresh, idx, "doc_id", "text")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(shingleCte + raw""",
+        H AS (SELECT doc_id, md5(g) AS hg FROM S),
+        SIG AS (
+          SELECT doc_id,
+                 min(substr(hg, 1, 4)) AS h0, min(substr(hg, 5, 4)) AS h1,
+                 min(substr(hg, 9, 4)) AS h2, min(substr(hg, 13, 4)) AS h3,
+                 min(substr(hg, 17, 4)) AS h4, min(substr(hg, 21, 4)) AS h5,
+                 min(substr(hg, 25, 4)) AS h6, min(substr(hg, 29, 4)) AS h7
+          FROM H GROUP BY doc_id),
+        B AS (
+          SELECT doc_id, t.b AS band,
+                 CASE t.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                          WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS bv
+          FROM SIG, unnest([0, 1, 2, 3]) AS t(b)),
+        N AS (SELECT doc_id, count(*) AS n FROM S GROUP BY doc_id),
+        CW AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM B x JOIN B y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+          WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 1),
+        PW AS (SELECT c.id_a, c.id_b, count(*) AS common
+               FROM CW c
+               JOIN S x ON x.doc_id = c.id_a
+               JOIN S y ON y.doc_id = c.id_b AND y.g = x.g
+               GROUP BY 1, 2),
+        WD AS (SELECT DISTINCT p.id_b
+               FROM PW p JOIN N na ON p.id_a = na.doc_id
+               JOIN N nb ON p.id_b = nb.doc_id
+               WHERE p.common * 2 >= (na.n + nb.n - p.common) * 1),
+        SURV1 AS (SELECT doc_id FROM documents
+                  WHERE doc_id % 2 = 1
+                    AND doc_id NOT IN (SELECT id_b FROM WD)),
+        CC AS (
+          SELECT DISTINCT o.doc_id AS id_a, sv.doc_id AS id_b
+          FROM B o JOIN B nn ON o.band = nn.band AND o.bv = nn.bv
+          JOIN SURV1 sv ON sv.doc_id = nn.doc_id
+          WHERE o.doc_id % 2 = 0),
+        PC AS (SELECT c.id_a, c.id_b, count(*) AS common
+               FROM CC c
+               JOIN S x ON x.doc_id = c.id_a
+               JOIN S y ON y.doc_id = c.id_b AND y.g = x.g
+               GROUP BY 1, 2),
+        CD AS (SELECT DISTINCT p.id_b
+               FROM PC p JOIN N na ON p.id_a = na.doc_id
+               JOIN N nb ON p.id_b = nb.doc_id
+               WHERE p.common * 2 >= (na.n + nb.n - p.common) * 1)
+        SELECT doc_id FROM SURV1
+        WHERE doc_id NOT IN (SELECT id_b FROM CD)
+        ORDER BY doc_id""")),
+
+    GraftQuery(
       "q33_simhash_near_dups",
       "SimHash pairs with Hamming <= 2 via block-partition bucketing " +
         "(exact, no O(n^2) scan); oracle is the brute-force cross join.",
