@@ -107,6 +107,30 @@ object CorpusOps {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-document benchmark contamination REPORT — the fractional
+    * complement of [[decontaminate]]'s binary drop (C4 drops on any
+    * overlap; Dolma-style audits want the overlap SHARE to pick a
+    * threshold): for every corpus doc with at least one n-gram, its
+    * distinct-n-gram count, how many of those hit the benchmark set,
+    * and the ratio. Same scale shape as [[decontaminate]] — benchmark
+    * grams broadcast, corpus scanned once, one per-doc hash agg with
+    * map-side partials; counts are exact integers and the rate is one
+    * double division, so every engine agrees bit-for-bit. */
+  def contaminationStats(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    val benchGrams = graft.dedup.Dedup
+      .shingleTable(benchmark, idCol, textCol, shingleN)
+      .select(col("g")).distinct()
+    graft.dedup.Dedup.shingleTable(corpus, idCol, textCol, shingleN)
+      .join(broadcast(benchGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .withColumn("contamination_rate",
+        expr("CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE)"))
+  }
+
   /** Per-row decontamination: the streaming-capable twin of
     * [[decontaminate]]. Each document is probed against the benchmark
     * n-gram set by the codegen'd

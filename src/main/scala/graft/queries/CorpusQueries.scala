@@ -173,6 +173,41 @@ object CorpusQueries {
         ORDER BY df DESC, term LIMIT 20""")),
 
     GraftQuery(
+      "q94_contamination_rate",
+      "Per-doc benchmark contamination report (the fractional " +
+        "complement of q54's binary drop): distinct 4-gram count, " +
+        "benchmark hits, and the overlap share per corpus doc — the " +
+        "audit view a threshold-based decontamination policy tunes on. " +
+        "Benchmark grams broadcast, corpus scanned once, one per-doc " +
+        "agg; exact integer counts, single double division.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val corpus = d.filter(col("doc_id") % 10 =!= 7)
+        val bench = d.filter(col("doc_id") % 10 === 7)
+        CorpusOps.contaminationStats(corpus, bench, "doc_id", "text", shingleN = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH CORPUS AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+        BENCH AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+        CW AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM CORPUS),
+        CS AS (SELECT DISTINCT doc_id,
+                      unnest([array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)]) AS g
+               FROM CW),
+        BW AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM BENCH),
+        BS AS (SELECT DISTINCT
+                      unnest([array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)]) AS g
+               FROM BW)
+        SELECT c.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS contamination_rate
+        FROM CS c LEFT JOIN BS b ON b.g = c.g
+        GROUP BY c.doc_id
+        ORDER BY c.doc_id""")),
+
+    GraftQuery(
       "q63_decontaminate_rows",
       "Per-row decontamination (the streaming-capable twin of q54): the " +
         "fused shingle_overlap_set codegen kernel probes each doc's " +

@@ -42,6 +42,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == Set(2L)) // doc 1 shares the 4-gram "alpha beta gamma delta"
   }
 
+  test("contaminationStats: hand-checked rates, and rate>0 iff decontaminate drops") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta unrelated tail"),      // 3 4-grams, 1 hit
+      (2L, "totally disjoint words here now friends")     // 3 4-grams, 0 hits
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "prefix alpha beta gamma delta suffix")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.contaminationStats(corpus, bench, "doc_id", "text", shingleN = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(2L) == ((3L, 0L, 0.0)))
+    // the binary policy and the fractional report agree on who is touched
+    val dropped = Set(1L)
+    val kept = CorpusOps.decontaminate(corpus, bench, "doc_id", "text", shingleN = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._2._2 > 0).keySet == dropped && !kept.exists(dropped))
+  }
+
   test("decontaminateRows == join-based decontaminate on real docs; works on a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
