@@ -71,6 +71,26 @@ class NearDedupStreamSpec extends SparkSpec {
     assert(fenceless.count() == 0)
   }
 
+  test("nearDedupBatch plans equi-joins only — no nested loop, no cartesian") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("near_dedup_plan").toString
+    val old = Seq((10L, base), (12L, "other text entirely for the index side here"))
+      .toDF("doc_id", "text")
+    Dedup.bandTable(
+        Dedup.minhashSignature(old, "doc_id", "text"), "doc_id")
+      .write.parquet(s"$dir/index/bands")
+    old.select(col("doc_id").as("id"), col("text"))
+      .write.parquet(s"$dir/index/docs")
+    val out = NearDedupStream.nearDedupBatch(
+      Seq((21L, base + " oscar papa"), (23L, "fresh unrelated words again"))
+        .toDF("doc_id", "text"),
+      s"$dir/index", "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(23L))
+  }
+
   test("streamed near-dedup == the batch candidates->verify composition (real fixture)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
