@@ -250,6 +250,26 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Per-query recall report of an approximate top-k against the exact
+    * one — the evaluation loop every ANN deployment tunes its
+    * nProbe/nBits/nLists on. Both inputs are top-k frames
+    * (query_id, rank, neighbor_id); output is one row per query with
+    * the exact-neighbor count, how many the approximate result found,
+    * and the recall ratio. One equi-join on (query, neighbor) + one
+    * per-query agg — integer counts, single double division, so the
+    * report is engine-exact whenever the two rankings are. */
+  def recallReport(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(
+        approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall",
+        expr("CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE)"))
+
   /** Per-dimension [min, max] of the corpus vectors — the SQ8
     * quantization ranges. A dims-sized global statistic (like the IVF
     * centroid list): one aggregate job, collected once, embedded in the

@@ -258,6 +258,26 @@ class SimilaritySpec extends SparkSpec {
     assert(pqAll == pqFlat)
   }
 
+  test("recallReport: exact-vs-exact is all 1.0, all-cells probe reaches 1.0, counts add up") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+    val self = Similarity.recallReport(exact, exact)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(self.nonEmpty && self.forall { case (ne, nh, rc) => ne == 3 && nh == 3 && rc == 1.0 })
+    // probing every cell IS brute force, so the report must be all 1.0
+    val allCells = Similarity.ivfMultiProbeTopK(e, q, "vec_id", "embedding",
+      k = 3, nLists = 8, nProbe = 8)
+    assert(Similarity.recallReport(exact, allCells)
+      .collect().forall(_.getDouble(3) == 1.0))
+    // single-probe recall is a proper fraction with consistent counts
+    val single = Similarity.recallReport(exact,
+        Similarity.ivfDeterministicTopK(e, q, "vec_id", "embedding", k = 3, nLists = 8))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(single.forall { case (ne, nh, rc) =>
+      nh <= ne && rc == nh.toDouble / ne.toDouble })
+  }
+
   test("pqTopK recall overlaps brute force on real embeddings") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)
