@@ -127,6 +127,36 @@ object Sampling {
       .drop("rk")
   }
 
+  /** Deterministic per-source TOKEN-budget sampling: pretraining mixes
+    * are specified in tokens, not document counts ([[uniformPerGroup]]
+    * caps docs; this caps tokens). Each source's docs are ranked by the
+    * salted md5 permutation (the same deterministic shuffle every other
+    * selection here uses), and a doc survives iff the tokens BEFORE it
+    * in that order are under the budget — so the doc that crosses the
+    * boundary is the last one kept and every source lands within one
+    * document of its budget. One window per source (bounded groups,
+    * never a global cumsum); token counts via [[
+    * graft.functions.TextFunctions.tokenCount]], whose oracle parity is
+    * established (q16). Output keeps `n_tokens` for downstream
+    * accounting. Rerun/partition/engine-invariant like the rest of the
+    * family. */
+  def sampleToTokenBudget(
+      df: DataFrame, idCol: String, textCol: String, srcCol: String,
+      budgetTokens: Long, salt: String = "budget"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("n_tokens",
+        coalesce(graft.functions.TextFunctions.tokenCount(col(textCol))
+          .cast("long"), lit(0L)))
+      .withColumn("cum_before", coalesce(
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("cum_before") < budgetTokens)
+      .drop("cum_before")
+  }
+
   /** Sharded concat-and-chunk packing: assigns each document to a
     * fixed-token-budget bin, the way LLM training shards are packed.
     *

@@ -213,6 +213,37 @@ object PipelineQueries {
         ORDER BY doc_id""")),
 
     GraftQuery(
+      "q96_token_budget_sample",
+      "Deterministic per-source TOKEN-budget sample (pretraining mixes " +
+        "are specified in tokens, not doc counts — q84 caps docs, this " +
+        "caps tokens): salted-md5 permutation per source, keep docs " +
+        "whose preceding cumulative tokens are under 2000, so each " +
+        "source lands within one doc of its budget. One bounded window " +
+        "per source, never a global cumsum; q16's token-count parity.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        Sampling.sampleToTokenBudget(d, "doc_id", "text", "source",
+            budgetTokens = 2000L)
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH T AS (
+          SELECT doc_id, source,
+                 CAST(coalesce(len(string_split_regex(trim(text), '\s+')), 0) AS BIGINT) AS n_tokens
+          FROM documents),
+        C AS (
+          SELECT doc_id, source, n_tokens,
+                 coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY md5('budget' || ':' || CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM T)
+        SELECT doc_id, source, n_tokens FROM C
+        WHERE cum_before < 2000
+        ORDER BY doc_id""")),
+
+    GraftQuery(
       "q85_dup_size_histogram",
       "Exact-duplicate group-size histogram: how many contents exist in " +
         "1, 2, ... copies — the other monitoring view of dedup pressure " +

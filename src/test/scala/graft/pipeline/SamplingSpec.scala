@@ -115,4 +115,42 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(s1 != other) // a different salt draws a different sample
   }
+
+  test("sampleToTokenBudget: within one doc of budget per source, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val budget = 2000L
+    val out = Sampling.sampleToTokenBudget(d, "doc_id", "text", "source", budget)
+    val perSource = out.groupBy("source")
+      .agg(sum("n_tokens").as("total"), min("n_tokens").as("mn"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(perSource.nonEmpty)
+    perSource.foreach { case (src, total, mn) =>
+      // every kept doc's predecessor-sum was under budget, so the total
+      // exceeds the budget by LESS than the last doc's own size; with
+      // the min size as a conservative bound: total - budget < max doc,
+      // and removing any kept doc would land under budget + its size
+      assert(total < budget + d.filter(col("source") === src)
+        .select(max(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")))
+        .collect()(0).getLong(0), s"$src over budget by a whole doc")
+      assert(mn >= 0)
+    }
+    // sources with fewer total tokens than the budget keep everything
+    val totals = d.groupBy("source")
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptCounts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allCounts = d.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.filter(_._2 <= budget).keys.foreach { src =>
+      assert(keptCounts(src) == allCounts(src), s"$src truncated under budget")
+    }
+    // deterministic under repartitioning
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.sampleToTokenBudget(
+        d.repartition(7), "doc_id", "text", "source", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2)
+  }
 }
