@@ -516,13 +516,20 @@ object Similarity {
     * Identical output to [[ivfPqTopK]] with the same parameters by
     * construction: stored codes/codebook/ranges are exact integers and
     * float64 stats, and the query-side cell assignment recomputes the
-    * same argmin over the same stored centroids. `m`/`dim` must match
-    * the write (the stored artifacts carry no schema header — the
-    * caller owns index versioning). */
+    * same argmin over the same stored centroids. `m`/`dim` are
+    * validated against the index's `meta` header — probing with the
+    * wrong quantization parameters would silently produce garbage
+    * distances, so it fails loudly instead. */
   def ivfPqTopKFromIndex(
       spark: SparkSession, indexPath: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, dim: Int = 64, nProbe: Int = 1): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val (storedM, storedDim) =
+      (meta.getAs[Long]("m"), meta.getAs[Long]("dim"))
+    require(storedM == m && storedDim == dim,
+      s"index at $indexPath was written with m=$storedM dim=$storedDim, " +
+        s"probe requested m=$m dim=$dim — quantization parameters must match")
     val cent = spark.read.parquet(s"$indexPath/centroids")
     val rangeRows = spark.read.parquet(s"$indexPath/ranges")
       .orderBy(col("i")).collect()

@@ -118,6 +118,14 @@ object CorpusSink {
     Similarity.ivfCentroids(corpus, idCol, vecCol, nLists).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     writePqArtifacts(corpus, path, codebook, mns, mxs)
+    // index version header: the stored artifacts are meaningless under
+    // different quantization parameters, so a probe validates against
+    // this instead of trusting its caller
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((nLists.toLong, m.toLong, dim.toLong, kCent.toLong))
+      .toDF("nLists", "m", "dim", "kCent").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
   /** One row per vector with its m codes packed into an array — the

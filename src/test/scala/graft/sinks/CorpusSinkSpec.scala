@@ -115,6 +115,14 @@ class CorpusSinkSpec extends SparkSpec {
     val inlineMp = sim.ivfPqTopK(e, q, "vec_id", "embedding", k = 3, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(servedMp == inlineMp)
+
+    // probing with the wrong quantization parameters fails loudly via
+    // the meta header instead of returning garbage distances
+    val ex = intercept[IllegalArgumentException] {
+      sim.ivfPqTopKFromIndex(spark, out, qLocal, "vec_id", "embedding",
+        k = 3, m = 4, dim = 64)
+    }
+    assert(ex.getMessage.contains("quantization parameters must match"), ex.getMessage)
   }
 
   test("writePqIndex: codes/codebook/ranges layout, codes agree with pqEncode") {
