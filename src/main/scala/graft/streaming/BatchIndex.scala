@@ -37,6 +37,17 @@ private[streaming] object BatchIndex {
         e.isDirectory && e.getPath.getName.startsWith("batch="))
       val seedFiles = entries.filter(e =>
         e.isFile && e.getPath.getName.endsWith(".parquet"))
+      // an unrecognized DIRECTORY would be silently skipped as history —
+      // e.g. a seed written into a nested subdir instead of root files.
+      // That is exactly the quiet data loss this reader must never
+      // allow, so name it and fail instead (metadata dirs excepted).
+      val strays = entries.filter(e => e.isDirectory &&
+        !e.getPath.getName.startsWith("batch=") &&
+        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      if (strays.nonEmpty) throw new IllegalStateException(
+        s"index dir $dir contains non-batch subdirectories " +
+          strays.map(_.getPath.getName).mkString("[", ", ", "]") +
+          " — seed rows must be root-level parquet files or batch=N partitions")
       val parts =
         (if (batchDirs.isEmpty) Nil
          else Seq(spark.read.option("basePath", dir).schema(full)

@@ -81,12 +81,20 @@ object NearDedupStream {
       nHashes: Int = 8, rowsPerBand: Int = 2,
       maxBucket: Int = 100000): DataFrame = {
     val spark = batch.sparkSession
-    // 1. within-batch: verified pairs come out id_a < id_b, drop id_b
+    // 1. within-batch: verified pairs come out id_a < id_b, drop id_b.
+    // The survivor frame feeds THREE downstream consumers (band
+    // generation, the verify doc union, and the final anti-join), and
+    // Spark re-executes a lazy subtree per consumer — which here means
+    // re-running the whole in-batch LSH+verify pipeline each time.
+    // Materialize it once: the frame is batch-sized, and this is a
+    // micro-batch/backfill operator, so a local checkpoint (eager, one
+    // write) is the right truncation.
     val withinPairs = Dedup.jaccardOnCandidates(
       batch, idCol, textCol, p, q, shingleN, nHashes, rowsPerBand, maxBucket)
     val within = batch.join(
-      withinPairs.select(col("id_b").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
+        withinPairs.select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .localCheckpoint()
     // 2. cross-batch candidates: (old admitted id, new id) per shared band
     val newBands = Dedup.bandTable(
       Dedup.minhashSignature(within, idCol, textCol, nHashes, shingleN),

@@ -155,6 +155,21 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(idx.filter(org.apache.spark.sql.functions.col("batch") === -1L).count() == 1)
   }
 
+  test("a stray non-batch subdirectory fails loudly instead of reading as absent history") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_stray").toString
+    // a seed mistakenly written into a NESTED dir instead of root files
+    Seq("aaa bbb ccc").toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+      .write.parquet(s"$dir/index/seed")
+    val ex = intercept[IllegalStateException] {
+      IncrementalDedup.readIndex(spark, s"$dir/index").count()
+    }
+    assert(ex.getMessage.contains("seed"), ex.getMessage)
+    assert(ex.getMessage.contains("non-batch"), ex.getMessage)
+  }
+
   test("readIndex on a missing directory is an empty frame, so batch one works") {
     val empty = IncrementalDedup.readIndex(spark, "/tmp/does/not/exist/graft_idx")
     assert(empty.schema.fieldNames.sameElements(Array("fp", "batch")))
