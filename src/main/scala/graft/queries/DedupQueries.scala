@@ -225,11 +225,8 @@ object DedupQueries {
         val fresh = d.filter(col("doc_id") % 2 === 1)
         val idx = java.nio.file.Files
           .createTempDirectory("graft_q93_index").toString
-        Dedup.bandTable(
-            Dedup.minhashSignature(old, "doc_id", "text"), "doc_id")
-          .write.parquet(s"$idx/bands")
-        old.select(col("doc_id").as("id"), col("text"))
-          .write.parquet(s"$idx/docs")
+        graft.streaming.NearDedupStream
+          .backfillIndex(old, "doc_id", "text", idx)
         graft.streaming.NearDedupStream
           .nearDedupBatch(fresh, idx, "doc_id", "text")
           .select(col("doc_id")).orderBy(col("doc_id"))

@@ -71,6 +71,24 @@ object NearDedupStream {
       beforeBatch: Long = Long.MaxValue): DataFrame =
     BatchIndex.read(spark, s"$indexDir/docs", docsSchema, beforeBatch)
 
+  /** Seed the durable index from an already-admitted corpus — the
+    * batch-backfill entry a deployment runs ONCE before switching to
+    * the stream: band rows and texts land as ROOT-level seed files,
+    * which every batch fence reads as oldest history (batch -1). The
+    * LSH parameters must match the ones the stream will use — bands
+    * generated under different (shingleN, nHashes, rowsPerBand) don't
+    * collide correctly and the seed would be silently useless. */
+  def backfillIndex(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      shingleN: Int = 3, nHashes: Int = 8, rowsPerBand: Int = 2): Unit = {
+    Dedup.bandTable(
+        Dedup.minhashSignature(docs, idCol, textCol, nHashes, shingleN),
+        idCol, nHashes, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$indexDir/bands")
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .write.mode("overwrite").parquet(s"$indexDir/docs")
+  }
+
   /** One micro-batch: survivors of `batch` against the index state as
     * of `beforeBatch` (also the batch-backfill entry point — both
     * paths share this definition). Steps 1-3 of the object doc. */

@@ -71,6 +71,38 @@ class NearDedupStreamSpec extends SparkSpec {
     assert(fenceless.count() == 0)
   }
 
+  test("backfillIndex seeds history the stream honors, also after its own batches land") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("near_dedup_backfill").toString
+    NearDedupStream.backfillIndex(
+      Seq((100L, base)).toDF("doc_id", "text"), "doc_id", "text", s"$dir/index")
+
+    val in = MemoryStream[(Long, String)]
+    val emitted = mutable.ArrayBuffer.empty[Long]
+    val q = NearDedupStream.nearDedupStreamToIndex(
+        in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/index", s"$dir/ckpt") { (batch, _) =>
+      emitted.synchronized {
+        emitted ++= batch.select("doc_id").collect().map(_.getLong(0))
+      }
+    }.start()
+    try {
+      // batch 0: 1 near-dups the SEEDED doc -> dropped; 2 is new
+      in.addData((1L, base + " quebec romeo"),
+        (2L, "first wholly distinct new text body here"))
+      q.processAllAvailable()
+      assert(emitted.toSet == Set(2L))
+      // batch 1 reads the MIXED layout (root seed + batch=0): 3 still
+      // near-dups the seed, 4 dups batch 0's admitted doc, 5 is new
+      in.addData((3L, base + " sierra tango"),
+        (4L, "first wholly distinct new text body here"),
+        (5L, "second wholly distinct new text body again"))
+      q.processAllAvailable()
+      assert(emitted.toSet == Set(2L, 5L))
+    } finally q.stop()
+  }
+
   test("nearDedupBatch plans equi-joins only — no nested loop, no cartesian") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("near_dedup_plan").toString
