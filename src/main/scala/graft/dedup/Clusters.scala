@@ -77,12 +77,19 @@ object Clusters {
       shortcutAfter: Int = 5): DataFrame = {
     require(maxIter >= 1, "maxIter must be at least 1")
     require(shortcutAfter >= 0, "shortcutAfter must be non-negative")
+    // setCheckpointDir is application-global state; remember and restore
+    // the caller's setting so this operator does not silently repoint
+    // every later .checkpoint() in the app at our directory. (If no dir
+    // was set before, ours necessarily remains — Spark has no unset.)
+    val sc = nodes.sparkSession.sparkContext
+    val prevCheckpointDir = sc.getCheckpointDir
     val truncate: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        nodes.sparkSession.sparkContext.setCheckpointDir(dir)
+        sc.setCheckpointDir(dir)
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
+    try {
     // symmetrize once and materialize: every round joins this frame
     val sym = truncate(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -133,6 +140,9 @@ object Clusters {
         "raise maxIter (or lower shortcutAfter; pointer doubling converges " +
         "in O(log diameter) rounds once active)")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    } finally {
+      if (checkpointDir.isDefined) prevCheckpointDir.foreach(sc.setCheckpointDir)
+    }
   }
 
   /** One keeper per duplicate cluster, chosen by HIGHEST score (then

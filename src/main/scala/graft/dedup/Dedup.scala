@@ -96,13 +96,21 @@ object Dedup {
     * One shuffle (groupBy id) with map-side partial min. */
   def minhashSignature(
       df: DataFrame, idCol: String, textCol: String,
-      nHashes: Int = 8, shingleN: Int = 3): DataFrame = {
+      nHashes: Int = 8, shingleN: Int = 3): DataFrame =
+    minhashFromShingles(shingleTable(df, idCol, textCol, shingleN), idCol, nHashes)
+
+  /** [[minhashSignature]]'s core over a PREBUILT (idCol, g) shingle
+    * frame — exposed so a caller that materializes the shingle table
+    * once (e.g. the streaming near-dedup batch, which needs shingles
+    * for both banding and verification) can avoid re-running the
+    * tokenize pipeline per consumer. */
+  def minhashFromShingles(
+      sh: DataFrame, idCol: String, nHashes: Int = 8): DataFrame = {
     require(nHashes <= 8, "one md5 yields 8 x 4-hex-char chunks")
-    val sh = shingleTable(df, idCol, textCol, shingleN)
-      .select(col(idCol), md5(col("g").cast("binary")).as("hg"))
+    val hashed = sh.select(col(idCol), md5(col("g").cast("binary")).as("hg"))
     val aggs = (0 until nHashes).map(i =>
       min(substring(col("hg"), i * 4 + 1, 4)).as(s"h$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding over a minhash signature: bands of `rowsPerBand` hashes
@@ -138,9 +146,17 @@ object Dedup {
   def lshCandidates(
       sig: DataFrame, idCol: String,
       nHashes: Int = 8, rowsPerBand: Int = 2,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 100000): DataFrame =
+    lshCandidatesFromBands(bandTable(sig, idCol, nHashes, rowsPerBand), maxBucket)
+
+  /** [[lshCandidates]]' bucket-group + pair-explode core over a
+    * PREBUILT [[bandTable]] frame — for callers that reuse one
+    * materialized band table across candidate generation and the
+    * durable index write. */
+  def lshCandidatesFromBands(
+      bands: DataFrame, maxBucket: Int = 100000): DataFrame = {
     require(maxBucket >= 2, "maxBucket must allow at least one pair")
-    bandTable(sig, idCol, nHashes, rowsPerBand)
+    bands
       .groupBy(col("band"), col("bv"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       // Hot-bucket cap (standard practice): a degenerate band value shared
@@ -218,11 +234,21 @@ object Dedup {
     * it is given. */
   def jaccardVerify(
       df: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
-      p: Int = 1, q: Int = 2, shingleN: Int = 3): DataFrame = {
+      p: Int = 1, q: Int = 2, shingleN: Int = 3): DataFrame =
+    jaccardVerifyOnShingles(
+      shingleTable(df, idCol, textCol, shingleN).withColumnRenamed(idCol, "id"),
+      pairs, p, q)
+
+  /** [[jaccardVerify]]'s member-explode core over a PREBUILT (id, g)
+    * shingle frame — per-doc set sizes are derived here as a window
+    * count, so a materialized shingle table can feed both the banding
+    * and the verification without a second tokenize pass. */
+  def jaccardVerifyOnShingles(
+      shingles: DataFrame, pairs: DataFrame,
+      p: Int = 1, q: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = shingleTable(df, idCol, textCol, shingleN)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(idCol))))
-      .withColumnRenamed(idCol, "id")
+    val s = shingles
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
     // Single-scan plan: a two-branch join (pairs⋈shinglesOfA, then
     // ⋈shinglesOfB) would execute the whole shingle pipeline TWICE —
     // Spark does not share non-exchange subplans across join branches

@@ -145,6 +145,12 @@ object Sampling {
       budgetTokens: Long, salt: String = "budget"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetTokens > 0, "budgetTokens must be positive")
+    // silently replacing a caller's own token accounting (e.g. a real
+    // subword tokenizer's n_tokens) with the whitespace recount would
+    // corrupt the budget downstream — refuse instead
+    require(!df.columns.contains("n_tokens") && !df.columns.contains("cum_before"),
+      "sampleToTokenBudget derives its own n_tokens/cum_before columns — " +
+        "rename or drop the existing ones first")
     val w = Window.partitionBy(col(srcCol))
       .orderBy(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), col(idCol))
     df.withColumn("n_tokens",

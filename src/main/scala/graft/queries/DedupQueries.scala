@@ -223,8 +223,10 @@ object DedupQueries {
         val d = Tables.table(spark, dir, "documents")
         val old = d.filter(col("doc_id") % 2 === 0)
         val fresh = d.filter(col("doc_id") % 2 === 1)
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft_q93_index").toString
+        // fixed scratch path: repeated verify/bench runs overwrite one
+        // seed instead of accumulating temp dirs
+        val idx = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_q93_index").getPath
         graft.streaming.NearDedupStream
           .backfillIndex(old, "doc_id", "text", idx)
         graft.streaming.NearDedupStream

@@ -691,8 +691,10 @@ object SimilarityQueries {
       (spark, dir) => {
         val e = Tables.table(spark, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft_q89_index").toString
+        // fixed scratch path: repeated verify/bench runs overwrite one
+        // index instead of accumulating temp dirs
+        val idx = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_q89_index").getPath
         graft.sinks.CorpusSink.writeIvfPqIndex(
           e, "vec_id", "embedding", idx, nLists = 8, m = 8, dim = 64, kCent = 16)
         Similarity.ivfPqTopKFromIndex(spark, idx, q, "vec_id", "embedding",

@@ -77,10 +77,26 @@ object NearDedupStream {
     * which every batch fence reads as oldest history (batch -1). The
     * LSH parameters must match the ones the stream will use — bands
     * generated under different (shingleN, nHashes, rowsPerBand) don't
-    * collide correctly and the seed would be silently useless. */
+    * collide correctly and the seed would be silently useless.
+    *
+    * Refuses an index that already holds STREAMED `batch=N` partitions:
+    * the overwrite seed write would erase months of accumulated
+    * history and void the durable-dedup guarantee — re-seeding a
+    * seed-only index (re-running a backfill) is fine. */
   def backfillIndex(
       docs: DataFrame, idCol: String, textCol: String, indexDir: String,
       shingleN: Int = 3, nHashes: Int = 8, rowsPerBand: Int = 2): Unit = {
+    val spark = docs.sparkSession
+    Seq("bands", "docs").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p) && fs.listStatus(p).exists(e =>
+          e.isDirectory && e.getPath.getName.startsWith("batch=")))
+        throw new IllegalStateException(
+          s"$indexDir/$sub already holds streamed batch=N partitions — " +
+            "backfillIndex would erase that history; seed a fresh index " +
+            "dir or let the stream continue from the existing one")
+    }
     Dedup.bandTable(
         Dedup.minhashSignature(docs, idCol, textCol, nHashes, shingleN),
         idCol, nHashes, rowsPerBand)
@@ -97,43 +113,71 @@ object NearDedupStream {
       beforeBatch: Long = Long.MaxValue,
       p: Int = 1, q: Int = 2, shingleN: Int = 3,
       nHashes: Int = 8, rowsPerBand: Int = 2,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 100000): DataFrame =
+    dedupBatchWithBands(batch, indexDir, idCol, textCol, beforeBatch,
+      p, q, shingleN, nHashes, rowsPerBand, maxBucket)._1
+
+  /** The batch core, also handing back the batch's materialized band
+    * table so the stream writer can derive the survivors' index rows
+    * without re-tokenizing. Tokenization runs ONCE over the batch (the
+    * materialized shingle table feeds the signature AND both verify
+    * passes — lazy lineage would re-run the whole tokenize pipeline per
+    * consumer) and once over the candidate-referenced old docs.
+    *
+    * Id integrity: a batch doc reusing an ADMITTED doc's id would merge
+    * two token streams under one id inside shingle verification and
+    * corrupt every pair that references it — silently. Correct
+    * operation (globally unique ids, replay behind the batch fence)
+    * never trips this, so it throws rather than guessing; the check
+    * rides the band index rows the batch is reading anyway. */
+  private def dedupBatchWithBands(
+      batch: DataFrame, indexDir: String, idCol: String, textCol: String,
+      beforeBatch: Long,
+      p: Int, q: Int, shingleN: Int,
+      nHashes: Int, rowsPerBand: Int,
+      maxBucket: Int): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
-    // 1. within-batch: verified pairs come out id_a < id_b, drop id_b.
-    // The survivor frame feeds THREE downstream consumers (band
-    // generation, the verify doc union, and the final anti-join), and
-    // Spark re-executes a lazy subtree per consumer — which here means
-    // re-running the whole in-batch LSH+verify pipeline each time.
-    // Materialize it once: the frame is batch-sized, and this is a
-    // micro-batch/backfill operator, so a local checkpoint (eager, one
-    // write) is the right truncation.
-    val withinPairs = Dedup.jaccardOnCandidates(
-      batch, idCol, textCol, p, q, shingleN, nHashes, rowsPerBand, maxBucket)
+    // ONE tokenize pass over the batch
+    val sh = Dedup.shingleTable(batch, idCol, textCol, shingleN)
+      .withColumnRenamed(idCol, "id")
+      .localCheckpoint()
+    val bands = Dedup.bandTable(
+        Dedup.minhashFromShingles(sh, "id", nHashes), "id", nHashes, rowsPerBand)
+      .localCheckpoint()
+    // 1. within-batch: verified pairs come out id_a < id_b, drop id_b
+    val withinPairs = Dedup.jaccardVerifyOnShingles(
+      sh, Dedup.lshCandidatesFromBands(bands, maxBucket), p, q)
     val within = batch.join(
         withinPairs.select(col("id_b").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
       .localCheckpoint()
+    val withinIds = within.select(col(idCol).cast("long").as("id"))
     // 2. cross-batch candidates: (old admitted id, new id) per shared band
-    val newBands = Dedup.bandTable(
-      Dedup.minhashSignature(within, idCol, textCol, nHashes, shingleN),
-      idCol, nHashes, rowsPerBand)
     val oldBands = readBands(spark, indexDir, beforeBatch)
+    val reused = oldBands.select(col("id"))
+      .join(withinIds, Seq("id"), "left_semi")
+    if (reused.limit(1).count() > 0) throw new IllegalStateException(
+      "batch reuses doc ids already admitted to the near-dedup index at " +
+        s"$indexDir — ids must be globally unique (replaying a batch needs " +
+        "its beforeBatch fence; see the replay-safety contract)")
+    val newBands = bands.join(withinIds, Seq("id"), "left_semi")
     val cand = newBands.as("nb")
       .join(oldBands.as("ob"), Seq("band", "bv"))
       .select(col("ob.id").as("id_a"), col("nb.id").as("id_b"))
       .distinct()
-    // 3. verify on exact shingle sets: old texts fetched ONLY for
-    // referenced candidates (semi-join prune), then one jaccardVerify
-    // over a frame holding both sides
-    val oldDocs = readDocs(spark, indexDir, beforeBatch)
-      .join(cand.select(col("id_a").as("id")), Seq("id"), "left_semi")
-    val verifyDocs = within.select(col(idCol), col(textCol))
-      .unionByName(oldDocs.select(
-        col("id").as(idCol), col("text").as(textCol)))
-    val dropped = Dedup.jaccardVerify(
-        verifyDocs, cand, idCol, textCol, p, q, shingleN)
+    // 3. verify on exact shingle sets: old texts fetched (and
+    // tokenized) ONLY for referenced candidates; the batch side reuses
+    // the materialized shingle table
+    val oldSh = Dedup.shingleTable(
+      readDocs(spark, indexDir, beforeBatch)
+        .join(cand.select(col("id_a").as("id")), Seq("id"), "left_semi")
+        .select(col("id"), col("text")),
+      "id", "text", shingleN)
+    val verifySh = sh.join(withinIds, Seq("id"), "left_semi")
+      .unionByName(oldSh)
+    val dropped = Dedup.jaccardVerifyOnShingles(verifySh, cand, p, q)
       .select(col("id_b").as(idCol)).distinct()
-    within.join(dropped, Seq(idCol), "left_anti")
+    (within.join(dropped, Seq(idCol), "left_anti"), bands)
   }
 
   /** Streaming writer: `emit` sees each batch's surviving documents,
@@ -150,17 +194,18 @@ object NearDedupStream {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fresh = nearDedupBatch(
-          batch, indexDir, idCol, textCol, beforeBatch = batchId,
+        val (survivors, bands) = dedupBatchWithBands(
+          batch, indexDir, idCol, textCol, batchId,
           p, q, shingleN, nHashes, rowsPerBand, maxBucket)
+        val fresh = survivors
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           emit(fresh, batchId)
-          // survivors are persisted, so the band recompute below is one
-          // tokenize pass over them, not a re-run of the dedup joins
-          Dedup.bandTable(
-              Dedup.minhashSignature(fresh, idCol, textCol, nHashes, shingleN),
-              idCol, nHashes, rowsPerBand)
+          // the batch's band table is already materialized — the index
+          // rows are a semi-join restriction to the final survivors,
+          // not another tokenize pass
+          bands.join(fresh.select(col(idCol).cast("long").as("id")),
+              Seq("id"), "left_semi")
             .write.mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
           fresh.select(col(idCol).as("id"), col(textCol).as("text"))
             .write.mode("overwrite").parquet(s"$indexDir/docs/batch=$batchId")

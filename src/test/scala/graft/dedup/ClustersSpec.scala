@@ -83,6 +83,10 @@ class ClustersSpec extends SparkSpec {
   test("reliable checkpointDir mode: same labels, checkpoint files on disk") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    // the operator must not leave the app-global checkpoint dir
+    // repointed at its own directory
+    val prevDir = java.nio.file.Files.createTempDirectory("cc_prev").toString
+    spark.sparkContext.setCheckpointDir(prevDir)
     val out = Clusters.connectedComponents(
         nodes(1L, 2L, 3L, 4L, 5L), "doc_id",
         edges((1L, 2L), (2L, 3L), (3L, 4L)),
@@ -93,6 +97,9 @@ class ClustersSpec extends SparkSpec {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, s"no checkpoint files under $dir")
+    // and the caller's checkpoint dir setting was restored
+    assert(spark.sparkContext.getCheckpointDir.exists(_.contains("cc_prev")),
+      spark.sparkContext.getCheckpointDir.toString)
   }
 
   test("connectedComponents matches a reference union-find on random graphs") {

@@ -152,5 +152,12 @@ class SamplingSpec extends SparkSpec {
         d.repartition(7), "doc_id", "text", "source", budget)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == ids2)
+    // a frame already carrying its own token accounting is refused, not
+    // silently recounted
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.sampleToTokenBudget(
+        out, "doc_id", "text", "source", budget) // `out` has n_tokens
+    }
+    assert(ex.getMessage.contains("n_tokens"), ex.getMessage)
   }
 }

@@ -65,10 +65,20 @@ class NearDedupStreamSpec extends SparkSpec {
         batch1, s"$dir/index", "doc_id", "text", beforeBatch = 1L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(replayed == Set(6L))
-    // without the fence the same data anti-joins its own leftovers
-    val fenceless = NearDedupStream.nearDedupBatch(
-      batch1, s"$dir/index", "doc_id", "text")
-    assert(fenceless.count() == 0)
+    // without the fence the same data collides with its OWN admitted
+    // ids — the id-reuse guard fails loudly (a silent anti-join against
+    // leftovers would mask both missing fences and id recycling, and a
+    // recycled id with different text would corrupt verification)
+    intercept[IllegalStateException] {
+      NearDedupStream.nearDedupBatch(batch1, s"$dir/index", "doc_id", "text")
+    }
+    // backfilling over an index that already streamed batches would
+    // erase the accumulated history — refused
+    val ex = intercept[IllegalStateException] {
+      NearDedupStream.backfillIndex(
+        batch1, "doc_id", "text", s"$dir/index")
+    }
+    assert(ex.getMessage.contains("erase"), ex.getMessage)
   }
 
   test("backfillIndex seeds history the stream honors, also after its own batches land") {
