@@ -130,9 +130,10 @@ object TrainingDataPipeline {
     * only semantic difference), then the per-row language and quality
     * filters ([[graft.functions.TextFunctions]] forms — the aggregate
     * twins need a groupBy the streaming path doesn't want). Near-dedup
-    * is deliberately absent: LSH candidate generation needs
-    * corpus-wide bucket state and belongs in a periodic batch pass over
-    * the accumulated corpus, not in the ingest stream. State is
+    * is deliberately absent here: LSH candidate generation needs
+    * corpus-wide bucket state, which this watermarked variant does not
+    * keep — [[cleanStreamDurable]] is the full-pipeline face that runs
+    * it per micro-batch against a durable band index. State here is
     * bounded by the watermark (duplicates are only tracked while they
     * can still arrive). */
   def cleanStream(
@@ -147,6 +148,75 @@ object TrainingDataPipeline {
       .filter(TextFunctions.langId(col(textCol)).isin(keepLangs: _*))
       .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
       .drop("fp")
+
+  /** The DURABLE-INDEX streaming face of [[clean]] — continuous
+    * ingestion with the full pipeline's semantics, no watermark window:
+    * per micro-batch,
+    *
+    *  1. exact dedup against the durable fingerprint store
+    *     (`indexDir/fp`, [[graft.streaming.IncrementalDedup]]'s flow) —
+    *     a byte-identical duplicate is dropped months later;
+    *  2. near-dedup against the durable LSH band index
+    *     (`indexDir/near`, [[graft.streaming.NearDedupStream]]'s flow):
+    *     within-batch candidates->verify plus band-join against all
+    *     admitted history — the gap [[cleanStream]]'s watermarked
+    *     variant leaves to "a periodic batch pass" is closed per batch;
+    *  3. the per-row language + quality filters (the same
+    *     [[graft.functions.TextFunctions]] forms [[cleanStream]] uses).
+    *
+    * Index updates record DEDUP-stage survivors, before the filters —
+    * matching batch [[clean]], where content is deduped once regardless
+    * of whether its representative then survives filtering: a duplicate
+    * of a seen-but-filtered document must stay dropped, not re-surface.
+    * The fingerprint store records exact-stage survivors (so later
+    * exact copies drop at the cheap stage-1 probe); the band index
+    * records near-stage survivors (the admitted canonical docs).
+    *
+    * Zero Structured Streaming state — all history is the two parquet
+    * indexes; replay-safe via the shared batch fence (each batch reads
+    * strictly earlier partitions and overwrites its own). `emit` must
+    * be idempotent per batchId. Ids must be longs, text a string. */
+  def cleanStreamDurable(
+      docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, checkpointDir: String,
+      keepLangs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.5)(
+      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.streaming.{IncrementalDedup, NearDedupStream}
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // 1. exact vs durable fingerprints; materialized — it feeds the
+        // fp write AND the near stage's joins
+        val afterExact = IncrementalDedup.dedupBatch(
+            batch, s"$indexDir/fp", idCol, textCol, beforeBatch = batchId)
+          .localCheckpoint()
+        // 2. near-dedup vs durable bands (single-tokenize batch core)
+        val (survivors, bands) = NearDedupStream.dedupBatchWithBands(
+          afterExact, s"$indexDir/near", idCol, textCol, batchId,
+          p = 1, q = 2, shingleN = 3, nHashes = 8, rowsPerBand = 2,
+          maxBucket = 100000)
+        val fresh = survivors
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // 3. per-row filters — only the emitted rows, never the index
+          emit(fresh
+            .filter(TextFunctions.langId(col(textCol)).isin(keepLangs: _*))
+            .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality),
+            batchId)
+          afterExact
+            .select(TextFunctions.fingerprint(col(textCol)).as("fp"))
+            .write.mode("overwrite").parquet(s"$indexDir/fp/batch=$batchId")
+          bands.join(fresh.select(col(idCol).cast("long").as("id")),
+              Seq("id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$indexDir/near/bands/batch=$batchId")
+          fresh.select(col(idCol).as("id"), col(textCol).as("text"))
+            .write.mode("overwrite").parquet(s"$indexDir/near/docs/batch=$batchId")
+        } finally fresh.unpersist()
+        ()
+      }
+  }
 
   /** Per-stage survivor counts (for monitoring/regression). Computes
     * each stage once, reusing the previous stage's frame — no

@@ -130,7 +130,7 @@ object NearDedupStream {
     * operation (globally unique ids, replay behind the batch fence)
     * never trips this, so it throws rather than guessing; the check
     * rides the band index rows the batch is reading anyway. */
-  private def dedupBatchWithBands(
+  private[graft] def dedupBatchWithBands(
       batch: DataFrame, indexDir: String, idCol: String, textCol: String,
       beforeBatch: Long,
       p: Int, q: Int, shingleN: Int,

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.functions.TextFunctions
 
 class TrainingDataPipelineSpec extends SparkSpec {
 
@@ -140,6 +141,122 @@ class TrainingDataPipelineSpec extends SparkSpec {
       // one survivor per fingerprint on both sides
       assert(spark.table("clean_parity").count() == streamFps.size)
     } finally q.stop()
+  }
+
+  test("cleanStreamDurable: full pipeline per batch, seen-but-filtered content stays dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("clean_durable").toString
+    val theText = "the cat and dog of note " * 20
+    val german = "der hund und die katze lief durch den garten heute " * 6
+    val lowQ = "1 2 3 4 5 6 7 8 9"
+    val fresh = "the quick brown fox and the lazy dog of legend ran far " * 8
+
+    val in = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = TrainingDataPipeline.cleanStreamDurable(
+        in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/index", s"$dir/ckpt") { (batch, _) =>
+      emitted.synchronized {
+        emitted ++= batch.select("doc_id").collect().map(_.getLong(0))
+      }
+    }.start()
+    try {
+      in.addData(
+        (1L, theText),            // keeper, passes filters
+        (2L, theText),            // exact dup, same batch
+        (3L, theText + " extra tail"), // near dup, same batch
+        (4L, german),             // unique content -> deduped in, LANG-filtered out
+        (5L, lowQ))               // unique content -> deduped in, QUALITY-filtered out
+      q.processAllAvailable()
+      assert(emitted.toSet == Set(1L))
+
+      in.addData(
+        (6L, theText),            // exact dup of admitted 1, cross-batch
+        (7L, theText + " other tail"), // near dup of admitted 1, cross-batch
+        (8L, german),             // exact dup of FILTERED 4 — must stay dropped
+        (9L, german + " extra schluss"), // near dup of filtered-but-admitted 4
+        (10L, fresh))             // genuinely new and clean
+      q.processAllAvailable()
+      assert(emitted.toSet == Set(1L, 10L))
+    } finally q.stop()
+
+    // the indexes recorded dedup-stage survivors, not post-filter rows.
+    // fp store = EXACT-stage survivors: each distinct content seen once
+    // ({1,3,4,5} from batch 0 and {7,9,10} from batch 1 — near-dropped
+    // docs 3/7/9 still have new fingerprints, so later byte-identical
+    // copies drop at the cheap stage-1 probe)
+    val fpCount = graft.streaming.IncrementalDedup
+      .readIndex(spark, s"$dir/index/fp").count()
+    assert(fpCount == 7, s"fp index rows: $fpCount")
+    val bandIds = graft.streaming.NearDedupStream
+      .readDocs(spark, s"$dir/index/near")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(bandIds == Set(1L, 4L, 5L, 10L))
+  }
+
+  test("cleanStreamDurable == exact->near->filter batch composition (real fixture)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.table(spark, sf001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+
+    val dir = java.nio.file.Files.createTempDirectory("clean_durable_parity").toString
+    val in = MemoryStream[(Long, String)]
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = TrainingDataPipeline.cleanStreamDurable(
+        in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/index", s"$dir/ckpt") { (batch, _) =>
+      streamed.synchronized {
+        streamed ++= batch.select("doc_id").collect().map(_.getLong(0))
+      }
+    }.start()
+    try {
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // independent batch twin from the primitives, stage by stage
+    import graft.dedup.Dedup
+    def fpsOf(rows: Seq[(Long, String)]): Map[Long, String] =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def exactStage(rows: Seq[(Long, String)], known: Set[String]): Seq[(Long, String)] = {
+      val fp = fpsOf(rows)
+      val minPerFp = rows.groupBy(r => fp(r._1)).map { case (f, rs) => f -> rs.map(_._1).min }
+      rows.filter(r => !known(fp(r._1)) && minPerFp(fp(r._1)) == r._1)
+    }
+    def withinNear(rows: Seq[(Long, String)]): Seq[(Long, String)] = {
+      val drop = Dedup.jaccardOnCandidates(rows.toDF("doc_id", "text"), "doc_id", "text")
+        .select("id_b").collect().map(_.getLong(0)).toSet
+      rows.filterNot(r => drop(r._1))
+    }
+    def filterRows(rows: Seq[(Long, String)]): Set[Long] =
+      rows.toDF("doc_id", "text")
+        .filter(TextFunctions.langId(col("text")) === "en")
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val e1 = exactStage(b1.toSeq, Set.empty)
+    val n1 = withinNear(e1)
+    val e2 = exactStage(b2.toSeq, fpsOf(e1).values.toSet)
+    val n2w = withinNear(e2)
+    def bands(rows: Seq[(Long, String)]) =
+      Dedup.bandTable(
+        Dedup.minhashSignature(rows.toDF("doc_id", "text"), "doc_id", "text"), "doc_id")
+    val cand = bands(n2w).as("nb").join(bands(n1).as("ob"), Seq("band", "bv"))
+      .select(col("ob.id").as("id_a"), col("nb.id").as("id_b")).distinct()
+    val crossDrop = Dedup.jaccardVerify(
+        (n1 ++ n2w).toDF("doc_id", "text"), cand, "doc_id", "text")
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val n2 = n2w.filterNot(r => crossDrop(r._1))
+    val expected = filterRows(n1) ++ filterRows(n2)
+    assert(streamed.toSet == expected)
+    assert(expected.nonEmpty)
   }
 
   test("exactDupIds drops exactly the non-minimal ids of each fingerprint group") {
