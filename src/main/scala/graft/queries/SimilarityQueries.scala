@@ -93,6 +93,40 @@ object SimilarityQueries {
         SELECT query_id, rank, neighbor_id, dist FROM R
         WHERE rank <= 3 ORDER BY query_id, rank"""
 
+  /** The deterministic IVF-Flat top-3 oracle, shared VERBATIM by q51
+    * (inline operator) and q97 (probe of the written cell layout). */
+  private val ivfFlatOracle: String = """
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        CAND AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q
+          JOIN CELL cq ON cq.vec_id = q.vec_id
+          JOIN CELL cc ON cc.cell = cq.cell
+          JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+          CROSS JOIN range(1, 65) i(i)
+          WHERE q.vec_id % 50 = 0
+          GROUP BY 1, 2),
+        R AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+          FROM CAND)
+        SELECT query_id, rank, neighbor_id FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank"""
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -264,37 +298,29 @@ object SimilarityQueries {
             k = 3, nLists = 8)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("""
-        WITH CENT AS (
-          SELECT vec_id AS cent_id, embedding AS cent_vec
-          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-        D AS (
-          SELECT e.vec_id, c.cent_id,
-                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
-          FROM embeddings e, CENT c, range(1, 65) i(i)
-          GROUP BY e.vec_id, c.cent_id),
-        CELL AS (
-          SELECT vec_id, cent_id AS cell FROM D
-          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
-        CAND AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
-                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
-                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
-          FROM embeddings q
-          JOIN CELL cq ON cq.vec_id = q.vec_id
-          JOIN CELL cc ON cc.cell = cq.cell
-          JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
-          CROSS JOIN range(1, 65) i(i)
-          WHERE q.vec_id % 50 = 0
-          GROUP BY 1, 2),
-        R AS (
-          SELECT query_id, neighbor_id,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
-          FROM CAND)
-        SELECT query_id, rank, neighbor_id FROM R
-        WHERE rank <= 3 ORDER BY query_id, rank""")),
+      Some(ivfFlatOracle)),
+
+    GraftQuery(
+      "q97_ann_flat_from_index",
+      "IVF-Flat served from a WRITTEN index (the uncompressed sibling " +
+        "of q89): writeIvfFlatIndex materializes full-precision vectors " +
+        "one dir per coarse cell plus the stored centroids, then " +
+        "ivfFlatTopKFromIndex answers q51's exact ranking reading ONLY " +
+        "the probed cell dirs (static partition pruning, plan-asserted " +
+        "in spec) with exact in-cell cosine. Shares q51's oracle SQL " +
+        "verbatim.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val idx = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_q97_index").getPath
+        graft.sinks.CorpusSink.writeIvfFlatIndex(
+          e, "vec_id", "embedding", idx, nLists = 8)
+        Similarity.ivfFlatTopKFromIndex(spark, idx, q, "vec_id", "embedding",
+            k = 3, nProbe = 1)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfFlatOracle)),
 
     GraftQuery(
       "q88_ann_ivf_multiprobe",

@@ -498,6 +498,44 @@ object Similarity {
       .select(col("query_id"), col("s").as("ls"), col("j").as("lj"), col("d"))
   }
 
+  /** Top-k from a WRITTEN IVF-Flat index
+    * ([[graft.sinks.CorpusSink.writeIvfFlatIndex]]'s layout): query
+    * cells are assigned against the stored centroids, the probe cell
+    * set is collected driver-side (|Q| x nProbe longs) and applied as
+    * a literal IN, so only the probed `cells/cell=N` directories are
+    * read (static partition pruning), and exact cosine re-ranks inside
+    * them. Identical output to [[ivfDeterministicTopK]] (nProbe=1) /
+    * [[ivfMultiProbeTopK]] with the same parameters: stored vectors
+    * are exact floats and the assignment recomputes the same argmin
+    * over the same stored centroids. */
+  def ivfFlatTopKFromIndex(
+      spark: SparkSession, indexPath: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 1): DataFrame = {
+    val cent = spark.read.parquet(s"$indexPath/centroids")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qc =
+      if (nProbe <= 1) assignWith(cent, q, "query_id", "q_vec")
+      else probeCells(cent, q, "query_id", "q_vec", nProbe)
+    val probedCells = qc.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cellFilter =
+      if (probedCells.isEmpty) lit(false)
+      else expr(s"cell IN (${probedCells.mkString(",")})")
+    val cc = spark.read.parquet(s"$indexPath/cells")
+      .filter(cellFilter)
+      .select(col(idCol).as("neighbor_id"), col("cell").cast("long").as("cell"),
+        col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cc.join(broadcast(qc.select(col("query_id"), col("q_vec"), col("cell"))),
+        Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Top-k from a WRITTEN IVF-PQ index
     * ([[graft.sinks.CorpusSink.writeIvfPqIndex]]'s layout) — the
     * serving path the inline operators' docstrings promise: corpus

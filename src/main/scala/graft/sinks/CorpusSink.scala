@@ -128,6 +128,32 @@ object CorpusSink {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
+  /** IVF-Flat serving layout — the uncompressed sibling of
+    * [[writeIvfPqIndex]]: full-precision vectors one directory per
+    * coarse cell (`path/cells/cell=N`) plus the stored coarse
+    * quantizer (`path/centroids`) and a `meta` header. A probe
+    * ([[graft.similarity.Similarity.ivfFlatTopKFromIndex]]) assigns its
+    * queries against the stored centroids and reads exactly its nProbe
+    * cell directories — partition pruning instead of a corpus scan,
+    * with exact in-cell cosine (no quantization error), the right
+    * serving point when recall matters more than scan bytes. */
+  def writeIvfFlatIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nLists: Int = 8): Unit = {
+    import graft.similarity.Similarity
+    Similarity.ivfAssignCells(corpus, idCol, vecCol, nLists)
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/cells")
+    Similarity.ivfCentroids(corpus, idCol, vecCol, nLists).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(nLists.toLong)).toDF("nLists").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
   /** One row per vector with its m codes packed into an array — the
     * stored form both PQ layouts share. */
   private def packedCodes(

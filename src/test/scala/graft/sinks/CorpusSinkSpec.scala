@@ -125,6 +125,42 @@ class CorpusSinkSpec extends SparkSpec {
     assert(ex.getMessage.contains("quantization parameters must match"), ex.getMessage)
   }
 
+  test("writeIvfFlatIndex + ivfFlatTopKFromIndex: q51's ranking, probed dirs only") {
+    val sim = graft.similarity.Similarity
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val out = tmp("ivf_flat_index")
+    CorpusSink.writeIvfFlatIndex(e, "vec_id", "embedding", out)
+    val cellDirs = new java.io.File(s"$out/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.startsWith("cell=")))
+
+    val spark2 = spark
+    import spark2.implicits._
+    val qLocal = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+
+    val served = sim.ivfFlatTopKFromIndex(spark, out, qLocal, "vec_id", "embedding", k = 3)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"), plan)
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val inline = sim.ivfDeterministicTopK(e, q, "vec_id", "embedding", k = 3, nLists = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = served.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == inline)
+
+    val servedMp = sim.ivfFlatTopKFromIndex(
+        spark, out, qLocal, "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inlineMp = sim.ivfMultiProbeTopK(e, q, "vec_id", "embedding",
+        k = 3, nLists = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(servedMp == inlineMp)
+  }
+
   test("writePqIndex: codes/codebook/ranges layout, codes agree with pqEncode") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val out = tmp("pq_index")
