@@ -35,10 +35,10 @@ import graft.dedup.Dedup
   *
   * Scale shape: the band index row is ~20 bytes x nBands per admitted
   * doc; the per-batch join against it is runtime-pruned by the batch's
-  * own (band, bv) set on the build side and inherits AQE skew handling
-  * (a degenerate band value is the same hot-bucket concern
-  * [[Dedup.lshCandidates]] caps in-batch — cap it at ingest by
-  * pre-filtering stop-band values if a corpus develops one). Exact
+  * own (band, bv) set on the build side and inherits AQE skew handling;
+  * a degenerate band value in the HISTORY is capped with the same
+  * `maxBucket` the in-batch path uses (band values over maxBucket
+  * admitted docs are pruned before the candidate join). Exact
   * duplicates are a special case (identical signatures collide in
   * every band, Jaccard 1 verifies), so no separate fingerprint pass is
   * needed.
@@ -152,14 +152,27 @@ object NearDedupStream {
         Seq(idCol), "left_anti")
       .localCheckpoint()
     val withinIds = within.select(col(idCol).cast("long").as("id"))
-    // 2. cross-batch candidates: (old admitted id, new id) per shared band
-    val oldBands = readBands(spark, indexDir, beforeBatch)
-    val reused = oldBands.select(col("id"))
+    // 2. cross-batch candidates: (old admitted id, new id) per shared
+    // band. The index side gets the SAME hot-bucket cap the in-batch
+    // path applies (lshCandidatesFromBands' maxBucket): a degenerate
+    // band value accumulated over months of history would otherwise fan
+    // the join out by |hot history| x |batch collisions|. Band values
+    // held by more than maxBucket admitted docs carry no near-dup
+    // signal and are pruned before the join — the standard
+    // recall-for-boundedness trade; the count agg reads the rows the
+    // join was reading anyway.
+    val allOldBands = readBands(spark, indexDir, beforeBatch)
+    val reused = allOldBands.select(col("id"))
       .join(withinIds, Seq("id"), "left_semi")
     if (reused.limit(1).count() > 0) throw new IllegalStateException(
       "batch reuses doc ids already admitted to the near-dedup index at " +
         s"$indexDir — ids must be globally unique (replaying a batch needs " +
         "its beforeBatch fence; see the replay-safety contract)")
+    val hotBands = allOldBands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select(col("band"), col("bv"))
+    val oldBands = allOldBands.join(hotBands, Seq("band", "bv"), "left_anti")
     val newBands = bands.join(withinIds, Seq("id"), "left_semi")
     val cand = newBands.as("nb")
       .join(oldBands.as("ob"), Seq("band", "bv"))

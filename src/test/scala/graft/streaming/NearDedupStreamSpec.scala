@@ -113,6 +113,32 @@ class NearDedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a hot index band is pruned under maxBucket, bounding cross-batch fan-out") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("near_dedup_hot").toString
+    // seed THREE IDENTICAL docs via backfill (backfill admits as-is):
+    // identical signatures, so EVERY (band, bv) of this content is held
+    // by exactly 3 admitted docs
+    val seeded = Seq((10L, base), (11L, base), (12L, base))
+      .toDF("doc_id", "text")
+    NearDedupStream.backfillIndex(seeded, "doc_id", "text", s"$dir/index")
+    assert(NearDedupStream.readBands(spark, s"$dir/index")
+      .groupBy("band", "bv").count()
+      .filter(col("count") =!= 3).count() == 0)
+    val probe = Seq((20L, base + " extra tail")).toDF("doc_id", "text")
+    // default cap: the batch doc collides with a seeded band, verifies
+    // against a seeded doc, and is dropped
+    assert(NearDedupStream.nearDedupBatch(
+      probe, s"$dir/index", "doc_id", "text").count() == 0)
+    // maxBucket = 2: every index band is hot (3 > 2) and pruned, so the
+    // probe has NO cross-batch candidates and survives — the documented
+    // recall-for-boundedness trade, here made observable
+    val keptCapped = NearDedupStream.nearDedupBatch(
+        probe, s"$dir/index", "doc_id", "text", maxBucket = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptCapped == Set(20L))
+  }
+
   test("nearDedupBatch plans equi-joins only — no nested loop, no cartesian") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("near_dedup_plan").toString
