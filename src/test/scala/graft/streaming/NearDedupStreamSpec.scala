@@ -113,6 +113,27 @@ class NearDedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("edge cases: empty batch is empty, null/short texts pass through unbanded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("near_dedup_edge").toString
+    NearDedupStream.backfillIndex(
+      Seq((100L, base)).toDF("doc_id", "text"), "doc_id", "text", s"$dir/index")
+    // empty batch: no survivors, no crash against a non-empty index
+    assert(NearDedupStream.nearDedupBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      s"$dir/index", "doc_id", "text").count() == 0)
+    // a null-text doc and a doc too short for any trigram produce no
+    // bands, so they can never be near-dup evidence — both survive
+    // (matching the batch operators' null contract), alongside a real
+    // near-dup that still drops
+    val out = NearDedupStream.nearDedupBatch(
+        Seq((1L, null.asInstanceOf[String]), (2L, "just two"),
+          (3L, base + " extra tail")).toDF("doc_id", "text"),
+        s"$dir/index", "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L))
+  }
+
   test("a hot index band is pruned under maxBucket, bounding cross-batch fan-out") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("near_dedup_hot").toString
