@@ -81,6 +81,15 @@ object Clusters {
     // the caller's setting so this operator does not silently repoint
     // every later .checkpoint() in the app at our directory. (If no dir
     // was set before, ours necessarily remains — Spark has no unset.)
+    // CONCURRENCY CONTRACT: because the checkpoint dir is global to the
+    // SparkContext, passing `checkpointDir` here is only safe when no
+    // OTHER job on the same context calls .checkpoint() concurrently
+    // (including a second connectedComponents with a different dir) —
+    // the two would race on the global and checkpoint into each other's
+    // directories. Concurrent callers should instead configure
+    // sc.setCheckpointDir ONCE at application startup and pass
+    // checkpointDir = Some(sc.getCheckpointDir.get), which this code
+    // then sets to the identical value (a no-op race).
     val sc = nodes.sparkSession.sparkContext
     val prevCheckpointDir = sc.getCheckpointDir
     val truncate: DataFrame => DataFrame = checkpointDir match {

@@ -180,7 +180,17 @@ object TrainingDataPipeline {
       docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, checkpointDir: String,
       keepLangs: Seq[String] = Seq("en"),
-      minQuality: Double = 0.5)(
+      minQuality: Double = 0.5,
+      // the near-dedup LSH/verify parameters, surfaced because they are
+      // part of the INDEX's identity, not just this stream's: bands
+      // generated under different (shingleN, nHashes, rowsPerBand)
+      // never collide with the stored ones, so an index seeded via
+      // NearDedupStream.backfillIndex with non-default parameters would
+      // silently lose all recall against its seed. Defaults match
+      // backfillIndex's.
+      p: Int = 1, q: Int = 2, shingleN: Int = 3,
+      nHashes: Int = 8, rowsPerBand: Int = 2,
+      maxBucket: Int = 100000)(
       emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.streaming.{IncrementalDedup, NearDedupStream}
     docs.writeStream
@@ -193,11 +203,10 @@ object TrainingDataPipeline {
             batch, s"$indexDir/fp", idCol, textCol, beforeBatch = batchId)
           .localCheckpoint()
         // 2. near-dedup vs durable bands (single-tokenize batch core)
-        val (survivors, bands) = NearDedupStream.dedupBatchWithBands(
+        val core = NearDedupStream.dedupBatchWithBands(
           afterExact, s"$indexDir/near", idCol, textCol, batchId,
-          p = 1, q = 2, shingleN = 3, nHashes = 8, rowsPerBand = 2,
-          maxBucket = 100000)
-        val fresh = survivors
+          p, q, shingleN, nHashes, rowsPerBand, maxBucket)
+        val fresh = core.survivors
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // 3. per-row filters — only the emitted rows, never the index
@@ -208,12 +217,17 @@ object TrainingDataPipeline {
           afterExact
             .select(TextFunctions.fingerprint(col(textCol)).as("fp"))
             .write.mode("overwrite").parquet(s"$indexDir/fp/batch=$batchId")
-          bands.join(fresh.select(col(idCol).cast("long").as("id")),
-              Seq("id"), "left_semi")
-            .write.mode("overwrite").parquet(s"$indexDir/near/bands/batch=$batchId")
+          // docs before bands — NearDedupStream's crash-ordering rule
           fresh.select(col(idCol).as("id"), col(textCol).as("text"))
             .write.mode("overwrite").parquet(s"$indexDir/near/docs/batch=$batchId")
-        } finally fresh.unpersist()
+          core.bands.join(fresh.select(col(idCol).cast("long").as("id")),
+              Seq("id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$indexDir/near/bands/batch=$batchId")
+        } finally {
+          fresh.unpersist()
+          core.cleanup()
+          NearDedupStream.dropLocalCheckpoint(afterExact)
+        }
         ()
       }
   }

@@ -1,24 +1,52 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-/** Shared reader for the durable per-batch index layout the streaming
-  * dedup operators maintain: `dir/batch=N` partition directories plus
-  * optional ROOT-level seed files (a batch backfill written without a
-  * partition). Root files and partition dirs are listed and read as two
-  * frames unioned — NOT one partition-discovery read, which would
-  * reject the mixed layout with "Conflicting directory structures
-  * detected" and halt the stream after its first written batch. The
-  * listing is one driver-side directory scan (O(#batches) entries).
+/** Shared reader + maintenance ops for the durable per-batch index
+  * layout the streaming dedup operators maintain: `dir/batch=N`
+  * partition directories plus optional ROOT-level seed files (a batch
+  * backfill written without a partition). Root files and partition dirs
+  * are listed and read as two frames unioned — NOT one
+  * partition-discovery read, which would reject the mixed layout with
+  * "Conflicting directory structures detected" and halt the stream
+  * after its first written batch. The listing is one driver-side
+  * directory scan (O(#batches) entries).
   *
   * Seed rows read as batch -1 (oldest history — visible to every batch
   * fence). Any read failure beyond a missing root propagates: silently
   * treating a corrupt index as empty would void the durable-dedup
   * guarantee and re-emit months of duplicates.
+  *
+  * A stream appending one `batch=N` directory per micro-batch forever
+  * is the classic small-file/listing scale-killer (months of 5-minute
+  * batches = ~100k directories listed per batch). [[compact]] folds
+  * partitions `<= throughBatch` into root-level seed files — the
+  * layout's existing batch -1 semantics — bounding the directory count
+  * without changing what any later fence reads; [[expire]] deletes
+  * history older than a retention cutoff for deployments that only
+  * need bounded-window dedup.
   */
 private[streaming] object BatchIndex {
+
+  /** Compaction journal file. While it exists the index is mid-rewrite
+    * (or a compaction crashed): reads fail loudly — a partial state
+    * could silently double or drop history — and re-running [[compact]]
+    * completes the pending rewrite first (the journal lists exactly
+    * which entries to delete and which staged files to promote, so
+    * recovery is idempotent). */
+  private val Marker = "_compact_journal"
+  private val TmpDir = "_compact_tmp"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def batchOf(name: String): Option[Long] =
+    if (name.startsWith("batch=")) name.drop("batch=".length).toLongOption
+    else None
 
   /** Rows of `dir` written by batches strictly before `beforeBatch`
     * (all when omitted); columns = `dataSchema` + `batch` long. Empty
@@ -28,10 +56,14 @@ private[streaming] object BatchIndex {
       beforeBatch: Long = Long.MaxValue): DataFrame = {
     val full = StructType(dataSchema.fields :+ StructField("batch", LongType))
     val empty = spark.createDataFrame(new java.util.ArrayList[Row](), full)
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new Path(dir)
+    val fs = fsOf(spark, root)
     if (!fs.exists(root)) empty
     else {
+      if (fs.exists(new Path(root, Marker))) throw new IllegalStateException(
+        s"index dir $dir holds a compaction journal ($Marker) — a compaction " +
+          "is in progress or crashed mid-rewrite; re-run compact() on this " +
+          "store to complete it before reading")
       val entries = fs.listStatus(root)
       val batchDirs = entries.filter(e =>
         e.isDirectory && e.getPath.getName.startsWith("batch="))
@@ -58,6 +90,127 @@ private[streaming] object BatchIndex {
            .withColumn("batch", lit(-1L))))
       parts.reduceOption(_.unionByName(_)).getOrElse(empty)
         .filter(coalesce(col("batch"), lit(-1L)) < beforeBatch)
+    }
+  }
+
+  /** Fold `batch=N` partitions with `N <= throughBatch` (plus any
+    * existing seed files) into root-level seed files. Read-equivalent
+    * for every fence a future batch can present: folded rows move from
+    * batch N to batch -1, and any future fence `B > throughBatch`
+    * admits both. The NEWEST partition must stay unfolded —
+    * `throughBatch` is required to be strictly below the max batch id
+    * present — because a crashed stream replays its last batch under
+    * the same id with fence `beforeBatch = maxBatch`: folding
+    * `batch=maxBatch` into seeds (batch -1) would put the replayed
+    * batch's own output behind its fence and it would dedup against
+    * itself, silently emitting nothing.
+    *
+    * Crash-safe via a journal: rows are staged under `_compact_tmp`
+    * (invisible to [[read]]), then a `_compact_journal` file naming
+    * every deletion and promotion is committed, then deletions and
+    * promotions execute and the journal is removed. A crash before the
+    * journal leaves the index untouched; a crash after it makes reads
+    * fail loudly until the next [[compact]] call replays the journal
+    * (each step is idempotent). Requires the writing stream to be
+    * stopped or between batches for this store — same single-writer
+    * assumption as backfill. */
+  def compact(
+      spark: SparkSession, dir: String, dataSchema: StructType,
+      throughBatch: Long): Unit = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return
+    val marker = new Path(root, Marker)
+    if (fs.exists(marker)) finishCompact(fs, root, marker)
+
+    val entries = fs.listStatus(root)
+    val allBatches = entries.flatMap(e =>
+      if (e.isDirectory) batchOf(e.getPath.getName) else None)
+    if (allBatches.isEmpty) return // seed-only (or empty) store: already compact
+    val maxBatch = allBatches.max
+    require(throughBatch < maxBatch,
+      s"compact(throughBatch=$throughBatch) on $dir would fold the newest " +
+        s"partition batch=$maxBatch into seed rows; a crashed stream replaying " +
+        s"batch $maxBatch would then dedup against its own output and emit " +
+        s"nothing — compact through at most ${maxBatch - 1}")
+    val foldDirs = entries.filter(e => e.isDirectory &&
+      batchOf(e.getPath.getName).exists(_ <= throughBatch))
+    if (foldDirs.isEmpty) return // nothing at or below the cutoff
+    val seedFiles = entries.filter(e =>
+      e.isFile && e.getPath.getName.endsWith(".parquet"))
+
+    // stage the folded rows (marker not yet written, so read() works)
+    val tmp = new Path(root, TmpDir)
+    read(spark, dir, dataSchema, beforeBatch = throughBatch + 1)
+      .drop("batch")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val staged = fs.listStatus(tmp).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val moves = staged.map(f =>
+      f.getPath.getName -> s"seed-$nonce-${f.getPath.getName}")
+    val deletes = (seedFiles.map(_.getPath.getName) ++
+      foldDirs.map(_.getPath.getName)).toSeq
+
+    // commit point: the journal names every mutation; spark part-file
+    // and batch=N names never contain spaces, so a line format is safe
+    val out = fs.create(marker, false)
+    try {
+      val text = (deletes.map(d => s"D $d") ++
+        moves.map { case (t, d) => s"M $t $d" }).mkString("", "\n", "\n")
+      out.write(text.getBytes("UTF-8"))
+    } finally out.close()
+    finishCompact(fs, root, marker)
+  }
+
+  /** Replay the journal: delete superseded entries, promote staged
+    * files, clear the journal. Every step tolerates having already
+    * happened, so crashed compactions complete on the next call. */
+  private def finishCompact(fs: FileSystem, root: Path, marker: Path): Unit = {
+    val in = fs.open(marker)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val tmp = new Path(root, TmpDir)
+    lines.foreach { line =>
+      line.split(" ") match {
+        case Array("D", name) =>
+          val p = new Path(root, name)
+          if (fs.exists(p)) fs.delete(p, true)
+        case Array("M", from, to) =>
+          val src = new Path(tmp, from)
+          val dst = new Path(root, to)
+          if (fs.exists(src) && !fs.exists(dst)) fs.rename(src, dst)
+          else if (fs.exists(src)) fs.delete(src, false) // promoted already
+        case _ => // blank line
+      }
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    fs.delete(marker, false)
+  }
+
+  /** Retention: delete `batch=N` partitions with `N < keepFromBatch`
+    * (and the seed files too when `dropSeed`) — the bounded-window
+    * sibling of [[compact]]: compaction bounds the FILE COUNT keeping
+    * all history, expiry bounds the HISTORY ITSELF for deployments that
+    * only dedup within a window. Deletion-only and idempotent — a crash
+    * partway simply leaves some expired partitions for the next call —
+    * so no journal is needed. */
+  def expire(
+      spark: SparkSession, dir: String,
+      keepFromBatch: Long, dropSeed: Boolean = false): Unit = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return
+    val marker = new Path(root, Marker)
+    if (fs.exists(marker)) throw new IllegalStateException(
+      s"index dir $dir holds a compaction journal — complete the pending " +
+        "compact() before expiring history")
+    fs.listStatus(root).foreach { e =>
+      val expired =
+        (e.isDirectory && batchOf(e.getPath.getName).exists(_ < keepFromBatch)) ||
+        (dropSeed && e.isFile && e.getPath.getName.endsWith(".parquet"))
+      if (expired) fs.delete(e.getPath, true)
     }
   }
 }

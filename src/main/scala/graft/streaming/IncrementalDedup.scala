@@ -56,6 +56,25 @@ object IncrementalDedup {
       beforeBatch: Long = Long.MaxValue): DataFrame =
     BatchIndex.read(spark, indexDir, seedSchema, beforeBatch)
 
+  /** Fold fingerprint partitions `<= throughBatch` into root-level
+    * seed files ([[BatchIndex.compact]]): months of 5-minute batches
+    * otherwise mean ~100k tiny `batch=N` directories listed per batch
+    * — the small-file scale-killer on the index side of the anti-join.
+    * Read-equivalent at every future fence; crash-safe via the
+    * journal; requires the writing stream stopped or between batches. */
+  def compactIndex(
+      spark: SparkSession, indexDir: String, throughBatch: Long): Unit =
+    BatchIndex.compact(spark, indexDir, seedSchema, throughBatch)
+
+  /** Retention: drop fingerprints admitted before `keepFromBatch`
+    * (seed rows too when `dropSeed`) — exact copies of documents older
+    * than the window are re-admitted, the bounded-window trade
+    * [[BatchIndex.expire]] documents. */
+  def expireIndex(
+      spark: SparkSession, indexDir: String,
+      keepFromBatch: Long, dropSeed: Boolean = false): Unit =
+    BatchIndex.expire(spark, indexDir, keepFromBatch, dropSeed)
+
   /** One micro-batch: survivors of `batch` against the index state as
     * of `beforeBatch` (also the batch-backfill entry point, so both
     * paths share one definition). */

@@ -97,12 +97,49 @@ object NearDedupStream {
             "backfillIndex would erase that history; seed a fresh index " +
             "dir or let the stream continue from the existing one")
     }
+    // docs BEFORE bands: a crash between the two writes must never
+    // leave band rows whose texts are missing — a candidate referencing
+    // such a doc would find no shingles and silently verify as
+    // non-duplicate, admitting near-dups of the seed corpus. Docs
+    // without bands are the harmless direction (they just never become
+    // candidates until the backfill is re-run).
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .write.mode("overwrite").parquet(s"$indexDir/docs")
     Dedup.bandTable(
         Dedup.minhashSignature(docs, idCol, textCol, nHashes, shingleN),
         idCol, nHashes, rowsPerBand)
       .write.mode("overwrite").parquet(s"$indexDir/bands")
-    docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .write.mode("overwrite").parquet(s"$indexDir/docs")
+  }
+
+  /** Fold both stores' `batch=N` partitions `<= throughBatch` into
+    * root-level seed files ([[BatchIndex.compact]] — bounds the
+    * directory listing a long-running stream pays per batch without
+    * changing what any future fence reads). Docs compact BEFORE bands,
+    * the same crash-ordering argument as [[backfillIndex]]: if the
+    * second rewrite crashes, its journal makes reads of THAT store fail
+    * loudly until compact is re-run, and the already-compacted docs
+    * store is visible at every fence the partitioned one was. Requires
+    * the writing stream stopped or between batches. */
+  def compactIndex(
+      spark: SparkSession, indexDir: String, throughBatch: Long): Unit = {
+    BatchIndex.compact(spark, s"$indexDir/docs", docsSchema, throughBatch)
+    BatchIndex.compact(spark, s"$indexDir/bands", bandsSchema, throughBatch)
+  }
+
+  /** Retention: drop history admitted before `keepFromBatch` (seed rows
+    * too when `dropSeed`) from both stores — documents older than the
+    * window stop producing near-dup candidates, so their variants are
+    * re-admitted. Bands expire BEFORE docs (the reverse of backfill's
+    * ordering, for the same reason): a crash between the two deletes
+    * must never leave bands whose docs are gone — such a candidate
+    * would fetch no text and silently verify as non-duplicate even for
+    * ids INSIDE the window. Band-less docs merely linger until the next
+    * expire call. */
+  def expireIndex(
+      spark: SparkSession, indexDir: String,
+      keepFromBatch: Long, dropSeed: Boolean = false): Unit = {
+    BatchIndex.expire(spark, s"$indexDir/bands", keepFromBatch, dropSeed)
+    BatchIndex.expire(spark, s"$indexDir/docs", keepFromBatch, dropSeed)
   }
 
   /** One micro-batch: survivors of `batch` against the index state as
@@ -115,11 +152,29 @@ object NearDedupStream {
       nHashes: Int = 8, rowsPerBand: Int = 2,
       maxBucket: Int = 100000): DataFrame =
     dedupBatchWithBands(batch, indexDir, idCol, textCol, beforeBatch,
-      p, q, shingleN, nHashes, rowsPerBand, maxBucket)._1
+      p, q, shingleN, nHashes, rowsPerBand, maxBucket).survivors
 
-  /** The batch core, also handing back the batch's materialized band
-    * table so the stream writer can derive the survivors' index rows
-    * without re-tokenizing. Tokenization runs ONCE over the batch (the
+  /** What the batch core hands back: the survivors, the batch's
+    * materialized band table (the stream writer derives the survivors'
+    * index rows from it without re-tokenizing), and a cleanup thunk
+    * that frees the batch's localCheckpoint block-manager storage —
+    * call it AFTER every consumer of `survivors`/`bands` has run, or a
+    * long-lived stream accumulates checkpointed blocks until the
+    * ContextCleaner happens to GC them. */
+  private[graft] final case class BatchCore(
+      survivors: DataFrame, bands: DataFrame, cleanup: () => Unit)
+
+  /** Free a localCheckpoint'ed frame's blocks deterministically: the
+    * checkpointed Dataset is a scan of a LogicalRDD whose RDD holds the
+    * persisted blocks — unpersist that RDD. (Dataset.unpersist only
+    * covers CacheManager entries, not checkpoints.) Must not be called
+    * while a consumer may still read the frame. */
+  private[graft] def dropLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** The batch core. Tokenization runs ONCE over the batch (the
     * materialized shingle table feeds the signature AND both verify
     * passes — lazy lineage would re-run the whole tokenize pipeline per
     * consumer) and once over the candidate-referenced old docs.
@@ -135,7 +190,7 @@ object NearDedupStream {
       beforeBatch: Long,
       p: Int, q: Int, shingleN: Int,
       nHashes: Int, rowsPerBand: Int,
-      maxBucket: Int): (DataFrame, DataFrame) = {
+      maxBucket: Int): BatchCore = {
     val spark = batch.sparkSession
     // ONE tokenize pass over the batch
     val sh = Dedup.shingleTable(batch, idCol, textCol, shingleN)
@@ -162,17 +217,36 @@ object NearDedupStream {
     // recall-for-boundedness trade; the count agg reads the rows the
     // join was reading anyway.
     val allOldBands = readBands(spark, indexDir, beforeBatch)
-    val reused = allOldBands.select(col("id"))
-      .join(withinIds, Seq("id"), "left_semi")
-    if (reused.limit(1).count() > 0) throw new IllegalStateException(
-      "batch reuses doc ids already admitted to the near-dedup index at " +
-        s"$indexDir — ids must be globally unique (replaying a batch needs " +
-        "its beforeBatch fence; see the replay-safety contract)")
     val hotBands = allOldBands.groupBy(col("band"), col("bv"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
       .select(col("band"), col("bv"))
-    val oldBands = allOldBands.join(hotBands, Seq("band", "bv"), "left_anti")
+    // The id-reuse guard rides the history scan the candidate join
+    // performs anyway, at ZERO extra jobs (it used to be a separate
+    // limit(1).count() action per batch): old band rows whose id the
+    // batch re-uses are flagged by a join against the batch's id set
+    // (small side, runtime-broadcast by AQE), and a flagged row turns
+    // its join-key column into raise_error — evaluated for every old
+    // row when the candidate join probes it, so any reuse fails the
+    // batch's own job loudly before the index writes commit. One edge
+    // is consciously narrower than a standalone check: a batch whose
+    // EVERY doc is unbandable (all null/short texts) plans an empty
+    // candidate join, AQE skips the history scan, and a reused id in
+    // it goes undetected — such a batch also generates no pairs, so
+    // nothing corrupts within it; the first bandable batch touching
+    // that id still raises.
+    val withinFlag = withinIds.withColumn("_reused", lit(true))
+    val oldBands = allOldBands
+      .join(withinFlag, Seq("id"), "left")
+      .withColumn("bv", when(col("_reused"),
+          raise_error(concat(
+            lit("batch reuses doc id "), col("id").cast("string"),
+            lit(" already admitted to the near-dedup index at " + indexDir +
+              " — ids must be globally unique (replaying a batch needs its " +
+              "beforeBatch fence; see the replay-safety contract)"))))
+        .otherwise(col("bv")))
+      .drop("_reused")
+      .join(hotBands, Seq("band", "bv"), "left_anti")
     val newBands = bands.join(withinIds, Seq("id"), "left_semi")
     val cand = newBands.as("nb")
       .join(oldBands.as("ob"), Seq("band", "bv"))
@@ -190,7 +264,9 @@ object NearDedupStream {
       .unionByName(oldSh)
     val dropped = Dedup.jaccardVerifyOnShingles(verifySh, cand, p, q)
       .select(col("id_b").as(idCol)).distinct()
-    (within.join(dropped, Seq(idCol), "left_anti"), bands)
+    BatchCore(
+      within.join(dropped, Seq(idCol), "left_anti"), bands,
+      () => Seq(sh, bands, within).foreach(dropLocalCheckpoint))
   }
 
   /** Streaming writer: `emit` sees each batch's surviving documents,
@@ -207,22 +283,27 @@ object NearDedupStream {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (survivors, bands) = dedupBatchWithBands(
+        val core = dedupBatchWithBands(
           batch, indexDir, idCol, textCol, batchId,
           p, q, shingleN, nHashes, rowsPerBand, maxBucket)
-        val fresh = survivors
+        val fresh = core.survivors
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           emit(fresh, batchId)
+          // docs before bands (the backfill crash-ordering argument);
           // the batch's band table is already materialized — the index
           // rows are a semi-join restriction to the final survivors,
           // not another tokenize pass
-          bands.join(fresh.select(col(idCol).cast("long").as("id")),
-              Seq("id"), "left_semi")
-            .write.mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
           fresh.select(col(idCol).as("id"), col(textCol).as("text"))
             .write.mode("overwrite").parquet(s"$indexDir/docs/batch=$batchId")
-        } finally fresh.unpersist()
+          core.bands.join(fresh.select(col(idCol).cast("long").as("id")),
+              Seq("id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
+        } finally {
+          fresh.unpersist()
+          core.cleanup() // free the batch's localCheckpoint blocks now,
+                         // not whenever the ContextCleaner GCs them
+        }
         ()
       }
 }

@@ -175,4 +175,95 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(empty.schema.fieldNames.sameElements(Array("fp", "batch")))
     assert(empty.count() == 0)
   }
+
+  private def writeFps(texts: Seq[String], path: String): Unit = {
+    val spark0 = spark
+    import spark0.implicits._
+    texts.toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  test("compactIndex folds old fp partitions into seed files — read-equivalent, newest fenced") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_compact").toString
+    writeFps(Seq("seed content"), s"$dir/index") // root seed
+    writeFps(Seq("batch zero"), s"$dir/index/batch=0")
+    writeFps(Seq("batch one"), s"$dir/index/batch=1")
+    writeFps(Seq("batch two"), s"$dir/index/batch=2")
+    def fps(beforeBatch: Long = Long.MaxValue): Seq[String] =
+      IncrementalDedup.readIndex(spark, s"$dir/index", beforeBatch)
+        .select("fp").collect().map(_.getString(0)).sorted.toSeq
+    val before = fps()
+    val beforeF2 = fps(beforeBatch = 2L)
+    assert(before.length == 4 && beforeF2.length == 3)
+    // the newest partition must stay: a crashed stream replays batch 2
+    // with fence beforeBatch=2 and must NOT see its own rows as seed
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.compactIndex(spark, s"$dir/index", throughBatch = 2L)
+    }
+    IncrementalDedup.compactIndex(spark, s"$dir/index", throughBatch = 1L)
+    // layout: only batch=2 remains a partition; everything else is seed
+    val entries = new java.io.File(s"$dir/index").listFiles()
+      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+    assert(entries.map(_.getName).toSet == Set("batch=2"),
+      entries.map(_.getName).mkString(","))
+    // read-equivalent at the open fence AND at the replay fence
+    assert(fps() == before)
+    assert(fps(beforeBatch = 2L) == beforeF2)
+    // idempotent: nothing at or below the cutoff anymore
+    IncrementalDedup.compactIndex(spark, s"$dir/index", throughBatch = 1L)
+    assert(fps() == before)
+  }
+
+  test("a crashed compaction is loud on read and completed by the next compact") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_crash").toString
+    writeFps(Seq("batch zero"), s"$dir/index/batch=0")
+    writeFps(Seq("batch one"), s"$dir/index/batch=1")
+    val before = IncrementalDedup.readIndex(spark, s"$dir/index")
+      .select("fp").collect().map(_.getString(0)).sorted.toSeq
+    // simulate a crash at the worst point: rows staged and the journal
+    // committed, but neither deletions nor promotions executed
+    spark.read.parquet(s"$dir/index/batch=0")
+      .write.parquet(s"$dir/index/_compact_tmp")
+    val staged = new java.io.File(s"$dir/index/_compact_tmp").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName)
+    assert(staged.nonEmpty)
+    val journal = ("D batch=0" +: staged.map(n => s"M $n seed-crash-$n").toSeq)
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/index/_compact_journal"),
+      journal.getBytes("UTF-8"))
+    // mid-compaction state must never be silently readable
+    val ex = intercept[IllegalStateException] {
+      IncrementalDedup.readIndex(spark, s"$dir/index").count()
+    }
+    assert(ex.getMessage.contains("journal"), ex.getMessage)
+    // the next compact call replays the journal, then finds nothing
+    // further to fold — and the index reads exactly as before
+    IncrementalDedup.compactIndex(spark, s"$dir/index", throughBatch = 0L)
+    assert(!new java.io.File(s"$dir/index/_compact_journal").exists())
+    assert(!new java.io.File(s"$dir/index/_compact_tmp").exists())
+    val after = IncrementalDedup.readIndex(spark, s"$dir/index")
+      .select("fp").collect().map(_.getString(0)).sorted.toSeq
+    assert(after == before)
+  }
+
+  test("expireIndex drops history before the cutoff — expired content is re-admitted") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_expire").toString
+    writeFps(Seq("old content"), s"$dir/index/batch=0")
+    writeFps(Seq("new content"), s"$dir/index/batch=1")
+    val batch = Seq((1L, "old content"), (2L, "new content"), (3L, "fresh"))
+      .toDF("doc_id", "text")
+    def survivors(): Set[Long] =
+      IncrementalDedup.dedupBatch(batch, s"$dir/index", "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors() == Set(3L))
+    IncrementalDedup.expireIndex(spark, s"$dir/index", keepFromBatch = 1L)
+    // batch=0's fingerprint is gone: its exact copy is re-admitted,
+    // the retained batch=1 content still drops
+    assert(survivors() == Set(1L, 3L))
+  }
 }

@@ -13,6 +13,18 @@ class NearDedupStreamSpec extends SparkSpec {
   private val base =
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
 
+  /** All messages on an exception's cause chain (task failures arrive
+    * wrapped in SparkException layers). */
+  private def causeChain(t: Throwable): List[String] = {
+    val b = List.newBuilder[String]
+    var cur: Throwable = t
+    while (cur != null) {
+      b += String.valueOf(cur.getMessage)
+      cur = cur.getCause
+    }
+    b.result()
+  }
+
   test("near-dup variants drop within-batch, cross-batch, and exactly — durably") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -68,10 +80,16 @@ class NearDedupStreamSpec extends SparkSpec {
     // without the fence the same data collides with its OWN admitted
     // ids — the id-reuse guard fails loudly (a silent anti-join against
     // leftovers would mask both missing fences and id recycling, and a
-    // recycled id with different text would corrupt verification)
-    intercept[IllegalStateException] {
+    // recycled id with different text would corrupt verification). The
+    // guard rides the candidate join's own history scan (raise_error on
+    // flagged rows — no extra job), so it surfaces when the batch's
+    // result is materialized, wrapped in Spark's task-failure chain.
+    val reuseEx = intercept[Exception] {
       NearDedupStream.nearDedupBatch(batch1, s"$dir/index", "doc_id", "text")
+        .count()
     }
+    assert(causeChain(reuseEx).exists(_.contains("reuses doc id")),
+      causeChain(reuseEx).mkString(" | "))
     // backfilling over an index that already streamed batches would
     // erase the accumulated history — refused
     val ex = intercept[IllegalStateException] {
@@ -178,6 +196,89 @@ class NearDedupStreamSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(23L))
+  }
+
+  test("compactIndex folds both stores — near-dedup behavior unchanged at every future fence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("near_dedup_compact").toString
+    val texts = Seq(
+      base,
+      "one two three four five six seven eight nine ten eleven twelve",
+      "separate vocabulary entirely again here with more unique words now")
+    val in = MemoryStream[(Long, String)]
+    val q = NearDedupStream.nearDedupStreamToIndex(
+        in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/index", s"$dir/ckpt") { (_, _) => () }.start()
+    try {
+      texts.zipWithIndex.foreach { case (t, i) =>
+        in.addData((i.toLong + 1, t)); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def bandRows(): Seq[(Long, Int, String)] =
+      NearDedupStream.readBands(spark, s"$dir/index")
+        .select("id", "band", "bv").as[(Long, Int, String)].collect().sorted.toSeq
+    def docRows(): Seq[(Long, String)] =
+      NearDedupStream.readDocs(spark, s"$dir/index")
+        .select("id", "text").as[(Long, String)].collect().sorted.toSeq
+    val (bandsBefore, docsBefore) = (bandRows(), docRows())
+    assert(bandsBefore.map(_._1).distinct == Seq(1L, 2L, 3L))
+    val probe = Seq((50L, base + " extra tail")).toDF("doc_id", "text")
+    assert(NearDedupStream.nearDedupBatch(
+      probe, s"$dir/index", "doc_id", "text").count() == 0)
+
+    NearDedupStream.compactIndex(spark, s"$dir/index", throughBatch = 1L)
+    // both stores keep only the newest partition; older history is seed
+    Seq("bands", "docs").foreach { sub =>
+      val dirs = new java.io.File(s"$dir/index/$sub").listFiles()
+        .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+      assert(dirs.map(_.getName).toSet == Set("batch=2"), sub)
+    }
+    assert(bandRows() == bandsBefore)
+    assert(docRows() == docsBefore)
+    // a near-dup of compacted (batch 0) history still drops
+    assert(NearDedupStream.nearDedupBatch(
+      probe, s"$dir/index", "doc_id", "text").count() == 0)
+    // and the replay fence still excludes the newest partition only
+    assert(NearDedupStream.readBands(spark, s"$dir/index", beforeBatch = 2L)
+      .select("id").distinct().as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("expireIndex: expired history stops producing candidates, retained history still drops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("near_dedup_expire").toString
+    val otherBase =
+      "uniform quebec romeo sierra tango victor whiskey xray yankee zulu adams baker"
+    // hand-laid batch partitions: docA admitted by batch 0, docB by batch 1
+    Seq((10L, base), (11L, otherBase)).zipWithIndex.foreach { case ((id, t), b) =>
+      val d = Seq((id, t)).toDF("doc_id", "text")
+      d.select(col("doc_id").as("id"), col("text"))
+        .write.parquet(s"$dir/index/docs/batch=$b")
+      Dedup.bandTable(Dedup.minhashSignature(d, "doc_id", "text"), "doc_id")
+        .write.parquet(s"$dir/index/bands/batch=$b")
+    }
+    val probes = Seq((50L, base + " extra tail"), (51L, otherBase + " extra tail"))
+      .toDF("doc_id", "text")
+    def kept(): Set[Long] =
+      NearDedupStream.nearDedupBatch(probes, s"$dir/index", "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept() == Set.empty[Long]) // both near-dup admitted history
+    NearDedupStream.expireIndex(spark, s"$dir/index", keepFromBatch = 1L)
+    // docA's history is expired: its variant is re-admitted; docB's is
+    // retained: its variant still drops
+    assert(kept() == Set(50L))
+    // seed expiry: a backfilled index stops matching once dropSeed purges it
+    val seedDir = java.nio.file.Files.createTempDirectory("near_dedup_expire_seed").toString
+    NearDedupStream.backfillIndex(
+      Seq((100L, base)).toDF("doc_id", "text"), "doc_id", "text", s"$seedDir/index")
+    val probeA = Seq((60L, base + " extra tail")).toDF("doc_id", "text")
+    assert(NearDedupStream.nearDedupBatch(
+      probeA, s"$seedDir/index", "doc_id", "text").count() == 0)
+    NearDedupStream.expireIndex(spark, s"$seedDir/index",
+      keepFromBatch = 0L, dropSeed = true)
+    assert(NearDedupStream.nearDedupBatch(
+      probeA, s"$seedDir/index", "doc_id", "text").count() == 1)
   }
 
   test("streamed near-dedup == the batch candidates->verify composition (real fixture)") {
