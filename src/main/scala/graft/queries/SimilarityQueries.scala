@@ -727,6 +727,78 @@ object SimilarityQueries {
             k = 3, m = 8, dim = 64, nProbe = 1)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(ivfPqOracle))
+      Some(ivfPqOracle)),
+
+    GraftQuery(
+      "q98_ann_index_recall",
+      "Recall of the WRITTEN-index IVF-PQ probe at nProbe=2 against " +
+        "exact brute force — the q95 evaluation loop running over the " +
+        "stored artifacts (q89's layout), proving the serving path " +
+        "participates in recall tuning: widen nProbe on the SAME index, " +
+        "re-run this report, watch recall rise (monotonicity " +
+        "spec-asserted in CorpusSinkSpec). The approx ranking is q91's " +
+        "(integer ADC distances, hash-exact); brute force is q25's " +
+        "(margin-established); counts integer, one double division.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val idx = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_q98_index").getPath
+        graft.sinks.CorpusSink.writeIvfPqIndex(
+          e, "vec_id", "embedding", idx, nLists = 8, m = 8, dim = 64, kCent = 16)
+        Similarity.recallReport(
+            Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3),
+            Similarity.ivfPqTopKFromIndex(spark, idx, q, "vec_id", "embedding",
+              k = 3, m = 8, dim = 64, nProbe = 2))
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        WITH BP AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_cosine_similarity(a.embedding, b.embedding) AS c
+          FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id % 50 = 0),
+        BR AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+          FROM BP),
+        EX AS (SELECT query_id, neighbor_id FROM BR WHERE rank <= 3),
+        CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        PROBE AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          WHERE vec_id % 50 = 0
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) <= 2),
+        """ + pqCte + """,
+        ADC AS (
+          SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
+          FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
+          JOIN PROBE pa ON pa.vec_id = l.query_id
+          JOIN CELL cb ON cb.vec_id = c.vec_id AND cb.cell = pa.cell
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2),
+        IR AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY dist, neighbor_id) AS rank
+               FROM ADC),
+        AP AS (SELECT query_id, neighbor_id FROM IR WHERE rank <= 3)
+        SELECT e.query_id AS query_id,
+               COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               CAST(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS recall
+        FROM EX e LEFT JOIN AP a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id"""))
   )
 }

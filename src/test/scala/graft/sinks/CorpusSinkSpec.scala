@@ -161,6 +161,30 @@ class CorpusSinkSpec extends SparkSpec {
     assert(servedMp == inlineMp)
   }
 
+  test("stored-index recall tuning: recall vs brute force is non-decreasing in nProbe (q98's loop)") {
+    val sim = graft.similarity.Similarity
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val out = tmp("ivf_pq_recall")
+    CorpusSink.writeIvfPqIndex(e, "vec_id", "embedding", out)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = sim.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .persist()
+    try {
+      // the serving-path tuning loop q98 verifies one point of: widen
+      // nProbe over the SAME written artifacts, recall must not drop
+      val recallAt = (nProbe: Int) => {
+        val rep = sim.recallReport(exact,
+          sim.ivfPqTopKFromIndex(spark, out, q, "vec_id", "embedding",
+            k = 3, nProbe = nProbe))
+          .agg(sum("n_hit").cast("double") / sum("n_exact")).collect()(0).getDouble(0)
+        rep
+      }
+      val r1 = recallAt(1); val r2 = recallAt(2); val r4 = recallAt(4)
+      assert(r1 <= r2 && r2 <= r4, s"recall not monotone: $r1, $r2, $r4")
+      assert(r4 > 0.0)
+    } finally exact.unpersist()
+  }
+
   test("writePqIndex: codes/codebook/ranges layout, codes agree with pqEncode") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val out = tmp("pq_index")
