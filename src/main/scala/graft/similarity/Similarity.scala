@@ -65,7 +65,16 @@ object Similarity {
     * at 100 TB the cell assignment is a write-time partition key, so a
     * query touches |corpus|/nLists rows. Deterministic via fixed seed.
     * Single-probe (nProbe=1) — recall rises with multi-probe the same
-    * way as for the sign-LSH variant. */
+    * way as for the sign-LSH variant.
+    *
+    * This is the TRAINED-quantizer variant, kept alongside
+    * [[ivfDeterministicTopK]] deliberately: `KMeans.fit` is not
+    * expressible in portable SQL, so this operator can never carry an
+    * oracle entry — its contract is the recall spec in SimilaritySpec
+    * (trained vs deterministic at equal nLists). Use it when the
+    * corpus is clustered (real embedding distributions), where trained
+    * centroids balance cells and beat sampled ones; the deterministic
+    * variant is the oracle-verifiable twin and the default elsewhere. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nLists: Int, seed: Long = 42L): DataFrame = {

@@ -52,6 +52,34 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & approx).nonEmpty)
   }
 
+  test("trained (KMeans) vs deterministic coarse quantizer: the recall trade ivfTopK exists for") {
+    // ivfTopK is the one operator with no oracle entry (KMeans.fit is
+    // not expressible in portable SQL) — this spec is its contract:
+    // trained centroids must hold their own against the md5-sampled
+    // deterministic quantizer at the same nLists, single-probe. On
+    // clustered real-world embeddings trained centroids WIN (balanced
+    // cells -> fewer cross-cell misses); on near-uniform synthetic
+    // vectors the two are close, so the assertion is parity-with-slack
+    // rather than strict dominance.
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .persist()
+    try {
+      def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+        Similarity.recallReport(exact, approx)
+          .agg(sum("n_hit").cast("double") / sum("n_exact"))
+          .collect()(0).getDouble(0)
+      val trained = recallOf(
+        Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 3, nLists = 8))
+      val sampled = recallOf(
+        Similarity.ivfDeterministicTopK(e, q, "vec_id", "embedding", k = 3, nLists = 8))
+      assert(trained > 0.0 && sampled > 0.0)
+      assert(trained >= sampled - 0.15,
+        s"trained-quantizer recall $trained fell far below deterministic $sampled")
+    } finally exact.unpersist()
+  }
+
   test("lshTopK recall vs brute force is nontrivial at nBits=4") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)
