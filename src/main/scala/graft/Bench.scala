@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
   *    `queryExecution.toRdd.count()` — a plain Dataset.count() would
   *    let the optimizer prune projections and sorts, under-reporting
   *    the real work;
-  *  - two INTERLEAVED full-suite passes (pass 1 runs every query, then
-  *    pass 2 runs every query again), per-query minimum reported.
-  *    Back-to-back repeats of the same query share any sustained host
-  *    interference window, so min-of-2 can't reject it; interleaving
-  *    puts the two samples of each query minutes apart, so a noise
-  *    window poisons at most one pass of any query.
+  *  - THREE interleaved full-suite passes (each pass runs every query
+  *    before any query repeats), per-query MINIMUM reported. Back-to-
+  *    back repeats of the same query share any sustained host
+  *    interference window, so min-of-N can't reject it; interleaving
+  *    puts the samples of each query minutes apart, so a noise window
+  *    poisons at most one pass of any query — with three passes a
+  *    query's minimum survives even a window long enough to straddle
+  *    two pass boundaries. The round-7 driver artifact drifted 1.13×
+  *    on untouched queries purely from single-sample ambient load;
+  *    min-of-3-interleaved is the fix.
   *  - per-pass times (`passes`) and per-pass wall-clock start
   *    timestamps in epoch millis (`starts`) go to STDERR as their own
   *    JSON line, so a contaminated window is self-identifying: slow
@@ -60,20 +64,20 @@ object Bench {
     }
 
     val registry = SparkEntry.registry
-    val pass1 = registry.map(q => q.name -> timeOnce(q))
-    val pass2 = registry.map(q => q.name -> timeOnce(q))
-    val byName1 = pass1.toMap
-    val byName2 = pass2.toMap
+    val nPass = 3
+    // interleaved: every query runs once per pass before any repeats
+    val passMaps: Seq[Map[String, Sample]] =
+      (1 to nPass).map(_ => registry.map(q => q.name -> timeOnce(q)).toMap)
+    def samples(name: String): Seq[Sample] = passMaps.map(_(name))
 
     // a failed query reports -1.0, never a fast-looking time-to-failure
     val results = registry.map { q =>
-      val (a, b) = (byName1(q.name), byName2(q.name))
-      val t =
-        if (a.ok && b.ok) math.min(a.sec, b.sec)
-        else if (a.ok) a.sec
-        else if (b.ok) b.sec
-        else -1.0
-      q.name -> t
+      val ok = samples(q.name).filter(_.ok).map(_.sec)
+      q.name -> (if (ok.nonEmpty) ok.min else -1.0)
+    }
+    val medians = registry.map { q =>
+      val ok = samples(q.name).filter(_.ok).map(_.sec).sorted
+      q.name -> (if (ok.nonEmpty) ok(ok.size / 2) else -1.0)
     }
 
     def fmt3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -87,16 +91,23 @@ object Bench {
       "\"" + (if (useShort) shortKeys(k) else k) + "\":" + fmt3(v)
     }.mkString("{", ",", "}")
     val passes = registry.map { q =>
-      "\"" + q.name + "\":[" + byName1(q.name).sec + "," + byName2(q.name).sec + "]"
+      "\"" + q.name + "\":[" + samples(q.name).map(_.sec).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val starts = registry.map { q =>
-      "\"" + q.name + "\":[" + byName1(q.name).startMs + "," + byName2(q.name).startMs + "]"
+      "\"" + q.name + "\":[" + samples(q.name).map(_.startMs).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val medMap = medians.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val medTotal = medians.map(_._2).filter(_ >= 0).sum
     // diagnostics first, on stderr — never on the stdout contract line
     System.err.println(s"""{"diag":"bench_full_names","queries":$qsFull}""")
-    System.err.println(s"""{"diag":"bench_passes","passes":$passes,"starts":$starts}""")
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.err.println(s"""{"diag":"bench_medians","median_total":$medTotal,"medians":$medMap}""")
+    System.err.println(s"""{"diag":"bench_passes","npass":$nPass,"passes":$passes,"starts":$starts}""")
+    // npass + median_total ride the contract line (small, fixed-size)
+    // so cross-round artifacts are self-describing: `queries` values
+    // are per-query MINIMA over npass interleaved passes.
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","npass":$nPass,"stat":"min","median_total":${fmt3(medTotal)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -214,29 +214,34 @@ object NearDedupStream {
     // the join out by |hot history| x |batch collisions|. Band values
     // held by more than maxBucket admitted docs carry no near-dup
     // signal and are pruned before the join — the standard
-    // recall-for-boundedness trade; the count agg reads the rows the
-    // join was reading anyway.
-    val allOldBands = readBands(spark, indexDir, beforeBatch)
-    val hotBands = allOldBands.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket)
-      .select(col("band"), col("bv"))
-    // The id-reuse guard rides the history scan the candidate join
-    // performs anyway, at ZERO extra jobs (it used to be a separate
-    // limit(1).count() action per batch): old band rows whose id the
-    // batch re-uses are flagged by a join against the batch's id set
-    // (small side, runtime-broadcast by AQE), and a flagged row turns
-    // its join-key column into raise_error — evaluated for every old
-    // row when the candidate join probes it, so any reuse fails the
-    // batch's own job loudly before the index writes commit. One edge
-    // is consciously narrower than a standalone check: a batch whose
-    // EVERY doc is unbandable (all null/short texts) plans an empty
-    // candidate join, AQE skips the history scan, and a reused id in
-    // it goes undetected — such a batch also generates no pairs, so
-    // nothing corrupts within it; the first bandable batch touching
-    // that id still raises.
+    // recall-for-boundedness trade.
+    //
+    // The accumulated band index — the largest input, growing every
+    // batch — is scanned and shuffled exactly ONCE per batch: the hot
+    // cap is a windowed count partitioned by (band, bv), the candidate
+    // join's own key, so the window's exchange satisfies the join's
+    // required distribution and no second scan (a separate groupBy
+    // branch) or second shuffle exists on the history side.
+    //
+    // The id-reuse guard rides that same single pass, at ZERO extra
+    // jobs (it used to be a separate limit(1).count() action per
+    // batch): old band rows whose id the batch re-uses are flagged by
+    // a join against the batch's id set (small side, runtime-broadcast
+    // by AQE), and a flagged row turns its join-key column into
+    // raise_error — evaluated for every old row as the pass projects
+    // it, so any reuse fails the batch's own job loudly before the
+    // index writes commit. The guard sits BEFORE the hot-band filter,
+    // so a reused id raises even when all its band values are hot-
+    // pruned. One edge is consciously narrower than a standalone
+    // check: a batch whose EVERY doc is unbandable (all null/short
+    // texts) plans an empty candidate join, AQE skips the history
+    // scan, and a reused id in it goes undetected — such a batch also
+    // generates no pairs, so nothing corrupts within it; the first
+    // bandable batch touching that id still raises.
     val withinFlag = withinIds.withColumn("_reused", lit(true))
-    val oldBands = allOldBands
+    val bandW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bv"))
+    val oldBands = readBands(spark, indexDir, beforeBatch)
       .join(withinFlag, Seq("id"), "left")
       .withColumn("bv", when(col("_reused"),
           raise_error(concat(
@@ -246,7 +251,9 @@ object NearDedupStream {
               "beforeBatch fence; see the replay-safety contract)"))))
         .otherwise(col("bv")))
       .drop("_reused")
-      .join(hotBands, Seq("band", "bv"), "left_anti")
+      .withColumn("_n", count(lit(1)).over(bandW))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
     val newBands = bands.join(withinIds, Seq("id"), "left_semi")
     val cand = newBands.as("nb")
       .join(oldBands.as("ob"), Seq("band", "bv"))
