@@ -502,9 +502,53 @@ object Dedup {
     val b = graft.similarity.Similarity
       .signBuckets(emb, idCol, vecCol, nBits, dim)
       .select(struct(col(idCol).as("id"), col(vecCol).as("v")).as("m"), col("bucket"))
-    b.groupBy(col("bucket"))
+    pairsWithinGroups(b, "bucket", threshold, maxBucket)
+  }
+
+  /** Semantic dedup over an embedding column — the SemDeDup recipe
+    * (cluster the embedding space, then look for near-duplicates only
+    * WITHIN each cluster, where semantically-identical documents
+    * concentrate): cells come from the deterministic IVF coarse
+    * quantizer ([[graft.similarity.Similarity.ivfAssignCells]] — the
+    * same md5-ranked centroids + argmin-L2 assignment the ANN family
+    * serves from, so one clustering artifact can back BOTH the ANN
+    * index and the dedup pass), exact cosine >= `threshold` verifies
+    * inside a cell, and the larger id of each verified pair drops.
+    * Returns the SURVIVING rows of `emb`.
+    *
+    * The cell restriction is [[embeddingNearDupsBucketed]]'s bucket
+    * restriction with a data-dependent partitioner: sign-LSH buckets cut
+    * the space with fixed random hyperplanes, while centroids follow
+    * the corpus distribution — on clustered real-world embeddings the
+    * cell sizes track the clusters, which is where semantic duplicates
+    * live. Work is the sum of squared cell sizes, never |corpus|^2;
+    * `maxCell` bounds the degenerate case exactly as `maxBucket` does
+    * (vector-carrying groups, so the cap stays at 4096 ~ 1 MB/group at
+    * dim=64; raise nLists before raising the cap). Recall misses only
+    * pairs the quantizer separates — the standard SemDeDup trade, tuned
+    * by nLists. */
+  def semanticDedup(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nLists: Int = 8, maxCell: Int = 4096): DataFrame = {
+    val cells = graft.similarity.Similarity
+      .ivfAssignCells(emb, idCol, vecCol, nLists)
+      .select(struct(col(idCol).as("id"), col(vecCol).as("v")).as("m"), col("cell"))
+    val dropped = pairsWithinGroups(cells, "cell", threshold, maxCell)
+      .select(col("id_b").as("_drop_id")).distinct()
+    emb.join(dropped, emb(idCol) === col("_drop_id"), "left_anti")
+  }
+
+  /** Shared within-group exact-cosine verify: members ride the groupBy
+    * as (id, vector) structs so the embedding scan runs once, ordered
+    * pairs explode from each bounded group, and the codegen'd cosine
+    * filters them. Groups over `maxGroup` members are pruned (the
+    * documented recall-for-boundedness cap of both callers). */
+  private def pairsWithinGroups(
+      tagged: DataFrame, groupCol: String, threshold: Double,
+      maxGroup: Int): DataFrame =
+    tagged.groupBy(col(groupCol))
       .agg(sort_array(collect_list(col("m"))).as("ms"))
-      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxGroup)
       .select(explode(expr(
         """flatten(transform(ms, (x, i) ->
           |  transform(slice(ms, i + 2, size(ms) - i - 1),
@@ -512,5 +556,4 @@ object Dedup {
           |                              'id_b', y.id, 'v_b', y.v))))""".stripMargin)).as("p"))
       .filter(VectorFunctions.cosineSim(col("p.v_a"), col("p.v_b")) >= threshold)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-  }
 }

@@ -95,6 +95,56 @@ object SimilarityQueries {
 
   /** The deterministic IVF-Flat top-3 oracle, shared VERBATIM by q51
     * (inline operator) and q97 (probe of the written cell layout). */
+  /** Shared by q90 (inline multi-probe IVF-SQ8) and q100 (the same
+    * ranking served from writeIvfSq8Index's stored artifacts) — one
+    * definition so the grid, probe list, and integer distance can never
+    * drift between the inline and served forms. */
+  private val ivfSq8MultiprobeOracle: String = """
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        PROBE AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          WHERE vec_id % 50 = 0
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) <= 2),
+        MM AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(embedding) AS x,
+                       unnest(range(1, len(embedding)+1)) AS i
+                FROM embeddings)
+          GROUP BY i),
+        MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
+        QV AS (
+          SELECT vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(embedding)+1)] AS qv
+          FROM embeddings, MML),
+        P AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                           for i in range(1, len(a.qv)+1)]) AS d
+          FROM QV a
+          JOIN PROBE pa ON pa.vec_id = a.vec_id
+          JOIN CELL cb ON cb.cell = pa.cell
+          JOIN QV b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id),
+        R AS (SELECT query_id, neighbor_id, CAST(d AS BIGINT) AS dist,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY d, neighbor_id) AS rank
+              FROM P)
+        SELECT query_id, rank, neighbor_id, dist FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank"""
+
   private val ivfFlatOracle: String = """
         WITH CENT AS (
           SELECT vec_id AS cent_id, embedding AS cent_vec
@@ -391,51 +441,7 @@ object SimilarityQueries {
             k = 3, nLists = 8, nProbe = 2)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("""
-        WITH CENT AS (
-          SELECT vec_id AS cent_id, embedding AS cent_vec
-          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-        D AS (
-          SELECT e.vec_id, c.cent_id,
-                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
-          FROM embeddings e, CENT c, range(1, 65) i(i)
-          GROUP BY e.vec_id, c.cent_id),
-        CELL AS (
-          SELECT vec_id, cent_id AS cell FROM D
-          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
-        PROBE AS (
-          SELECT vec_id, cent_id AS cell FROM D
-          WHERE vec_id % 50 = 0
-          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) <= 2),
-        MM AS (
-          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
-          FROM (SELECT unnest(embedding) AS x,
-                       unnest(range(1, len(embedding)+1)) AS i
-                FROM embeddings)
-          GROUP BY i),
-        MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
-        QV AS (
-          SELECT vec_id,
-                 [CAST(least(greatest(coalesce(
-                      floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
-                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
-                      0.0), 255.0) AS BIGINT)
-                  for i in range(1, len(embedding)+1)] AS qv
-          FROM embeddings, MML),
-        P AS (
-          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                 list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
-                           for i in range(1, len(a.qv)+1)]) AS d
-          FROM QV a
-          JOIN PROBE pa ON pa.vec_id = a.vec_id
-          JOIN CELL cb ON cb.cell = pa.cell
-          JOIN QV b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id),
-        R AS (SELECT query_id, neighbor_id, CAST(d AS BIGINT) AS dist,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY d, neighbor_id) AS rank
-              FROM P)
-        SELECT query_id, rank, neighbor_id, dist FROM R
-        WHERE rank <= 3 ORDER BY query_id, rank""")),
+      Some(ivfSq8MultiprobeOracle)),
 
     GraftQuery(
       "q91_ann_ivf_pq_multiprobe",
@@ -799,6 +805,71 @@ object SimilarityQueries {
         FROM EX e LEFT JOIN AP a
           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
         GROUP BY e.query_id
-        ORDER BY e.query_id"""))
+        ORDER BY e.query_id""")),
+
+    GraftQuery(
+      "q99_semantic_dedup",
+      "SemDeDup: deterministic IVF cells cluster the embedding space, " +
+        "exact cosine >= 0.45 verifies near-dups INSIDE each cell only, " +
+        "larger id of each verified pair drops; output is the surviving " +
+        "id set. The cell restriction is q42's bucket restriction with " +
+        "a data-dependent partitioner (q51's centroids — one clustering " +
+        "artifact backs both the ANN index and the dedup pass). " +
+        "Thresholds inherit q24's all-pairs margin (cell pairs are a " +
+        "subset) and q51's argmin cell margins.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        Dedup.semanticDedup(e, "vec_id", "embedding",
+            threshold = 0.45, nLists = 8)
+          .select(col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        DROPPED AS (
+          SELECT DISTINCT b.vec_id AS did
+          FROM embeddings a
+          JOIN CELL ca ON ca.vec_id = a.vec_id
+          JOIN CELL cb ON cb.cell = ca.cell
+          JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45)
+        SELECT e.vec_id AS vec_id FROM embeddings e
+        LEFT JOIN DROPPED d ON d.did = e.vec_id
+        WHERE d.did IS NULL
+        ORDER BY vec_id""")),
+
+    GraftQuery(
+      "q100_ann_sq8_from_index",
+      "IVF-SQ8 served from a WRITTEN index — the middle point of the " +
+        "serving matrix (Flat q97 = exact vectors; SQ8 = 8-bit codes, " +
+        "4x smaller scan; PQ q89 = m bytes): writeIvfSq8Index stores " +
+        "each vector quantized once under the global grid, one dir per " +
+        "coarse cell; ivfSq8TopKFromIndex quantizes the QUERY under the " +
+        "stored grid and integer-L2 ranks only the probed cell dirs " +
+        "(static partition pruning, plan-asserted in spec) at nProbe=2. " +
+        "Shares q90's oracle SQL verbatim — served == inline by " +
+        "construction; integer distances, hash-exact.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val idx = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_q100_index").getPath
+        graft.sinks.CorpusSink.writeIvfSq8Index(
+          e, "vec_id", "embedding", idx, nLists = 8, dim = 64)
+        Similarity.ivfSq8TopKFromIndex(spark, idx, q, "vec_id", "embedding",
+            k = 3, dim = 64, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfSq8MultiprobeOracle))
   )
 }

@@ -545,6 +545,62 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Top-k from a WRITTEN IVF-SQ8 index
+    * ([[graft.sinks.CorpusSink.writeIvfSq8Index]]'s layout): the query
+    * is quantized under the STORED per-dimension grid and integer-L2
+    * scored ([[graft.functions.IntArrayL2]]) against the stored codes
+    * of ONLY its probed cell directories — the probe cell set collects
+    * driver-side (|Q| x nProbe longs) into a literal IN for static
+    * partition pruning, exactly like the Flat and PQ siblings. The
+    * corpus vectors are never read; the scan is 4x smaller than Flat.
+    *
+    * Identical ranking to the inline [[ivfSq8TopK]] with the same
+    * parameters by construction: the fused [[graft.functions.Sq8L2Distance]]
+    * kernel quantizes both sides under the same grid the stored codes
+    * and this probe use, and in-cell ranking is integer (dist, id).
+    * `dim` validates against the `meta` header — probing an index
+    * quantized at another width fails loudly, never silently. */
+  def ivfSq8TopKFromIndex(
+      spark: SparkSession, indexPath: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      dim: Int = 64, nProbe: Int = 1): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val storedDim = meta.getAs[Long]("dim")
+    require(storedDim == dim,
+      s"index at $indexPath was written with dim=$storedDim, probe " +
+        s"requested dim=$dim — quantization width must match")
+    val cent = spark.read.parquet(s"$indexPath/centroids")
+    val rangeRows = spark.read.parquet(s"$indexPath/ranges")
+      .orderBy(col("i")).collect()
+    val mns = rangeRows.map(_.getDouble(1)).toSeq
+    val mxs = rangeRows.map(_.getDouble(2)).toSeq
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qc =
+      (if (nProbe <= 1) assignWith(cent, q, "query_id", "q_vec")
+       else probeCells(cent, q, "query_id", "q_vec", nProbe))
+        .select(col("query_id"), col("cell"),
+          graft.functions.Sq8Quantize.sq8Quantize(
+            col("q_vec").cast("array<float>"), mns, mxs).as("q_qv"))
+    val probedCells = qc.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cellFilter =
+      if (probedCells.isEmpty) lit(false)
+      else expr(s"cell IN (${probedCells.mkString(",")})")
+    val cc = spark.read.parquet(s"$indexPath/cells")
+      .filter(cellFilter)
+      .select(col(idCol).as("neighbor_id"),
+        col("cell").cast("long").as("cell"), col("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    cc.join(broadcast(qc), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist",
+        graft.functions.IntArrayL2.intArrayL2(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
   /** Top-k from a WRITTEN IVF-PQ index
     * ([[graft.sinks.CorpusSink.writeIvfPqIndex]]'s layout) — the
     * serving path the inline operators' docstrings promise: corpus

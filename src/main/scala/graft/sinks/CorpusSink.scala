@@ -154,6 +154,51 @@ object CorpusSink {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
+  /** IVF-SQ8 serving layout — the middle point of the serving matrix
+    * (IVF-Flat `writeIvfFlatIndex` = exact vectors, 1x; this = 8-bit
+    * codes, 4x smaller scan, no codebook approximation beyond the
+    * per-dimension grid; IVF-PQ `writeIvfPqIndex` = m code bytes, 32x):
+    *
+    *   `path/cells/cell=N` — (id, qv array<long>): each vector
+    *                         quantized ONCE at write time under the
+    *                         global per-dimension SQ8 grid, one
+    *                         directory per coarse cell;
+    *   `path/centroids`    — the coarse quantizer (float, exact);
+    *   `path/ranges`       — (i, mn, mx), the grid the stored codes
+    *                         are meaningless without;
+    *   `path/meta`         — (nLists, dim) version header.
+    *
+    * [[graft.similarity.Similarity.ivfSq8TopKFromIndex]] answers top-k
+    * from these artifacts alone: quantize the QUERY under the stored
+    * grid, integer-L2 against the stored codes of the probed cell
+    * directories — identical ranking to the inline fused-kernel
+    * [[graft.similarity.Similarity.ivfSq8TopK]] by construction (the
+    * fused kernel quantizes both sides under the same grid). */
+  def writeIvfSq8Index(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nLists: Int = 8, dim: Int = 64): Unit = {
+    import graft.similarity.Similarity
+    val (mns, mxs) = Similarity.sq8Ranges(corpus, vecCol)
+    Similarity.ivfAssignCells(corpus, idCol, vecCol, nLists)
+      .select(col(idCol),
+        graft.functions.Sq8Quantize.sq8Quantize(
+          col(vecCol).cast("array<float>"), mns, mxs).as("qv"),
+        col("cell"))
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/cells")
+    Similarity.ivfCentroids(corpus, idCol, vecCol, nLists).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    mns.indices.map(i => (i.toLong, mns(i), mxs(i))).toDF("i", "mn", "mx")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/ranges")
+    Seq((nLists.toLong, dim.toLong)).toDF("nLists", "dim").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
   /** One row per vector with its m codes packed into an array — the
     * stored form both PQ layouts share. */
   private def packedCodes(

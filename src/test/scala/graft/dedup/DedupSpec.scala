@@ -175,6 +175,39 @@ class DedupSpec extends SparkSpec {
     assert(bucketed.nonEmpty)
   }
 
+  test("semanticDedup = survivors of brute force restricted to shared IVF cells (q99's contract)") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val kept = Dedup.semanticDedup(e, "vec_id", "embedding", threshold = 0.45, nLists = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val cellOf = graft.similarity.Similarity
+      .ivfAssignCells(e, "vec_id", "embedding", nLists = 8)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val droppedExpected = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => cellOf(p._1) == cellOf(p._2))
+      .map(_._2).toSet
+    val allIds = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == allIds -- droppedExpected)
+    assert(droppedExpected.nonEmpty, "fixture should exercise at least one in-cell drop")
+  }
+
+  test("semanticDedup caps degenerate one-cell corpora instead of exploding them") {
+    import spark.implicits._
+    // 40 IDENTICAL vectors: equal L2 to every centroid, so the shared
+    // min_by tie-break sends ALL of them to one cell; pairwise cosine 1.
+    val base = Array.tabulate(64)(i => 1.0f / (i + 1))
+    val emb = (1L to 40L).map(i => (i, base)).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, nLists = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L)) // min id survives the 40-clone cell
+    val capped = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, nLists = 4, maxCell = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(capped == (1L to 40L).toSet) // over-cap cell pruned, nothing drops
+  }
+
   test("null-text contract: fingerprint ops group nulls, shingle ops drop them") {
     import spark.implicits._
     val docs = Seq(

@@ -161,6 +161,50 @@ class CorpusSinkSpec extends SparkSpec {
     assert(servedMp == inlineMp)
   }
 
+  test("writeIvfSq8Index + ivfSq8TopKFromIndex: q71/q90's ranking, probed dirs only") {
+    val sim = graft.similarity.Similarity
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val out = tmp("ivf_sq8_index")
+    CorpusSink.writeIvfSq8Index(e, "vec_id", "embedding", out)
+    val cellDirs = new java.io.File(s"$out/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.startsWith("cell=")))
+
+    val spark2 = spark
+    import spark2.implicits._
+    val qLocal = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+
+    val served = sim.ivfSq8TopKFromIndex(spark, out, qLocal, "vec_id", "embedding", k = 3)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"), plan)
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val inline = sim.ivfSq8TopK(e, q, "vec_id", "embedding", k = 3, nLists = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = served
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == inline)
+
+    val servedMp = sim.ivfSq8TopKFromIndex(
+        spark, out, qLocal, "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val inlineMp = sim.ivfSq8TopK(e, q, "vec_id", "embedding",
+        k = 3, nLists = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(servedMp == inlineMp)
+
+    // the meta header rejects a probe at the wrong quantization width
+    val ex = intercept[IllegalArgumentException] {
+      sim.ivfSq8TopKFromIndex(spark, out, qLocal, "vec_id", "embedding",
+        k = 3, dim = 32)
+    }
+    assert(ex.getMessage.contains("quantization width must match"), ex.getMessage)
+  }
+
   test("stored-index recall tuning: recall vs brute force is non-decreasing in nProbe (q98's loop)") {
     val sim = graft.similarity.Similarity
     val e = graft.Tables.table(spark, sf001, "embeddings")
