@@ -870,6 +870,64 @@ object SimilarityQueries {
             k = 3, dim = 64, nProbe = 2)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(ivfSq8MultiprobeOracle))
+      Some(ivfSq8MultiprobeOracle)),
+
+    GraftQuery(
+      "q101_ann_streamed_index",
+      "Continuous ANN index maintenance (VectorIndexStream's batch-" +
+        "backfill path, as q93 is for streaming near-dedup): the index " +
+        "is SEEDED from the even-id half (centroids trained there, " +
+        "fixed forever — Faiss's IVF append story), the odd-id half " +
+        "arrives as an appended batch into its own cells/batch=0 " +
+        "partition, and the probe answers over ALL admitted vectors " +
+        "from the stored artifacts alone with exact in-cell cosine. " +
+        "Oracle recomputes the even-half centroid pick + full-corpus " +
+        "assignment in float64; stream==backfill parity, fences, " +
+        "replay, and compaction are MemoryStream-spec'd.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val idx = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_q101_index").getPath
+        graft.streaming.VectorIndexStream.seedIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
+        graft.streaming.VectorIndexStream.appendBatch(
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, 0L)
+        graft.streaming.VectorIndexStream.topKFromIndex(
+            spark, idx, e.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        CAND AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q
+          JOIN CELL cq ON cq.vec_id = q.vec_id
+          JOIN CELL cc ON cc.cell = cq.cell
+          JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+          CROSS JOIN range(1, 65) i(i)
+          WHERE q.vec_id % 50 = 0
+          GROUP BY 1, 2),
+        R AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+          FROM CAND)
+        SELECT query_id, rank, neighbor_id FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank"""))
   )
 }

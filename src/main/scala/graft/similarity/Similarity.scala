@@ -122,7 +122,7 @@ object Similarity {
     * broadcast centroid table, tie-break on centroid id, reduced
     * map-side by a `min_by` partial agg — one row per id reaches the
     * shuffle. */
-  private def assignWith(
+  private[graft] def assignWith(
       cent: DataFrame, df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.join(broadcast(cent))
       .withColumn("l2", VectorFunctions.l2Sq(col(vecCol), col("cent_vec")))
@@ -191,7 +191,7 @@ object Similarity {
     * down to |Q| x nProbe rows. Rank 1 is exactly [[assignWith]]'s
     * argmin cell (same distance, same tie-break), so nProbe=1 callers
     * may use either interchangeably. Returns (idCol, vecCol, cell). */
-  private def probeCells(
+  private[graft] def probeCells(
       cent: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy(col(idCol))

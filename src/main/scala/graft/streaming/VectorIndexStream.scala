@@ -1,0 +1,187 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+import graft.similarity.Similarity
+
+/** Continuous ANN index maintenance — the durable-index streaming story
+  * ([[IncrementalDedup]] for exact fingerprints, [[NearDedupStream]]
+  * for LSH bands) extended to the similarity family: vectors arriving
+  * on a stream land in a served IVF-Flat cell layout per micro-batch,
+  * and a probe answers top-k over EVERYTHING admitted so far from the
+  * stored artifacts alone, at any replay fence.
+  *
+  * Layout (`indexDir/`):
+  *   `centroids`             — the coarse quantizer, trained ONCE at
+  *                             seed time and never moved (see below);
+  *   `meta`                  — (nLists) version header;
+  *   `cells/batch=-1/cell=N` — the seed corpus' cell-partitioned
+  *                             vectors (batch -1 = oldest history,
+  *                             the [[BatchIndex]] seed convention);
+  *   `cells/batch=M/cell=N`  — micro-batch M's admitted vectors.
+  *
+  * FIXED centroids are the design point, not a shortcut: a cell id is
+  * only meaningful relative to the quantizer that produced it, so
+  * retraining centroids as data arrives would strand every previously
+  * written partition (Faiss's IVF append story makes the same call —
+  * add to a trained index, retrain offline as a REBUILD). A deployment
+  * whose distribution drifts re-seeds a fresh index dir and swaps.
+  *
+  * Probe scale shape: the probed-cell literal IN prunes to nProbe cell
+  * directories per batch partition. Batch partitions multiply the
+  * directory count, which is the same listing growth the dedup stores
+  * have — and the same [[compactIndex]] folds batches `<= N` back into
+  * the seed partition to bound it.
+  *
+  * Replay safety: each batch overwrites its OWN `cells/batch=M`
+  * subtree and reads nothing, so replays converge; a probe pinned to
+  * `beforeBatch = M` sees exactly the pre-M index state regardless of
+  * in-flight appends.
+  */
+object VectorIndexStream {
+
+  /** Seed the index: train (pick) centroids from the seed corpus,
+    * assign and write its vectors as the `batch=-1` partition. The
+    * centroids written here serve every future append and probe. */
+  def seedIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      nLists: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    val cent = Similarity.ivfCentroids(corpus, idCol, vecCol, nLists)
+    cent.coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    import spark.implicits._
+    Seq(Tuple1(nLists.toLong)).toDF("nLists").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+    writeCells(corpus, idCol, vecCol, indexDir, -1L)
+  }
+
+  /** Append one batch: assign against the STORED centroids, overwrite
+    * the batch's own cell-partitioned subtree. Also the batch-backfill
+    * entry point (ingesting a static corpus as one numbered batch). */
+  def appendBatch(
+      batch: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId " +
+      "(batch -1 is the seed partition)")
+    writeCells(batch, idCol, vecCol, indexDir, batchId)
+  }
+
+  private def writeCells(
+      df: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      batchId: Long): Unit = {
+    val cent = df.sparkSession.read.parquet(s"$indexDir/centroids")
+    Similarity.assignWith(cent, df.select(col(idCol), col(vecCol)), idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$indexDir/cells/batch=$batchId")
+  }
+
+  /** Streaming writer: every micro-batch's vectors are appended under
+    * their own batch partition. `emit` (optional) observes each batch
+    * after its index write lands. Start with `.start()`. */
+  def indexStreamTo(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, checkpointDir: String)(
+      emit: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, idCol, vecCol, indexDir, batchId)
+        emit(batch, batchId)
+        ()
+      }
+
+  /** Fold batch partitions `<= throughBatch` into the seed partition —
+    * the listing-growth bound, same contract as the dedup stores'
+    * compaction. Requires the writing stream stopped or between
+    * batches. (Implemented directly rather than via [[BatchIndex]]:
+    * the cell sub-partitioning must survive the rewrite, so rows are
+    * re-written `partitionBy("cell")` instead of as flat seed files.) */
+  def compactIndex(
+      spark: SparkSession, indexDir: String, throughBatch: Long): Unit = {
+    require(throughBatch >= 0, "throughBatch must be non-negative")
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val batchDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(s => s.getPath.getName.stripPrefix("batch=").toLong)
+    val folding = batchDirs.filter(b => b >= 0 && b <= throughBatch)
+    if (folding.isEmpty) return
+    // folding the NEWEST batch would let a fence pinned just above it
+    // suddenly see rows it used to exclude (seed reads as oldest
+    // history) — same rule as BatchIndex.compact
+    val maxBatch = batchDirs.max
+    require(throughBatch < maxBatch,
+      s"compactIndex(throughBatch=$throughBatch) would fold the newest " +
+        s"batch ($maxBatch) into the seed partition, which re-includes it " +
+        s"under every fence — compact through at most ${maxBatch - 1}")
+    // read seed + folding partitions, rewrite into a staging seed, swap
+    val parts = (Seq(-1L).filter(batchDirs.contains) ++ folding)
+      .map(b => s"$indexDir/cells/batch=$b")
+    // basePath makes the multi-root read infer (batch, cell) partition
+    // columns consistently; batch is then dropped — the folded rows all
+    // become seed history
+    val merged = spark.read.option("basePath", s"$indexDir/cells")
+      .parquet(parts: _*)
+      .drop("batch")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/_compact_seed")
+    merged.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    // the swap is not atomic across the deletes, but every fence reads
+    // the union of surviving partitions, and rows live in exactly one
+    // partition: a crash between deletes leaves duplicated rows ONLY if
+    // the staging dir were visible — it is not (underscore prefix), so
+    // re-running compact after a crash converges. The final rename
+    // makes the folded seed visible in one metadata operation.
+    (Seq(-1L).filter(batchDirs.contains) ++ folding).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/cells/batch=$b"), true)
+    }
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$indexDir/cells/batch=-1"))
+  }
+
+  /** Top-k over everything admitted before `beforeBatch` (default: all
+    * history), served from the stored artifacts alone: queries assign
+    * against the stored centroids, the probe set becomes a literal IN
+    * (static partition pruning on the cell sub-directories of every
+    * surviving batch partition), exact cosine ranks in-cell. With the
+    * same centroids, identical to the inline deterministic IVF over
+    * the union of everything admitted — the spec's parity gate. */
+  def topKFromIndex(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qc =
+      if (nProbe <= 1) Similarity.assignWith(cent, q, "query_id", "q_vec")
+      else Similarity.probeCells(cent, q, "query_id", "q_vec", nProbe)
+    val probedCells = qc.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cellFilter =
+      if (probedCells.isEmpty) lit(false)
+      else expr(s"cell IN (${probedCells.mkString(",")})")
+    val cc = spark.read
+      .option("basePath", s"$indexDir/cells")
+      .parquet(s"$indexDir/cells")
+      .filter(col("batch") < beforeBatch && cellFilter)
+      .select(col(idCol).as("neighbor_id"), col("cell").cast("long").as("cell"),
+        col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cc.join(broadcast(qc.select(col("query_id"), col("q_vec"), col("cell"))),
+        Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineSim(
+        col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+}

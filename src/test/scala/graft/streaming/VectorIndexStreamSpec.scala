@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.similarity.Similarity
+
+class VectorIndexStreamSpec extends SparkSpec {
+
+  private def topk(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("seed-only index answers exactly the inline deterministic IVF (q51's ranking)") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_seed").toString
+    VectorIndexStream.seedIndex(e, "vec_id", "embedding", s"$dir/index", nLists = 8)
+
+    val spark2 = spark
+    import spark2.implicits._
+    val qLocal = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+
+    val served = VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index", qLocal, "vec_id", "embedding", k = 3)
+    // stored artifacts only, statically pruned to the probed cells
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"), plan)
+    // the probed-cell literal IN must land in PartitionFilters (static
+    // pruning); the batch fence rides there too, so don't anchor on
+    // the segment's first entry
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]* IN \\(".r
+      .findFirstIn(plan).isDefined, plan)
+
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val inline = topk(Similarity.ivfDeterministicTopK(
+      e, q, "vec_id", "embedding", k = 3, nLists = 8))
+    assert(topk(served) == inline)
+
+    // multi-probe parity too
+    val servedMp = topk(VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index", qLocal, "vec_id", "embedding", k = 3, nProbe = 2))
+    val inlineMp = topk(Similarity.ivfMultiProbeTopK(
+      e, q, "vec_id", "embedding", k = 3, nLists = 8, nProbe = 2))
+    assert(servedMp == inlineMp)
+  }
+
+  test("streamed appends == batch backfill; fences pin history; replay converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_stream").toString
+
+    val seedHalf = e.filter(col("vec_id") % 2 === 0)
+    VectorIndexStream.seedIndex(seedHalf, "vec_id", "embedding", s"$dir/index", nLists = 8)
+
+    val odd = e.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b0, b1) = odd.partition(_._1 % 4 == 1)
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = VectorIndexStream.indexStreamTo(
+      in.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/index", s"$dir/ckpt")().start()
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+
+    // twin: same seed, all streamed rows as ONE backfill batch — batch
+    // boundaries must not affect what the index serves
+    val twinDir = java.nio.file.Files.createTempDirectory("vec_index_twin").toString
+    VectorIndexStream.seedIndex(seedHalf, "vec_id", "embedding", s"$twinDir/index", nLists = 8)
+    VectorIndexStream.appendBatch(
+      odd.toDF("vec_id", "embedding"), "vec_id", "embedding", s"$twinDir/index", 0L)
+
+    val full = topk(VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index", queries, "vec_id", "embedding", k = 3))
+    val twin = topk(VectorIndexStream.topKFromIndex(
+      spark, s"$twinDir/index", queries, "vec_id", "embedding", k = 3))
+    assert(full == twin)
+    assert(full.nonEmpty)
+
+    // fence: beforeBatch = 0 sees only the seed
+    val seedOnlyDir = java.nio.file.Files.createTempDirectory("vec_index_seedonly").toString
+    VectorIndexStream.seedIndex(seedHalf, "vec_id", "embedding", s"$seedOnlyDir/index", nLists = 8)
+    val fenced = topk(VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index", queries, "vec_id", "embedding", k = 3, beforeBatch = 0))
+    val seedOnly = topk(VectorIndexStream.topKFromIndex(
+      spark, s"$seedOnlyDir/index", queries, "vec_id", "embedding", k = 3))
+    assert(fenced == seedOnly)
+    assert(fenced != full) // streamed vectors genuinely changed answers
+
+    // replay: re-appending batch 1's rows AS batch 1 overwrites in place
+    VectorIndexStream.appendBatch(
+      b1.toDF("vec_id", "embedding"), "vec_id", "embedding", s"$dir/index", 1L)
+    assert(topk(VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == full)
+
+    // compaction folds old batches into the seed without changing what
+    // any future fence reads; folding the NEWEST batch is refused
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndexStream.compactIndex(spark, s"$dir/index", throughBatch = 1)
+    }
+    assert(ex.getMessage.contains("newest"), ex.getMessage)
+    VectorIndexStream.compactIndex(spark, s"$dir/index", throughBatch = 0)
+    val batchDirs = new java.io.File(s"$dir/index/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batchDirs == Set("batch=-1", "batch=1"), batchDirs.toString)
+    assert(topk(VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == full)
+  }
+
+  test("edge cases: empty appended batch is inert, empty query batch probes nothing") {
+    import spark.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_edge").toString
+    VectorIndexStream.seedIndex(e, "vec_id", "embedding", s"$dir/index", nLists = 8)
+
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+    val before = topk(VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index", queries, "vec_id", "embedding", k = 3))
+
+    // an empty micro-batch (streams idle between triggers) writes an
+    // empty partition that neither breaks partition inference nor
+    // changes any answer
+    VectorIndexStream.appendBatch(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/index", 0L)
+    assert(topk(VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == before)
+
+    // an empty query batch plans lit(false) instead of an empty IN ()
+    val none = VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index",
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3)
+    assert(none.count() == 0)
+  }
+}
