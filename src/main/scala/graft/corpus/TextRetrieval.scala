@@ -1,0 +1,96 @@
+package graft.corpus
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Lexical top-k retrieval — the text-side sibling of the embedding ANN
+  * family ([[graft.similarity.Similarity]]): BM25 (Robertson/Walker,
+  * the Lucene-default formulation with the +1 inside the log so scores
+  * stay non-negative) over the corpus' own whitespace tokenization.
+  * What the dedup pipeline uses MinHash for (set overlap), retrieval
+  * uses BM25 for (ranked relevance) — "find the k most lexically
+  * similar documents to this one" is the curation query behind
+  * more-like-this expansion, lexical near-dup triage, and
+  * contamination forensics.
+  *
+  * score(q, d) = sum over query terms t of
+  *   ln(1 + (N - df + 0.5) / (df + 0.5))
+  *     * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len/avgdl))
+  *
+  * Scale shape (100 TB): the corpus is scanned ONCE into the per-(doc,
+  * term) tf table (one hash agg); the query-term set broadcasts into a
+  * semi-restriction of that table BEFORE anything else, so df counting
+  * and scoring touch only postings of terms some query actually uses —
+  * the inverted-index access pattern without materializing an index.
+  * Per-term document frequencies for the restricted vocabulary and the
+  * two global scalars (N, total length) are the only other aggregates;
+  * the final per-(query, doc) sum shuffles (qid, doc_id) pairs. Skewed
+  * stopword postings are the classic hazard: cap them out with
+  * `maxPostings` (terms matching more than that many documents carry
+  * ~zero idf anyway — the standard stop-list-by-frequency trade).
+  */
+object TextRetrieval {
+
+  /** BM25 top-k per query. `queries` carries (`qIdCol`, `qTextCol`);
+    * its distinct tokens are the query terms. Returns (query_id, rank,
+    * doc_id), rank 1..k by (score desc, doc_id). `excludeSelf` drops
+    * doc_id == query_id candidates — the more-like-this contract when
+    * queries ARE corpus documents. Terms with more than `maxPostings`
+    * matching documents are dropped from scoring (near-zero idf,
+    * unbounded fan-out). */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false,
+      maxPostings: Long = 100000L): DataFrame = {
+    // ONE corpus scan -> (doc_id, term, tf); len derives from tf
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val len = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    // two global scalars, driver-side like the SQ8 ranges: exact
+    // integer sums, so both engines divide identical operands
+    val g = len.agg(count(lit(1)), sum(col("len"))).collect()(0)
+    val n = g.getLong(0)
+    val avgdl = if (n == 0) 1.0 else g.getLong(1).toDouble / n
+
+    val qTerms = queries
+      .select(col(qIdCol).as("query_id"),
+        explode(TextFunctions.words(col(qTextCol))).as("term"))
+      .distinct()
+    // restrict the postings to query vocabulary FIRST (broadcast
+    // semi-join): df counted after the restriction is still the true
+    // per-term document count — the restriction is by term, not by doc
+    val tfq = tf.join(broadcast(qTerms.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
+    val dfT = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxPostings)
+
+    val contrib = tfq
+      .join(broadcast(dfT), Seq("term"))
+      .join(len, Seq("doc_id"))
+      .join(broadcast(qTerms), Seq("term"))
+      .withColumn("c",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf") * (lit(k1) + lit(1.0))
+          / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / lit(avgdl))))
+    val scored0 = contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score"))
+    val scored =
+      if (excludeSelf) scored0.filter(col("doc_id") =!= col("query_id"))
+      else scored0
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+  }
+}

@@ -598,6 +598,52 @@ object CorpusQueries {
         SELECT a.source AS source_a, b.source AS source_b,
                CAST(count(*) AS BIGINT) AS n_shared
         FROM SF a JOIN SF b ON a.g = b.g AND a.source < b.source
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    GraftQuery(
+      "q102_bm25_topk",
+      "BM25 lexical top-5 retrieval (more-like-this over query docs " +
+        "doc_id % 100 = 0, self excluded) — the text-side sibling of " +
+        "the embedding ANN family. Postings restricted to the query " +
+        "vocabulary by broadcast semi-join BEFORE df counting and " +
+        "scoring (the inverted-index access pattern without an index); " +
+        "N/avgdl exact integer-derived scalars, so both engines divide " +
+        "identical operands; idf+tf-saturation expressions mirrored " +
+        "term by term, score-gap margins >> double summation-order " +
+        "error, ids-only output.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        graft.corpus.TextRetrieval.bm25TopK(
+            d, "doc_id", "text",
+            d.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+            k = 5, excludeSelf = true)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(raw"""
+        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        T AS (SELECT doc_id, unnest(w) AS term FROM W),
+        TF AS (SELECT doc_id, term, count(*) AS tf FROM T GROUP BY 1, 2),
+        LEN AS (SELECT doc_id, sum(tf) AS len FROM TF GROUP BY 1),
+        G AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM LEN),
+        QT AS (SELECT DISTINCT doc_id AS query_id, term FROM T WHERE doc_id % 100 = 0),
+        DF AS (SELECT term, count(*) AS df FROM TF GROUP BY 1),
+        S AS (
+          SELECT qt.query_id, tf.doc_id,
+                 SUM(ln(1 + (g.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * len.len / g.avgdl))) AS score
+          FROM TF tf
+          JOIN QT qt ON qt.term = tf.term AND tf.doc_id <> qt.query_id
+          JOIN DF df ON df.term = tf.term
+          JOIN LEN len ON len.doc_id = tf.doc_id
+          CROSS JOIN G g
+          GROUP BY 1, 2),
+        R AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS rank
+              FROM S)
+        SELECT query_id, rank, doc_id FROM R
+        WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 }

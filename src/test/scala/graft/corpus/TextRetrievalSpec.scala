@@ -1,0 +1,59 @@
+package graft.corpus
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextRetrievalSpec extends SparkSpec {
+
+  test("bm25TopK: term matches rank above non-matches, tf and length behave, self excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple banana"),          // higher tf for "apple"
+      (3L, "apple " + ("filler " * 40).trim), // long doc: length-normalized down
+      (4L, "durian elderberry fig")        // no query terms -> no row at all
+    ).toDF("doc_id", "text")
+    val q = Seq((100L, "apple")).toDF("doc_id", "text")
+    val out = TextRetrieval.bm25TopK(
+        docs, "doc_id", "text", q, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall(_._1 == 100L))
+    // only docs containing at least one query term score
+    assert(out.map(_._3).toSet == Set(1L, 2L, 3L))
+    val rankOf = out.map(t => t._3 -> t._2).toMap
+    // same length, higher tf wins; the 41-token doc is normalized below both
+    assert(rankOf(2L) < rankOf(1L))
+    assert(rankOf(3L) > rankOf(2L) && rankOf(3L) > rankOf(1L))
+  }
+
+  test("bm25TopK on testdata: valid rank shape, deterministic, self excluded (q102's contract)") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val queries = d.filter(col("doc_id") % 100 === 0)
+    def run() = TextRetrieval.bm25TopK(
+        d, "doc_id", "text", queries, "doc_id", "text",
+        k = 5, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run(); val b = run()
+    assert(a.toSet == b.toSet)
+    assert(a.nonEmpty)
+    assert(a.forall { case (q, r, doc) => r >= 1 && r <= 5 && q != doc })
+    // each query's ranks are dense from 1
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      val ranks = rows.map(_._2).sorted.toSeq
+      assert(ranks == (1L to ranks.max), ranks.toString)
+    }
+  }
+
+  test("maxPostings drops saturated terms: a term in every doc stops matching") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"common unique$i")).toDF("doc_id", "text")
+    val q = Seq((99L, "common")).toDF("doc_id", "text")
+    val unlimited = TextRetrieval.bm25TopK(
+      docs, "doc_id", "text", q, "doc_id", "text", k = 5)
+    assert(unlimited.count() == 5)
+    val capped = TextRetrieval.bm25TopK(
+      docs, "doc_id", "text", q, "doc_id", "text", k = 5, maxPostings = 10)
+    assert(capped.count() == 0)
+  }
+}
