@@ -46,13 +46,40 @@ object TextRetrieval {
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false,
-      maxPostings: Long = 100000L): DataFrame = {
-    // ONE corpus scan -> (doc_id, term, tf); len derives from tf
-    val tf = docs
+      maxPostings: Long = 100000L): DataFrame =
+    bm25TopKFromPostings(
+      postings(docs, idCol, textCol),
+      queries, qIdCol, qTextCol, k, k1, b, excludeSelf, maxPostings)
+
+  /** The postings table — ONE corpus scan to (doc_id, term, tf). This
+    * IS the durable row format [[graft.streaming.PostingsStream]]
+    * stores per batch: every BM25 statistic (df, doc length, N, total
+    * length) is an associative integer aggregate of these rows, so
+    * scoring over a union of stored batches is EXACTLY scoring over
+    * the union corpus — no approximation in incremental maintenance. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.words(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+
+  /** BM25 over an existing postings table (see [[postings]]). All
+    * corpus statistics derive from the rows themselves.
+    *
+    * Cost note: the N/avgdl scalar job and the scoring job each
+    * execute the `tf` lineage once — for [[bm25TopK]] that means the
+    * corpus tokenizes twice (the documented q45-style lazy-lineage
+    * trade; persisting a corpus-sized token table by default would be
+    * worse). The durable store
+    * ([[graft.streaming.PostingsStream]]) is the production shape:
+    * there `tf` is a columnar parquet scan, tokenized never. */
+  def bm25TopKFromPostings(
+      tf: DataFrame,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false,
+      maxPostings: Long = 100000L): DataFrame = {
     val len = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
     // two global scalars, driver-side like the SQ8 ranges: exact
     // integer sums, so both engines divide identical operands

@@ -12,6 +12,37 @@ import graft.corpus.CorpusOps
   */
 object CorpusQueries {
 
+  /** Shared by q102 (batch BM25) and q103 (the same ranking served from
+    * the durable postings store) — BM25's statistics are associative
+    * integer aggregates of postings rows, so the streamed store serves
+    * the IDENTICAL ranking and the two queries must share one oracle. */
+  private val bm25Oracle: String = raw"""
+        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        T AS (SELECT doc_id, unnest(w) AS term FROM W),
+        TF AS (SELECT doc_id, term, count(*) AS tf FROM T GROUP BY 1, 2),
+        LEN AS (SELECT doc_id, sum(tf) AS len FROM TF GROUP BY 1),
+        G AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM LEN),
+        QT AS (SELECT DISTINCT doc_id AS query_id, term FROM T WHERE doc_id % 100 = 0),
+        DF AS (SELECT term, count(*) AS df FROM TF GROUP BY 1),
+        S AS (
+          SELECT qt.query_id, tf.doc_id,
+                 SUM(ln(1 + (g.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * len.len / g.avgdl))) AS score
+          FROM TF tf
+          JOIN QT qt ON qt.term = tf.term AND tf.doc_id <> qt.query_id
+          JOIN DF df ON df.term = tf.term
+          JOIN LEN len ON len.doc_id = tf.doc_id
+          CROSS JOIN G g
+          GROUP BY 1, 2),
+        R AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS rank
+              FROM S)
+        SELECT query_id, rank, doc_id FROM R
+        WHERE rank <= 5 ORDER BY query_id, rank"""
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -619,31 +650,32 @@ object CorpusQueries {
             k = 5, excludeSelf = true)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(raw"""
-        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        T AS (SELECT doc_id, unnest(w) AS term FROM W),
-        TF AS (SELECT doc_id, term, count(*) AS tf FROM T GROUP BY 1, 2),
-        LEN AS (SELECT doc_id, sum(tf) AS len FROM TF GROUP BY 1),
-        G AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-                     CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM LEN),
-        QT AS (SELECT DISTINCT doc_id AS query_id, term FROM T WHERE doc_id % 100 = 0),
-        DF AS (SELECT term, count(*) AS df FROM TF GROUP BY 1),
-        S AS (
-          SELECT qt.query_id, tf.doc_id,
-                 SUM(ln(1 + (g.n - df.df + 0.5) / (df.df + 0.5))
-                     * tf.tf * (1.2 + 1)
-                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * len.len / g.avgdl))) AS score
-          FROM TF tf
-          JOIN QT qt ON qt.term = tf.term AND tf.doc_id <> qt.query_id
-          JOIN DF df ON df.term = tf.term
-          JOIN LEN len ON len.doc_id = tf.doc_id
-          CROSS JOIN G g
-          GROUP BY 1, 2),
-        R AS (SELECT query_id, doc_id,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY score DESC, doc_id) AS rank
-              FROM S)
-        SELECT query_id, rank, doc_id FROM R
-        WHERE rank <= 5 ORDER BY query_id, rank"""))
+      Some(bm25Oracle)),
+
+    GraftQuery(
+      "q103_bm25_from_index",
+      "BM25 served from the DURABLE streamed postings store " +
+        "(PostingsStream, BatchIndex lifecycle): the even-id half is " +
+        "backfilled as root seed postings, the odd-id half appended as " +
+        "batch 0, and the probe scores from the stored (doc_id, term, " +
+        "tf) rows alone — documents never re-read, never re-tokenized. " +
+        "Every BM25 statistic is an associative integer aggregate of " +
+        "postings rows, so incremental maintenance is EXACT: shares " +
+        "q102's oracle verbatim.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val idx = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_q103_index").getPath
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+        graft.streaming.PostingsStream.backfillIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        graft.streaming.PostingsStream.appendBatch(
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx, 0L)
+        graft.streaming.PostingsStream.bm25TopK(
+            spark, idx, d.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+            k = 5, excludeSelf = true)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(bm25Oracle))
   )
 }

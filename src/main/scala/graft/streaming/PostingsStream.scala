@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.corpus.TextRetrieval
+
+/** Continuous BM25 index maintenance — the durable-index streaming
+  * story applied to lexical retrieval: documents arriving on a stream
+  * are tokenized ONCE into (doc_id, term, tf) postings rows that land
+  * in the batch's own partition of a [[BatchIndex]] store, and a probe
+  * serves BM25 top-k over everything admitted before any fence from
+  * the stored rows alone — the documents are never re-read, never
+  * re-tokenized.
+  *
+  * Unlike ANN (where streamed cells approximate under a pinned
+  * quantizer), incremental BM25 is EXACT: every statistic the score
+  * needs — per-term document frequency, per-doc length, corpus size,
+  * total length — is an associative integer aggregate of postings
+  * rows, so scoring the union of stored batches is identical to
+  * re-scoring the union corpus from scratch
+  * ([[TextRetrieval.bm25TopKFromPostings]]'s contract, q103's oracle
+  * gate: the served ranking matches the batch operator verbatim).
+  *
+  * The store inherits [[BatchIndex]]'s whole lifecycle: root seed
+  * files read as oldest history, `batch=N` partitions per micro-batch,
+  * replay via the strictly-earlier fence + own-partition overwrite,
+  * journaled [[compactIndex]] folding old batches into seed files, and
+  * [[expireIndex]] retention for bounded-window retrieval.
+  *
+  * Id contract (shared with every durable store here): doc ids are
+  * globally unique across batches — a re-ingested id would double its
+  * postings and inflate its scores. Replaying a batch under its own
+  * fence is the supported way to re-process.
+  */
+object PostingsStream {
+
+  private val postingsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("term", StringType),
+    StructField("tf", LongType)))
+
+  /** Postings admitted by batches strictly before `beforeBatch`. */
+  def readPostings(
+      spark: SparkSession, indexDir: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame =
+    BatchIndex.read(spark, indexDir, postingsSchema, beforeBatch)
+
+  /** Seed the store from a static corpus (root-level seed files, read
+    * as oldest history). Refuses a store already holding streamed
+    * `batch=N` partitions — same contract as
+    * [[NearDedupStream.backfillIndex]]. */
+  def backfillIndex(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String): Unit = {
+    val spark = docs.sparkSession
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).exists(e =>
+        e.isDirectory && e.getPath.getName.startsWith("batch=")))
+      throw new IllegalStateException(
+        s"$indexDir already holds streamed batch=N partitions — " +
+          "backfillIndex would erase that history; seed a fresh dir or " +
+          "let the stream continue from the existing one")
+    TextRetrieval.postings(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(indexDir)
+  }
+
+  /** Ingest one batch (also the numbered-batch backfill entry). */
+  def appendBatch(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      batchId: Long): Unit =
+    TextRetrieval.postings(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Streaming writer: tokenize each micro-batch once into its own
+    * postings partition. Start with `.start()`. */
+  def postingsStreamTo(
+      docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, checkpointDir: String)(
+      emit: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, idCol, textCol, indexDir, batchId)
+        emit(batch, batchId)
+        ()
+      }
+
+  /** Fold `batch<=N` partitions into root seed files ([[BatchIndex.compact]]
+    * — journaled, crash-safe, read-equivalent at every later fence). */
+  def compactIndex(
+      spark: SparkSession, indexDir: String, throughBatch: Long): Unit =
+    BatchIndex.compact(spark, indexDir, postingsSchema, throughBatch)
+
+  /** Drop postings of batches before `keepFromBatch` — bounded-window
+    * retrieval; expired documents stop matching. */
+  def expireIndex(
+      spark: SparkSession, indexDir: String,
+      keepFromBatch: Long, dropSeed: Boolean = false): Unit =
+    BatchIndex.expire(spark, indexDir, keepFromBatch, dropSeed)
+
+  /** BM25 top-k served from the store at a fence — exact, see the
+    * object doc. */
+  def bm25TopK(
+      spark: SparkSession, indexDir: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false, maxPostings: Long = 100000L,
+      beforeBatch: Long = Long.MaxValue): DataFrame =
+    TextRetrieval.bm25TopKFromPostings(
+      readPostings(spark, indexDir, beforeBatch)
+        .select(col("doc_id"), col("term"), col("tf")),
+      queries, qIdCol, qTextCol, k, k1, b, excludeSelf, maxPostings)
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.corpus.TextRetrieval
+
+class PostingsStreamSpec extends SparkSpec {
+
+  private def ranks(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("served BM25 == batch operator over the union corpus (q103's exactness contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("postings").toString
+
+    PostingsStream.backfillIndex(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", s"$dir/index")
+
+    // stream the odd half in two micro-batches
+    val odd = d.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (b0, b1) = odd.partition(_._1 % 4 == 1)
+    val in = MemoryStream[(Long, String)]
+    val q = PostingsStream.postingsStreamTo(
+      in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/index", s"$dir/ckpt")().start()
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val queries = d.filter(col("doc_id") % 100 === 0)
+    val served = ranks(PostingsStream.bm25TopK(
+      spark, s"$dir/index", queries, "doc_id", "text", k = 5, excludeSelf = true))
+    val batch = ranks(TextRetrieval.bm25TopK(
+      d, "doc_id", "text", queries, "doc_id", "text", k = 5, excludeSelf = true))
+    assert(served == batch)
+    assert(served.nonEmpty)
+
+    // fence: beforeBatch = 0 scores against the seed half only
+    val fenced = ranks(PostingsStream.bm25TopK(
+      spark, s"$dir/index", queries, "doc_id", "text",
+      k = 5, excludeSelf = true, beforeBatch = 0))
+    val seedBatch = ranks(TextRetrieval.bm25TopK(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      queries, "doc_id", "text", k = 5, excludeSelf = true))
+    assert(fenced == seedBatch)
+    assert(fenced != served)
+
+    // replay: re-appending batch 1 under its own id changes nothing
+    PostingsStream.appendBatch(
+      b1.toDF("doc_id", "text"), "doc_id", "text", s"$dir/index", 1L)
+    assert(ranks(PostingsStream.bm25TopK(
+      spark, s"$dir/index", queries, "doc_id", "text",
+      k = 5, excludeSelf = true)) == served)
+
+    // compaction folds batch 0 into the seed; full-fence answers unchanged
+    PostingsStream.compactIndex(spark, s"$dir/index", throughBatch = 0)
+    assert(ranks(PostingsStream.bm25TopK(
+      spark, s"$dir/index", queries, "doc_id", "text",
+      k = 5, excludeSelf = true)) == served)
+
+    // retention: dropping everything before batch 1 (seed included)
+    // leaves only batch 1's docs as candidates
+    PostingsStream.expireIndex(spark, s"$dir/index", keepFromBatch = 1, dropSeed = true)
+    val retained = PostingsStream.readPostings(spark, s"$dir/index")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(retained == b1.map(_._1).toSet)
+    val afterExpire = PostingsStream.bm25TopK(
+      spark, s"$dir/index", queries, "doc_id", "text", k = 5, excludeSelf = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterExpire.subsetOf(retained))
+  }
+
+  test("backfillIndex refuses to clobber a store with streamed history") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("postings_guard").toString
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    PostingsStream.backfillIndex(docs, "doc_id", "text", s"$dir/index")
+    PostingsStream.appendBatch(
+      Seq((2L, "delta epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/index", 0L)
+    val ex = intercept[IllegalStateException] {
+      PostingsStream.backfillIndex(docs, "doc_id", "text", s"$dir/index")
+    }
+    assert(ex.getMessage.contains("batch=N"), ex.getMessage)
+  }
+}
