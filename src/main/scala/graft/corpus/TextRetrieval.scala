@@ -120,4 +120,67 @@ object TextRetrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"))
   }
+
+  /** Shared-shingle top-k: candidates ranked by the number of distinct
+    * word n-grams they share with the query — the fuzzy-overlap ranker
+    * (exact integer counts, the retrieval face of the Jaccard-verify
+    * dedup machinery). Query shingles broadcast; candidates generated
+    * only for docs sharing at least one shingle. */
+  def overlapTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, shingleN: Int = 3, excludeSelf: Boolean = false): DataFrame = {
+    val sh = graft.dedup.Dedup.shingleTable(docs, idCol, textCol, shingleN)
+      .select(col(idCol).as("doc_id"), col("g"))
+    val qs = graft.dedup.Dedup.shingleTable(queries, qIdCol, qTextCol, shingleN)
+      .select(col(qIdCol).as("query_id"), col("g"))
+    val pairs = sh.join(broadcast(qs), Seq("g"))
+    val filtered =
+      if (excludeSelf) pairs.filter(col("doc_id") =!= col("query_id"))
+      else pairs
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("shared").desc, col("doc_id"))
+    filtered
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (RRF, Cormack et al.):
+    * BM25's term-weighted ranking and the shingle-overlap ranking each
+    * nominate a `poolK` candidate pool per query, and candidates are
+    * re-ranked by sum of 1 / (rrfK + rank) over the lists that
+    * nominated them — the standard zero-tuning ensemble that rewards
+    * agreement without comparing incommensurable scores. The fusion
+    * arithmetic is EXACTLY reproducible across engines: each reciprocal
+    * divides identical operands and at most two terms add (double
+    * addition is commutative), so only the BM25 input ranks carry the
+    * usual score-gap margins. Both input rankings are one retrieval
+    * pass each; the fusion itself is a join of two k-bounded rank
+    * lists — negligible at any scale. */
+  def hybridRrfTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, poolK: Int = 20, rrfK: Int = 60,
+      shingleN: Int = 3, excludeSelf: Boolean = false,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxPostings: Long = 100000L): DataFrame = {
+    val a = bm25TopK(docs, idCol, textCol, queries, qIdCol, qTextCol,
+        poolK, k1, b, excludeSelf, maxPostings)
+      .select(col("query_id"), col("doc_id"), col("rank").as("ra"))
+    val bList = overlapTopK(docs, idCol, textCol, queries, qIdCol, qTextCol,
+        poolK, shingleN, excludeSelf)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    a.join(bList, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("ra")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("rb")), lit(0.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+  }
 }

@@ -12,12 +12,13 @@ import graft.corpus.CorpusOps
   */
 object CorpusQueries {
 
-  /** Shared by q102 (batch BM25) and q103 (the same ranking served from
-    * the durable postings store) — BM25's statistics are associative
+  /** Shared by q102 (batch BM25), q103 (the same ranking served from
+    * the durable postings store — BM25's statistics are associative
     * integer aggregates of postings rows, so the streamed store serves
-    * the IDENTICAL ranking and the two queries must share one oracle. */
-  private val bm25Oracle: String = raw"""
-        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+    * the IDENTICAL ranking), and q104 (the RRF fusion, whose BM25 arm
+    * these CTEs are): one definition so the formula can never drift. */
+  private val bm25Ctes: String = raw"""
+        W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         T AS (SELECT doc_id, unnest(w) AS term FROM W),
         TF AS (SELECT doc_id, term, count(*) AS tf FROM T GROUP BY 1, 2),
         LEN AS (SELECT doc_id, sum(tf) AS len FROM TF GROUP BY 1),
@@ -39,7 +40,10 @@ object CorpusQueries {
         R AS (SELECT query_id, doc_id,
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY score DESC, doc_id) AS rank
-              FROM S)
+              FROM S)"""
+
+  private val bm25Oracle: String = s"""
+        WITH $bm25Ctes
         SELECT query_id, rank, doc_id FROM R
         WHERE rank <= 5 ORDER BY query_id, rank"""
 
@@ -676,6 +680,56 @@ object CorpusQueries {
             k = 5, excludeSelf = true)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(bm25Oracle))
+      Some(bm25Oracle)),
+
+    GraftQuery(
+      "q104_hybrid_rrf",
+      "Hybrid retrieval by reciprocal-rank fusion: BM25 (q102's arm, " +
+        "pool 20) and shingle-overlap (distinct shared 3-grams, exact " +
+        "integer counts, q87's gram construction) each nominate " +
+        "candidates; fusion re-ranks by sum of 1/(60+rank) over the " +
+        "nominating lists. The fusion arithmetic is exactly " +
+        "reproducible (identical-operand divisions, at most two " +
+        "commutative additions) — only the BM25 arm carries score-gap " +
+        "margins.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        graft.corpus.TextRetrieval.hybridRrfTopK(
+            d, "doc_id", "text",
+            d.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+            k = 5, poolK = 20, excludeSelf = true)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""
+        WITH $bm25Ctes,
+        BA AS (SELECT query_id, doc_id, rank FROM R WHERE rank <= 20),
+        SH AS (SELECT DISTINCT doc_id,
+                      unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+               FROM W),
+        QS AS (SELECT doc_id AS query_id, g FROM SH WHERE doc_id % 100 = 0),
+        OV AS (SELECT qs.query_id, sh.doc_id, count(*) AS shared
+               FROM SH sh JOIN QS qs ON qs.g = sh.g AND sh.doc_id <> qs.query_id
+               GROUP BY 1, 2),
+        OB AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY shared DESC, doc_id) AS rank
+               FROM OV),
+        BB AS (SELECT query_id, doc_id, rank FROM OB WHERE rank <= 20),
+        F AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+                     coalesce(a.doc_id, b.doc_id) AS doc_id,
+                     (CASE WHEN a.rank IS NOT NULL
+                           THEN CAST(1.0 AS DOUBLE) / CAST(60 + a.rank AS DOUBLE)
+                           ELSE CAST(0.0 AS DOUBLE) END
+                      + CASE WHEN b.rank IS NOT NULL
+                             THEN CAST(1.0 AS DOUBLE) / CAST(60 + b.rank AS DOUBLE)
+                             ELSE CAST(0.0 AS DOUBLE) END) AS score
+              FROM BA a FULL OUTER JOIN BB b
+                ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+        FR AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS rank
+               FROM F)
+        SELECT query_id, rank, doc_id FROM FR
+        WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 }

@@ -45,6 +45,35 @@ class TextRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("hybridRrfTopK: agreement outranks single-list hits; equals hand-computed RRF on testdata") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val queries = d.filter(col("doc_id") % 100 === 0)
+    val fused = TextRetrieval.hybridRrfTopK(
+        d, "doc_id", "text", queries, "doc_id", "text",
+        k = 5, poolK = 20, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fused.nonEmpty)
+    // hand-compute the fusion from the two public input rankings
+    val a = TextRetrieval.bm25TopK(d, "doc_id", "text", queries, "doc_id", "text",
+        k = 20, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val b = TextRetrieval.overlapTopK(d, "doc_id", "text", queries, "doc_id", "text",
+        k = 20, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val expected = (a.keySet ++ b.keySet).toSeq
+      .map { key =>
+        val s = a.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          b.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (key._1, key._2, s)
+      }
+      .groupBy(_._1)
+      .flatMap { case (q, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+          .map { case ((_, doc, _), i) => (q, (i + 1).toLong, doc) }
+      }.toSet
+    assert(fused.toSet == expected)
+  }
+
   test("maxPostings drops saturated terms: a term in every doc stops matching") {
     import spark.implicits._
     val docs = (1L to 20L).map(i => (i, s"common unique$i")).toDF("doc_id", "text")
