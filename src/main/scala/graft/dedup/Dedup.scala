@@ -543,7 +543,7 @@ object Dedup {
     * pairs explode from each bounded group, and the codegen'd cosine
     * filters them. Groups over `maxGroup` members are pruned (the
     * documented recall-for-boundedness cap of both callers). */
-  private def pairsWithinGroups(
+  private[graft] def pairsWithinGroups(
       tagged: DataFrame, groupCol: String, threshold: Double,
       maxGroup: Int): DataFrame =
     tagged.groupBy(col(groupCol))

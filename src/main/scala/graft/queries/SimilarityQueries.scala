@@ -928,6 +928,59 @@ object SimilarityQueries {
                    ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
           FROM CAND)
         SELECT query_id, rank, neighbor_id FROM R
-        WHERE rank <= 3 ORDER BY query_id, rank"""))
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q105_semantic_dedup_stream",
+      "Streaming semantic dedup's batch-backfill path " +
+        "(SemanticDedupStream, as q93 is for text near-dedup): the " +
+        "VectorIndexStream store is seeded from the even-id half " +
+        "(centroids pinned there), the odd-id half arrives as one " +
+        "batch — within-batch in-cell cosine drops the larger id of " +
+        "each verified pair, then survivors drop against ANY admitted " +
+        "neighbor in their own (statically pruned) cells. Output is " +
+        "the batch's surviving ids. Thresholds inherit q24's all-pairs " +
+        "margin; cells are q101's even-half quantizer.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val idx = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_q105_index").getPath
+        graft.streaming.VectorIndexStream.seedIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
+        graft.streaming.SemanticDedupStream.dedupBatch(
+            e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx,
+            beforeBatch = 0, threshold = 0.45)
+          .select(col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        P AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a
+          JOIN CELL ca ON ca.vec_id = a.vec_id
+          JOIN CELL cb ON cb.cell = ca.cell
+          JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+        B1 AS (SELECT DISTINCT id_b AS vid FROM P
+               WHERE id_a % 2 = 1 AND id_b % 2 = 1),
+        B2 AS (SELECT DISTINCT (CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) AS vid
+               FROM P WHERE (id_a % 2) + (id_b % 2) = 1)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id % 2 = 1
+          AND vec_id NOT IN (SELECT vid FROM B1)
+          AND vec_id NOT IN (SELECT vid FROM B2)
+        ORDER BY vec_id"""))
   )
 }

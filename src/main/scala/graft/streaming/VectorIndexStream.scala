@@ -146,6 +146,18 @@ object VectorIndexStream {
     fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$indexDir/cells/batch=-1"))
   }
 
+  /** Cell rows admitted before `beforeBatch`: (idCol as named in the
+    * store, vector, cell, batch). `cellFilter` (a literal IN built from
+    * a probe set) prunes directories statically when provided. */
+  def readCells(
+      spark: SparkSession, indexDir: String,
+      beforeBatch: Long = Long.MaxValue,
+      cellFilter: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    spark.read
+      .option("basePath", s"$indexDir/cells")
+      .parquet(s"$indexDir/cells")
+      .filter(col("batch") < beforeBatch && cellFilter)
+
   /** Top-k over everything admitted before `beforeBatch` (default: all
     * history), served from the stored artifacts alone: queries assign
     * against the stored centroids, the probe set becomes a literal IN
@@ -167,10 +179,7 @@ object VectorIndexStream {
     val cellFilter =
       if (probedCells.isEmpty) lit(false)
       else expr(s"cell IN (${probedCells.mkString(",")})")
-    val cc = spark.read
-      .option("basePath", s"$indexDir/cells")
-      .parquet(s"$indexDir/cells")
-      .filter(col("batch") < beforeBatch && cellFilter)
+    val cc = readCells(spark, indexDir, beforeBatch, cellFilter)
       .select(col(idCol).as("neighbor_id"), col("cell").cast("long").as("cell"),
         col(vecCol).as("c_vec"))
     val w = Window.partitionBy(col("query_id"))
