@@ -77,7 +77,10 @@ object Bench {
     }
     val medians = registry.map { q =>
       val ok = samples(q.name).filter(_.ok).map(_.sec).sorted
-      q.name -> (if (ok.nonEmpty) ok(ok.size / 2) else -1.0)
+      // lower-middle for even counts: with one failed pass (2 samples)
+      // the upper-middle would report the MAX and read as a median
+      // regression against a 3-sample round
+      q.name -> (if (ok.nonEmpty) ok((ok.size - 1) / 2) else -1.0)
     }
 
     def fmt3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

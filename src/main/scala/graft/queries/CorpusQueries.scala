@@ -16,7 +16,12 @@ object CorpusQueries {
     * the durable postings store — BM25's statistics are associative
     * integer aggregates of postings rows, so the streamed store serves
     * the IDENTICAL ranking), and q104 (the RRF fusion, whose BM25 arm
-    * these CTEs are): one definition so the formula can never drift. */
+    * these CTEs are): one definition so the formula can never drift.
+    * DF's HAVING mirrors the Scala side's maxPostings=100000 default
+    * (saturated stopword terms dropped from scoring) — without it the
+    * oracle would diverge at any SF where a term tops 100k documents.
+    * (No SQL comments in oracle strings: normalize() folds them to one
+    * line, and a `--` would comment out the rest of the query.) */
   private val bm25Ctes: String = raw"""
         W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         T AS (SELECT doc_id, unnest(w) AS term FROM W),
@@ -25,7 +30,8 @@ object CorpusQueries {
         G AS (SELECT CAST(count(*) AS DOUBLE) AS n,
                      CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM LEN),
         QT AS (SELECT DISTINCT doc_id AS query_id, term FROM T WHERE doc_id % 100 = 0),
-        DF AS (SELECT term, count(*) AS df FROM TF GROUP BY 1),
+        DF AS (SELECT term, count(*) AS df FROM TF GROUP BY 1
+               HAVING count(*) <= 100000),
         S AS (
           SELECT qt.query_id, tf.doc_id,
                  SUM(ln(1 + (g.n - df.df + 0.5) / (df.df + 0.5))

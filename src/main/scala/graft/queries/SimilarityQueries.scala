@@ -93,8 +93,6 @@ object SimilarityQueries {
         SELECT query_id, rank, neighbor_id, dist FROM R
         WHERE rank <= 3 ORDER BY query_id, rank"""
 
-  /** The deterministic IVF-Flat top-3 oracle, shared VERBATIM by q51
-    * (inline operator) and q97 (probe of the written cell layout). */
   /** Shared by q90 (inline multi-probe IVF-SQ8) and q100 (the same
     * ranking served from writeIvfSq8Index's stored artifacts) — one
     * definition so the grid, probe list, and integer distance can never
@@ -145,6 +143,8 @@ object SimilarityQueries {
         SELECT query_id, rank, neighbor_id, dist FROM R
         WHERE rank <= 3 ORDER BY query_id, rank"""
 
+  /** The deterministic IVF-Flat top-3 oracle, shared VERBATIM by q51
+    * (inline operator) and q97 (probe of the written cell layout). */
   private val ivfFlatOracle: String = """
         WITH CENT AS (
           SELECT vec_id AS cent_id, embedding AS cent_vec

@@ -38,7 +38,7 @@ private[streaming] object BatchIndex {
     * completes the pending rewrite first (the journal lists exactly
     * which entries to delete and which staged files to promote, so
     * recovery is idempotent). */
-  private val Marker = "_compact_journal"
+  private[streaming] val Marker = "_compact_journal"
   private val TmpDir = "_compact_tmp"
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =

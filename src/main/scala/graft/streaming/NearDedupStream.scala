@@ -96,6 +96,13 @@ object NearDedupStream {
           s"$indexDir/$sub already holds streamed batch=N partitions — " +
             "backfillIndex would erase that history; seed a fresh index " +
             "dir or let the stream continue from the existing one")
+      // a crashed compaction may have already deleted every batch=N dir;
+      // the journal + staged rows are then the only copy of that history
+      // and the overwrite below would destroy them — refuse instead
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, BatchIndex.Marker)))
+        throw new IllegalStateException(
+          s"$indexDir/$sub holds a compaction journal — complete the " +
+            "pending compactIndex before re-seeding")
     }
     // docs BEFORE bands: a crash between the two writes must never
     // leave band rows whose texts are missing — a candidate referencing
@@ -144,7 +151,13 @@ object NearDedupStream {
 
   /** One micro-batch: survivors of `batch` against the index state as
     * of `beforeBatch` (also the batch-backfill entry point — both
-    * paths share this definition). Steps 1-3 of the object doc. */
+    * paths share this definition). Steps 1-3 of the object doc.
+    *
+    * One-shot callers only: the batch's localCheckpoint blocks are
+    * left to the ContextCleaner here (they cannot be freed before the
+    * returned frame is consumed). A LOOP over many batches should go
+    * through the streaming writer, which frees each batch's blocks
+    * deterministically via the core's cleanup thunk. */
   def nearDedupBatch(
       batch: DataFrame, indexDir: String, idCol: String, textCol: String,
       beforeBatch: Long = Long.MaxValue,

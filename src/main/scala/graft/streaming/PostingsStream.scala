@@ -62,6 +62,14 @@ object PostingsStream {
         s"$indexDir already holds streamed batch=N partitions — " +
           "backfillIndex would erase that history; seed a fresh dir or " +
           "let the stream continue from the existing one")
+    // a crashed compaction may have deleted every batch=N dir already —
+    // the journal (and its staged rows) are then the ONLY copy of the
+    // folded history, and the root overwrite below would destroy them
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, BatchIndex.Marker)))
+      throw new IllegalStateException(
+        s"$indexDir holds a compaction journal — complete the pending " +
+          "compactIndex before re-seeding; overwriting now would destroy " +
+          "the staged history the journal protects")
     TextRetrieval.postings(docs, idCol, textCol)
       .write.mode("overwrite").parquet(indexDir)
   }

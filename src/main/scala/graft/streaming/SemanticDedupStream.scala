@@ -45,16 +45,39 @@ import graft.similarity.Similarity
   */
 object SemanticDedupStream {
 
+  /** What the batch core hands back: the survivors plus a cleanup
+    * thunk freeing the batch's localCheckpoint blocks — call it after
+    * every consumer of `survivors` has run (the streaming writer
+    * does; the public [[dedupBatch]] leaves the blocks to the
+    * ContextCleaner, fine for one-shot backfills). */
+  private[graft] final case class BatchCore(
+      survivors: DataFrame, cleanup: () => Unit)
+
   /** One micro-batch: survivors of `batch` against the store as of
-    * `beforeBatch` (also the batch-backfill entry point). */
+    * `beforeBatch` (also the batch-backfill entry point). One-shot
+    * callers only; a loop should free each batch's checkpoint blocks —
+    * use the streaming writer, which does so deterministically. */
   def dedupBatch(
       batch: DataFrame, idCol: String, vecCol: String, indexDir: String,
       beforeBatch: Long = Long.MaxValue,
-      threshold: Double = 0.9, maxCell: Int = 4096): DataFrame = {
+      threshold: Double = 0.9, maxCell: Int = 4096): DataFrame =
+    dedupBatchCore(batch, idCol, vecCol, indexDir, beforeBatch,
+      threshold, maxCell).survivors
+
+  private[graft] def dedupBatchCore(
+      batch: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      beforeBatch: Long,
+      threshold: Double, maxCell: Int): BatchCore = {
     val spark = batch.sparkSession
     val cent = spark.read.parquet(s"$indexDir/centroids")
+    // materialize the assignment ONCE: it feeds the within-batch
+    // verify, the survivor semi-join, the batch-cell collect, and the
+    // cross-batch join — lazy lineage would re-run the broadcast
+    // distance kernel per consumer (NearDedupStream's single-tokenize
+    // argument, for vectors)
     val assigned = Similarity.assignWith(
-      cent, batch.select(col(idCol), col(vecCol)), idCol, vecCol)
+        cent, batch.select(col(idCol), col(vecCol)), idCol, vecCol)
+      .localCheckpoint()
     // 2. within-batch, inside the PINNED quantizer's cells
     val tagged = assigned.select(
       struct(col(idCol).cast("long").as("id"), col(vecCol).as("v")).as("m"),
@@ -62,7 +85,8 @@ object SemanticDedupStream {
     val withinDrops = Dedup.pairsWithinGroups(tagged, "cell", threshold, maxCell)
       .select(col("id_b").as("_drop_id")).distinct()
     val within = batch.join(
-      withinDrops, batch(idCol) === col("_drop_id"), "left_anti")
+        withinDrops, batch(idCol) === col("_drop_id"), "left_anti")
+      .localCheckpoint()
     val withinAssigned = assigned.join(
       within.select(col(idCol)), Seq(idCol), "left_semi")
     // 3. cross-batch: only the batch's own cells are read (static
@@ -85,7 +109,9 @@ object SemanticDedupStream {
       .filter(graft.functions.VectorFunctions.cosineSim(
         col(vecCol), col("old_v")) >= threshold)
       .select(col(s"nb.$idCol")).distinct()
-    within.join(crossDrops, Seq(idCol), "left_anti")
+    BatchCore(
+      within.join(crossDrops, Seq(idCol), "left_anti"),
+      () => Seq(assigned, within).foreach(NearDedupStream.dropLocalCheckpoint))
   }
 
   /** Streaming writer: `emit` sees each batch's survivors, then their
@@ -102,13 +128,17 @@ object SemanticDedupStream {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fresh = dedupBatch(batch, idCol, vecCol, indexDir, batchId,
-            threshold, maxCell)
+        val core = dedupBatchCore(batch, idCol, vecCol, indexDir, batchId,
+          threshold, maxCell)
+        val fresh = core.survivors
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           emit(fresh, batchId)
           VectorIndexStream.appendBatch(fresh, idCol, vecCol, indexDir, batchId)
-        } finally fresh.unpersist()
+        } finally {
+          fresh.unpersist()
+          core.cleanup()
+        }
         ()
       }
 }

@@ -98,17 +98,48 @@ object VectorIndexStream {
         ()
       }
 
+  // Compaction journal protocol (same guarantees as BatchIndex): while
+  // `cells/_compact_journal` exists the store is mid-swap and reads
+  // REFUSE loudly — a partial swap state could silently drop the seed
+  // and every folded batch. The journal is written only after the
+  // staged seed is complete, and recovery (re-running compactIndex)
+  // finishes the swap it describes: delete the listed dirs that still
+  // exist, promote the staging dir, drop the journal.
+  private val Journal = "_compact_journal"
+  private val Staging = "_compact_seed"
+
+  private def recoverPendingCompaction(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path): Unit = {
+    val journal = new org.apache.hadoop.fs.Path(root, Journal)
+    if (!fs.exists(journal)) return
+    val in = fs.open(journal)
+    val listed = try scala.io.Source.fromInputStream(in).getLines().toList
+                 finally in.close()
+    listed.filter(_.nonEmpty).foreach { name =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, name), true)
+    }
+    val staging = new org.apache.hadoop.fs.Path(root, Staging)
+    if (fs.exists(staging))
+      fs.rename(staging, new org.apache.hadoop.fs.Path(root, "batch=-1"))
+    fs.delete(journal, false)
+  }
+
   /** Fold batch partitions `<= throughBatch` into the seed partition —
     * the listing-growth bound, same contract as the dedup stores'
     * compaction. Requires the writing stream stopped or between
     * batches. (Implemented directly rather than via [[BatchIndex]]:
     * the cell sub-partitioning must survive the rewrite, so rows are
-    * re-written `partitionBy("cell")` instead of as flat seed files.) */
+    * re-written `partitionBy("cell")` instead of as flat seed files.)
+    * Crash-safe via the journal protocol above: a crash at any point
+    * either leaves the old layout intact (journal not yet written) or
+    * is completed by the next [[compactIndex]] call (journal present —
+    * reads fail loudly until then, never serve a partial store). */
   def compactIndex(
       spark: SparkSession, indexDir: String, throughBatch: Long): Unit = {
     require(throughBatch >= 0, "throughBatch must be non-negative")
     val root = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverPendingCompaction(fs, root)
     val batchDirs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .map(s => s.getPath.getName.stripPrefix("batch=").toLong)
@@ -123,40 +154,52 @@ object VectorIndexStream {
         s"batch ($maxBatch) into the seed partition, which re-includes it " +
         s"under every fence — compact through at most ${maxBatch - 1}")
     // read seed + folding partitions, rewrite into a staging seed, swap
-    val parts = (Seq(-1L).filter(batchDirs.contains) ++ folding)
-      .map(b => s"$indexDir/cells/batch=$b")
+    val foldNames = (Seq(-1L).filter(batchDirs.contains) ++ folding)
+      .map(b => s"batch=$b")
     // basePath makes the multi-root read infer (batch, cell) partition
     // columns consistently; batch is then dropped — the folded rows all
     // become seed history
     val merged = spark.read.option("basePath", s"$indexDir/cells")
-      .parquet(parts: _*)
+      .parquet(foldNames.map(n => s"$indexDir/cells/$n"): _*)
       .drop("batch")
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/_compact_seed")
     merged.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    // the swap is not atomic across the deletes, but every fence reads
-    // the union of surviving partitions, and rows live in exactly one
-    // partition: a crash between deletes leaves duplicated rows ONLY if
-    // the staging dir were visible — it is not (underscore prefix), so
-    // re-running compact after a crash converges. The final rename
-    // makes the folded seed visible in one metadata operation.
-    (Seq(-1L).filter(batchDirs.contains) ++ folding).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/cells/batch=$b"), true)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(new org.apache.hadoop.fs.Path(root, Staging).toString)
+    // staging complete -> journal the swap, then perform it; a crash
+    // anywhere after this line is finished by recoverPendingCompaction
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, Journal), true)
+    try out.write((foldNames.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    foldNames.foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, n), true)
     }
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$indexDir/cells/batch=-1"))
+    fs.rename(new org.apache.hadoop.fs.Path(root, Staging),
+      new org.apache.hadoop.fs.Path(root, "batch=-1"))
+    fs.delete(new org.apache.hadoop.fs.Path(root, Journal), false)
   }
 
   /** Cell rows admitted before `beforeBatch`: (idCol as named in the
     * store, vector, cell, batch). `cellFilter` (a literal IN built from
-    * a probe set) prunes directories statically when provided. */
+    * a probe set) prunes directories statically when provided. Refuses
+    * a store whose compaction journal is pending — a partial swap could
+    * silently drop the seed and every folded batch; re-run
+    * [[compactIndex]] to complete it first. */
   def readCells(
       spark: SparkSession, indexDir: String,
       beforeBatch: Long = Long.MaxValue,
-      cellFilter: org.apache.spark.sql.Column = lit(true)): DataFrame =
+      cellFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, Journal)))
+      throw new IllegalStateException(
+        s"$indexDir/cells holds a compaction journal — a compaction is in " +
+          "progress or crashed mid-swap; re-run compactIndex on this store " +
+          "to complete it before reading")
     spark.read
       .option("basePath", s"$indexDir/cells")
       .parquet(s"$indexDir/cells")
       .filter(col("batch") < beforeBatch && cellFilter)
+  }
 
   /** Top-k over everything admitted before `beforeBatch` (default: all
     * history), served from the stored artifacts alone: queries assign

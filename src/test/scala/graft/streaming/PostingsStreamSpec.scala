@@ -90,4 +90,19 @@ class PostingsStreamSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("batch=N"), ex.getMessage)
   }
+
+  test("backfillIndex refuses a store mid-compaction: the journal is the only copy of history") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("postings_journal").toString
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    PostingsStream.backfillIndex(docs, "doc_id", "text", s"$dir/index")
+    // simulate a crashed compaction's state where every batch=N dir is
+    // already deleted and only the journal (+ staged rows) remain
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$dir/index", "_compact_journal").toPath, "")
+    val ex = intercept[IllegalStateException] {
+      PostingsStream.backfillIndex(docs, "doc_id", "text", s"$dir/index")
+    }
+    assert(ex.getMessage.contains("compaction journal"), ex.getMessage)
+  }
 }

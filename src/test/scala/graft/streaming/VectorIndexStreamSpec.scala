@@ -120,6 +120,51 @@ class VectorIndexStreamSpec extends SparkSpec {
       spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == full)
   }
 
+  test("compaction journal: reads refuse mid-swap state; recovery completes the swap losslessly") {
+    import spark.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_journal").toString
+    VectorIndexStream.seedIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", s"$dir/index", nLists = 8)
+    VectorIndexStream.appendBatch(
+      e.filter(col("vec_id") % 4 === 1), "vec_id", "embedding", s"$dir/index", 0L)
+    VectorIndexStream.appendBatch(
+      e.filter(col("vec_id") % 4 === 3), "vec_id", "embedding", s"$dir/index", 1L)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+    val before = topk(VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index", queries, "vec_id", "embedding", k = 3))
+
+    // hand-build the worst crash window: staging complete, journal
+    // written, DELETES not yet performed — reads must refuse, and the
+    // next compactIndex must finish the swap without losing a row
+    val cells = new java.io.File(s"$dir/index/cells")
+    val staging = new java.io.File(cells, "_compact_seed")
+    // stage = what a crashed compact(through=0) had staged: seed + batch 0
+    spark.read.option("basePath", cells.toString)
+      .parquet(s"${cells}/batch=-1", s"${cells}/batch=0")
+      .drop("batch")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    val journal = new java.io.File(cells, "_compact_journal")
+    java.nio.file.Files.writeString(journal.toPath, "batch=-1\nbatch=0\n")
+
+    val ex = intercept[IllegalStateException] {
+      VectorIndexStream.topKFromIndex(
+        spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)
+    }
+    assert(ex.getMessage.contains("compaction journal"), ex.getMessage)
+
+    // recovery rides the next compactIndex call (here folding nothing new)
+    VectorIndexStream.compactIndex(spark, s"$dir/index", throughBatch = 0)
+    val dirs = cells.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=-1", "batch=1"), dirs.toString)
+    assert(topk(VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == before)
+  }
+
   test("edge cases: empty appended batch is inert, empty query batch probes nothing") {
     import spark.implicits._
     val e = graft.Tables.table(spark, sf001, "embeddings")
