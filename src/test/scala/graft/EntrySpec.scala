@@ -137,4 +137,49 @@ class PropertySpec extends AnyFunSuite {
         joined <= as.size.toLong * maxMult
     }, n = 5)
   }
+
+  test("bm25TopK vs a plain-Scala reference: candidate set exact, top-1 agrees under margin") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6")
+    val docGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, wordGen))
+    check(Prop.forAll(Gen.listOfN(6, docGen), docGen) {
+      (texts: List[List[String]], qWords: List[String]) =>
+        val docs = texts.zipWithIndex
+          .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        val queries = Seq((1000L, qWords.mkString(" ")))
+        val out = graft.corpus.TextRetrieval.bm25TopK(
+            docs.toDF("doc_id", "text"), "doc_id", "text",
+            queries.toDF("doc_id", "text"), "doc_id", "text",
+            k = docs.size)
+          .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+
+        // reference, straight from the formula
+        val tf = docs.flatMap { case (id, t) =>
+          t.split("\\s+").groupBy(identity).map { case (w, g) => (id, w, g.length.toLong) } }
+        val len = tf.groupBy(_._1).map { case (id, rows) => id -> rows.map(_._3).sum }
+        val n = len.size
+        val avgdl = if (n == 0) 1.0 else len.values.sum.toDouble / n
+        val df = tf.groupBy(_._2).map { case (w, rows) => w -> rows.size }
+        val qTerms = qWords.distinct.toSet
+        val scores = docs.flatMap { case (id, _) =>
+          val contribs = tf.filter(r => r._1 == id && qTerms(r._2)).map { case (_, w, f) =>
+            math.log(1.0 + (n - df(w) + 0.5) / (df(w) + 0.5)) *
+              f * (1.2 + 1.0) / (f + 1.2 * (1.0 - 0.75 + 0.75 * len(id) / avgdl))
+          }
+          if (contribs.isEmpty) None else Some(id -> contribs.sum)
+        }
+
+        // candidate SET is exact: every doc sharing a query term, no other
+        val setOk = out.map(_._2).toSet == scores.map(_._1).toSet
+        // top-1 agrees whenever the reference margin is clearly above
+        // double summation-order noise
+        val top1Ok = scores.sortBy(t => (-t._2, t._1)) match {
+          case (d1, s1) :: (_, s2) :: _ if s1 - s2 > 1e-9 =>
+            out.headOption.exists(_._2 == d1)
+          case (d1, _) :: Nil => out.headOption.exists(_._2 == d1)
+          case _ => true
+        }
+        setOk && top1Ok
+    }, n = 10)
+  }
 }

@@ -74,6 +74,21 @@ class TextRetrievalSpec extends SparkSpec {
     assert(fused.toSet == expected)
   }
 
+  test("retrieval plans stay equi-join only — no nested loop, no cartesian") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val queries = d.filter(col("doc_id") % 100 === 0)
+    Seq(
+      TextRetrieval.bm25TopK(d, "doc_id", "text", queries, "doc_id", "text",
+        k = 5, excludeSelf = true),
+      TextRetrieval.hybridRrfTopK(d, "doc_id", "text", queries, "doc_id", "text",
+        k = 5, excludeSelf = true)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
   test("maxPostings drops saturated terms: a term in every doc stops matching") {
     import spark.implicits._
     val docs = (1L to 20L).map(i => (i, s"common unique$i")).toDF("doc_id", "text")
