@@ -981,6 +981,74 @@ object SimilarityQueries {
         WHERE vec_id % 2 = 1
           AND vec_id NOT IN (SELECT vid FROM B1)
           AND vec_id NOT IN (SELECT vid FROM B2)
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    GraftQuery(
+      "q106_ann_streamed_sq8_index",
+      "The QUANTIZED streamed vector store (q101's layout at 4x " +
+        "smaller scan): centroids AND the SQ8 grid are trained on the " +
+        "even-id seed half and pinned (stored codes are only " +
+        "comparable under the grid that produced them), the odd half " +
+        "appends as batch 0 with full-precision cell assignment but " +
+        "quantized payload (out-of-range values clamp — standard SQ8 " +
+        "saturation), and the probe quantizes the query under the " +
+        "pinned grid and integer-L2 ranks its cell. Integer distances " +
+        "— hash-exact.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val idx = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_q106_index").getPath
+        graft.streaming.VectorIndexStream.seedSq8Index(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
+        graft.streaming.VectorIndexStream.appendSq8Batch(
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, 0L)
+        graft.streaming.VectorIndexStream.sq8TopKFromIndex(
+            spark, idx, e.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        MM AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(embedding) AS x,
+                       unnest(range(1, len(embedding)+1)) AS i
+                FROM embeddings WHERE vec_id % 2 = 0)
+          GROUP BY i),
+        MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
+        QV AS (
+          SELECT vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(embedding)+1)] AS qv
+          FROM embeddings, MML),
+        P AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                           for i in range(1, len(a.qv)+1)]) AS d
+          FROM QV a
+          JOIN CELL ca ON ca.vec_id = a.vec_id
+          JOIN CELL cb ON cb.cell = ca.cell
+          JOIN QV b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id
+          WHERE a.vec_id % 50 = 0),
+        R AS (SELECT query_id, neighbor_id, CAST(d AS BIGINT) AS dist,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY d, neighbor_id) AS rank
+              FROM P)
+        SELECT query_id, rank, neighbor_id, dist FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank"""))
   )
 }

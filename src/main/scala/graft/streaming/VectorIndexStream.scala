@@ -178,6 +178,117 @@ object VectorIndexStream {
     fs.delete(new org.apache.hadoop.fs.Path(root, Journal), false)
   }
 
+  /** Seed the QUANTIZED (SQ8) variant of the store: centroids AND the
+    * per-dimension quantization ranges are trained on the seed corpus
+    * and pinned — the same argument as the centroids (stored codes are
+    * only comparable under the grid that produced them; a drifting
+    * grid would corrupt every earlier partition). Streamed vectors
+    * outside the pinned ranges clamp, the standard SQ8 saturation
+    * behavior. Cells hold (id, qv) at 4x smaller scan than the flat
+    * store. */
+  def seedSq8Index(
+      corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      nLists: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    Similarity.ivfCentroids(corpus, idCol, vecCol, nLists).coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val (mns, mxs) = Similarity.sq8Ranges(corpus, vecCol)
+    import spark.implicits._
+    mns.indices.map(i => (i.toLong, mns(i), mxs(i))).toDF("i", "mn", "mx")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/ranges")
+    Seq(Tuple1(nLists.toLong)).toDF("nLists").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+    appendSq8(corpus, idCol, vecCol, indexDir, -1L)
+  }
+
+  /** Append one batch to the SQ8 store: assignment runs on the FULL-
+    * PRECISION vectors against the pinned float centroids (storage
+    * compression never degrades cell placement); only the stored
+    * payload is quantized, under the pinned ranges. */
+  def appendSq8Batch(
+      batch: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId " +
+      "(batch -1 is the seed partition)")
+    appendSq8(batch, idCol, vecCol, indexDir, batchId)
+  }
+
+  private def appendSq8(
+      df: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val (mns, mxs) = storedRanges(spark, indexDir)
+    Similarity.assignWith(cent, df.select(col(idCol), col(vecCol)), idCol, vecCol)
+      .select(col(idCol),
+        graft.functions.Sq8Quantize.sq8Quantize(
+          col(vecCol).cast("array<float>"), mns, mxs).as("qv"),
+        col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$indexDir/cells/batch=$batchId")
+  }
+
+  /** Streaming writer for the SQ8 store. Start with `.start()`. */
+  def sq8IndexStreamTo(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, checkpointDir: String)(
+      emit: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendSq8Batch(batch, idCol, vecCol, indexDir, batchId)
+        emit(batch, batchId)
+        ()
+      }
+
+  private def storedRanges(
+      spark: SparkSession, indexDir: String): (Seq[Double], Seq[Double]) = {
+    val rows = spark.read.parquet(s"$indexDir/ranges").orderBy(col("i")).collect()
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Top-k over the SQ8 store before `beforeBatch`: the query is
+    * quantized under the PINNED ranges and integer-L2 ranked against
+    * the stored codes of its probed cells (statically pruned, fenced).
+    * Identical ranking to [[graft.similarity.Similarity.ivfSq8TopK]]
+    * when centroids/ranges come from the same corpus — the fused
+    * kernel quantizes both sides under the same grid. */
+  def sq8TopKFromIndex(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val (mns, mxs) = storedRanges(spark, indexDir)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qc =
+      (if (nProbe <= 1) Similarity.assignWith(cent, q, "query_id", "q_vec")
+       else Similarity.probeCells(cent, q, "query_id", "q_vec", nProbe))
+        .select(col("query_id"), col("cell"),
+          graft.functions.Sq8Quantize.sq8Quantize(
+            col("q_vec").cast("array<float>"), mns, mxs).as("q_qv"))
+    val probedCells = qc.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cellFilter =
+      if (probedCells.isEmpty) lit(false)
+      else expr(s"cell IN (${probedCells.mkString(",")})")
+    val cc = readCells(spark, indexDir, beforeBatch, cellFilter)
+      .select(col(idCol).as("neighbor_id"),
+        col("cell").cast("long").as("cell"), col("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    cc.join(broadcast(qc), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist",
+        graft.functions.IntArrayL2.intArrayL2(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
   /** Cell rows admitted before `beforeBatch`: (idCol as named in the
     * store, vector, cell, batch). `cellFilter` (a literal IN built from
     * a probe set) prunes directories statically when provided. Refuses

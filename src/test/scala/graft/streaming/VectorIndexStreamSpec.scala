@@ -120,6 +120,52 @@ class VectorIndexStreamSpec extends SparkSpec {
       spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == full)
   }
 
+  test("SQ8 store: streamed quantized cells rank exactly as the pinned-grid fused kernel (q106)") {
+    import spark.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_sq8").toString
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    VectorIndexStream.seedSq8Index(evens, "vec_id", "embedding", s"$dir/index", nLists = 8)
+    VectorIndexStream.appendSq8Batch(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", s"$dir/index", 0L)
+
+    val qLocal = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+    val served = VectorIndexStream.sq8TopKFromIndex(
+      spark, s"$dir/index", qLocal, "vec_id", "embedding", k = 3)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"), plan)
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]* IN \\(".r
+      .findFirstIn(plan).isDefined, plan)
+
+    // twin from primitives: the fused quantize-on-the-fly kernel under
+    // the SAME pinned centroids and seed-half grid over the full corpus
+    val cent = spark.read.parquet(s"$dir/index/centroids")
+    val (mns, mxs) = Similarity.sq8Ranges(evens, "embedding")
+    val cc = Similarity.assignWith(cent,
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec")),
+      "neighbor_id", "c_vec")
+    val qc = Similarity.assignWith(cent,
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+      "query_id", "q_vec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    val twin = cc.join(broadcast(qc), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist", graft.functions.Sq8L2Distance.sq8L2(
+        col("q_vec"), col("c_vec"), mns, mxs))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+    def quad(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(quad(served) == quad(twin))
+    assert(quad(served).nonEmpty)
+  }
+
   test("compaction journal: reads refuse mid-swap state; recovery completes the swap losslessly") {
     import spark.implicits._
     val e = graft.Tables.table(spark, sf001, "embeddings")
