@@ -166,6 +166,53 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(quad(served).nonEmpty)
   }
 
+  test("SQ8 store lifecycle: streamed batches == one-batch backfill; compaction preserves answers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_sq8_stream").toString
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    VectorIndexStream.seedSq8Index(evens, "vec_id", "embedding", s"$dir/index", nLists = 8)
+
+    val odd = e.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b0, b1) = odd.partition(_._1 % 4 == 1)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = VectorIndexStream.sq8IndexStreamTo(
+      in.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/index", s"$dir/ckpt")().start()
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+    def quad(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = quad(VectorIndexStream.sq8TopKFromIndex(
+      spark, s"$dir/index", queries, "vec_id", "embedding", k = 3))
+
+    val twinDir = java.nio.file.Files.createTempDirectory("vec_index_sq8_twin").toString
+    VectorIndexStream.seedSq8Index(evens, "vec_id", "embedding", s"$twinDir/index", nLists = 8)
+    VectorIndexStream.appendSq8Batch(
+      odd.toDF("vec_id", "embedding"), "vec_id", "embedding", s"$twinDir/index", 0L)
+    assert(streamed == quad(VectorIndexStream.sq8TopKFromIndex(
+      spark, s"$twinDir/index", queries, "vec_id", "embedding", k = 3)))
+    assert(streamed.nonEmpty)
+
+    // the payload-agnostic compaction folds quantized batches too
+    VectorIndexStream.compactIndex(spark, s"$dir/index", throughBatch = 0)
+    val dirs = new java.io.File(s"$dir/index/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=-1", "batch=1"), dirs.toString)
+    assert(quad(VectorIndexStream.sq8TopKFromIndex(
+      spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == streamed)
+  }
+
   test("compaction journal: reads refuse mid-swap state; recovery completes the swap losslessly") {
     import spark.implicits._
     val e = graft.Tables.table(spark, sf001, "embeddings")
