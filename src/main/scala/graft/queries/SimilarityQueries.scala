@@ -22,11 +22,14 @@ object SimilarityQueries {
     * codebook -> per-subspace codes and query ADC lookup table. One
     * definition so the quantization grid and codebook ranking can
     * never drift between the flat-PQ and IVF-PQ oracles. */
-  private val pqCte: String = """MM AS (
+  /** `artifactFilter` restricts the GRID and CODEBOOK sources (MM,
+    * CENTS) — q107 pins both to the seed half while QV still encodes
+    * the full corpus, mirroring the pinned-artifact streamed store. */
+  private def pqCte(artifactFilter: String = ""): String = s"""MM AS (
           SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
           FROM (SELECT unnest(embedding) AS x,
                        unnest(range(1, len(embedding)+1)) AS i
-                FROM embeddings)
+                FROM embeddings$artifactFilter)
           GROUP BY i),
         MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
         QV AS (
@@ -40,7 +43,7 @@ object SimilarityQueries {
         CENTS AS (
           SELECT vec_id,
                  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
-          FROM embeddings
+          FROM embeddings$artifactFilter
           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
         SUBC AS (
           SELECT c.j, s.s AS s,
@@ -78,7 +81,7 @@ object SimilarityQueries {
         CELL AS (
           SELECT vec_id, cent_id AS cell FROM D
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
-        """ + pqCte + """,
+        """ + pqCte() + """,
         ADC AS (
           SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
           FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
@@ -473,7 +476,7 @@ object SimilarityQueries {
           SELECT vec_id, cent_id AS cell FROM D
           WHERE vec_id % 50 = 0
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) <= 2),
-        """ + pqCte + """,
+        """ + pqCte() + """,
         ADC AS (
           SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
           FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
@@ -615,7 +618,7 @@ object SimilarityQueries {
             k = 3, m = 8, dim = 64, kCent = 16)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("\n        WITH " + pqCte + """,
+      Some("\n        WITH " + pqCte() + """,
         ADC AS (
           SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
           FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
@@ -784,7 +787,7 @@ object SimilarityQueries {
           SELECT vec_id, cent_id AS cell FROM D
           WHERE vec_id % 50 = 0
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) <= 2),
-        """ + pqCte + """,
+        """ + pqCte() + """,
         ADC AS (
           SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
           FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
@@ -1048,6 +1051,59 @@ object SimilarityQueries {
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY d, neighbor_id) AS rank
               FROM P)
+        SELECT query_id, rank, neighbor_id, dist FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q107_ann_streamed_pq_index",
+      "The PRODUCT-QUANTIZED streamed vector store — the last cell of " +
+        "the serving matrix (Flat/SQ8/PQ x written/streamed): " +
+        "centroids, the SQ8 grid, AND the PQ codebook are trained on " +
+        "the even-id seed half and pinned (stored codes are only " +
+        "decodable under the codebook that produced them), the odd " +
+        "half appends as batch 0 storing m=8 code bytes per vector, " +
+        "and the probe builds its ADC LUT under the pinned artifacts " +
+        "over ONLY its cell's surviving batch partitions. Integer ADC " +
+        "distances — hash-exact.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val idx = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_q107_index").getPath
+        graft.streaming.VectorIndexStream.seedPqIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8, m = 8, dim = 64, kCent = 16)
+        graft.streaming.VectorIndexStream.appendPqBatch(
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, 0L)
+        graft.streaming.VectorIndexStream.pqTopKFromIndex(
+            spark, idx, e.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        """ + pqCte(" WHERE vec_id % 2 = 0") + """,
+        ADC AS (
+          SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
+          FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
+          JOIN CELL ca ON ca.vec_id = l.query_id
+          JOIN CELL cb ON cb.vec_id = c.vec_id AND cb.cell = ca.cell
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2),
+        R AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist, neighbor_id) AS rank
+              FROM ADC)
         SELECT query_id, rank, neighbor_id, dist FROM R
         WHERE rank <= 3 ORDER BY query_id, rank"""))
   )

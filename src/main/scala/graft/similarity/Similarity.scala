@@ -488,7 +488,7 @@ object Similarity {
   /** The per-query ADC lookup table: distance from each query's
     * subvector to every (subspace, centroid) — |Q| x m x kCent rows
     * from tiny frames, always broadcast by consumers. */
-  private def pqLut(
+  private[graft] def pqLut(
       queries: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, m: Int, dim: Int,
       mns: Seq[Double], mxs: Seq[Double]): DataFrame = {

@@ -251,6 +251,126 @@ object VectorIndexStream {
     (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
   }
 
+  /** Seed the PRODUCT-QUANTIZED variant of the store — the last cell
+    * of the serving matrix (Flat/SQ8/PQ x written/streamed): centroids,
+    * the SQ8 grid, AND the PQ codebook are all trained on the seed
+    * corpus and pinned; batches store m code bytes per vector (32x).
+    * The same pinned-artifact argument applies to all three: stored
+    * codes are only decodable under the codebook that produced them. */
+  def seedPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      nLists: Int = 8, m: Int = 8, dim: Int = 64, kCent: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    Similarity.ivfCentroids(corpus, idCol, vecCol, nLists).coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val (mns, mxs) = Similarity.sq8Ranges(corpus, vecCol)
+    import spark.implicits._
+    mns.indices.map(i => (i.toLong, mns(i), mxs(i))).toDF("i", "mn", "mx")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/ranges")
+    Similarity.pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    Seq((nLists.toLong, m.toLong, dim.toLong, kCent.toLong))
+      .toDF("nLists", "m", "dim", "kCent").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+    appendPq(corpus, idCol, vecCol, indexDir, -1L)
+  }
+
+  /** Append one batch to the PQ store: full-precision cell assignment,
+    * m-code payload encoded under the pinned grid + codebook. */
+  def appendPqBatch(
+      batch: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId " +
+      "(batch -1 is the seed partition)")
+    appendPq(batch, idCol, vecCol, indexDir, batchId)
+  }
+
+  private def appendPq(
+      df: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val meta = spark.read.parquet(s"$indexDir/meta").collect()(0)
+    val (m, dim) = (meta.getAs[Long]("m").toInt, meta.getAs[Long]("dim").toInt)
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val (mns, mxs) = storedRanges(spark, indexDir)
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val packed = Similarity
+      .pqEncode(df.select(col(idCol), col(vecCol)), idCol, vecCol,
+        codebook, m, dim, mns, mxs)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("sc"))
+      .select(col(idCol), expr("transform(sc, x -> x.code)").as("codes"))
+    Similarity.assignWith(cent, df.select(col(idCol), col(vecCol)), idCol, vecCol)
+      .select(col(idCol), col("cell"))
+      .join(packed, Seq(idCol))
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$indexDir/cells/batch=$batchId")
+  }
+
+  /** Streaming writer for the PQ store. Start with `.start()`. */
+  def pqIndexStreamTo(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, checkpointDir: String)(
+      emit: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendPqBatch(batch, idCol, vecCol, indexDir, batchId)
+        emit(batch, batchId)
+        ()
+      }
+
+  /** Top-k over the PQ store before `beforeBatch`: the query builds
+    * its ADC lookup table under the PINNED grid + codebook, and only
+    * the probed cell directories of surviving batch partitions are
+    * scanned — m code bytes per candidate. Integer (dist, id) in-cell
+    * ranking, hash-exact against the oracle. */
+  def pqTopKFromIndex(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val meta = spark.read.parquet(s"$indexDir/meta").collect()(0)
+    val (m, dim) = (meta.getAs[Long]("m").toInt, meta.getAs[Long]("dim").toInt)
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val (mns, mxs) = storedRanges(spark, indexDir)
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qc =
+      (if (nProbe <= 1) Similarity.assignWith(cent, q, "query_id", "q_vec")
+       else Similarity.probeCells(cent, q, "query_id", "q_vec", nProbe))
+        .select(col("query_id"), col("cell").as("q_cell"))
+    val probedCells = qc.select(col("q_cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cellFilter =
+      if (probedCells.isEmpty) lit(false)
+      else expr(s"cell IN (${probedCells.mkString(",")})")
+    val codes = readCells(spark, indexDir, beforeBatch, cellFilter)
+      .select(col(idCol).as("neighbor_id"),
+        col("cell").cast("long").as("cell"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .select(col("neighbor_id"), col("cell"),
+        col("s").cast("long").as("s"), col("code"))
+    val lut = Similarity.pqLut(queries, idCol, vecCol, codebook, m, dim, mns, mxs)
+      .join(qc, Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    codes
+      .join(broadcast(lut),
+        col("s") === col("ls") && col("code") === col("lj") &&
+          col("cell") === col("q_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
   /** Top-k over the SQ8 store before `beforeBatch`: the query is
     * quantized under the PINNED ranges and integer-L2 ranked against
     * the stored codes of its probed cells (statically pruned, fenced).

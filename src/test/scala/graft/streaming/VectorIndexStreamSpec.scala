@@ -213,6 +213,58 @@ class VectorIndexStreamSpec extends SparkSpec {
       spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == streamed)
   }
 
+  test("PQ store: streamed code cells == one-batch backfill; pruned plan; fence works (q107)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_pq_stream").toString
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    VectorIndexStream.seedPqIndex(evens, "vec_id", "embedding", s"$dir/index")
+
+    val odd = e.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b0, b1) = odd.partition(_._1 % 4 == 1)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = VectorIndexStream.pqIndexStreamTo(
+      in.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/index", s"$dir/ckpt")().start()
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+    def quad(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val served = VectorIndexStream.pqTopKFromIndex(
+      spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"), plan)
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]* IN \\(".r
+      .findFirstIn(plan).isDefined, plan)
+    val streamed = quad(served)
+    assert(streamed.nonEmpty)
+
+    val twinDir = java.nio.file.Files.createTempDirectory("vec_index_pq_twin").toString
+    VectorIndexStream.seedPqIndex(evens, "vec_id", "embedding", s"$twinDir/index")
+    VectorIndexStream.appendPqBatch(
+      odd.toDF("vec_id", "embedding"), "vec_id", "embedding", s"$twinDir/index", 0L)
+    assert(streamed == quad(VectorIndexStream.pqTopKFromIndex(
+      spark, s"$twinDir/index", queries, "vec_id", "embedding", k = 3)))
+
+    // fence: pre-stream state == a seed-only store
+    val seedOnly = java.nio.file.Files.createTempDirectory("vec_index_pq_seed").toString
+    VectorIndexStream.seedPqIndex(evens, "vec_id", "embedding", s"$seedOnly/index")
+    assert(quad(VectorIndexStream.pqTopKFromIndex(
+        spark, s"$dir/index", queries, "vec_id", "embedding", k = 3, beforeBatch = 0))
+      == quad(VectorIndexStream.pqTopKFromIndex(
+        spark, s"$seedOnly/index", queries, "vec_id", "embedding", k = 3)))
+  }
+
   test("compaction journal: reads refuse mid-swap state; recovery completes the swap losslessly") {
     import spark.implicits._
     val e = graft.Tables.table(spark, sf001, "embeddings")
