@@ -178,6 +178,35 @@ object VectorIndexStream {
     fs.delete(new org.apache.hadoop.fs.Path(root, Journal), false)
   }
 
+  /** Retention: drop batch partitions admitted before `keepFromBatch`
+    * (the seed too when `dropSeed`) — bounds total store size for
+    * bounded-window deployments, exactly as the dedup stores' expire.
+    * Expired vectors stop appearing in probe results and stop acting
+    * as semantic-dedup history, so their near-duplicates re-admit.
+    * Payload-agnostic (flat, SQ8, and PQ cells all expire the same
+    * way); a crash partway leaves some expired partitions for the next
+    * call — removal is per-directory idempotent. Refuses a store
+    * mid-compaction (the journal's staged rows must be promoted
+    * first). */
+  def expireIndex(
+      spark: SparkSession, indexDir: String,
+      keepFromBatch: Long, dropSeed: Boolean = false): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, Journal)))
+      throw new IllegalStateException(
+        s"$indexDir/cells holds a compaction journal — complete the " +
+          "pending compactIndex before expiring history")
+    fs.listStatus(root).foreach { e =>
+      val name = e.getPath.getName
+      if (e.isDirectory && name.startsWith("batch=")) {
+        val b = name.stripPrefix("batch=").toLong
+        val expired = if (b == -1L) dropSeed else b < keepFromBatch
+        if (expired) fs.delete(e.getPath, true)
+      }
+    }
+  }
+
   /** Seed the QUANTIZED (SQ8) variant of the store: centroids AND the
     * per-dimension quantization ranges are trained on the seed corpus
     * and pinned — the same argument as the centroids (stored codes are

@@ -310,6 +310,59 @@ class VectorIndexStreamSpec extends SparkSpec {
       spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == before)
   }
 
+  test("expireIndex: expired vectors leave probe results and semantic-dedup history") {
+    import spark.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_expire").toString
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    VectorIndexStream.seedIndex(evens, "vec_id", "embedding", s"$dir/index", nLists = 8)
+    val odd = e.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b0, b1) = odd.partition(_._1 % 4 == 1)
+    VectorIndexStream.appendBatch(
+      b0.toDF("vec_id", "embedding"), "vec_id", "embedding", s"$dir/index", 0L)
+    VectorIndexStream.appendBatch(
+      b1.toDF("vec_id", "embedding"), "vec_id", "embedding", s"$dir/index", 1L)
+
+    // drop the seed and batch 0: only batch 1's vectors remain history
+    VectorIndexStream.expireIndex(spark, s"$dir/index", keepFromBatch = 1, dropSeed = true)
+    val remaining = VectorIndexStream.readCells(spark, s"$dir/index")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(remaining == b1.map(_._1).toSet)
+
+    // probes only surface retained vectors
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+    val neighbors = VectorIndexStream.topKFromIndex(
+        spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(neighbors.subsetOf(remaining))
+
+    // an exact copy of an EXPIRED doc re-admits through semantic dedup:
+    // pick an expired (even) vector with NO >= 0.9 cosine among the
+    // retained history, clone it under a fresh id, and the dedup batch
+    // must admit it — its only near-dup left the window
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    val retainedVecs = VectorIndexStream.readCells(spark, s"$dir/index")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val cloneSrc = evens.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .find(ev => retainedVecs.forall(r => cos(ev._2, r._2) < 0.9))
+    assert(cloneSrc.isDefined, "fixture should have an even doc clear of retained near-dups")
+    val survivors = SemanticDedupStream.dedupBatch(
+        Seq((9999L, cloneSrc.get._2)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"$dir/index", beforeBatch = 2, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(9999L))
+  }
+
   test("edge cases: empty appended batch is inert, empty query batch probes nothing") {
     import spark.implicits._
     val e = graft.Tables.table(spark, sf001, "embeddings")
