@@ -72,14 +72,45 @@ object VectorIndexStream {
 
   private def writeCells(
       df: DataFrame, idCol: String, vecCol: String, indexDir: String,
-      batchId: Long): Unit = {
-    val cent = df.sparkSession.read.parquet(s"$indexDir/centroids")
+      batchId: Long): Unit =
+    writeCellsWith(df.sparkSession.read.parquet(s"$indexDir/centroids"),
+      df, idCol, vecCol, indexDir, batchId)
+
+  private def writeCellsWith(
+      cent: DataFrame, df: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, batchId: Long): Unit =
     Similarity.assignWith(cent, df.select(col(idCol), col(vecCol)), idCol, vecCol)
       .select(col(idCol), col(vecCol), col("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite")
       .partitionBy("cell")
       .parquet(s"$indexDir/cells/batch=$batchId")
+
+  /** The one streaming-writer shape all three payload variants share:
+    * append the batch under its own partition, then let `emit` observe
+    * it. The store must be seeded before the stream starts (the
+    * pinned artifacts the appenders read are written at seed time). */
+  private def streamTo(
+      vectors: DataFrame, checkpointDir: String,
+      append: (DataFrame, Long) => Unit,
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        append(batch, batchId)
+        emit(batch, batchId)
+        ()
+      }
+
+  /** A pinned artifact is immutable for the store's lifetime, so the
+    * streaming writers load each once at construction and replay it as
+    * a LOCAL frame — without this, every micro-batch re-lists and
+    * re-reads the artifact parquet on the hot path. */
+  private def localized(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** Streaming writer: every micro-batch's vectors are appended under
@@ -88,15 +119,15 @@ object VectorIndexStream {
   def indexStreamTo(
       vectors: DataFrame, idCol: String, vecCol: String,
       indexDir: String, checkpointDir: String)(
-      emit: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] =
-    vectors.writeStream
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, idCol, vecCol, indexDir, batchId)
-        emit(batch, batchId)
-        ()
-      }
+      emit: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+    val cent = localized(
+      vectors.sparkSession.read.parquet(s"$indexDir/centroids"))
+    streamTo(vectors, checkpointDir,
+      (b, i) => {
+        require(i >= 0, s"batchId must be non-negative, got $i")
+        writeCellsWith(cent, b, idCol, vecCol, indexDir, i)
+      }, emit)
+  }
 
   // Compaction journal protocol (same guarantees as BatchIndex): while
   // `cells/_compact_journal` exists the store is mid-swap and reads
@@ -197,14 +228,19 @@ object VectorIndexStream {
       throw new IllegalStateException(
         s"$indexDir/cells holds a compaction journal — complete the " +
           "pending compactIndex before expiring history")
-    fs.listStatus(root).foreach { e =>
-      val name = e.getPath.getName
-      if (e.isDirectory && name.startsWith("batch=")) {
-        val b = name.stripPrefix("batch=").toLong
-        val expired = if (b == -1L) dropSeed else b < keepFromBatch
-        if (expired) fs.delete(e.getPath, true)
-      }
-    }
+    val parts = fs.listStatus(root).toSeq
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("batch="))
+      .map(e => e.getPath -> e.getPath.getName.stripPrefix("batch=").toLong)
+    def expired(b: Long): Boolean =
+      if (b == -1L) dropSeed else b < keepFromBatch
+    // expiring EVERYTHING would leave a store whose probes crash on
+    // parquet schema inference instead of answering empty — refuse,
+    // mirroring compactIndex's newest-batch rule
+    require(parts.exists { case (_, b) => !expired(b) },
+      s"expireIndex(keepFromBatch=$keepFromBatch, dropSeed=$dropSeed) would " +
+        "expire every partition of the store — keep at least the newest " +
+        "batch, or re-seed a fresh index dir instead")
+    parts.foreach { case (p, b) => if (expired(b)) fs.delete(p, true) }
   }
 
   /** Seed the QUANTIZED (SQ8) variant of the store: centroids AND the
@@ -219,16 +255,12 @@ object VectorIndexStream {
       corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
       nLists: Int = 8): Unit = {
     val spark = corpus.sparkSession
-    Similarity.ivfCentroids(corpus, idCol, vecCol, nLists).coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val (mns, mxs) = Similarity.sq8Ranges(corpus, vecCol)
+    val (mns, mxs) = writeCentroidsAndRanges(corpus, idCol, vecCol, indexDir, nLists)
     import spark.implicits._
-    mns.indices.map(i => (i.toLong, mns(i), mxs(i))).toDF("i", "mn", "mx")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/ranges")
-    Seq(Tuple1(nLists.toLong)).toDF("nLists").coalesce(1)
+    Seq((nLists.toLong, mns.length.toLong)).toDF("nLists", "dim").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/meta")
-    appendSq8(corpus, idCol, vecCol, indexDir, -1L)
+    appendSq8(loadSq8Artifacts(spark, indexDir), corpus, idCol, vecCol,
+      indexDir, -1L)
   }
 
   /** Append one batch to the SQ8 store: assignment runs on the FULL-
@@ -240,45 +272,86 @@ object VectorIndexStream {
       batchId: Long): Unit = {
     require(batchId >= 0, s"batchId must be non-negative, got $batchId " +
       "(batch -1 is the seed partition)")
-    appendSq8(batch, idCol, vecCol, indexDir, batchId)
+    appendSq8(loadSq8Artifacts(batch.sparkSession, indexDir), batch,
+      idCol, vecCol, indexDir, batchId)
+  }
+
+  private final case class Sq8Artifacts(
+      cent: DataFrame, mns: Seq[Double], mxs: Seq[Double])
+
+  private def loadSq8Artifacts(
+      spark: SparkSession, indexDir: String): Sq8Artifacts = {
+    val (mns, mxs) = storedRanges(spark, indexDir)
+    Sq8Artifacts(
+      localized(spark.read.parquet(s"$indexDir/centroids")), mns, mxs)
   }
 
   private def appendSq8(
-      df: DataFrame, idCol: String, vecCol: String, indexDir: String,
-      batchId: Long): Unit = {
-    val spark = df.sparkSession
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-    val (mns, mxs) = storedRanges(spark, indexDir)
-    Similarity.assignWith(cent, df.select(col(idCol), col(vecCol)), idCol, vecCol)
+      art: Sq8Artifacts, df: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, batchId: Long): Unit =
+    Similarity.assignWith(art.cent,
+        checkedWidth(df.select(col(idCol), col(vecCol)), vecCol,
+          art.mns.length, indexDir),
+        idCol, vecCol)
       .select(col(idCol),
         graft.functions.Sq8Quantize.sq8Quantize(
-          col(vecCol).cast("array<float>"), mns, mxs).as("qv"),
+          col(vecCol).cast("array<float>"), art.mns, art.mxs).as("qv"),
         col("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite")
       .partitionBy("cell")
       .parquet(s"$indexDir/cells/batch=$batchId")
-  }
 
-  /** Streaming writer for the SQ8 store. Start with `.start()`. */
+  /** Streaming writer for the SQ8 store (pinned artifacts loaded once
+    * at construction). Start with `.start()`. */
   def sq8IndexStreamTo(
       vectors: DataFrame, idCol: String, vecCol: String,
       indexDir: String, checkpointDir: String)(
-      emit: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] =
-    vectors.writeStream
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendSq8Batch(batch, idCol, vecCol, indexDir, batchId)
-        emit(batch, batchId)
-        ()
-      }
+      emit: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+    val art = loadSq8Artifacts(vectors.sparkSession, indexDir)
+    streamTo(vectors, checkpointDir,
+      (b, i) => {
+        require(i >= 0, s"batchId must be non-negative, got $i")
+        appendSq8(art, b, idCol, vecCol, indexDir, i)
+      }, emit)
+  }
 
   private def storedRanges(
       spark: SparkSession, indexDir: String): (Seq[Double], Seq[Double]) = {
     val rows = spark.read.parquet(s"$indexDir/ranges").orderBy(col("i")).collect()
     (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
   }
+
+  /** Centroids + SQ8 ranges, the pinned artifacts the two quantized
+    * seeds share. Returns the ranges. */
+  private def writeCentroidsAndRanges(
+      corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      nLists: Int): (Seq[Double], Seq[Double]) = {
+    val spark = corpus.sparkSession
+    Similarity.ivfCentroids(corpus, idCol, vecCol, nLists).coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val (mns, mxs) = Similarity.sq8Ranges(corpus, vecCol)
+    import spark.implicits._
+    mns.indices.map(i => (i.toLong, mns(i), mxs(i))).toDF("i", "mn", "mx")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/ranges")
+    (mns, mxs)
+  }
+
+  /** Quantized kernels min-length silently: a vector wider or narrower
+    * than the pinned grid would rank on a truncated prefix and return
+    * plausible-but-wrong neighbors. Both the append and probe sides of
+    * the quantized stores run every vector through this loud check
+    * instead (the width is authoritative: it IS the stored grid's). */
+  private def checkedWidth(
+      df: DataFrame, vecCol: String, dim: Int, indexDir: String): DataFrame =
+    df.withColumn(vecCol,
+      when(size(col(vecCol)) === lit(dim), col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"vector width "), size(col(vecCol)).cast("string"),
+          lit(s" does not match the $dim-dimension grid pinned at " +
+            s"$indexDir — quantized codes are only comparable at the " +
+            "stored width")))))
 
   /** Seed the PRODUCT-QUANTIZED variant of the store — the last cell
     * of the serving matrix (Flat/SQ8/PQ x written/streamed): centroids,
@@ -290,20 +363,16 @@ object VectorIndexStream {
       corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
       nLists: Int = 8, m: Int = 8, dim: Int = 64, kCent: Int = 16): Unit = {
     val spark = corpus.sparkSession
-    Similarity.ivfCentroids(corpus, idCol, vecCol, nLists).coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val (mns, mxs) = Similarity.sq8Ranges(corpus, vecCol)
-    import spark.implicits._
-    mns.indices.map(i => (i.toLong, mns(i), mxs(i))).toDF("i", "mn", "mx")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/ranges")
+    val (mns, mxs) = writeCentroidsAndRanges(corpus, idCol, vecCol, indexDir, nLists)
     Similarity.pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    import spark.implicits._
     Seq((nLists.toLong, m.toLong, dim.toLong, kCent.toLong))
       .toDF("nLists", "m", "dim", "kCent").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/meta")
-    appendPq(corpus, idCol, vecCol, indexDir, -1L)
+    appendPq(loadPqArtifacts(spark, indexDir), corpus, idCol, vecCol,
+      indexDir, -1L)
   }
 
   /** Append one batch to the PQ store: full-precision cell assignment,
@@ -313,25 +382,42 @@ object VectorIndexStream {
       batchId: Long): Unit = {
     require(batchId >= 0, s"batchId must be non-negative, got $batchId " +
       "(batch -1 is the seed partition)")
-    appendPq(batch, idCol, vecCol, indexDir, batchId)
+    appendPq(loadPqArtifacts(batch.sparkSession, indexDir), batch,
+      idCol, vecCol, indexDir, batchId)
+  }
+
+  private final case class PqArtifacts(
+      cent: DataFrame, codebook: DataFrame, m: Int, dim: Int,
+      mns: Seq[Double], mxs: Seq[Double])
+
+  private def loadPqArtifacts(
+      spark: SparkSession, indexDir: String): PqArtifacts = {
+    val meta = spark.read.parquet(s"$indexDir/meta").collect()(0)
+    val (mns, mxs) = storedRanges(spark, indexDir)
+    PqArtifacts(
+      localized(spark.read.parquet(s"$indexDir/centroids")),
+      localized(spark.read.parquet(s"$indexDir/codebook")),
+      meta.getAs[Long]("m").toInt, meta.getAs[Long]("dim").toInt, mns, mxs)
   }
 
   private def appendPq(
-      df: DataFrame, idCol: String, vecCol: String, indexDir: String,
-      batchId: Long): Unit = {
-    val spark = df.sparkSession
-    val meta = spark.read.parquet(s"$indexDir/meta").collect()(0)
-    val (m, dim) = (meta.getAs[Long]("m").toInt, meta.getAs[Long]("dim").toInt)
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-    val (mns, mxs) = storedRanges(spark, indexDir)
-    val codebook = spark.read.parquet(s"$indexDir/codebook")
+      art: PqArtifacts, df: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, batchId: Long): Unit = {
+    // one row per id BEFORE encoding: pqEncode's per-(id, subspace)
+    // argmin would otherwise blend codes across duplicate-id rows into
+    // a vector that corresponds to neither (the flat/SQ8 appends dedup
+    // implicitly through assignWith's groupBy + first)
+    val uniq = checkedWidth(df.select(col(idCol), col(vecCol)), vecCol,
+        art.dim, indexDir)
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol))
     val packed = Similarity
-      .pqEncode(df.select(col(idCol), col(vecCol)), idCol, vecCol,
-        codebook, m, dim, mns, mxs)
+      .pqEncode(uniq, idCol, vecCol, art.codebook, art.m, art.dim,
+        art.mns, art.mxs)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("sc"))
       .select(col(idCol), expr("transform(sc, x -> x.code)").as("codes"))
-    Similarity.assignWith(cent, df.select(col(idCol), col(vecCol)), idCol, vecCol)
+    Similarity.assignWith(art.cent, uniq, idCol, vecCol)
       .select(col(idCol), col("cell"))
       .join(packed, Seq(idCol))
       .repartition(col("cell"))
@@ -340,19 +426,19 @@ object VectorIndexStream {
       .parquet(s"$indexDir/cells/batch=$batchId")
   }
 
-  /** Streaming writer for the PQ store. Start with `.start()`. */
+  /** Streaming writer for the PQ store (pinned artifacts loaded once
+    * at construction). Start with `.start()`. */
   def pqIndexStreamTo(
       vectors: DataFrame, idCol: String, vecCol: String,
       indexDir: String, checkpointDir: String)(
-      emit: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] =
-    vectors.writeStream
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendPqBatch(batch, idCol, vecCol, indexDir, batchId)
-        emit(batch, batchId)
-        ()
-      }
+      emit: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+    val art = loadPqArtifacts(vectors.sparkSession, indexDir)
+    streamTo(vectors, checkpointDir,
+      (b, i) => {
+        require(i >= 0, s"batchId must be non-negative, got $i")
+        appendPq(art, b, idCol, vecCol, indexDir, i)
+      }, emit)
+  }
 
   /** Top-k over the PQ store before `beforeBatch`: the query builds
     * its ADC lookup table under the PINNED grid + codebook, and only
@@ -363,15 +449,14 @@ object VectorIndexStream {
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
       beforeBatch: Long = Long.MaxValue): DataFrame = {
-    val meta = spark.read.parquet(s"$indexDir/meta").collect()(0)
-    val (m, dim) = (meta.getAs[Long]("m").toInt, meta.getAs[Long]("dim").toInt)
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-    val (mns, mxs) = storedRanges(spark, indexDir)
-    val codebook = spark.read.parquet(s"$indexDir/codebook")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val art = loadPqArtifacts(spark, indexDir)
+    val checkedQueries = checkedWidth(
+      queries.select(col(idCol), col(vecCol)), vecCol, art.dim, indexDir)
+    val q = checkedQueries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val qc =
-      (if (nProbe <= 1) Similarity.assignWith(cent, q, "query_id", "q_vec")
-       else Similarity.probeCells(cent, q, "query_id", "q_vec", nProbe))
+      (if (nProbe <= 1) Similarity.assignWith(art.cent, q, "query_id", "q_vec")
+       else Similarity.probeCells(art.cent, q, "query_id", "q_vec", nProbe))
         .select(col("query_id"), col("cell").as("q_cell"))
     val probedCells = qc.select(col("q_cell")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -384,7 +469,8 @@ object VectorIndexStream {
         posexplode(col("codes")).as(Seq("s", "code")))
       .select(col("neighbor_id"), col("cell"),
         col("s").cast("long").as("s"), col("code"))
-    val lut = Similarity.pqLut(queries, idCol, vecCol, codebook, m, dim, mns, mxs)
+    val lut = Similarity.pqLut(checkedQueries, idCol, vecCol, art.codebook,
+        art.m, art.dim, art.mns, art.mxs)
       .join(qc, Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
@@ -410,15 +496,16 @@ object VectorIndexStream {
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
       beforeBatch: Long = Long.MaxValue): DataFrame = {
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-    val (mns, mxs) = storedRanges(spark, indexDir)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val art = loadSq8Artifacts(spark, indexDir)
+    val q = checkedWidth(
+        queries.select(col(idCol), col(vecCol)), vecCol, art.mns.length, indexDir)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val qc =
-      (if (nProbe <= 1) Similarity.assignWith(cent, q, "query_id", "q_vec")
-       else Similarity.probeCells(cent, q, "query_id", "q_vec", nProbe))
+      (if (nProbe <= 1) Similarity.assignWith(art.cent, q, "query_id", "q_vec")
+       else Similarity.probeCells(art.cent, q, "query_id", "q_vec", nProbe))
         .select(col("query_id"), col("cell"),
           graft.functions.Sq8Quantize.sq8Quantize(
-            col("q_vec").cast("array<float>"), mns, mxs).as("q_qv"))
+            col("q_vec").cast("array<float>"), art.mns, art.mxs).as("q_qv"))
     val probedCells = qc.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val cellFilter =

@@ -363,6 +363,48 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(survivors == Set(9999L))
   }
 
+  test("guards: full-window expire refused; wrong-width vectors raise; PQ dedups batch ids") {
+    import spark.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_guards").toString
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    VectorIndexStream.seedSq8Index(evens, "vec_id", "embedding", s"$dir/index", nLists = 8)
+
+    // expiring EVERY partition would brick the store — refused
+    val exAll = intercept[IllegalArgumentException] {
+      VectorIndexStream.expireIndex(spark, s"$dir/index",
+        keepFromBatch = 99, dropSeed = true)
+    }
+    assert(exAll.getMessage.contains("every partition"), exAll.getMessage)
+
+    // a 32-dim query against the 64-dim pinned grid raises loudly
+    // instead of ranking on a truncated prefix
+    val narrow = Seq((1L, Array.fill(32)(0.5f))).toDF("vec_id", "embedding")
+    val exW = intercept[Exception] {
+      VectorIndexStream.sq8TopKFromIndex(
+        spark, s"$dir/index", narrow, "vec_id", "embedding", k = 3).collect()
+    }
+    def chain(t: Throwable): List[String] = {
+      var c: Throwable = t; val b = List.newBuilder[String]
+      while (c != null) { b += String.valueOf(c.getMessage); c = c.getCause }
+      b.result()
+    }
+    assert(chain(exW).exists(_.contains("does not match the 64-dimension grid")),
+      chain(exW).mkString(" | "))
+
+    // a PQ batch with a duplicated id stores ONE code row for it
+    val pqDir = java.nio.file.Files.createTempDirectory("vec_index_pq_dup").toString
+    VectorIndexStream.seedPqIndex(evens, "vec_id", "embedding", s"$pqDir/index")
+    val v1 = evens.limit(1).select("embedding").as[Array[Float]].collect()(0)
+    VectorIndexStream.appendPqBatch(
+      Seq((7777L, v1), (7777L, v1.map(x => -x))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$pqDir/index", 0L)
+    val stored = VectorIndexStream.readCells(spark, s"$pqDir/index")
+      .filter(col("batch") === 0)
+    assert(stored.count() == 1L)
+    assert(stored.select("vec_id").collect()(0).getLong(0) == 7777L)
+  }
+
   test("edge cases: empty appended batch is inert, empty query batch probes nothing") {
     import spark.implicits._
     val e = graft.Tables.table(spark, sf001, "embeddings")
