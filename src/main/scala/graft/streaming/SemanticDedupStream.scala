@@ -19,7 +19,11 @@ import graft.similarity.Similarity
   * serves ANN probes (`centroids` pinned at seed time,
   * `cells/batch=M/cell=N` vectors), so one streamed artifact backs
   * both retrieval and dedup, exactly as the batch operator shares
-  * q51's centroids. Per micro-batch:
+  * q51's centroids. The FLAT store specifically: the exact-cosine
+  * verify needs full-precision vectors, so the SQ8/PQ cell variants
+  * (which store codes) cannot back this operator — seed with
+  * [[VectorIndexStream.seedIndex]], not the quantized seeds. Per
+  * micro-batch:
   *
   *  1. assign the batch against the STORED centroids (the pinned
   *     quantizer — assigning against per-batch centroids would make
