@@ -132,26 +132,68 @@ object VectorIndexStream {
   // Compaction journal protocol (same guarantees as BatchIndex): while
   // `cells/_compact_journal` exists the store is mid-swap and reads
   // REFUSE loudly — a partial swap state could silently drop the seed
-  // and every folded batch. The journal is written only after the
-  // staged seed is complete, and recovery (re-running compactIndex)
-  // finishes the swap it describes: delete the listed dirs that still
-  // exist, promote the staging dir, drop the journal.
+  // and every folded batch. The journal is committed ATOMICALLY (write
+  // to a temp name, rename into place — a crash mid-write must never
+  // leave a truncated delete list that recovery would half-execute)
+  // and only after the staged seed is complete. Its first line names
+  // the nonce staging dir, so recovery is STATE-AWARE: staging still
+  // present means the swap has not happened — re-execute the deletes
+  // and promote; staging gone means the rename already promoted it —
+  // the `batch=-1` on disk IS the new seed and replaying the deletes
+  // would destroy it, so recovery only clears the journal. Every
+  // fs.rename result is asserted: a false return (or a dest-exists
+  // local-FS move-inside) proceeding to the journal delete would
+  // strand the staged history invisibly.
   private val Journal = "_compact_journal"
-  private val Staging = "_compact_seed"
+  private val JournalTmp = "_compact_journal.tmp"
+  private val StagingPrefix = "_compact_seed-"
+
+  private def renamed(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(dst)) throw new IllegalStateException(
+      s"compaction swap: rename target $dst already exists — refusing " +
+        "(a local-FS rename would silently move the source INSIDE it)")
+    if (!fs.rename(src, dst)) throw new IllegalStateException(
+      s"compaction swap: rename $src -> $dst failed — the journal is " +
+        "left in place; re-run compactIndex to retry the swap")
+  }
 
   private def recoverPendingCompaction(
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path): Unit = {
+    // a temp journal is pre-commit debris: no mutation has happened yet
+    val tmp = new org.apache.hadoop.fs.Path(root, JournalTmp)
+    if (fs.exists(tmp)) fs.delete(tmp, false)
     val journal = new org.apache.hadoop.fs.Path(root, Journal)
-    if (!fs.exists(journal)) return
-    val in = fs.open(journal)
-    val listed = try scala.io.Source.fromInputStream(in).getLines().toList
-                 finally in.close()
-    listed.filter(_.nonEmpty).foreach { name =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, name), true)
+    if (!fs.exists(journal)) {
+      // no journal -> any staging dir is from an attempt that died
+      // before commit; the original layout is intact, drop the debris
+      fs.listStatus(root).foreach { e =>
+        if (e.isDirectory && e.getPath.getName.startsWith(StagingPrefix))
+          fs.delete(e.getPath, true)
+      }
+      return
     }
-    val staging = new org.apache.hadoop.fs.Path(root, Staging)
-    if (fs.exists(staging))
-      fs.rename(staging, new org.apache.hadoop.fs.Path(root, "batch=-1"))
+    val in = fs.open(journal)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+                finally in.close()
+    val stagingName = lines.collectFirst { case l if l.startsWith("S ") =>
+      l.stripPrefix("S ") }
+      .getOrElse(throw new IllegalStateException(
+        s"compaction journal at $root names no staging dir — unknown " +
+          "format, refusing to guess at a swap"))
+    val staging = new org.apache.hadoop.fs.Path(root, stagingName)
+    if (fs.exists(staging)) {
+      // pre-promotion crash: batch=-1 (if present) is still the OLD
+      // seed the journal lists for deletion — finish the swap
+      lines.collect { case l if l.startsWith("D ") => l.stripPrefix("D ") }
+        .foreach { name =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, name), true)
+        }
+      renamed(fs, staging, new org.apache.hadoop.fs.Path(root, "batch=-1"))
+    }
+    // staging gone: the rename promoted it — batch=-1 is the NEW seed;
+    // replaying the deletes here would destroy it (the lost-store bug)
     fs.delete(journal, false)
   }
 
@@ -172,8 +214,8 @@ object VectorIndexStream {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     recoverPendingCompaction(fs, root)
     val batchDirs = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(s => s.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(_.isDirectory)
+      .flatMap(s => batchIdOf(s.getPath.getName))
     val folding = batchDirs.filter(b => b >= 0 && b <= throughBatch)
     if (folding.isEmpty) return
     // folding the NEWEST batch would let a fence pinned just above it
@@ -190,24 +232,40 @@ object VectorIndexStream {
     // basePath makes the multi-root read infer (batch, cell) partition
     // columns consistently; batch is then dropped — the folded rows all
     // become seed history
+    val stagingName =
+      StagingPrefix + java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(root, stagingName)
     val merged = spark.read.option("basePath", s"$indexDir/cells")
       .parquet(foldNames.map(n => s"$indexDir/cells/$n"): _*)
       .drop("batch")
     merged.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(new org.apache.hadoop.fs.Path(root, Staging).toString)
-    // staging complete -> journal the swap, then perform it; a crash
-    // anywhere after this line is finished by recoverPendingCompaction
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, Journal), true)
-    try out.write((foldNames.mkString("\n") + "\n").getBytes("UTF-8"))
+      .parquet(staging.toString)
+    // staging complete -> commit the journal ATOMICALLY (temp + rename:
+    // a torn journal would make recovery delete a subset of the folded
+    // dirs and then mis-promote), then perform the swap; a crash
+    // anywhere after the rename below is finished state-awarely by
+    // recoverPendingCompaction
+    val tmp = new org.apache.hadoop.fs.Path(root, JournalTmp)
+    val out = fs.create(tmp, true)
+    try out.write(
+      ((s"S $stagingName" +: foldNames.map(n => s"D $n"))
+        .mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
+    renamed(fs, tmp, new org.apache.hadoop.fs.Path(root, Journal))
     foldNames.foreach { n =>
       fs.delete(new org.apache.hadoop.fs.Path(root, n), true)
     }
-    fs.rename(new org.apache.hadoop.fs.Path(root, Staging),
-      new org.apache.hadoop.fs.Path(root, "batch=-1"))
+    renamed(fs, staging, new org.apache.hadoop.fs.Path(root, "batch=-1"))
     fs.delete(new org.apache.hadoop.fs.Path(root, Journal), false)
   }
+
+  /** `batch=N` partition-name parse that skips stray non-numeric
+    * entries instead of throwing mid-maintenance (BatchIndex.batchOf's
+    * contract). */
+  private def batchIdOf(name: String): Option[Long] =
+    if (name.startsWith("batch=")) name.stripPrefix("batch=").toLongOption
+    else None
 
   /** Retention: drop batch partitions admitted before `keepFromBatch`
     * (the seed too when `dropSeed`) — bounds total store size for
@@ -229,8 +287,9 @@ object VectorIndexStream {
         s"$indexDir/cells holds a compaction journal — complete the " +
           "pending compactIndex before expiring history")
     val parts = fs.listStatus(root).toSeq
-      .filter(e => e.isDirectory && e.getPath.getName.startsWith("batch="))
-      .map(e => e.getPath -> e.getPath.getName.stripPrefix("batch=").toLong)
+      .flatMap(e =>
+        if (e.isDirectory) batchIdOf(e.getPath.getName).map(e.getPath -> _)
+        else None)
     def expired(b: Long): Boolean =
       if (b == -1L) dropSeed else b < keepFromBatch
     // expiring EVERYTHING would leave a store whose probes crash on
@@ -463,9 +522,12 @@ object VectorIndexStream {
     val cellFilter =
       if (probedCells.isEmpty) lit(false)
       else expr(s"cell IN (${probedCells.mkString(",")})")
-    val codes = readCells(spark, indexDir, beforeBatch, cellFilter)
-      .select(col(idCol).as("neighbor_id"),
-        col("cell").cast("long").as("cell"),
+    val codes = latestPerId(
+        readCells(spark, indexDir, beforeBatch, cellFilter)
+          .select(col(idCol).as("neighbor_id"),
+            col("cell").cast("long").as("cell"), col("codes"), col("batch")),
+        "neighbor_id", Seq("cell", "codes"))
+      .select(col("neighbor_id"), col("cell"),
         posexplode(col("codes")).as(Seq("s", "code")))
       .select(col("neighbor_id"), col("cell"),
         col("s").cast("long").as("s"), col("code"))
@@ -511,9 +573,11 @@ object VectorIndexStream {
     val cellFilter =
       if (probedCells.isEmpty) lit(false)
       else expr(s"cell IN (${probedCells.mkString(",")})")
-    val cc = readCells(spark, indexDir, beforeBatch, cellFilter)
-      .select(col(idCol).as("neighbor_id"),
-        col("cell").cast("long").as("cell"), col("qv"))
+    val cc = latestPerId(
+      readCells(spark, indexDir, beforeBatch, cellFilter)
+        .select(col(idCol).as("neighbor_id"),
+          col("cell").cast("long").as("cell"), col("qv"), col("batch")),
+      "neighbor_id", Seq("cell", "qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
     cc.join(broadcast(qc), Seq("cell"))
@@ -524,6 +588,31 @@ object VectorIndexStream {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
+
+  /** One row per stored id for a probe's candidate scan. The store's
+    * id contract is global uniqueness across batches, but appends are
+    * blind (they read nothing — that is the replay-safety design), so
+    * a violated contract would otherwise DEGRADE SILENTLY: duplicate
+    * ranked rows in the flat/SQ8 probes, and a summed-twice ADC
+    * distance in the PQ probe (plausible-but-wrong rankings). Every
+    * probe therefore resolves a reused id LATEST-BATCH-WINS — upsert
+    * semantics, the deterministic reading of "this id was written
+    * again" (within one batch the appenders already collapse to one
+    * row, and batch ids are unique, so the max is unambiguous). The
+    * map-side-partial `max_by` means one row per id reaches the
+    * exchange, and the input is already pruned to the probed cells.
+    *
+    * The resolution is per-scan: a rewritten vector that MOVED cells
+    * leaves its stale copy visible to probes of the old cell alone —
+    * the same limitation as Faiss's add-with-duplicate-id (updating a
+    * moved vector requires expiry/compaction or a re-seed, not a blind
+    * re-append). What this guarantees is that no single scan ranks two
+    * copies of one id, which is exactly the silent-corruption case. */
+  private def latestPerId(
+      cells: DataFrame, idCol: String, payload: Seq[String]): DataFrame =
+    cells.groupBy(col(idCol))
+      .agg(max_by(struct(payload.map(col): _*), col("batch")).as("m"))
+      .select(col(idCol) +: payload.map(p => col("m." + p).as(p)): _*)
 
   /** Cell rows admitted before `beforeBatch`: (idCol as named in the
     * store, vector, cell, batch). `cellFilter` (a literal IN built from
@@ -569,9 +658,11 @@ object VectorIndexStream {
     val cellFilter =
       if (probedCells.isEmpty) lit(false)
       else expr(s"cell IN (${probedCells.mkString(",")})")
-    val cc = readCells(spark, indexDir, beforeBatch, cellFilter)
-      .select(col(idCol).as("neighbor_id"), col("cell").cast("long").as("cell"),
-        col(vecCol).as("c_vec"))
+    val cc = latestPerId(
+      readCells(spark, indexDir, beforeBatch, cellFilter)
+        .select(col(idCol).as("neighbor_id"), col("cell").cast("long").as("cell"),
+          col(vecCol).as("c_vec"), col("batch")),
+      "neighbor_id", Seq("cell", "c_vec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cc.join(broadcast(qc.select(col("query_id"), col("q_vec"), col("cell"))),

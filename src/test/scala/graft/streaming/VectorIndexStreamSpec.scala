@@ -286,7 +286,7 @@ class VectorIndexStreamSpec extends SparkSpec {
     // written, DELETES not yet performed — reads must refuse, and the
     // next compactIndex must finish the swap without losing a row
     val cells = new java.io.File(s"$dir/index/cells")
-    val staging = new java.io.File(cells, "_compact_seed")
+    val staging = new java.io.File(cells, "_compact_seed-t1")
     // stage = what a crashed compact(through=0) had staged: seed + batch 0
     spark.read.option("basePath", cells.toString)
       .parquet(s"${cells}/batch=-1", s"${cells}/batch=0")
@@ -294,7 +294,8 @@ class VectorIndexStreamSpec extends SparkSpec {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
     val journal = new java.io.File(cells, "_compact_journal")
-    java.nio.file.Files.writeString(journal.toPath, "batch=-1\nbatch=0\n")
+    java.nio.file.Files.writeString(journal.toPath,
+      "S _compact_seed-t1\nD batch=-1\nD batch=0\n")
 
     val ex = intercept[IllegalStateException] {
       VectorIndexStream.topKFromIndex(
@@ -308,6 +309,115 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(dirs == Set("batch=-1", "batch=1"), dirs.toString)
     assert(topk(VectorIndexStream.topKFromIndex(
       spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == before)
+
+    // crash window 2: the swap's rename PROMOTED the staging dir but
+    // the process died before the journal delete — batch=-1 on disk is
+    // now the NEW seed. Recovery must recognize the completed swap
+    // (staging gone) and only clear the journal; replaying the deletes
+    // here is the lost-store bug (it would silently destroy the seed
+    // plus every folded batch while reads keep succeeding).
+    java.nio.file.Files.writeString(journal.toPath,
+      "S _compact_seed-gone\nD batch=-1\nD batch=1\n")
+    VectorIndexStream.compactIndex(spark, s"$dir/index", throughBatch = 0)
+    val dirs2 = cells.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs2 == Set("batch=-1", "batch=1"), dirs2.toString)
+    assert(topk(VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == before)
+
+    // crash window 3: died MID-JOURNAL-WRITE — only the temp journal
+    // (possibly torn) and an uncommitted staging dir exist. No mutation
+    // has happened: reads must serve the intact store WITHOUT refusing,
+    // and the next compactIndex clears the debris.
+    java.nio.file.Files.writeString(
+      new java.io.File(cells, "_compact_journal.tmp").toPath,
+      "S _compact_seed-torn\nD batch=") // torn mid-line
+    new java.io.File(cells, "_compact_seed-torn").mkdir()
+    assert(topk(VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == before)
+    VectorIndexStream.compactIndex(spark, s"$dir/index", throughBatch = 0)
+    val names3 = cells.listFiles().map(_.getName).toSet
+    assert(!names3.contains("_compact_journal.tmp"), names3.toString)
+    assert(!names3.contains("_compact_seed-torn"), names3.toString)
+
+    // a stray non-numeric batch= entry must not crash maintenance
+    // (BatchIndex.batchOf's toLongOption contract)
+    val stray = new java.io.File(cells, "batch=stray")
+    stray.mkdir()
+    VectorIndexStream.compactIndex(spark, s"$dir/index", throughBatch = 0)
+    VectorIndexStream.expireIndex(spark, s"$dir/index", keepFromBatch = 0)
+    assert(stray.isDirectory) // skipped, untouched
+    stray.delete()
+  }
+
+  test("id reuse across batches resolves latest-batch-wins in every probe") {
+    import spark.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val v = evens.orderBy(col("vec_id")).limit(1)
+      .select("embedding").as[Array[Float]].collect()(0)
+    val qdf = Seq((1L, v)).toDF("vec_id", "embedding")
+
+    // FLAT: id 7777 written in batch 0 as v (cos 1 vs the query), then
+    // REWRITTEN in batch 1 as -v (cos -1). Latest-batch-wins: the probe
+    // must rank 7777 by the batch-1 vector and emit it at most once —
+    // without the resolution it would surface twice, once at rank 1.
+    val dir = java.nio.file.Files.createTempDirectory("vec_reuse_flat").toString
+    VectorIndexStream.seedIndex(evens, "vec_id", "embedding", s"$dir/index", nLists = 8)
+    VectorIndexStream.appendBatch(
+      Seq((7777L, v)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/index", 0L)
+    VectorIndexStream.appendBatch(
+      Seq((7777L, v.map(x => -x))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/index", 1L)
+    // probe ALL cells so the scan covers both copies (the resolution is
+    // per-scan: a stale copy in an UNPROBED cell stays invisible there,
+    // the documented Faiss-like limitation — updating a moved vector
+    // needs expiry/compaction, not blind re-append)
+    val flat = VectorIndexStream.topKFromIndex(
+        spark, s"$dir/index", qdf, "vec_id", "embedding", k = 1000, nProbe = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(flat.count(_._2 == 7777L) == 1, flat.mkString(","))
+    // without latest-wins the batch-0 copy (cos exactly 1) would sit at
+    // rank 1; the batch-1 vector is -v (cos -1), so 7777 must rank LAST
+    assert(flat.maxBy(_._1)._2 == 7777L, flat.mkString(","))
+    assert(flat.minBy(_._1)._2 != 7777L, flat.mkString(","))
+
+    // PQ: same id appended in two batches with the SAME vector — the
+    // ADC sum must not double (the silently-wrong-distance bug): the
+    // distance equals the one served by a store holding the id once.
+    val d1 = java.nio.file.Files.createTempDirectory("vec_reuse_pq1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("vec_reuse_pq2").toString
+    for (d <- Seq(d1, d2)) {
+      VectorIndexStream.seedPqIndex(evens, "vec_id", "embedding", s"$d/index")
+      VectorIndexStream.appendPqBatch(
+        Seq((7777L, v)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"$d/index", 0L)
+    }
+    VectorIndexStream.appendPqBatch(
+      Seq((7777L, v)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$d1/index", 1L)
+    def pqDist(d: String): Map[Long, Long] =
+      VectorIndexStream.pqTopKFromIndex(
+          spark, s"$d/index", qdf, "vec_id", "embedding", k = 1000)
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val (dup, single) = (pqDist(d1), pqDist(d2))
+    assert(dup.get(7777L) == single.get(7777L),
+      s"${dup.get(7777L)} vs ${single.get(7777L)}")
+    assert(dup == single)
+
+    // SQ8: rewritten vector serves the latest quantized payload
+    val d3 = java.nio.file.Files.createTempDirectory("vec_reuse_sq8").toString
+    VectorIndexStream.seedSq8Index(evens, "vec_id", "embedding", s"$d3/index", nLists = 8)
+    VectorIndexStream.appendSq8Batch(
+      Seq((7777L, v)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$d3/index", 0L)
+    VectorIndexStream.appendSq8Batch(
+      Seq((7777L, v.map(x => -x))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$d3/index", 1L)
+    val sq8 = VectorIndexStream.sq8TopKFromIndex(
+        spark, s"$d3/index", qdf, "vec_id", "embedding", k = 1000, nProbe = 8)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(sq8.count(_._1 == 7777L) == 1, sq8.mkString(","))
   }
 
   test("expireIndex: expired vectors leave probe results and semantic-dedup history") {
