@@ -103,14 +103,29 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val medTotal = medians.map(_._2).filter(_ >= 0).sum
-    // diagnostics first, on stderr — never on the stdout contract line
-    System.err.println(s"""{"diag":"bench_full_names","queries":$qsFull}""")
-    System.err.println(s"""{"diag":"bench_medians","median_total":$medTotal,"medians":$medMap}""")
-    System.err.println(s"""{"diag":"bench_passes","npass":$nPass,"passes":$passes,"starts":$starts}""")
+    // The three large diag lines go to a FILE, never to stderr: the
+    // driver keeps only the last ~2000 chars of the MERGED stdout+stderr
+    // capture, and sbt pumps the two pipes concurrently — round 8's
+    // artifact lost the whole contract line because the multi-KB stderr
+    // `bench_passes` line drained AFTER stdout's contract line and
+    // displaced it from the tail (BENCH_r08.json: parsed null, perf
+    // signal gone; the judge had to re-run the bench). "printed first"
+    // is NOT "merged first" across pipes, so the only safe layout is:
+    // big diagnostics off-pipe entirely, stdout ends with the contract
+    // line, and the line on stderr is a short fixed-size pointer.
+    val diagPath = java.nio.file.Paths.get("target", "bench_diag.json")
+    java.nio.file.Files.createDirectories(diagPath.getParent)
+    java.nio.file.Files.writeString(diagPath,
+      s"""{"full_names":$qsFull,""" +
+        s""""median_total":$medTotal,"medians":$medMap,""" +
+        s""""npass":$nPass,"passes":$passes,"starts":$starts}""" + "\n")
+    System.err.println(s"""{"diag":"bench_diag_file","path":"$diagPath"}""")
+    System.err.flush()
     // npass + median_total ride the contract line (small, fixed-size)
     // so cross-round artifacts are self-describing: `queries` values
     // are per-query MINIMA over npass interleaved passes.
     println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","npass":$nPass,"stat":"min","median_total":${fmt3(medTotal)},"queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 

@@ -535,7 +535,10 @@ object CorpusQueries {
         val d = Tables.table(spark, dir, "documents")
         val vocab = CorpusOps.vocabulary(d, "doc_id", "text", k = 50)
           .withColumn("tid", row_number().over(
-            Window.orderBy(col("df").desc, col("term"))).cast("long"))
+            // k=50 bounded rows; the literal partition key silences the
+            // WindowExec single-partition warning (same one-partition plan)
+            Window.partitionBy(lit(0))
+              .orderBy(col("df").desc, col("term"))).cast("long"))
           .select(col("term"), col("tid"))
         val toks = d
           .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))

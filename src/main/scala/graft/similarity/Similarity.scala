@@ -390,9 +390,14 @@ object Similarity {
     // data has anyway — at scale the codebook ships as a literal with
     // the query plan exactly like the SQ8 ranges.
     val spark = corpus.sparkSession
+    // the rank window runs over the kCent post-limit rows only; the
+    // literal partition key keeps WindowExec from logging its
+    // single-partition warning 50+ times per bench run (same plan —
+    // one partition either way, bounded input)
     val sampleRows = ivfCentroids(corpus, idCol, vecCol, kCent)
       .withColumn("j", (row_number().over(
-        Window.orderBy(md5(col("cent_id").cast("string")), col("cent_id"))) - 1)
+        Window.partitionBy(lit(0))
+          .orderBy(md5(col("cent_id").cast("string")), col("cent_id"))) - 1)
         .cast("long"))
       .select(col("j"), col("cent_vec").cast("array<float>").as("cent_vec"))
       .collect()
