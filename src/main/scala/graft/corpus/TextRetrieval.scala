@@ -79,6 +79,28 @@ object TextRetrieval {
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false,
+      maxPostings: Long = 100000L): DataFrame =
+    bm25TopKFromTerms(tf, queryTerms(queries, qIdCol, qTextCol),
+      k, k1, b, excludeSelf, maxPostings)
+
+  /** The distinct (query_id, term) set a query text contributes — the
+    * ONLY thing BM25 and term-overlap need from the query side (tf on
+    * the query side never enters either formula), which is why a
+    * stored doc's postings rows can stand in for its text
+    * ([[graft.streaming.PostingsStream.moreLikeThis]]). */
+  def queryTerms(
+      queries: DataFrame, qIdCol: String, qTextCol: String): DataFrame =
+    queries
+      .select(col(qIdCol).as("query_id"),
+        explode(TextFunctions.words(col(qTextCol))).as("term"))
+      .distinct()
+
+  /** BM25 over a postings table with the query side already reduced to
+    * its distinct (query_id, term) rows (see [[queryTerms]]). */
+  def bm25TopKFromTerms(
+      tf: DataFrame, qTerms: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false,
       maxPostings: Long = 100000L): DataFrame = {
     val len = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
     // two global scalars, driver-side like the SQ8 ranges: exact
@@ -86,11 +108,6 @@ object TextRetrieval {
     val g = len.agg(count(lit(1)), sum(col("len"))).collect()(0)
     val n = g.getLong(0)
     val avgdl = if (n == 0) 1.0 else g.getLong(1).toDouble / n
-
-    val qTerms = queries
-      .select(col(qIdCol).as("query_id"),
-        explode(TextFunctions.words(col(qTextCol))).as("term"))
-      .distinct()
     // restrict the postings to query vocabulary FIRST (broadcast
     // semi-join): df counted after the restriction is still the true
     // per-term document count — the restriction is by term, not by doc
@@ -166,16 +183,24 @@ object TextRetrieval {
       k: Int, poolK: Int = 20, rrfK: Int = 60,
       shingleN: Int = 3, excludeSelf: Boolean = false,
       k1: Double = 1.2, b: Double = 0.75,
-      maxPostings: Long = 100000L): DataFrame = {
-    val a = bm25TopK(docs, idCol, textCol, queries, qIdCol, qTextCol,
-        poolK, k1, b, excludeSelf, maxPostings)
-      .select(col("query_id"), col("doc_id"), col("rank").as("ra"))
-    val bList = overlapTopK(docs, idCol, textCol, queries, qIdCol, qTextCol,
-        poolK, shingleN, excludeSelf)
-      .select(col("query_id"), col("doc_id"), col("rank").as("rb"))
+      maxPostings: Long = 100000L): DataFrame =
+    rrfFuse(
+      bm25TopK(docs, idCol, textCol, queries, qIdCol, qTextCol,
+        poolK, k1, b, excludeSelf, maxPostings),
+      overlapTopK(docs, idCol, textCol, queries, qIdCol, qTextCol,
+        poolK, shingleN, excludeSelf),
+      rrfK, k)
+
+  /** RRF over two (query_id, rank, doc_id) rank lists — the fusion
+    * half of [[hybridRrfTopK]], shared with the store-served variant so
+    * the arithmetic can never drift between the two. */
+  private def rrfFuse(
+      a: DataFrame, b: DataFrame, rrfK: Int, k: Int): DataFrame = {
+    val ra = a.select(col("query_id"), col("doc_id"), col("rank").as("ra"))
+    val rb = b.select(col("query_id"), col("doc_id"), col("rank").as("rb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    a.join(bList, Seq("query_id", "doc_id"), "full_outer")
+    ra.join(rb, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("score",
         coalesce(lit(1.0) / (lit(rrfK) + col("ra")), lit(0.0))
           + coalesce(lit(1.0) / (lit(rrfK) + col("rb")), lit(0.0)))
@@ -183,4 +208,47 @@ object TextRetrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"))
   }
+
+  /** Shared-TERM top-k from a postings table: candidates ranked by the
+    * number of distinct terms they share with the query — the overlap
+    * arm computable from (doc_id, term) rows ALONE, which is what lets
+    * hybrid retrieval serve entirely from the durable postings store
+    * (the shingle arm of [[overlapTopK]] needs word ORDER, which
+    * postings deliberately do not keep). Same access pattern as BM25:
+    * query vocabulary broadcasts, only postings of query terms are
+    * touched, exact integer counts. */
+  def termOverlapTopKFromTerms(
+      tf: DataFrame, qTerms: DataFrame,
+      k: Int, excludeSelf: Boolean = false): DataFrame = {
+    val pairs = tf.select(col("doc_id"), col("term"))
+      .join(broadcast(qTerms), Seq("term"))
+    val filtered =
+      if (excludeSelf) pairs.filter(col("doc_id") =!= col("query_id"))
+      else pairs
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("shared").desc, col("doc_id"))
+    filtered
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+  }
+
+  /** Hybrid RRF with BOTH arms served from one postings table: stored
+    * BM25 ([[bm25TopKFromTerms]]) fused with distinct-shared-term
+    * overlap ([[termOverlapTopKFromTerms]]) — more-like-this serving
+    * that never reads or re-tokenizes a document. The postings lineage
+    * is shared by the two arms (one columnar scan each over the same
+    * store; the arms need different aggregates of it). */
+  def hybridRrfFromTerms(
+      tf: DataFrame, qTerms: DataFrame,
+      k: Int, poolK: Int = 20, rrfK: Int = 60,
+      excludeSelf: Boolean = false,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxPostings: Long = 100000L): DataFrame =
+    rrfFuse(
+      bm25TopKFromTerms(tf, qTerms, poolK, k1, b, excludeSelf, maxPostings),
+      termOverlapTopKFromTerms(tf, qTerms, poolK, excludeSelf),
+      rrfK, k)
 }

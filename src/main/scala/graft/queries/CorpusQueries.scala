@@ -739,6 +739,61 @@ object CorpusQueries {
                         ORDER BY score DESC, doc_id) AS rank
                FROM F)
         SELECT query_id, rank, doc_id FROM FR
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q108_hybrid_rrf_from_index",
+      "Hybrid more-like-this served ENTIRELY from the durable postings " +
+        "store: q103's store (even-id seed + odd-id batch 0) serves " +
+        "both fusion arms — stored BM25 and distinct-shared-term " +
+        "overlap (the order-free overlap arm computable from (doc_id, " +
+        "term) rows alone) — and the query term sets are the query " +
+        "docs' OWN stored postings rows, so documents are never read " +
+        "or re-tokenized anywhere in the plan (spec-asserted). Fusion " +
+        "arithmetic shares q104's exactly-reproducible form.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val idx = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_q108_index").getPath
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+        graft.streaming.PostingsStream.backfillIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        graft.streaming.PostingsStream.appendBatch(
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx, 0L)
+        val queryIds = graft.streaming.PostingsStream
+          .readPostings(spark, idx)
+          .select(col("doc_id")).distinct()
+          .filter(col("doc_id") % 100 === 0)
+        graft.streaming.PostingsStream.moreLikeThis(
+            spark, idx, queryIds, "doc_id", k = 5, poolK = 20)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""
+        WITH $bm25Ctes,
+        BA AS (SELECT query_id, doc_id, rank FROM R WHERE rank <= 20),
+        OV AS (SELECT qt.query_id, tf.doc_id, count(*) AS shared
+               FROM TF tf JOIN QT qt ON qt.term = tf.term AND tf.doc_id <> qt.query_id
+               GROUP BY 1, 2),
+        OB AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY shared DESC, doc_id) AS rank
+               FROM OV),
+        BB AS (SELECT query_id, doc_id, rank FROM OB WHERE rank <= 20),
+        F AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+                     coalesce(a.doc_id, b.doc_id) AS doc_id,
+                     (CASE WHEN a.rank IS NOT NULL
+                           THEN CAST(1.0 AS DOUBLE) / CAST(60 + a.rank AS DOUBLE)
+                           ELSE CAST(0.0 AS DOUBLE) END
+                      + CASE WHEN b.rank IS NOT NULL
+                             THEN CAST(1.0 AS DOUBLE) / CAST(60 + b.rank AS DOUBLE)
+                             ELSE CAST(0.0 AS DOUBLE) END) AS score
+              FROM BA a FULL OUTER JOIN BB b
+                ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+        FR AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS rank
+               FROM F)
+        SELECT query_id, rank, doc_id FROM FR
         WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 }

@@ -121,4 +121,34 @@ object PostingsStream {
       readPostings(spark, indexDir, beforeBatch)
         .select(col("doc_id"), col("term"), col("tf")),
       queries, qIdCol, qTextCol, k, k1, b, excludeSelf, maxPostings)
+
+  /** Hybrid more-like-this served ENTIRELY from the store: for each
+    * stored doc id in `queryIds`, fuse stored-BM25 and distinct-shared-
+    * term overlap by reciprocal rank — and take the query's own term
+    * set from its stored postings rows, since neither arm needs more
+    * than the query's distinct terms
+    * ([[TextRetrieval.queryTerms]]'s observation). Documents are never
+    * read and never re-tokenized anywhere in the plan: the store is
+    * the only input (the spec asserts the physical plan scans no other
+    * path). Self matches are always excluded — a stored query doc
+    * trivially retrieves itself at rank 1 on both arms.
+    *
+    * A query id with no stored postings before the fence contributes
+    * no terms and so no result rows (the empty-query contract). */
+  def moreLikeThis(
+      spark: SparkSession, indexDir: String,
+      queryIds: DataFrame, qIdCol: String,
+      k: Int, poolK: Int = 20, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxPostings: Long = 100000L,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val tf = readPostings(spark, indexDir, beforeBatch)
+      .select(col("doc_id"), col("term"), col("tf"))
+    val qTerms = tf
+      .join(broadcast(queryIds.select(col(qIdCol).as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("query_id"), col("term"))
+    TextRetrieval.hybridRrfFromTerms(tf, qTerms, k, poolK, rrfK,
+      excludeSelf = true, k1, b, maxPostings)
+  }
 }

@@ -77,6 +77,72 @@ class PostingsStreamSpec extends SparkSpec {
     assert(afterExpire.subsetOf(retained))
   }
 
+  test("moreLikeThis: served hybrid == hand-computed RRF of the two served arms; documents never read") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("postings_mlt").toString
+    PostingsStream.backfillIndex(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", s"$dir/index")
+    PostingsStream.appendBatch(
+      d.filter(col("doc_id") % 2 === 1), "doc_id", "text", s"$dir/index", 0L)
+
+    // query ids taken from the store itself (q108's shape) so the whole
+    // serving plan — ids included — derives from stored postings alone
+    val queryIds = PostingsStream.readPostings(spark, s"$dir/index")
+      .select(col("doc_id")).distinct()
+      .filter(col("doc_id") % 100 === 0)
+    val served = PostingsStream.moreLikeThis(
+      spark, s"$dir/index", queryIds, "doc_id", k = 5, poolK = 20)
+
+    // every file the plan scans is inside the store — the query ids are
+    // a broadcast input, and neither arm touches documents.parquet
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains(dir), plan)
+    assert(!plan.contains("documents.parquet"), plan)
+
+    // hand-compute the fusion from the two arms served independently
+    val queries = d.filter(col("doc_id") % 100 === 0)
+    val a = ranks(PostingsStream.bm25TopK(
+        spark, s"$dir/index", queries, "doc_id", "text",
+        k = 20, excludeSelf = true))
+      .map { case (q, r, doc) => (q, doc) -> r }.toMap
+    // overlap arm brute-forced in plain Scala: distinct shared terms
+    val texts = d.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSet).toMap
+    val qids = queries.select("doc_id").collect().map(_.getLong(0))
+    val b = qids.flatMap { q =>
+      texts.toSeq
+        .collect { case (doc, ts) if doc != q =>
+          (doc, (ts & texts(q)).size) }
+        .filter(_._2 > 0)
+        .sortBy { case (doc, shared) => (-shared, doc) }
+        .take(20).zipWithIndex
+        .map { case ((doc, _), i) => (q, doc) -> (i + 1).toLong }
+    }.toMap
+    val expected = (a.keySet ++ b.keySet).toSeq
+      .map { key =>
+        val s = a.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          b.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (key._1, key._2, s)
+      }
+      .groupBy(_._1)
+      .flatMap { case (q, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+          .map { case ((_, doc, _), i) => (q, (i + 1).toLong, doc) }
+      }.toSet
+    assert(ranks(served) == expected)
+    assert(ranks(served).nonEmpty)
+
+    // a query id with no stored postings before the fence contributes
+    // no terms, so no rows: odd ids live in batch 0, fence at 0 sees
+    // only the even seed half
+    val oddQuery = d.filter(col("doc_id") === 101).select(col("doc_id"))
+    assert(PostingsStream.moreLikeThis(
+      spark, s"$dir/index", oddQuery, "doc_id",
+      k = 5, beforeBatch = 0).isEmpty)
+    assert(!PostingsStream.moreLikeThis(
+      spark, s"$dir/index", oddQuery, "doc_id", k = 5).isEmpty)
+  }
+
   test("backfillIndex refuses to clobber a store with streamed history") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("postings_guard").toString
