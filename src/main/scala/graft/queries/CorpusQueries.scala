@@ -530,16 +530,19 @@ object CorpusQueries {
         "token packing. Vocab broadcast; one doc-keyed shuffle; ids " +
         "emitted comma-joined for engine-agnostic compare.",
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        import spark.implicits._
         import graft.functions.TextFunctions
         val d = Tables.table(spark, dir, "documents")
+        // the top-50 vocab ranks on the DRIVER (rows already bounded by
+        // the limit): a global window would run single-partition and
+        // spam the WindowExec warning — a literal partition key doesn't
+        // help, EliminateWindowPartitions folds it away
         val vocab = CorpusOps.vocabulary(d, "doc_id", "text", k = 50)
-          .withColumn("tid", row_number().over(
-            // k=50 bounded rows; the literal partition key silences the
-            // WindowExec single-partition warning (same one-partition plan)
-            Window.partitionBy(lit(0))
-              .orderBy(col("df").desc, col("term"))).cast("long"))
-          .select(col("term"), col("tid"))
+          .select(col("term"), col("df")).collect()
+          .sortBy(r => (-r.getLong(1), r.getString(0)))
+          .zipWithIndex
+          .map { case (r, i) => (r.getString(0), (i + 1).toLong) }
+          .toSeq.toDF("term", "tid")
         val toks = d
           .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),

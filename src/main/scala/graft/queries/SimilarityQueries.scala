@@ -1105,6 +1105,86 @@ object SimilarityQueries {
                        ORDER BY dist, neighbor_id) AS rank
               FROM ADC)
         SELECT query_id, rank, neighbor_id, dist FROM R
-        WHERE rank <= 3 ORDER BY query_id, rank"""))
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q109_ann_streamed_recall",
+      "Recall tuning over the STREAMED store — q98's evaluation loop " +
+        "run against VectorIndexStream instead of the written layout, " +
+        "proving the streamed matrix participates in the same " +
+        "widen-nProbe-watch-recall-rise workflow: seed the even half " +
+        "(centroids pinned), append the odd half as batch 0, probe the " +
+        "flat store at nProbe=2, and report per-query recall against " +
+        "exact brute force. Monotone-in-nProbe and full-probe-" +
+        "recall=1.0 are spec-asserted on all three payload variants " +
+        "(flat/SQ8/PQ). Counts integer, one double division.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val idx = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_q109_index").getPath
+        graft.streaming.VectorIndexStream.seedIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
+        graft.streaming.VectorIndexStream.appendBatch(
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, 0L)
+        Similarity.recallReport(
+            Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3),
+            graft.streaming.VectorIndexStream.topKFromIndex(
+              spark, idx, q, "vec_id", "embedding", k = 3, nProbe = 2))
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        WITH BP AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_cosine_similarity(a.embedding, b.embedding) AS c
+          FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id % 50 = 0),
+        BR AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+          FROM BP),
+        EX AS (SELECT query_id, neighbor_id FROM BR WHERE rank <= 3),
+        CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        PROBE AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          WHERE vec_id % 50 = 0
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) <= 2),
+        CAND AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q
+          JOIN PROBE pq ON pq.vec_id = q.vec_id
+          JOIN CELL cc ON cc.cell = pq.cell
+          JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+          CROSS JOIN range(1, 65) i(i)
+          GROUP BY 1, 2),
+        IR AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+          FROM CAND),
+        AP AS (SELECT query_id, neighbor_id FROM IR WHERE rank <= 3)
+        SELECT e.query_id AS query_id,
+               COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               CAST(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS recall
+        FROM EX e LEFT JOIN AP a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id"""))
   )
 }

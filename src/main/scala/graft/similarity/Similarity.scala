@@ -390,26 +390,25 @@ object Similarity {
     // data has anyway — at scale the codebook ships as a literal with
     // the query plan exactly like the SQ8 ranges.
     val spark = corpus.sparkSession
-    // the rank window runs over the kCent post-limit rows only; the
-    // literal partition key keeps WindowExec from logging its
-    // single-partition warning 50+ times per bench run (same plan —
-    // one partition either way, bounded input)
+    // the global rank over the kCent post-limit rows is computed on
+    // the DRIVER (sort + zipWithIndex over rows already collected) —
+    // a window here would run single-partition and spam the WindowExec
+    // warning into every bench capture (a literal partition key
+    // doesn't help: EliminateWindowPartitions folds it away)
     val sampleRows = ivfCentroids(corpus, idCol, vecCol, kCent)
-      .withColumn("j", (row_number().over(
-        Window.partitionBy(lit(0))
-          .orderBy(md5(col("cent_id").cast("string")), col("cent_id"))) - 1)
-        .cast("long"))
-      .select(col("j"), col("cent_vec").cast("array<float>").as("cent_vec"))
+      .select(md5(col("cent_id").cast("string")).as("h"), col("cent_id"),
+        col("cent_vec").cast("array<float>").as("cent_vec"))
       .collect()
+      .sortBy(r => (r.getString(0), r.getLong(1)))
     val rows = for {
-      r <- sampleRows.toSeq
+      (r, j) <- sampleRows.toSeq.zipWithIndex
       s <- 0 until m
     } yield {
-      val sub = r.getSeq[Float](1).slice(s * subDim, (s + 1) * subDim)
+      val sub = r.getSeq[Float](2).slice(s * subDim, (s + 1) * subDim)
       // quantize driver-side under the SAME per-dimension grid the
       // corpus-side Sq8Quantize expression applies — stored sub_vec
       // floats ride along for inspection, qsub is what distances use
-      (s.toLong, r.getLong(0), sub,
+      (s.toLong, j.toLong, sub,
         sub.indices.map(i => graft.functions.Sq8.quantize(
           sub(i).toDouble, mns(s * subDim + i), mxs(s * subDim + i))))
     }

@@ -349,6 +349,49 @@ class VectorIndexStreamSpec extends SparkSpec {
     stray.delete()
   }
 
+  test("streamed-store recall tuning: monotone in nProbe for all three payloads; full flat probe exact (q109's loop)") {
+    val sim = graft.similarity.Similarity
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_recall").toString
+    val even = e.filter(col("vec_id") % 2 === 0)
+    val odd = e.filter(col("vec_id") % 2 === 1)
+    VectorIndexStream.seedIndex(even, "vec_id", "embedding", s"$dir/flat", nLists = 8)
+    VectorIndexStream.appendBatch(odd, "vec_id", "embedding", s"$dir/flat", 0L)
+    VectorIndexStream.seedSq8Index(even, "vec_id", "embedding", s"$dir/sq8", nLists = 8)
+    VectorIndexStream.appendSq8Batch(odd, "vec_id", "embedding", s"$dir/sq8", 0L)
+    VectorIndexStream.seedPqIndex(even, "vec_id", "embedding", s"$dir/pq",
+      nLists = 8, m = 8, dim = 64, kCent = 16)
+    VectorIndexStream.appendPqBatch(odd, "vec_id", "embedding", s"$dir/pq", 0L)
+
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = sim.bruteForceTopK(e, q, "vec_id", "embedding", k = 3).persist()
+    try {
+      def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+        sim.recallReport(exact, approx)
+          .agg(sum("n_hit").cast("double") / sum("n_exact"))
+          .collect()(0).getDouble(0)
+      // q109's tuning loop on the streamed matrix: widen nProbe over
+      // the SAME stored partitions, recall must not drop — for every
+      // payload variant, not just the flat one
+      val probes = Seq[(String, Int => org.apache.spark.sql.DataFrame)](
+        "flat" -> (np => VectorIndexStream.topKFromIndex(
+          spark, s"$dir/flat", q, "vec_id", "embedding", k = 3, nProbe = np)),
+        "sq8" -> (np => VectorIndexStream.sq8TopKFromIndex(
+          spark, s"$dir/sq8", q, "vec_id", "embedding", k = 3, nProbe = np)),
+        "pq" -> (np => VectorIndexStream.pqTopKFromIndex(
+          spark, s"$dir/pq", q, "vec_id", "embedding", k = 3, nProbe = np)))
+      probes.foreach { case (name, at) =>
+        val r1 = recallOf(at(1)); val r2 = recallOf(at(2)); val r8 = recallOf(at(8))
+        assert(r1 <= r2 && r2 <= r8, s"$name recall not monotone: $r1, $r2, $r8")
+        assert(r8 > 0.0, name)
+      }
+      // probing every cell of the FLAT store is brute force restricted
+      // to nothing — exact cosine over all vectors, recall 1.0 (the
+      // quantized stores keep their documented compression loss)
+      assert(recallOf(probes.head._2(8)) == 1.0)
+    } finally exact.unpersist()
+  }
+
   test("id reuse across batches resolves latest-batch-wins in every probe") {
     import spark.implicits._
     val e = graft.Tables.table(spark, sf001, "embeddings")
