@@ -530,12 +530,47 @@ object Dedup {
   def semanticDedup(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       nLists: Int = 8, maxCell: Int = 4096): DataFrame = {
+    val dropped = semanticPairs(emb, idCol, vecCol, threshold, nLists, maxCell)
+      .select(col("id_b").as("_drop_id")).distinct()
+    emb.join(dropped, emb(idCol) === col("_drop_id"), "left_anti")
+  }
+
+  /** The verified semantic near-dup PAIR list (id_a < id_b) behind
+    * [[semanticDedup]]'s drop policy — exposed so cluster-level keeper
+    * policies can act on whole duplicate groups instead of pairwise
+    * evidence (exactly the [[jaccardOnCandidates]] →
+    * [[Clusters.connectedComponents]] relationship on the text side). */
+  def semanticPairs(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nLists: Int = 8, maxCell: Int = 4096): DataFrame = {
     val cells = graft.similarity.Similarity
       .ivfAssignCells(emb, idCol, vecCol, nLists)
       .select(struct(col(idCol).as("id"), col(vecCol).as("v")).as("m"), col("cell"))
-    val dropped = pairsWithinGroups(cells, "cell", threshold, maxCell)
-      .select(col("id_b").as("_drop_id")).distinct()
-    emb.join(dropped, emb(idCol) === col("_drop_id"), "left_anti")
+    pairsWithinGroups(cells, "cell", threshold, maxCell)
+  }
+
+  /** Quality-aware SemDeDup: the cluster-keeper policy
+    * ([[Clusters.keepersByScore]], q73's construction) applied to the
+    * EMBEDDING duplicate graph — verified semantic pairs become edges,
+    * connected components turn pairwise evidence into whole duplicate
+    * groups, and the best-scoring member of each group (then min id)
+    * survives. Fixes the same two artifacts of pairwise
+    * drop-the-larger-id that motivated q73 on the text side: transitive
+    * chains over-drop, and "keep the best member" is inexpressible.
+    * `scores` carries one row per embedding (`idCol`, `scoreCol`) —
+    * e.g. a text-quality score joined over a shared document id.
+    * Returns (`idCol`, cluster_id, `scoreCol`) — one keeper row per
+    * component, singletons included, so the result IS the deduped id
+    * set. */
+  def semanticDedupKeepBest(
+      emb: DataFrame, idCol: String, vecCol: String,
+      scores: DataFrame, scoreCol: String, threshold: Double,
+      nLists: Int = 8, maxCell: Int = 4096,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val edges = semanticPairs(emb, idCol, vecCol, threshold, nLists, maxCell)
+    val cc = Clusters.connectedComponents(
+      emb.select(col(idCol)), idCol, edges, checkpointDir = checkpointDir)
+    Clusters.keepersByScore(cc, scores, idCol, scoreCol)
   }
 
   /** Shared within-group exact-cosine verify: members ride the groupBy

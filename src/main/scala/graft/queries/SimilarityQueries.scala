@@ -1185,6 +1185,75 @@ object SimilarityQueries {
         FROM EX e LEFT JOIN AP a
           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
         GROUP BY e.query_id
-        ORDER BY e.query_id"""))
+        ORDER BY e.query_id""")),
+
+    GraftQuery(
+      "q110_semantic_keep_best",
+      "Quality-aware SemDeDup: q99's verified semantic pairs become " +
+        "edges, connected components (q72's label propagation) turn " +
+        "pairwise evidence into whole duplicate groups, and the " +
+        "best-TEXT-QUALITY member of each group survives (q73's keeper " +
+        "policy on the embedding graph, scores joined over the shared " +
+        "document id) — fixing pairwise drop-the-larger-id's transitive " +
+        "over-drop and its inability to express quality preference. " +
+        "One keeper row per component, singletons included.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val e = Tables.table(spark, dir, "embeddings")
+        val quality = graft.functions.TextAnalysis
+          .qualityByDoc(d, "doc_id", "text")
+          .withColumnRenamed("doc_id", "vec_id")
+        Dedup.semanticDedupKeepBest(
+            e, "vec_id", "embedding", quality, "quality",
+            threshold = 0.45, nLists = 8)
+          .orderBy(col("vec_id"))
+      },
+      Some(raw"""
+        WITH RECURSIVE CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        E AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a
+          JOIN CELL ca ON ca.vec_id = a.vec_id
+          JOIN CELL cb ON cb.cell = ca.cell
+          JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+        SYM AS (SELECT id_a AS src, id_b AS dst FROM E
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM E),
+        REACH AS (
+          SELECT vec_id AS id, vec_id AS r FROM embeddings
+          UNION
+          SELECT sy.dst AS id, REACH.r AS r
+          FROM SYM sy JOIN REACH ON REACH.id = sy.src),
+        CC AS (SELECT id AS vec_id, min(r) AS cluster_id
+               FROM REACH GROUP BY id),
+        QW AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+        QS AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(w) AS DOUBLE) AS n_tokens,
+                 CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                 CAST(len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and')) + len(list_filter(w, x -> x = 'of')) AS DOUBLE) AS stop_hits
+          FROM QW),
+        Q AS (
+          SELECT doc_id,
+                 CAST(0.4 AS DOUBLE) * least(n_tokens / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 + CAST(0.3 AS DOUBLE) * (n_alpha / n_chars)
+                 + CAST(0.3 AS DOUBLE) * least(stop_hits * CAST(8.0 AS DOUBLE) / n_tokens, CAST(1.0 AS DOUBLE)) AS quality
+          FROM QS)
+        SELECT CC.vec_id AS vec_id, CC.cluster_id AS cluster_id, Q.quality AS quality
+        FROM CC JOIN Q ON CC.vec_id = Q.doc_id
+        QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, CC.vec_id) = 1
+        ORDER BY vec_id"""))
   )
 }

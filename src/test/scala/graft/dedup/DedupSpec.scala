@@ -192,6 +192,43 @@ class DedupSpec extends SparkSpec {
     assert(droppedExpected.nonEmpty, "fixture should exercise at least one in-cell drop")
   }
 
+  test("semanticDedupKeepBest = brute-force components + best-score keeper (q110's contract)") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val quality = graft.functions.TextAnalysis.qualityByDoc(d, "doc_id", "text")
+      .withColumnRenamed("doc_id", "vec_id")
+    val keepers = Dedup.semanticDedupKeepBest(
+        e, "vec_id", "embedding", quality, "quality",
+        threshold = 0.45, nLists = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute-force the expected components from the public pair list
+    val edges = Dedup.semanticPairs(e, "vec_id", "embedding", 0.45, nLists = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val allIds = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    val label = scala.collection.mutable.Map(allIds.map(i => i -> i).toSeq: _*)
+    def root(x: Long): Long = if (label(x) == x) x else { val r = root(label(x)); label(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (root(a), root(b))
+      if (ra != rb) label(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = allIds.groupBy(root)
+    val score = quality.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = comps.map { case (cid, members) =>
+      (members.toSeq.sortBy(m => (-score(m), m)).head, cid)
+    }.toSet
+    assert(keepers == expected)
+    // at least one multi-member group must pick a keeper that is NOT
+    // the min id — otherwise the fixture never separates this policy
+    // from plain pairwise dedup
+    val multi = comps.filter(_._2.size > 1)
+    assert(multi.nonEmpty)
+    assert(expected.exists { case (keeper, cid) => keeper != cid },
+      "fixture never exercises a best-quality keeper differing from min-id")
+    // keeper count == component count (singletons included)
+    assert(keepers.size == comps.size)
+  }
+
   test("semanticDedup caps degenerate one-cell corpora instead of exploding them") {
     import spark.implicits._
     // 40 IDENTICAL vectors: equal L2 to every centroid, so the shared
