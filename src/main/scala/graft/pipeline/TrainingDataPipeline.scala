@@ -223,6 +223,11 @@ object TrainingDataPipeline {
           core.bands.join(fresh.select(col(idCol).cast("long").as("id")),
               Seq("id"), "left_semi")
             .write.mode("overwrite").parquet(s"$indexDir/near/bands/batch=$batchId")
+          // admission stamps for time-based retention, after all three
+          // partition writes (a crash first costs only mtime accuracy)
+          Seq(s"$indexDir/fp", s"$indexDir/near/docs", s"$indexDir/near/bands")
+            .foreach(graft.streaming.BatchIndex
+              .stampBatch(batch.sparkSession, _, batchId))
         } finally {
           fresh.unpersist()
           core.cleanup()

@@ -30,7 +30,7 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * history older than a retention cutoff for deployments that only
   * need bounded-window dedup.
   */
-private[streaming] object BatchIndex {
+private[graft] object BatchIndex {
 
   /** Compaction journal file. While it exists the index is mid-rewrite
     * (or a compaction crashed): reads fail loudly — a partial state
@@ -161,6 +161,7 @@ private[streaming] object BatchIndex {
       out.write(text.getBytes("UTF-8"))
     } finally out.close()
     finishCompact(fs, root, marker)
+    pruneStamps(spark, dir)
   }
 
   /** Replay the journal: delete superseded entries, promote staged
@@ -189,6 +190,95 @@ private[streaming] object BatchIndex {
     fs.delete(marker, false)
   }
 
+  /** Per-batch admission-time metadata: `dir/_batch_ts/<batchId>` text
+    * files holding epoch millis, written by every store's append path
+    * right after the batch partition lands. The `_` prefix keeps the
+    * stamp dir invisible to [[read]]'s listing and stray check. Stamps
+    * exist so [[expireOlderThan]] can translate a wall-clock retention
+    * cutoff into the batch-id fence [[expire]] speaks — deployments
+    * think in time, the layout thinks in batch ids. Overwrite-safe: a
+    * replayed batch re-stamps itself, which re-ADMITS it for retention
+    * purposes (replay is re-processing; its output is new history). */
+  private val StampDir = "_batch_ts"
+
+  /** Record when `batchId`'s partition was admitted. Idempotent
+    * (overwrites); failure-tolerant by design — a missing stamp falls
+    * back to the partition directory's filesystem modification time in
+    * [[batchAdmissionTimes]], so a crash between the partition write
+    * and the stamp costs accuracy, never correctness. */
+  def stampBatch(
+      spark: SparkSession, dir: String, batchId: Long,
+      atMillis: Long = System.currentTimeMillis()): Unit = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, root)
+    val d = new Path(root, StampDir)
+    fs.mkdirs(d)
+    val out = fs.create(new Path(d, batchId.toString), true)
+    try out.write(atMillis.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Admission time of every `batch=N` partition present: the stamp
+    * file when one exists, else the partition directory's filesystem
+    * modification time (pre-stamp stores, crashed stamp writes — both
+    * degrade to the FS's own record of when the write happened, which
+    * a replay or a filesystem-level copy refreshes). */
+  def batchAdmissionTimes(
+      spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return Nil
+    val stampRoot = new Path(root, StampDir)
+    val stamps: Map[Long, Long] =
+      if (!fs.exists(stampRoot)) Map.empty
+      else fs.listStatus(stampRoot).toSeq.flatMap { s =>
+        s.getPath.getName.toLongOption.flatMap { b =>
+          val in = fs.open(s.getPath)
+          val text =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          text.toLongOption.map(b -> _) // torn stamp -> mtime fallback
+        }
+      }.toMap
+    fs.listStatus(root).toSeq.flatMap { e =>
+      if (e.isDirectory)
+        batchOf(e.getPath.getName)
+          .map(b => b -> stamps.getOrElse(b, e.getModificationTime))
+      else None
+    }
+  }
+
+  /** The batch-id fence equivalent to "keep history admitted at or
+    * after `cutoffMillis`": the smallest batch id stamped at/after the
+    * cutoff — capped at the NEWEST batch id, so a cutoff in the future
+    * degrades to keep-newest-only instead of emptying the store (the
+    * same never-empty posture as compact's newest-batch rule). None
+    * when the store has no numbered batches (nothing to resolve;
+    * seed-only stores expire via `dropSeed` explicitly). Assumes
+    * admission times are non-decreasing in batch id, which streaming
+    * admission guarantees; a manually back-stamped batch makes the min
+    * rule conservative (keeps more), never lossy. */
+  def keepFromForCutoff(
+      spark: SparkSession, dir: String, cutoffMillis: Long): Option[Long] = {
+    val times = batchAdmissionTimes(spark, dir).filter(_._1 >= 0)
+    if (times.isEmpty) None
+    else {
+      val newest = times.map(_._1).max
+      val kept = times.filter(_._2 >= cutoffMillis).map(_._1)
+      Some(math.min(if (kept.nonEmpty) kept.min else newest + 1, newest))
+    }
+  }
+
+  /** Time-based [[expire]]: drop batch partitions admitted before
+    * `cutoffMillis` (resolved via [[keepFromForCutoff]]; the newest
+    * batch always survives). `dropSeed` stays an explicit flag — the
+    * seed is oldest history by definition, so the time cutoff never
+    * decides it. No-op on a store with no numbered batches. */
+  def expireOlderThan(
+      spark: SparkSession, dir: String, cutoffMillis: Long,
+      dropSeed: Boolean = false): Unit =
+    keepFromForCutoff(spark, dir, cutoffMillis)
+      .foreach(k => expire(spark, dir, k, dropSeed))
+
   /** Retention: delete `batch=N` partitions with `N < keepFromBatch`
     * (and the seed files too when `dropSeed`) — the bounded-window
     * sibling of [[compact]]: compaction bounds the FILE COUNT keeping
@@ -211,6 +301,25 @@ private[streaming] object BatchIndex {
         (e.isDirectory && batchOf(e.getPath.getName).exists(_ < keepFromBatch)) ||
         (dropSeed && e.isFile && e.getPath.getName.endsWith(".parquet"))
       if (expired) fs.delete(e.getPath, true)
+    }
+    pruneStamps(spark, dir)
+  }
+
+  /** Drop stamp files whose `batch=N` partition no longer exists
+    * (expired or folded into the seed) — stale stamps are harmless to
+    * [[batchAdmissionTimes]] (it only maps over live partitions) but
+    * would otherwise accumulate forever, the exact small-file growth
+    * the maintenance ops exist to bound. Idempotent, deletion-only. */
+  def pruneStamps(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, root)
+    val stampRoot = new Path(root, StampDir)
+    if (!fs.exists(stampRoot)) return
+    val live = fs.listStatus(root).flatMap(e =>
+      if (e.isDirectory) batchOf(e.getPath.getName) else None).toSet
+    fs.listStatus(stampRoot).foreach { s =>
+      if (!s.getPath.getName.toLongOption.exists(live.contains))
+        fs.delete(s.getPath, false)
     }
   }
 }

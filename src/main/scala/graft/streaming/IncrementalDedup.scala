@@ -70,6 +70,15 @@ object IncrementalDedup {
     * (seed rows too when `dropSeed`) — exact copies of documents older
     * than the window are re-admitted, the bounded-window trade
     * [[BatchIndex.expire]] documents. */
+  /** Time-based retention: drop fingerprint batches admitted before
+    * `cutoffMillis` ([[BatchIndex.expireOlderThan]] — the wall-clock
+    * face of [[expireIndex]]; admission times come from the per-batch
+    * stamps the stream writes, FS mtime for pre-stamp stores). */
+  def expireIndexOlderThan(
+      spark: SparkSession, indexDir: String, cutoffMillis: Long,
+      dropSeed: Boolean = false): Unit =
+    BatchIndex.expireOlderThan(spark, indexDir, cutoffMillis, dropSeed)
+
   def expireIndex(
       spark: SparkSession, indexDir: String,
       keepFromBatch: Long, dropSeed: Boolean = false): Unit =
@@ -103,6 +112,7 @@ object IncrementalDedup {
           emit(fresh, batchId)
           fresh.select(TextFunctions.fingerprint(col(textCol)).as("fp"))
             .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+          BatchIndex.stampBatch(batch.sparkSession, indexDir, batchId)
         } finally fresh.unpersist()
         ()
       }

@@ -149,6 +149,18 @@ object NearDedupStream {
     BatchIndex.expire(spark, s"$indexDir/docs", keepFromBatch, dropSeed)
   }
 
+  /** Time-based [[expireIndex]]: the cutoff resolves to a batch fence
+    * ONCE, against the bands store's admission stamps, and the same
+    * fence expires both stores — resolving per-store could land on two
+    * different fences (stamps are written docs-then-bands) and break
+    * the bands-never-outlive-docs crash invariant the ordering above
+    * protects. */
+  def expireIndexOlderThan(
+      spark: SparkSession, indexDir: String, cutoffMillis: Long,
+      dropSeed: Boolean = false): Unit =
+    BatchIndex.keepFromForCutoff(spark, s"$indexDir/bands", cutoffMillis)
+      .foreach(k => expireIndex(spark, indexDir, k, dropSeed))
+
   /** One micro-batch: survivors of `batch` against the index state as
     * of `beforeBatch` (also the batch-backfill entry point — both
     * paths share this definition). Steps 1-3 of the object doc.
@@ -319,6 +331,10 @@ object NearDedupStream {
           core.bands.join(fresh.select(col(idCol).cast("long").as("id")),
               Seq("id"), "left_semi")
             .write.mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
+          // bands last, stamps after both: a crash before the stamps
+          // costs only the mtime fallback's accuracy
+          BatchIndex.stampBatch(batch.sparkSession, s"$indexDir/docs", batchId)
+          BatchIndex.stampBatch(batch.sparkSession, s"$indexDir/bands", batchId)
         } finally {
           fresh.unpersist()
           core.cleanup() // free the batch's localCheckpoint blocks now,

@@ -77,9 +77,11 @@ object PostingsStream {
   /** Ingest one batch (also the numbered-batch backfill entry). */
   def appendBatch(
       docs: DataFrame, idCol: String, textCol: String, indexDir: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
     TextRetrieval.postings(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    BatchIndex.stampBatch(docs.sparkSession, indexDir, batchId)
+  }
 
   /** Streaming writer: tokenize each micro-batch once into its own
     * postings partition. Start with `.start()`. */
@@ -108,6 +110,13 @@ object PostingsStream {
       spark: SparkSession, indexDir: String,
       keepFromBatch: Long, dropSeed: Boolean = false): Unit =
     BatchIndex.expire(spark, indexDir, keepFromBatch, dropSeed)
+
+  /** Time-based [[expireIndex]]: drop postings batches admitted before
+    * `cutoffMillis` ([[BatchIndex.expireOlderThan]]). */
+  def expireIndexOlderThan(
+      spark: SparkSession, indexDir: String, cutoffMillis: Long,
+      dropSeed: Boolean = false): Unit =
+    BatchIndex.expireOlderThan(spark, indexDir, cutoffMillis, dropSeed)
 
   /** BM25 top-k served from the store at a fence — exact, see the
     * object doc. */

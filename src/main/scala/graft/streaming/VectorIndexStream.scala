@@ -78,13 +78,15 @@ object VectorIndexStream {
 
   private def writeCellsWith(
       cent: DataFrame, df: DataFrame, idCol: String, vecCol: String,
-      indexDir: String, batchId: Long): Unit =
+      indexDir: String, batchId: Long): Unit = {
     Similarity.assignWith(cent, df.select(col(idCol), col(vecCol)), idCol, vecCol)
       .select(col(idCol), col(vecCol), col("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite")
       .partitionBy("cell")
       .parquet(s"$indexDir/cells/batch=$batchId")
+    BatchIndex.stampBatch(df.sparkSession, s"$indexDir/cells", batchId)
+  }
 
   /** The one streaming-writer shape all three payload variants share:
     * append the batch under its own partition, then let `emit` observe
@@ -258,6 +260,7 @@ object VectorIndexStream {
     }
     renamed(fs, staging, new org.apache.hadoop.fs.Path(root, "batch=-1"))
     fs.delete(new org.apache.hadoop.fs.Path(root, Journal), false)
+    BatchIndex.pruneStamps(spark, s"$indexDir/cells")
   }
 
   /** `batch=N` partition-name parse that skips stray non-numeric
@@ -300,7 +303,21 @@ object VectorIndexStream {
         "expire every partition of the store — keep at least the newest " +
         "batch, or re-seed a fresh index dir instead")
     parts.foreach { case (p, b) => if (expired(b)) fs.delete(p, true) }
+    BatchIndex.pruneStamps(spark, s"$indexDir/cells")
   }
+
+  /** Time-based [[expireIndex]]: drop batch partitions admitted before
+    * `cutoffMillis`, resolved against the per-batch admission stamps
+    * the appenders write (FS mtime for pre-stamp stores) — the
+    * wall-clock face of batch-id retention, shared with every other
+    * durable store ([[BatchIndex.expireOlderThan]]'s contract: the
+    * newest batch always survives, the seed only falls to the explicit
+    * `dropSeed`). Payload-agnostic like [[expireIndex]]. */
+  def expireIndexOlderThan(
+      spark: SparkSession, indexDir: String, cutoffMillis: Long,
+      dropSeed: Boolean = false): Unit =
+    BatchIndex.keepFromForCutoff(spark, s"$indexDir/cells", cutoffMillis)
+      .foreach(k => expireIndex(spark, indexDir, k, dropSeed))
 
   /** Seed the QUANTIZED (SQ8) variant of the store: centroids AND the
     * per-dimension quantization ranges are trained on the seed corpus
@@ -347,7 +364,7 @@ object VectorIndexStream {
 
   private def appendSq8(
       art: Sq8Artifacts, df: DataFrame, idCol: String, vecCol: String,
-      indexDir: String, batchId: Long): Unit =
+      indexDir: String, batchId: Long): Unit = {
     Similarity.assignWith(art.cent,
         checkedWidth(df.select(col(idCol), col(vecCol)), vecCol,
           art.mns.length, indexDir),
@@ -360,6 +377,8 @@ object VectorIndexStream {
       .write.mode("overwrite")
       .partitionBy("cell")
       .parquet(s"$indexDir/cells/batch=$batchId")
+    BatchIndex.stampBatch(df.sparkSession, s"$indexDir/cells", batchId)
+  }
 
   /** Streaming writer for the SQ8 store (pinned artifacts loaded once
     * at construction). Start with `.start()`. */
@@ -483,6 +502,7 @@ object VectorIndexStream {
       .write.mode("overwrite")
       .partitionBy("cell")
       .parquet(s"$indexDir/cells/batch=$batchId")
+    BatchIndex.stampBatch(df.sparkSession, s"$indexDir/cells", batchId)
   }
 
   /** Streaming writer for the PQ store (pinned artifacts loaded once

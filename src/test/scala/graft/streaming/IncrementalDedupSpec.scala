@@ -266,4 +266,42 @@ class IncrementalDedupSpec extends SparkSpec {
     // the retained batch=1 content still drops
     assert(survivors() == Set(1L, 3L))
   }
+
+  test("expireIndexOlderThan resolves a wall-clock cutoff to the batch fence (stamps, mtime fallback, newest survives)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_expire_ts").toString
+    writeFps(Seq("content a"), s"$dir/index/batch=0")
+    writeFps(Seq("content b"), s"$dir/index/batch=1")
+    writeFps(Seq("content c"), s"$dir/index/batch=2")
+    // stamp admission times a day apart; batch=1 deliberately UNSTAMPED
+    // so resolution exercises the FS-mtime fallback (its dir was just
+    // written, so mtime ~ now = day3's neighborhood)
+    val day = 24L * 3600 * 1000
+    val now = System.currentTimeMillis()
+    BatchIndex.stampBatch(spark, s"$dir/index", 0L, now - 3 * day)
+    BatchIndex.stampBatch(spark, s"$dir/index", 2L, now)
+    val times = BatchIndex.batchAdmissionTimes(spark, s"$dir/index").toMap
+    assert(times(0L) == now - 3 * day)
+    assert(times(2L) == now)
+    assert(math.abs(times(1L) - now) < 10 * 60 * 1000) // mtime fallback
+    val batch = Seq((1L, "content a"), (2L, "content b"), (3L, "content c"))
+      .toDF("doc_id", "text")
+    def survivors(): Set[Long] =
+      IncrementalDedup.dedupBatch(batch, s"$dir/index", "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors() == Set.empty[Long])
+    // cutoff a day ago: batch=0 (3 days old) expires, 1 and 2 stay
+    IncrementalDedup.expireIndexOlderThan(spark, s"$dir/index", now - day)
+    assert(survivors() == Set(1L))
+    // expiry pruned batch=0's stamp alongside its partition
+    assert(BatchIndex.batchAdmissionTimes(spark, s"$dir/index")
+      .map(_._1).toSet == Set(1L, 2L))
+    // a FUTURE cutoff degrades to keep-newest-only, never an empty store
+    IncrementalDedup.expireIndexOlderThan(spark, s"$dir/index", now + day)
+    assert(survivors() == Set(1L, 2L))
+    val dirs = new java.io.File(s"$dir/index").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(dirs == Set("batch=2"), dirs.toString)
+  }
 }

@@ -114,7 +114,7 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("newest"), ex.getMessage)
     VectorIndexStream.compactIndex(spark, s"$dir/index", throughBatch = 0)
     val batchDirs = new java.io.File(s"$dir/index/cells").listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).toSet
     assert(batchDirs == Set("batch=-1", "batch=1"), batchDirs.toString)
     assert(topk(VectorIndexStream.topKFromIndex(
       spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == full)
@@ -207,7 +207,7 @@ class VectorIndexStreamSpec extends SparkSpec {
     // the payload-agnostic compaction folds quantized batches too
     VectorIndexStream.compactIndex(spark, s"$dir/index", throughBatch = 0)
     val dirs = new java.io.File(s"$dir/index/cells").listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).toSet
     assert(dirs == Set("batch=-1", "batch=1"), dirs.toString)
     assert(quad(VectorIndexStream.sq8TopKFromIndex(
       spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == streamed)
@@ -305,7 +305,8 @@ class VectorIndexStreamSpec extends SparkSpec {
 
     // recovery rides the next compactIndex call (here folding nothing new)
     VectorIndexStream.compactIndex(spark, s"$dir/index", throughBatch = 0)
-    val dirs = cells.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    val dirs = cells.listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
     assert(dirs == Set("batch=-1", "batch=1"), dirs.toString)
     assert(topk(VectorIndexStream.topKFromIndex(
       spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == before)
@@ -319,7 +320,8 @@ class VectorIndexStreamSpec extends SparkSpec {
     java.nio.file.Files.writeString(journal.toPath,
       "S _compact_seed-gone\nD batch=-1\nD batch=1\n")
     VectorIndexStream.compactIndex(spark, s"$dir/index", throughBatch = 0)
-    val dirs2 = cells.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    val dirs2 = cells.listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
     assert(dirs2 == Set("batch=-1", "batch=1"), dirs2.toString)
     assert(topk(VectorIndexStream.topKFromIndex(
       spark, s"$dir/index", queries, "vec_id", "embedding", k = 3)) == before)
@@ -514,6 +516,34 @@ class VectorIndexStreamSpec extends SparkSpec {
         "vec_id", "embedding", s"$dir/index", beforeBatch = 2, threshold = 0.9)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(survivors == Set(9999L))
+  }
+
+  test("expireIndexOlderThan: wall-clock cutoff resolves to the batch fence; seed survives; stamps pruned") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_expire_ts").toString
+    VectorIndexStream.seedIndex(
+      e.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", s"$dir/index", nLists = 8)
+    VectorIndexStream.appendBatch(
+      e.filter(col("vec_id") % 4 === 1), "vec_id", "embedding", s"$dir/index", 0L)
+    VectorIndexStream.appendBatch(
+      e.filter(col("vec_id") % 4 === 2), "vec_id", "embedding", s"$dir/index", 1L)
+    // re-stamp batch 0 three days back (appendBatch stamped it "now")
+    val day = 24L * 3600 * 1000
+    val now = System.currentTimeMillis()
+    BatchIndex.stampBatch(spark, s"$dir/index/cells", 0L, now - 3 * day)
+    VectorIndexStream.expireIndexOlderThan(spark, s"$dir/index", now - day)
+    val batches = VectorIndexStream.readCells(spark, s"$dir/index")
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batches == Set(-1L, 1L), batches.toString) // seed never time-expires
+    assert(BatchIndex.batchAdmissionTimes(spark, s"$dir/index/cells")
+      .map(_._1).toSet == Set(-1L, 1L))
+    // future cutoff: newest batch survives, store never empties
+    VectorIndexStream.expireIndexOlderThan(spark, s"$dir/index", now + day)
+    val after = VectorIndexStream.readCells(spark, s"$dir/index")
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(after == Set(-1L, 1L), after.toString) // dropSeed=false keeps seed too
   }
 
   test("guards: full-window expire refused; wrong-width vectors raise; PQ dedups batch ids") {
