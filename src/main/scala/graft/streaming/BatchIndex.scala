@@ -6,6 +6,18 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
+/** [[BatchIndex.verifyStore]]'s report: every numbered `batch=N`
+  * partition of a store classified against the writing stream's
+  * checkpoint. `committed` partitions are durable history; `pending`
+  * ones belong to a batch the checkpoint STARTED (offsets written) but
+  * never committed — the stream replays and overwrites them on resume,
+  * so they are healthy unless the stream is abandoned; `orphans` are
+  * unknown to the checkpoint entirely (a crashed append whose
+  * checkpoint was reset, a stray manual write) — no replay will ever
+  * correct them, yet every later fence admits them as history. */
+final case class StoreCheck(
+    committed: Seq[Long], pending: Seq[Long], orphans: Seq[Long])
+
 /** Shared reader + maintenance ops for the durable per-batch index
   * layout the streaming dedup operators maintain: `dir/batch=N`
   * partition directories plus optional ROOT-level seed files (a batch
@@ -304,6 +316,102 @@ private[graft] object BatchIndex {
     }
     pruneStamps(spark, dir)
   }
+
+  /** Where [[quarantineOrphans]] parks partitions the checkpoint never
+    * admitted. The `_` prefix hides it from [[read]]'s listing, the
+    * stray-directory check, AND Spark partition discovery (the vector
+    * store's read path) — quarantined data stops being history
+    * everywhere without being destroyed, so a false positive (wrong
+    * checkpoint path caught by the guard below, an intentional manual
+    * backfill) is recoverable by renaming the partition back. */
+  private val QuarantineDir = "_quarantine"
+
+  private def logIds(fs: FileSystem, d: Path): Set[Long] =
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).flatMap(e =>
+      if (e.isFile) e.getPath.getName.toLongOption else None).toSet
+
+  /** The stream checkpoint's view of batch ids: (committed, started).
+    * `committed` lists `commits/<id>` entries — batches whose writes
+    * are durable; `started` lists `offsets/<id>` — batches the stream
+    * began (a started-but-uncommitted batch is replayed under the same
+    * id on resume). Fails on a directory with no `offsets` log rather
+    * than treating it as an empty checkpoint: against a typo'd path
+    * every partition would classify as an orphan, and quarantine would
+    * empty the store. */
+  def checkpointBatches(
+      spark: SparkSession, checkpointDir: String): (Set[Long], Set[Long]) = {
+    val root = new Path(checkpointDir)
+    val fs = fsOf(spark, root)
+    val offsets = new Path(root, "offsets")
+    if (!fs.exists(offsets)) throw new IllegalArgumentException(
+      s"$checkpointDir has no offsets log — not a streaming checkpoint " +
+        "(wrong path?); refusing to classify every partition as an orphan")
+    (logIds(fs, new Path(root, "commits")), logIds(fs, offsets))
+  }
+
+  /** fsck for a store: classify every numbered `batch=N` partition
+    * against the writing stream's checkpoint (see [[StoreCheck]]).
+    * Root seed files and the `batch=-1` seed partition are backfill
+    * domain — written outside any stream — and are never flagged.
+    * Report-only; [[quarantineOrphans]] acts on it. */
+  def verifyStore(
+      spark: SparkSession, dir: String, checkpointDir: String): StoreCheck = {
+    val (committed, started) = checkpointBatches(spark, checkpointDir)
+    val root = new Path(dir)
+    val fs = fsOf(spark, root)
+    val parts =
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).toSeq.flatMap(e =>
+        if (e.isDirectory) batchOf(e.getPath.getName) else None)
+        .filter(_ >= 0).sorted
+    StoreCheck(
+      committed = parts.filter(committed.contains),
+      pending = parts.filter(b => started.contains(b) && !committed.contains(b)),
+      orphans = parts.filter(b => !started.contains(b)))
+  }
+
+  /** Move the given numbered partitions into `_quarantine/` (shared
+    * worker for [[quarantineOrphans]] and the near-dedup pair, which
+    * must quarantine ONE id set across two stores). Rename-only —
+    * nothing is deleted; a destination collision (re-quarantined id)
+    * lands under a nonce suffix. */
+  private[graft] def quarantineBatches(
+      spark: SparkSession, dir: String, ids: Set[Long]): Seq[Long] = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, root)
+    if (fs.exists(new Path(root, Marker))) throw new IllegalStateException(
+      s"index dir $dir holds a compaction journal — complete the pending " +
+        "compact() before quarantining partitions")
+    val qRoot = new Path(root, QuarantineDir)
+    val moved = ids.toSeq.sorted.filter { b =>
+      val src = new Path(root, s"batch=$b")
+      if (!fs.exists(src)) false
+      else {
+        fs.mkdirs(qRoot)
+        val base = new Path(qRoot, s"batch=$b")
+        val dst =
+          if (!fs.exists(base)) base
+          else new Path(qRoot,
+            s"batch=$b-${java.util.UUID.randomUUID().toString.take(8)}")
+        if (!fs.rename(src, dst)) throw new IllegalStateException(
+          s"failed to quarantine $src to $dst — store left as-is")
+        true
+      }
+    }
+    pruneStamps(spark, dir)
+    moved
+  }
+
+  /** Quarantine every orphan [[verifyStore]] reports: partitions no
+    * replay will ever overwrite stop being admitted as history, but
+    * stay on disk under `_quarantine/` for inspection or manual
+    * restore. Pending partitions are left alone — the stream's own
+    * replay is their correction path. Returns the ids moved. */
+  def quarantineOrphans(
+      spark: SparkSession, dir: String, checkpointDir: String): Seq[Long] =
+    quarantineBatches(spark, dir,
+      verifyStore(spark, dir, checkpointDir).orphans.toSet)
 
   /** Drop stamp files whose `batch=N` partition no longer exists
     * (expired or folded into the seed) — stale stamps are harmless to

@@ -79,6 +79,21 @@ object IncrementalDedup {
       dropSeed: Boolean = false): Unit =
     BatchIndex.expireOlderThan(spark, indexDir, cutoffMillis, dropSeed)
 
+  /** fsck: classify the store's partitions against the writing
+    * stream's checkpoint ([[BatchIndex.verifyStore]] — orphans are
+    * partitions no replay will ever correct). */
+  def verifyIndex(
+      spark: SparkSession, indexDir: String,
+      checkpointDir: String): StoreCheck =
+    BatchIndex.verifyStore(spark, indexDir, checkpointDir)
+
+  /** Move every orphan [[verifyIndex]] reports under `_quarantine/`
+    * (rename-only; [[BatchIndex.quarantineOrphans]]). */
+  def quarantineIndexOrphans(
+      spark: SparkSession, indexDir: String,
+      checkpointDir: String): Seq[Long] =
+    BatchIndex.quarantineOrphans(spark, indexDir, checkpointDir)
+
   def expireIndex(
       spark: SparkSession, indexDir: String,
       keepFromBatch: Long, dropSeed: Boolean = false): Unit =

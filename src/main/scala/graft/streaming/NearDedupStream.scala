@@ -161,6 +161,32 @@ object NearDedupStream {
     BatchIndex.keepFromForCutoff(spark, s"$indexDir/bands", cutoffMillis)
       .foreach(k => expireIndex(spark, indexDir, k, dropSeed))
 
+  /** fsck per store: classify both stores' partitions against the
+    * writing stream's checkpoint ([[BatchIndex.verifyStore]]). The two
+    * reports can legitimately differ by ONE pending id — a crash
+    * between the docs and bands writes of a batch leaves docs without
+    * bands, healed by the stream's replay — but an orphan in either
+    * store is permanent until quarantined. */
+  def verifyIndex(
+      spark: SparkSession, indexDir: String,
+      checkpointDir: String): Map[String, StoreCheck] = Map(
+    "docs" -> BatchIndex.verifyStore(spark, s"$indexDir/docs", checkpointDir),
+    "bands" -> BatchIndex.verifyStore(spark, s"$indexDir/bands", checkpointDir))
+
+  /** Quarantine the UNION of both stores' orphans from both stores —
+    * one id set, two stores, so the pair stays aligned. Bands move
+    * first (the expire ordering's invariant: a crash between the two
+    * passes must never leave bands whose docs are gone). */
+  def quarantineIndexOrphans(
+      spark: SparkSession, indexDir: String,
+      checkpointDir: String): Seq[Long] = {
+    val orphans = verifyIndex(spark, indexDir, checkpointDir)
+      .values.flatMap(_.orphans).toSet
+    BatchIndex.quarantineBatches(spark, s"$indexDir/bands", orphans)
+    BatchIndex.quarantineBatches(spark, s"$indexDir/docs", orphans)
+    orphans.toSeq.sorted
+  }
+
   /** One micro-batch: survivors of `batch` against the index state as
     * of `beforeBatch` (also the batch-backfill entry point — both
     * paths share this definition). Steps 1-3 of the object doc.

@@ -118,6 +118,22 @@ object PostingsStream {
       dropSeed: Boolean = false): Unit =
     BatchIndex.expireOlderThan(spark, indexDir, cutoffMillis, dropSeed)
 
+  /** fsck: classify the store's partitions against the writing
+    * stream's checkpoint ([[BatchIndex.verifyStore]]). An orphan
+    * postings partition silently inflates df/corpus statistics for
+    * every query, so verify after any non-clean shutdown. */
+  def verifyIndex(
+      spark: SparkSession, indexDir: String,
+      checkpointDir: String): StoreCheck =
+    BatchIndex.verifyStore(spark, indexDir, checkpointDir)
+
+  /** Move every orphan [[verifyIndex]] reports under `_quarantine/`
+    * (rename-only; [[BatchIndex.quarantineOrphans]]). */
+  def quarantineIndexOrphans(
+      spark: SparkSession, indexDir: String,
+      checkpointDir: String): Seq[Long] =
+    BatchIndex.quarantineOrphans(spark, indexDir, checkpointDir)
+
   /** BM25 top-k served from the store at a fence — exact, see the
     * object doc. */
   def bm25TopK(

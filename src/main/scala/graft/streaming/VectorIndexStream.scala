@@ -319,6 +319,25 @@ object VectorIndexStream {
     BatchIndex.keepFromForCutoff(spark, s"$indexDir/cells", cutoffMillis)
       .foreach(k => expireIndex(spark, indexDir, k, dropSeed))
 
+  /** fsck: classify the cell store's partitions against the writing
+    * stream's checkpoint ([[BatchIndex.verifyStore]] — the seed
+    * `batch=-1` is backfill domain and never flagged). An orphan here
+    * serves wrong neighbors forever: no replay overwrites it, every
+    * probe fence admits it. Payload-agnostic. */
+  def verifyIndex(
+      spark: SparkSession, indexDir: String,
+      checkpointDir: String): StoreCheck =
+    BatchIndex.verifyStore(spark, s"$indexDir/cells", checkpointDir)
+
+  /** Move every orphan [[verifyIndex]] reports under
+    * `cells/_quarantine/` — rename-only, and invisible to the probe
+    * paths because partition discovery skips `_`-prefixed directories
+    * ([[BatchIndex.quarantineOrphans]]). */
+  def quarantineIndexOrphans(
+      spark: SparkSession, indexDir: String,
+      checkpointDir: String): Seq[Long] =
+    BatchIndex.quarantineOrphans(spark, s"$indexDir/cells", checkpointDir)
+
   /** Seed the QUANTIZED (SQ8) variant of the store: centroids AND the
     * per-dimension quantization ranges are trained on the seed corpus
     * and pinned — the same argument as the centroids (stored codes are

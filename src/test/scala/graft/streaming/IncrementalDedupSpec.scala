@@ -304,4 +304,56 @@ class IncrementalDedupSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).toSet
     assert(dirs == Set("batch=2"), dirs.toString)
   }
+
+  test("verifyIndex classifies partitions against the checkpoint; quarantine removes orphans from history") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_fsck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.dedupStreamToIndex(
+      in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/index", s"$dir/ckpt")((_, _) => ()).start()
+    try {
+      in.addData((1L, "batch zero content")); q.processAllAvailable()
+      in.addData((2L, "batch one content")); q.processAllAvailable()
+    } finally q.stop()
+
+    // healthy store: every partition committed
+    assert(IncrementalDedup.verifyIndex(spark, s"$dir/index", s"$dir/ckpt")
+      == StoreCheck(Seq(0L, 1L), Nil, Nil))
+
+    // hand-built orphan: a partition under a batch id the checkpoint
+    // never started (the crashed-append-then-checkpoint-reset shape) ...
+    writeFps(Seq("orphan content"), s"$dir/index/batch=7")
+    // ... and a pending batch: started (offsets present), commit lost
+    assert(new java.io.File(s"$dir/ckpt/commits/1").delete())
+    assert(IncrementalDedup.verifyIndex(spark, s"$dir/index", s"$dir/ckpt")
+      == StoreCheck(Seq(0L), Seq(1L), Seq(7L)))
+
+    // the hazard fsck exists for: the orphan acts as history — its
+    // content drops incoming documents though no stream admitted it
+    def survives(text: String): Boolean =
+      IncrementalDedup.dedupBatch(
+        Seq((99L, text)).toDF("doc_id", "text"),
+        s"$dir/index", "doc_id", "text").count() == 1
+    assert(!survives("orphan content"))
+
+    // quarantine: the orphan leaves the read path; the pending batch
+    // stays (replay is its correction), committed history untouched
+    assert(IncrementalDedup.quarantineIndexOrphans(
+      spark, s"$dir/index", s"$dir/ckpt") == Seq(7L))
+    assert(IncrementalDedup.verifyIndex(spark, s"$dir/index", s"$dir/ckpt")
+      == StoreCheck(Seq(0L), Seq(1L), Nil))
+    assert(survives("orphan content"))
+    assert(!survives("batch one content"))
+    // parked, not destroyed — manual restore stays possible
+    assert(new java.io.File(s"$dir/index/_quarantine/batch=7").isDirectory)
+
+    // guard: a non-checkpoint path must fail loudly, not classify the
+    // whole store as orphans
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.verifyIndex(spark, s"$dir/index", s"$dir/no_such_ckpt")
+    }
+  }
 }

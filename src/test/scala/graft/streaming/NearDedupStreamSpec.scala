@@ -281,6 +281,57 @@ class NearDedupStreamSpec extends SparkSpec {
       probeA, s"$seedDir/index", "doc_id", "text").count() == 1)
   }
 
+  test("verifyIndex reports per store; quarantine moves the UNION of orphans from both") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("near_dedup_fsck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = NearDedupStream.nearDedupStreamToIndex(
+      in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/index", s"$dir/ckpt")((_, _) => ()).start()
+    try {
+      in.addData((1L, base)); q.processAllAvailable()
+    } finally q.stop()
+
+    // orphan vocabulary disjoint from the admitted corpus, so its drops
+    // are attributable to the orphan alone
+    val orphanText = "quartz marble granite slate basalt pumice obsidian " +
+      "shale gneiss schist quartzite limestone"
+    // orphan in DOCS only: the crash-between-the-pair's-writes shape,
+    // abandoned (checkpoint reset, so no replay will ever fix it)
+    Seq((50L, orphanText + " quebec romeo")).toDF("id", "text")
+      .write.parquet(s"$dir/index/docs/batch=7")
+    // orphan in BOTH stores under another id
+    Seq((60L, orphanText)).toDF("id", "text")
+      .write.parquet(s"$dir/index/docs/batch=8")
+    Dedup.bandTable(
+        Dedup.minhashSignature(
+          Seq((60L, orphanText)).toDF("doc_id", "text"), "doc_id", "text"),
+        "doc_id")
+      .write.parquet(s"$dir/index/bands/batch=8")
+
+    val report = NearDedupStream.verifyIndex(spark, s"$dir/index", s"$dir/ckpt")
+    assert(report("docs") == StoreCheck(Seq(0L), Nil, Seq(7L, 8L)), report.toString)
+    assert(report("bands") == StoreCheck(Seq(0L), Nil, Seq(8L)), report.toString)
+
+    // the hazard: a variant of the orphan's content is dropped though
+    // no stream ever admitted it
+    def survivors(): Set[Long] = NearDedupStream.nearDedupBatch(
+        Seq((70L, orphanText + " sierra tango")).toDF("doc_id", "text"),
+        s"$dir/index", "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors() == Set.empty[Long])
+
+    // one union id set leaves BOTH stores (7 absent from bands: skipped)
+    assert(NearDedupStream.quarantineIndexOrphans(
+      spark, s"$dir/index", s"$dir/ckpt") == Seq(7L, 8L))
+    val after = NearDedupStream.verifyIndex(spark, s"$dir/index", s"$dir/ckpt")
+    assert(after("docs") == StoreCheck(Seq(0L), Nil, Nil), after.toString)
+    assert(after("bands") == StoreCheck(Seq(0L), Nil, Nil), after.toString)
+    // quarantined history no longer produces candidates
+    assert(survivors() == Set(70L))
+  }
+
   test("streamed near-dedup == the batch candidates->verify composition (real fixture)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -546,6 +546,50 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(after == Set(-1L, 1L), after.toString) // dropSeed=false keeps seed too
   }
 
+  test("verifyIndex + quarantine: orphan cells leave the probe path; seed never flagged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_fsck").toString
+    VectorIndexStream.seedIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", s"$dir/index", nLists = 8)
+    val odd = e.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = VectorIndexStream.indexStreamTo(
+      in.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/index", s"$dir/ckpt")().start()
+    try { in.addData(odd: _*); q.processAllAvailable() } finally q.stop()
+
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+    def served(): Set[(Long, Long, Long)] = topk(VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index", queries, "vec_id", "embedding", k = 3))
+    val healthy = served()
+    assert(VectorIndexStream.verifyIndex(spark, s"$dir/index", s"$dir/ckpt")
+      == StoreCheck(Seq(0L), Nil, Nil)) // seed batch=-1 never flagged
+
+    // orphan: a whole shifted copy of the corpus under a batch id the
+    // checkpoint never started — every query's own copy now serves at
+    // rank 1 (cos = 1), the wrong-neighbors-forever hazard
+    VectorIndexStream.appendBatch(
+      e.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", s"$dir/index", 9L)
+    val check = VectorIndexStream.verifyIndex(spark, s"$dir/index", s"$dir/ckpt")
+    assert(check.committed == Seq(0L) && check.orphans == Seq(9L), check.toString)
+    assert(served() != healthy)
+
+    // quarantine: probes serve exactly the healthy store again — the
+    // parked partition is invisible to partition discovery
+    assert(VectorIndexStream.quarantineIndexOrphans(
+      spark, s"$dir/index", s"$dir/ckpt") == Seq(9L))
+    assert(served() == healthy)
+    assert(VectorIndexStream.verifyIndex(spark, s"$dir/index", s"$dir/ckpt")
+      == StoreCheck(Seq(0L), Nil, Nil))
+    assert(new java.io.File(s"$dir/index/cells/_quarantine/batch=9").isDirectory)
+  }
+
   test("guards: full-window expire refused; wrong-width vectors raise; PQ dedups batch ids") {
     import spark.implicits._
     val e = graft.Tables.table(spark, sf001, "embeddings")
