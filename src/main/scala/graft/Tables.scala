@@ -14,23 +14,50 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects. The legacy conf reads nanos as plain long;
-    * [[eventsTsFix]] then surfaces a proper micro-precision
-    * TimestampType column (lossless for this data). NOTE: the conf is a
-    * session-wide switch (there is no per-read option for it) — it
-    * changes how ANY nanos-timestamp parquet column is read in this
-    * session; both batch and streaming readers share this one recipe. */
+  /** Older testdata generations stored events.ts as INT64
+    * TIMESTAMP(NANOS), which Spark's parquet reader rejects unless the
+    * legacy conf reads nanos as plain long; [[eventsTsFix]] then surfaces
+    * a proper micro-precision TimestampType column. Current generations
+    * store ts as timestamp[us] without a zone (read as TIMESTAMP_NTZ),
+    * which only needs a cast to the session-UTC TimestampType to keep
+    * downstream epoch arithmetic identical to the legacy path.
+    * [[normalizeEventsTs]] branches on the dtype the reader actually
+    * produced, so a testdata regeneration in either direction stays a
+    * loud no-op here instead of 12 dead queries. NOTE: the nanos conf is
+    * a session-wide switch (there is no per-read option for it) — it is
+    * now set only on the legacy branch; both batch and streaming readers
+    * share this one recipe. */
   def enableNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   val eventsTsFix: String = "timestamp_micros(ts div 1000)"
 
+  /** Surface `ts` as session-UTC TimestampType regardless of how the
+    * parquet stored it (legacy INT64-nanos-as-long vs timestamp[us]). */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr(eventsTsFix))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      enableNanosAsLong(spark)
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(eventsTsFix))
+      val path = s"$sfDir/$name.parquet"
+      val raw =
+        try spark.read.parquet(path)
+        catch {
+          // Legacy generation: INT64 TIMESTAMP(NANOS) footer — only
+          // readable with the session-wide nanos-as-long conf.
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage != null && e.getMessage.contains("NANOS") =>
+            enableNanosAsLong(spark)
+            spark.read.parquet(path)
+        }
+      normalizeEventsTs(raw)
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -11,25 +11,36 @@ import org.apache.spark.sql.types._
   */
 object Replay {
 
-  /** Raw events schema as stored (ts = INT64 nanos; see Tables). */
-  val eventsRawSchema: StructType = StructType(Seq(
+  /** Events schema with `ts` as the given type — legacy generations
+    * store INT64 nanos (read as long under the legacy conf), current
+    * ones timestamp[us] (read as TIMESTAMP_NTZ); see graft.Tables. */
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** Streaming read of an events parquet DIRECTORY (Spark's file stream
-    * source requires a directory, not a single file); ts surfaced as
-    * TimestampType micros via the same recipe as the batch loader
-    * (graft.Tables — incl. its note on the session-wide conf). */
+    * source requires a directory, not a single file). The file stream
+    * source needs an explicit schema, so probe the stored `ts` dtype
+    * with a one-off batch footer read (driver-side, metadata only),
+    * then normalize via the same recipe as the batch loader
+    * (graft.Tables — incl. its note on the session-wide legacy conf). */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    graft.Tables.enableNanosAsLong(spark)
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr(graft.Tables.eventsTsFix))
+    val storedTs =
+      try spark.read.parquet(eventsDir).schema("ts").dataType
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          graft.Tables.enableNanosAsLong(spark)
+          spark.read.parquet(eventsDir).schema("ts").dataType
+      }
+    graft.Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(eventsRawSchema(storedTs))
+        .parquet(eventsDir))
   }
 
   /** S8: synthetic rate source (the reference's simulation loop analog
