@@ -33,16 +33,33 @@ object Tables {
   val eventsTsFix: String = "timestamp_micros(ts div 1000)"
 
   /** Surface `ts` as session-UTC TimestampType regardless of how the
-    * parquet stored it (legacy INT64-nanos-as-long vs timestamp[us]). */
+    * parquet stored it (legacy INT64-nanos-as-long vs timestamp[us]).
+    * Any OTHER dtype is a testdata-contract break and fails loudly here
+    * — a blanket cast would turn e.g. a string-typed regen into silent
+    * nulls downstream instead of a one-line diagnosis. */
   def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
-      case LongType      => df.withColumn("ts", expr(eventsTsFix))
-      case TimestampType => df
-      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => df.withColumn("ts", expr(eventsTsFix))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as $other — expected legacy INT64-nanos (long), " +
+          "timestamp, or timestamp_ntz; the testdata generation changed " +
+          "format (see TESTDATA.md / TablesSchemaSpec)")
     }
   }
+
+  /** The legacy-generation signature: Spark refuses INT64
+    * TIMESTAMP(NANOS) parquet with `ILLEGAL_PARQUET_TYPE` (matched by
+    * error class first; the NANOS message substring is kept as a
+    * fallback for error-class drift across Spark versions). A false
+    * positive here (some other illegal type) is safe: the retry under
+    * the nanos conf fails identically and that exception propagates. */
+  private[graft] def isLegacyNanos(e: org.apache.spark.sql.AnalysisException): Boolean =
+    e.getCondition == "ILLEGAL_PARQUET_TYPE" ||
+      (e.getMessage != null && e.getMessage.contains("NANOS"))
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
@@ -51,9 +68,14 @@ object Tables {
         try spark.read.parquet(path)
         catch {
           // Legacy generation: INT64 TIMESTAMP(NANOS) footer — only
-          // readable with the session-wide nanos-as-long conf.
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          // readable with the session-wide nanos-as-long conf. Assumes a
+          // generation is all-or-nothing per directory: schema inference
+          // samples one footer, so a directory MIXING legacy-nanos and
+          // timestamp[us] files could pass here and then fail on
+          // executors wrapped in SparkException (not catchable as
+          // AnalysisException). The driver regenerates whole directories
+          // atomically, so mixed generations cannot occur.
+          case e: org.apache.spark.sql.AnalysisException if isLegacyNanos(e) =>
             enableNanosAsLong(spark)
             spark.read.parquet(path)
         }

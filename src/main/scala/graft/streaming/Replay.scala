@@ -27,15 +27,21 @@ object Replay {
     * source needs an explicit schema, so probe the stored `ts` dtype
     * with a one-off batch footer read (driver-side, metadata only),
     * then normalize via the same recipe as the batch loader
-    * (graft.Tables — incl. its note on the session-wide legacy conf). */
+    * (graft.Tables — incl. its note on the session-wide legacy conf).
+    * An initially-EMPTY replay directory (stream started before any
+    * file lands — the normal streaming bootstrap) has no footer to
+    * probe; default to the current generation's timestamp[us] dtype. */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     val storedTs =
       try spark.read.parquet(eventsDir).schema("ts").dataType
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage != null && e.getMessage.contains("NANOS") =>
+            if graft.Tables.isLegacyNanos(e) =>
           graft.Tables.enableNanosAsLong(spark)
           spark.read.parquet(eventsDir).schema("ts").dataType
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          TimestampNTZType
       }
     graft.Tables.normalizeEventsTs(
       spark.readStream
