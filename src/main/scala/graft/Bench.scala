@@ -63,7 +63,18 @@ object Bench {
       }
     }
 
-    val registry = SparkEntry.registry
+    // SPARK_GRAFT_BENCH_ONLY=q94,q107 (full or qNN-prefix names) narrows
+    // the run for local regression hunts; the driver never sets it, so
+    // round artifacts always carry the full registry.
+    val registry = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(s) =>
+        val want = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val picked = SparkEntry.registry.filter(q =>
+          want(q.name) || want(q.name.takeWhile(_ != '_')))
+        require(picked.nonEmpty, s"SPARK_GRAFT_BENCH_ONLY=$s matches no query")
+        picked
+      case None => SparkEntry.registry
+    }
     val nPass = 3
     // interleaved: every query runs once per pass before any repeats
     val passMaps: Seq[Map[String, Sample]] =
@@ -123,10 +134,19 @@ object Bench {
     System.err.flush()
     // npass + median_total ride the contract line (small, fixed-size)
     // so cross-round artifacts are self-describing: `queries` values
-    // are per-query MINIMA over npass interleaved passes.
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","npass":$nPass,"stat":"min","median_total":${fmt3(medTotal)},"queries":$qs,"sf":"$sfDir"}""")
+    // are per-query MINIMA over npass interleaved passes. `failed`
+    // names every query with ZERO successful passes (reported -1.0 in
+    // `queries`) — ~10 bytes when clean, and paired with a nonzero
+    // exit so a round with dead queries can never read as a fast round
+    // (the round-10 misread: 12 dead queries looked like a 108 s win).
+    val failed = registry.map(_.name).filter(n => samples(n).forall(!_.ok))
+    val failedJson = failed
+      .map(n => "\"" + (if (useShort) shortKeys(n) else n) + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","npass":$nPass,"stat":"min","median_total":${fmt3(medTotal)},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 
   /** Exercise scan/shuffle/window/codegen paths once, cheaply. */

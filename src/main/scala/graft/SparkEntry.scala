@@ -15,7 +15,7 @@ object SparkEntry {
   val registry: Seq[GraftQuery] =
     CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ ExtendedQueries.all ++ PipelineQueries.all ++
-      CorpusQueries.all
+      CorpusQueries.all ++ MaintenanceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full STEDI decode chain (JSON-in-base64-in-JSON -> unbase64 ->
