@@ -115,6 +115,37 @@ object Similarity {
       .orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
       .limit(nLists)
 
+  /** TRAINED centroid table in [[ivfCentroids]]'s exact shape
+    * (cent_id, cent_vec float-array), so every IVF consumer — cell
+    * assignment, the written-index layouts, the streamed store's
+    * `seedIndex` — can take a Lloyd's-trained quantizer instead of the
+    * sampled one without any other change. This is [[ivfTopK]]'s
+    * `KMeans.fit` made a first-class artifact: train once at seed
+    * time on the seed corpus (the result is a bounded nLists×dim
+    * table, the same driver-side footprint as the sampled pick), pin
+    * it in the store, and it serves every future append/probe. Not
+    * oracle-expressible (iterative fit), so its contract is
+    * served-vs-inline parity under the SAME stored centroids
+    * (VectorIndexStreamSpec), not a DuckDB twin. cent_id is the
+    * cluster index — ids only need to be distinct and stably ordered
+    * for the shared argmin tie-break. */
+  def kmeansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, nLists: Int,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feat = corpus
+      .select(array_to_vector(col(vecCol).cast("array<float>")).as("features"))
+    val model = new KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
+      .fit(feat)
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toDF("cent_id", "cent_vec")
+  }
+
   /** The one argmin-cell implementation every IVF consumer shares
     * (assignment, serving layout, top-k probe — the tie-break and
     * distance MUST stay identical across them or written cell layouts

@@ -45,12 +45,23 @@ object VectorIndexStream {
 
   /** Seed the index: train (pick) centroids from the seed corpus,
     * assign and write its vectors as the `batch=-1` partition. The
-    * centroids written here serve every future append and probe. */
+    * centroids written here serve every future append and probe.
+    *
+    * `centroids` swaps the quantizer: None picks the deterministic
+    * md5-sampled table ([[Similarity.ivfCentroids]], the
+    * oracle-verifiable default); pass
+    * [[Similarity.kmeansCentroids]]'s output (or any
+    * (cent_id, cent_vec) frame) to pin a TRAINED quantizer — better
+    * cell balance on clustered real-world embeddings, same serving
+    * path, since every consumer reads the quantizer from the store. */
   def seedIndex(
       corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
-      nLists: Int = 8): Unit = {
+      nLists: Int = 8, centroids: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
-    val cent = Similarity.ivfCentroids(corpus, idCol, vecCol, nLists)
+    val cent = centroids.getOrElse(
+      Similarity.ivfCentroids(corpus, idCol, vecCol, nLists))
+    require(Seq("cent_id", "cent_vec").forall(cent.columns.contains),
+      s"centroids frame must have (cent_id, cent_vec), got ${cent.columns.toSeq}")
     cent.coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     import spark.implicits._

@@ -48,6 +48,58 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(servedMp == inlineMp)
   }
 
+  test("kmeans-trained centroids seed the store and serve identically to inline") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_kmeans").toString
+    val even = e.filter(col("vec_id") % 2 === 0)
+
+    // train on the seed half only — the Faiss IVF append story: the
+    // quantizer is fixed at seed time, later appends assign against it
+    val trained = Similarity.kmeansCentroids(even, "vec_id", "embedding", nLists = 8)
+    assert(trained.count() == 8)
+    VectorIndexStream.seedIndex(
+      even, "vec_id", "embedding", s"$dir/index", nLists = 8,
+      centroids = Some(trained))
+    VectorIndexStream.appendBatch(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", s"$dir/index", 0L)
+
+    val stored = spark.read.parquet(s"$dir/index/centroids")
+    assert(stored.count() == 8)
+
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val served = VectorIndexStream.topKFromIndex(
+      spark, s"$dir/index", q, "vec_id", "embedding", k = 3)
+
+    // inline twin under the SAME stored centroids: the served result
+    // must be exactly what the shared argmin-assignment + in-cell
+    // cosine ranking computes from the raw corpus
+    val cc = Similarity.assignWith(stored,
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec")),
+      "neighbor_id", "c_vec")
+    val qc = Similarity.assignWith(stored,
+      q.select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+      "query_id", "q_vec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val inline = cc.join(qc.select(col("query_id"), col("q_vec"), col("cell")), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineSim(
+        col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    assert(topk(served) == topk(inline))
+
+    // a frame without the centroid contract is rejected loudly
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndexStream.seedIndex(even, "vec_id", "embedding",
+        s"$dir/bad", nLists = 8,
+        centroids = Some(even.select(col("vec_id"))))
+    }
+    assert(e2.getMessage.contains("cent_id"))
+  }
+
   test("streamed appends == batch backfill; fences pin history; replay converges") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
