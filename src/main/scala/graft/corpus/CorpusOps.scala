@@ -356,6 +356,46 @@ object CorpusOps {
         sum(col("tf") * col("df")).as("df_weight"))
   }
 
+  /** Unigram-LM fluency surprisal — the CCNet/Wenzek-style
+    * language-model quality filter reduced to its unigram, INTEGER-EXACT
+    * form: each token occurrence contributes its Shannon
+    * self-information under the corpus' own unigram distribution,
+    * floored to whole bits. `bits(term) = floor(log2(N / c(term)))`,
+    * computed exactly on integers as `length(bin(N div c)) - 1` (for a
+    * real x >= 1, floor(log2 x) equals the bit length of floor(x) minus
+    * one) — no transcendental calls, so Spark and any SQL oracle agree
+    * bit-for-bit. Common-token text (fluent prose) scores low mean
+    * bits; rare-token text (gibberish, boilerplate IDs, wrong-language)
+    * scores high — the same ranking CCNet's perplexity buckets induce,
+    * quantized.
+    *
+    * Scale shape: per-doc term counts are one hash agg; the corpus
+    * unigram table folds from it (bounded by vocabulary, broadcast
+    * back, same posture as [[tokenFrequencyStats]]' df table); N is one
+    * exact driver-side scalar like the BM25 N/avgdl pair
+    * ([[graft.corpus.TextRetrieval]]). Output per doc: `n_tokens`,
+    * `info_bits` (integer sum), `mean_bits` (the one double — a single
+    * division of exact integers, IEEE-identical on both sides). */
+  def unigramSurprisal(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val tf = df.repartition(n, col(idCol))
+      .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val totalRow = counts.agg(sum(col("c"))).collect()(0)
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    val bits = counts.withColumn("bits",
+      (length(bin(expr(s"CAST($total AS BIGINT) div c"))) - 1).cast("long"))
+    tf.join(broadcast(bits.select(col("term"), col("bits"))), Seq("term"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("bits")).as("info_bits"))
+      .withColumn("mean_bits",
+        col("info_bits").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Per-source quota: keep at most `k` documents per source, first-k
     * by a deterministic order column (ingest order / doc id). The
     * standard corpus-mixing guard against one domain flooding the mix.

@@ -797,6 +797,38 @@ object CorpusQueries {
                         ORDER BY score DESC, doc_id) AS rank
                FROM F)
         SELECT query_id, rank, doc_id FROM FR
-        WHERE rank <= 5 ORDER BY query_id, rank"""))
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q113_unigram_surprisal",
+      "Unigram-LM fluency scoring (the CCNet perplexity filter's " +
+        "integer-exact unigram form): every token occurrence " +
+        "contributes floor(log2(N/count)) bits of self-information " +
+        "under the corpus' own unigram distribution — computed exactly " +
+        "on integers via bit length (length(bin(N div c)) - 1), no " +
+        "transcendentals, so the engines agree bit-for-bit. Fluent " +
+        "common-token docs score low mean bits, rare-token gibberish " +
+        "high — CCNet's bucket ranking, quantized. One hash agg for " +
+        "per-doc tf, a broadcast vocabulary-bounded unigram table, one " +
+        "driver-side exact scalar N (the BM25 posture).",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        CorpusOps.unigramSurprisal(d, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH T AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+                   FROM documents),
+        TF AS (SELECT doc_id, term, count(*) AS tf FROM T GROUP BY doc_id, term),
+        C AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM TF GROUP BY term),
+        N AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM C),
+        I AS (SELECT term, CAST(length(bin(n // c)) - 1 AS BIGINT) AS bits
+              FROM C, N)
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(tf * bits) AS BIGINT) AS info_bits,
+               CAST(sum(tf * bits) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS mean_bits
+        FROM TF JOIN I USING (term)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -301,4 +301,50 @@ class CorpusOpsSpec extends SparkSpec {
       3L -> "added",
       4L -> "changed"))   // real text -> NULL is a content change
   }
+
+  test("unigramSurprisal: hand-computed whole-bit self-information, exact integers") {
+    val spark2 = spark
+    import spark2.implicits._
+    // corpus unigrams: a=4, b=1, N=5
+    //   bits(a) = len(bin(5 div 4 = 1)) - 1 = 0
+    //   bits(b) = len(bin(5 div 1 = 5)) - 1 = len("101") - 1 = 2
+    val docs = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = CorpusOps.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 3L, 0L, 0.0), (2L, 2L, 2L, 1.0)))
+  }
+
+  test("unigramSurprisal: rarer tokens never carry fewer bits; gibberish outranks prose") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val n = d.sparkSession.sparkContext.defaultParallelism
+    val tf = d.repartition(n, col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val total = counts.agg(sum(col("c"))).collect()(0).getLong(0)
+    val bits = counts.withColumn("bits",
+      (length(bin(expr(s"CAST($total AS BIGINT) div c"))) - 1).cast("long"))
+      .collect().map(r => r.getAs[Long]("c") -> r.getAs[Long]("bits"))
+    // self-information is antitone in count: c1 <= c2 => bits1 >= bits2
+    bits.sortBy(_._1).sliding(2).foreach {
+      case Array((c1, b1), (c2, b2)) =>
+        assert(c1 <= c2 && b1 >= b2, s"bits not antitone: ($c1,$b1) vs ($c2,$b2)")
+      case _ => ()
+    }
+    // and the doc score separates a common-token doc from a rare-token one
+    val spark2 = spark
+    import spark2.implicits._
+    val probe = Seq((9000001L, "the the the the"), (9000002L, "zqxjkv wvvqz"))
+      .toDF("doc_id", "text")
+    val scored = CorpusOps.unigramSurprisal(
+        d.select(col("doc_id"), col("text")).unionByName(probe),
+        "doc_id", "text")
+      .filter(col("doc_id") >= 9000001L)
+      .orderBy(col("doc_id"))
+      .collect().map(_.getDouble(3))
+    assert(scored(0) < scored(1),
+      s"common-token doc should score below gibberish: ${scored.toSeq}")
+  }
 }
