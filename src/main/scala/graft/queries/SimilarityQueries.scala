@@ -1254,6 +1254,52 @@ object SimilarityQueries {
         SELECT CC.vec_id AS vec_id, CC.cluster_id AS cluster_id, Q.quality AS quality
         FROM CC JOIN Q ON CC.vec_id = Q.doc_id
         QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, CC.vec_id) = 1
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    GraftQuery(
+      "q114_ann_pq_refined",
+      "Two-stage PQ + exact refine (Faiss IndexRefineFlat): q75's " +
+        "codes-only ADC scan shortlists 10 candidates per query, then " +
+        "ONLY those rows are re-scored in full-precision cosine and " +
+        "re-ranked to the final top-3 — the standard fix for PQ " +
+        "quantization error, with the exact kernel touching a bounded " +
+        "candidate set independent of corpus size (shortlist broadcast " +
+        "into one (id, vec)-only corpus scan, no corpus shuffle). ADC " +
+        "stage integer-exact; refine ordering inherits q25's " +
+        "margin-established cosine.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.pqTopKRefined(e, q, "vec_id", "embedding",
+            k = 3, rerankR = 10, m = 8, dim = 64, kCent = 16)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("\n        WITH " + pqCte() + """,
+        ADC AS (
+          SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
+          FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2),
+        R AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist, neighbor_id) AS rank
+              FROM ADC),
+        SL AS (SELECT query_id, neighbor_id FROM R WHERE rank <= 10),
+        EX AS (
+          SELECT s.query_id, s.neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM SL s
+          JOIN embeddings q ON q.vec_id = s.query_id
+          JOIN embeddings c ON c.vec_id = s.neighbor_id
+          CROSS JOIN range(1, 65) i(i)
+          GROUP BY 1, 2),
+        RR AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+               FROM EX)
+        SELECT query_id, rank, neighbor_id FROM RR
+        WHERE rank <= 3 ORDER BY query_id, rank"""))
   )
 }

@@ -520,6 +520,41 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
 
+  /** Two-stage PQ retrieval with exact refinement — Faiss's
+    * `IndexRefineFlat` recipe: the codes-only ADC scan ([[pqTopK]])
+    * shortlists `rerankR` candidates per query, then ONLY those
+    * |Q| x rerankR rows are re-scored in exact full-precision cosine
+    * and re-ranked to the final top-k. The standard answer to PQ's
+    * quantization error at billion scale: the expensive exact kernel
+    * touches a bounded candidate set independent of corpus size, while
+    * the corpus itself is still scanned as m-byte codes.
+    *
+    * Scale shape: the shortlist is a small frame (|Q| x rerankR id
+    * pairs) broadcast INTO one extra corpus scan that reads only
+    * (id, vec) — no shuffle of the corpus, no second codes pass.
+    * Recall rises monotonically in `rerankR` toward [[bruteForceTopK]]
+    * (rerankR = |corpus| degenerates to it exactly — spec-pinned). */
+  def pqTopKRefined(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, rerankR: Int, m: Int = 8, dim: Int = 64,
+      kCent: Int = 16): DataFrame = {
+    require(rerankR >= k, s"rerankR=$rerankR must be >= k=$k")
+    val shortlist = pqTopK(corpus, queries, idCol, vecCol,
+        k = rerankR, m = m, dim = dim, kCent = kCent)
+      .select(col("query_id"), col("neighbor_id"))
+    val qvec = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** The per-query ADC lookup table: distance from each query's
     * subvector to every (subspace, centroid) — |Q| x m x kCent rows
     * from tiny frames, always broadcast by consumers. */

@@ -315,4 +315,34 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert((exact & approx).nonEmpty)
   }
+
+  test("pqTopKRefined: full-corpus rerank degenerates to brute force; recall never below PQ") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.orderBy(col("query_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // rerankR >= |corpus| shortlists everything -> exactly brute force
+    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3))
+    val full = pairs(Similarity.pqTopKRefined(e, q, "vec_id", "embedding",
+      k = 3, rerankR = 600))
+    assert(full == exact)
+
+    // refined top-k keeps every true neighbor the shortlist contains,
+    // so its recall is >= the raw ADC ordering's at the same k
+    def hits(df: Seq[(Long, Long, Long)]): Int =
+      (df.map(t => (t._1, t._3)).toSet &
+        exact.map(t => (t._1, t._3)).toSet).size
+    val pq = pairs(Similarity.pqTopK(e, q, "vec_id", "embedding", k = 3))
+    val refined = pairs(Similarity.pqTopKRefined(e, q, "vec_id", "embedding",
+      k = 3, rerankR = 10))
+    assert(hits(refined) >= hits(pq),
+      s"refine lowered recall: ${hits(refined)} < ${hits(pq)}")
+
+    // guard: a shortlist smaller than k is a contract violation
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKRefined(e, q, "vec_id", "embedding", k = 5, rerankR = 3)
+    }
+  }
 }
