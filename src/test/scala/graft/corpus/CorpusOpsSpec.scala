@@ -309,8 +309,13 @@ class CorpusOpsSpec extends SparkSpec {
     //   bits(a) = len(bin(5 div 4 = 1)) - 1 = 0
     //   bits(b) = len(bin(5 div 1 = 5)) - 1 = len("101") - 1 = 2
     val docs = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
-    val got = CorpusOps.unigramSurprisal(docs, "doc_id", "text")
-      .orderBy(col("doc_id"))
+    val scored = CorpusOps.unigramSurprisal(docs, "doc_id", "text")
+    // the vocabulary-bounded unigram table must ride a broadcast join —
+    // a sort-merge here would shuffle the exploded token stream twice
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val got = scored.orderBy(col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq == Seq((1L, 3L, 0L, 0.0), (2L, 2L, 2L, 1.0)))
   }
