@@ -96,6 +96,40 @@ object SimilarityQueries {
         SELECT query_id, rank, neighbor_id, dist FROM R
         WHERE rank <= 3 ORDER BY query_id, rank"""
 
+  /** The PQ ADC-shortlist-then-exact-refine oracle, shared VERBATIM by
+    * q114 (inline [[graft.similarity.Similarity.pqTopKRefined]]) and
+    * q115 (the same ranking served from writePqRefineIndex's stored
+    * artifacts): served == inline by construction, one definition so
+    * the shortlist depth and refine ordering can never drift. */
+  private val pqRefineOracle: String =
+    "\n        WITH " + pqCte() + """,
+        ADC AS (
+          SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
+          FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2),
+        R AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist, neighbor_id) AS rank
+              FROM ADC),
+        SL AS (SELECT query_id, neighbor_id FROM R WHERE rank <= 10),
+        EX AS (
+          SELECT s.query_id, s.neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM SL s
+          JOIN embeddings q ON q.vec_id = s.query_id
+          JOIN embeddings c ON c.vec_id = s.neighbor_id
+          CROSS JOIN range(1, 65) i(i)
+          GROUP BY 1, 2),
+        RR AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+               FROM EX)
+        SELECT query_id, rank, neighbor_id FROM RR
+        WHERE rank <= 3 ORDER BY query_id, rank"""
+
   /** Shared by q90 (inline multi-probe IVF-SQ8) and q100 (the same
     * ranking served from writeIvfSq8Index's stored artifacts) — one
     * definition so the grid, probe list, and integer distance can never
@@ -1274,32 +1308,29 @@ object SimilarityQueries {
             k = 3, rerankR = 10, m = 8, dim = 64, kCent = 16)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("\n        WITH " + pqCte() + """,
-        ADC AS (
-          SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
-          FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
-          WHERE c.vec_id <> l.query_id
-          GROUP BY 1, 2),
-        R AS (SELECT query_id, neighbor_id,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY dist, neighbor_id) AS rank
-              FROM ADC),
-        SL AS (SELECT query_id, neighbor_id FROM R WHERE rank <= 10),
-        EX AS (
-          SELECT s.query_id, s.neighbor_id,
-                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
-                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
-                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
-          FROM SL s
-          JOIN embeddings q ON q.vec_id = s.query_id
-          JOIN embeddings c ON c.vec_id = s.neighbor_id
-          CROSS JOIN range(1, 65) i(i)
-          GROUP BY 1, 2),
-        RR AS (SELECT query_id, neighbor_id,
-                      row_number() OVER (PARTITION BY query_id
-                        ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
-               FROM EX)
-        SELECT query_id, rank, neighbor_id FROM RR
-        WHERE rank <= 3 ORDER BY query_id, rank"""))
+      Some(pqRefineOracle)),
+
+    GraftQuery(
+      "q115_ann_refined_from_index",
+      "Served two-stage refine (writePqRefineIndex probed by " +
+        "pqRefinedTopKFromIndex — Faiss IndexRefineFlat persisted): " +
+        "the ADC shortlist runs over the stored codes under the stored " +
+        "codebook/ranges, then the shortlist's ids are pushed as a " +
+        "literal IN onto the id-sorted vecs flat store so the exact " +
+        "refine reads only intersecting row groups (spec-asserted " +
+        "PushedFilters; the corpus is never re-read). Shares q114's " +
+        "oracle verbatim — served == inline by construction.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val idx = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_q115_index").getPath
+        graft.sinks.CorpusSink.writePqRefineIndex(
+          e, "vec_id", "embedding", idx, m = 8, dim = 64, kCent = 16)
+        Similarity.pqRefinedTopKFromIndex(spark, idx, q, "vec_id", "embedding",
+            k = 3, rerankR = 10, m = 8, dim = 64)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(pqRefineOracle))
   )
 }

@@ -745,6 +745,65 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
 
+  /** Two-stage top-k from a WRITTEN PQ+refine index
+    * ([[graft.sinks.CorpusSink.writePqRefineIndex]]'s layout) — the
+    * served face of [[pqTopKRefined]]: the ADC shortlist runs over the
+    * stored `codes` alone (LUT built under the STORED codebook/ranges,
+    * one broadcast-hash join + one agg), then the |Q| x rerankR
+    * candidate pairs are collected driver-side — the same bounded
+    * per-query-batch artifact posture as the ADC LUT and the probed
+    * cell sets — and their ids pushed as a literal IN onto the
+    * id-sorted `vecs` flat store, so the exact-cosine re-rank reads
+    * only row groups whose id range intersects the shortlist (visible
+    * as PushedFilters in the plan; spec-asserted). The corpus itself is
+    * never re-read. Identical output to [[pqTopKRefined]] with the
+    * same parameters by construction: stored codes/codebook/ranges are
+    * exact integers and float64 stats, stored vecs are exact floats. */
+  def pqRefinedTopKFromIndex(
+      spark: SparkSession, indexPath: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, rerankR: Int,
+      m: Int = 8, dim: Int = 64): DataFrame = {
+    require(rerankR >= k, s"rerankR=$rerankR must be >= k=$k")
+    val rangeRows = spark.read.parquet(s"$indexPath/ranges")
+      .orderBy(col("i")).collect()
+    val mns = rangeRows.map(_.getDouble(1)).toSeq
+    val mxs = rangeRows.map(_.getDouble(2)).toSeq
+    val codebook = spark.read.parquet(s"$indexPath/codebook")
+    val codes = spark.read.parquet(s"$indexPath/codes")
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .select(col("neighbor_id"), col("s").cast("long").as("s"), col("code"))
+    val lut = pqLut(queries, idCol, vecCol, codebook, m, dim, mns, mxs)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    val shortlist = codes
+      .join(broadcast(lut), col("s") === col("ls") && col("code") === col("lj"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("dist"))
+      .withColumn("rank", row_number().over(wAdc).cast("long"))
+      .filter(col("rank") <= rerankR)
+      .select(col("query_id"), col("neighbor_id"))
+    val slRows = shortlist.collect()
+    val ids = slRows.map(_.getLong(1)).distinct.sorted
+    val slLocal = spark.createDataFrame(
+      java.util.Arrays.asList(slRows: _*), shortlist.schema)
+    val idFilter =
+      if (ids.isEmpty) lit(false) else col(idCol).isin(ids: _*)
+    val vecs = spark.read.parquet(s"$indexPath/vecs")
+      .filter(idFilter)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qvec = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    vecs.join(broadcast(slLocal), Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** IVF-PQ: the full billion-scale composition — the deterministic
     * coarse quantizer restricts each query to its cell
     * ([[ivfCentroids]] + the shared argmin assignment) and the PQ ADC

@@ -89,6 +89,25 @@ object CorpusSink {
     writePqArtifacts(corpus, path, codebook, mns, mxs)
   }
 
+  /** PQ + refine serving layout — Faiss's `IndexRefineFlat` persisted:
+    * the [[writePqIndex]] artifacts plus `path/vecs`, a full-precision
+    * (id, vec) flat store the refine stage re-scores from. Vectors are
+    * range-clustered and sorted by id at write time so a shortlist's
+    * literal id-IN probe prunes parquet row groups by min/max stats
+    * instead of scanning the flat store. Storage is ~1.03x the flat
+    * corpus (m code bytes per vector on top of it) buying a codes-only
+    * first pass for every query batch —
+    * [[graft.similarity.Similarity.pqRefinedTopKFromIndex]] probes it. */
+  def writePqRefineIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      m: Int = 8, dim: Int = 64, kCent: Int = 16): Unit = {
+    writePqIndex(corpus, idCol, vecCol, path, m, dim, kCent)
+    corpus.select(col(idCol), col(vecCol))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/vecs")
+  }
+
   /** IVF-PQ serving layout — [[writePqIndex]] composed with the IVF
     * cell partitioner, the materialized form of
     * [[graft.similarity.Similarity.ivfPqTopK]]:

@@ -345,4 +345,40 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqTopKRefined(e, q, "vec_id", "embedding", k = 5, rerankR = 3)
     }
   }
+
+  test("pqRefinedTopKFromIndex serves exactly the inline refine from stored artifacts") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("pq_refine_idx").toString
+    graft.sinks.CorpusSink.writePqRefineIndex(
+      e, "vec_id", "embedding", s"$dir/index", m = 8, dim = 64, kCent = 16)
+
+    // materialize the query batch locally so the plan assert below
+    // isolates the CORPUS: the only file reads left must be artifacts
+    val spark2 = spark
+    import spark2.implicits._
+    val qLocal = q.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+    val served = Similarity.pqRefinedTopKFromIndex(
+      spark, s"$dir/index", qLocal, "vec_id", "embedding", k = 3, rerankR = 10)
+    // the refine stage must read stored artifacts only, with the
+    // shortlist's literal id-IN pushed into the vecs scan
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"), plan)
+    assert(plan.contains("In(vec_id"), plan)
+
+    val inline = Similarity.pqTopKRefined(
+      e, q, "vec_id", "embedding", k = 3, rerankR = 10)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.orderBy(col("query_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(served) == rows(inline))
+
+    // an empty query batch probes nothing instead of scanning the store
+    val none = Similarity.pqRefinedTopKFromIndex(
+      spark, s"$dir/index", q.filter(col("vec_id") < 0), "vec_id", "embedding",
+      k = 3, rerankR = 10)
+    assert(none.count() == 0)
+  }
 }
