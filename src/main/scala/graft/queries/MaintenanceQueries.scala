@@ -123,5 +123,55 @@ object MaintenanceQueries {
                     ELSE 'pending' END AS status
         FROM documents
         WHERE doc_id % 4 <= 2
+        ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q116_store_crash_recovery",
+      "Compaction crash recovery end-to-end (BatchIndex's journal " +
+        "protocol): documents ids land as three batches, then a " +
+        "compaction of batch 0 is frozen AT its commit point — staged " +
+        "seed rows under _compact_tmp plus a committed journal naming " +
+        "the deletion and promotions, exactly the on-disk state a " +
+        "crash right after the journal write leaves. While the " +
+        "journal exists every read fails loudly (verified in-query: a " +
+        "partial state could silently double or drop history); the " +
+        "next compact() replays the journal idempotently — batch 0 " +
+        "deleted, staged files promoted to root seeds — and the store " +
+        "reads back complete with batch 0's rows as seed history. " +
+        "Nothing is lost, nothing is doubled: the oracle is every " +
+        "document with its post-recovery lineage.",
+      (spark, dir) => {
+        val store = tmp("graft_q116_store")
+        buildStore(spark, store, dir, nBatches = 3, baseMillis = 1700000000000L)
+        val fs = new Path(store).getFileSystem(spark.sessionState.newHadoopConf())
+        // stage batch 0's rows as the crashed compaction would have
+        val tmpDir = new Path(store, "_compact_tmp")
+        Tables.table(spark, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") % 3 === 0)
+          .write.mode("overwrite").parquet(tmpDir.toString)
+        val staged = fs.listStatus(tmpDir)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.getName)
+        // commit point: the journal names every pending mutation
+        val journal = ("D batch=0" +: staged.toSeq.map(f => s"M $f seed-rec-$f"))
+          .mkString("", "\n", "\n")
+        val out = fs.create(new Path(store, "_compact_journal"), true)
+        try out.write(journal.getBytes("UTF-8")) finally out.close()
+        // mid-rewrite state must refuse reads instead of serving it
+        val refused =
+          try { BatchIndex.read(spark, store, docIdSchema).count(); false }
+          catch { case _: IllegalStateException => true }
+        require(refused, "read served a store holding a compaction journal")
+        // recovery: the next compact replays the journal first
+        BatchIndex.compact(spark, store, docIdSchema, throughBatch = 0L)
+        BatchIndex.read(spark, store, docIdSchema)
+          .select(col("doc_id"), col("batch"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(-1 AS BIGINT)
+                    ELSE doc_id % 3 END AS batch
+        FROM documents
         ORDER BY doc_id""")))
 }
