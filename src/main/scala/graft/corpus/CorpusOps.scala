@@ -396,6 +396,54 @@ object CorpusOps {
         col("info_bits").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** The corpus' unigram self-information table — (term, bits) with
+    * `bits = floor(log2(N / count))` computed integer-exactly as in
+    * [[unigramSurprisal]]. A vocabulary-bounded frame; collect it once
+    * to freeze a reference distribution for
+    * [[scoreAgainstUnigramBits]] (CCNet's actual deployment shape:
+    * the LM is trained on a reference corpus once, then scores every
+    * new shard against it). */
+  def unigramBits(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val counts = df.repartition(n, col(idCol))
+      .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val totalRow = counts.agg(sum(col("c"))).collect()(0)
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    counts.select(col("term"),
+      (length(bin(expr(s"CAST($total AS BIGINT) div c"))) - 1)
+        .cast("long").as("bits"))
+  }
+
+  /** Row-LOCAL unigram surprisal against a FROZEN bits table — the
+    * streaming-capable twin of [[unigramSurprisal]], exactly as
+    * [[decontaminateRows]] is to [[decontaminate]]: the (term, bits)
+    * map rides the plan as a literal (vocabulary-bounded, the same
+    * once-per-plan footprint as the benchmark gram set), and each row
+    * folds its own token array through it — no explode, no shuffle, a
+    * pure per-row projection that drops into ANY plan shape including
+    * a continuous ingest stream, where the join-based form's per-doc
+    * aggregation cannot go. All built-in codegen'd higher-order
+    * functions (`aggregate` + `element_at`), no UDF. Unknown tokens
+    * score `oovBits` (a reference LM must charge unseen words; pick
+    * max-corpus-bits + 1 for a CCNet-like penalty). Scoring a corpus
+    * against its OWN table is bit-identical to [[unigramSurprisal]]
+    * (no OOV by construction — the q113/q117 parity contract). */
+  def scoreAgainstUnigramBits(
+      df: DataFrame, idCol: String, textCol: String,
+      bits: Map[String, Long], oovBits: Long): DataFrame = {
+    val lut = typedlit(bits)
+    val ws = TextFunctions.words(col(textCol))
+    df.select(col(idCol),
+        size(ws).cast("long").as("n_tokens"),
+        aggregate(ws, lit(0L), (acc, w) =>
+          acc + coalesce(element_at(lut, w), lit(oovBits))).as("info_bits"))
+      .withColumn("mean_bits",
+        col("info_bits").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Per-source quota: keep at most `k` documents per source, first-k
     * by a deterministic order column (ingest order / doc id). The
     * standard corpus-mixing guard against one domain flooding the mix.

@@ -22,6 +22,25 @@ object CorpusQueries {
     * oracle would diverge at any SF where a term tops 100k documents.
     * (No SQL comments in oracle strings: normalize() folds them to one
     * line, and a `--` would comment out the rest of the query.) */
+  /** Shared VERBATIM by q113 (join-based [[graft.corpus.CorpusOps.unigramSurprisal]])
+    * and q117 (the row-local frozen-table twin): scoring a corpus
+    * against its own unigram table has no OOV, so the two forms are
+    * bit-identical by construction — one oracle pins both. */
+  private val unigramOracle: String = raw"""
+        WITH T AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+                   FROM documents),
+        TF AS (SELECT doc_id, term, count(*) AS tf FROM T GROUP BY doc_id, term),
+        C AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM TF GROUP BY term),
+        N AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM C),
+        I AS (SELECT term, CAST(length(bin(n // c)) - 1 AS BIGINT) AS bits
+              FROM C, N)
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(tf * bits) AS BIGINT) AS info_bits,
+               CAST(sum(tf * bits) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS mean_bits
+        FROM TF JOIN I USING (term)
+        GROUP BY doc_id ORDER BY doc_id"""
+
   private val bm25Ctes: String = raw"""
         W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         T AS (SELECT doc_id, unnest(w) AS term FROM W),
@@ -816,19 +835,29 @@ object CorpusQueries {
         CorpusOps.unigramSurprisal(d, "doc_id", "text")
           .orderBy(col("doc_id"))
       },
-      Some(raw"""
-        WITH T AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-                   FROM documents),
-        TF AS (SELECT doc_id, term, count(*) AS tf FROM T GROUP BY doc_id, term),
-        C AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM TF GROUP BY term),
-        N AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM C),
-        I AS (SELECT term, CAST(length(bin(n // c)) - 1 AS BIGINT) AS bits
-              FROM C, N)
-        SELECT doc_id,
-               CAST(sum(tf) AS BIGINT) AS n_tokens,
-               CAST(sum(tf * bits) AS BIGINT) AS info_bits,
-               CAST(sum(tf * bits) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS mean_bits
-        FROM TF JOIN I USING (term)
-        GROUP BY doc_id ORDER BY doc_id"""))
+      Some(unigramOracle)),
+
+    GraftQuery(
+      "q117_unigram_surprisal_rowwise",
+      "Row-local unigram surprisal against a FROZEN bits table — " +
+        "q113's streaming-capable twin, as decontaminateRows is to " +
+        "decontaminate (and CCNet's actual deployment shape: train " +
+        "the LM once on a reference corpus, score every new shard " +
+        "against it). The vocabulary-bounded (term, bits) map rides " +
+        "the plan as a literal and each row folds its own token array " +
+        "through codegen'd aggregate + element_at — no explode, no " +
+        "shuffle, a pure per-row projection that drops into any plan " +
+        "shape including a continuous ingest stream. Self-scored here " +
+        "(no OOV by construction), so it shares q113's oracle " +
+        "verbatim — the two forms cannot drift.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val bits = CorpusOps.unigramBits(d, "doc_id", "text")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        CorpusOps.scoreAgainstUnigramBits(
+            d, "doc_id", "text", bits, oovBits = bits.values.max + 1)
+          .orderBy(col("doc_id"))
+      },
+      Some(unigramOracle))
   )
 }

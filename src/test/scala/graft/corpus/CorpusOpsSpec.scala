@@ -320,6 +320,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L, 0L, 0.0), (2L, 2L, 2L, 1.0)))
   }
 
+  test("scoreAgainstUnigramBits: self-scored parity with the join form; OOV charged; stream-shaped") {
+    val d = graft.Tables.table(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val bits = CorpusOps.unigramBits(d, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oov = bits.values.max + 1
+
+    // scoring the corpus against its OWN table has no OOV -> must be
+    // bit-identical to the join-based unigramSurprisal (q113/q117 gate)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(CorpusOps.scoreAgainstUnigramBits(d, "doc_id", "text", bits, oov))
+      == rows(CorpusOps.unigramSurprisal(d, "doc_id", "text")))
+
+    // unseen tokens are charged the OOV penalty per occurrence
+    val spark2 = spark
+    import spark2.implicits._
+    val probe = Seq((1L, "zzzunseenzzz zzzunseenzzz")).toDF("doc_id", "text")
+    val got = rows(CorpusOps.scoreAgainstUnigramBits(probe, "doc_id", "text", bits, oov))
+    assert(got == Seq((1L, 2L, 2 * oov, oov.toDouble)))
+
+    // a pure per-row projection: attaches to an unbounded stream as-is
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val streamed = CorpusOps.scoreAgainstUnigramBits(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", bits, oov)
+    assert(streamed.isStreaming)
+    // no logical Aggregate node anywhere — the fold is row-local
+    assert(streamed.queryExecution.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty)
+  }
+
   test("unigramSurprisal: rarer tokens never carry fewer bits; gibberish outranks prose") {
     val d = graft.Tables.table(spark, sf001, "documents")
     val n = d.sparkSession.sparkContext.defaultParallelism
