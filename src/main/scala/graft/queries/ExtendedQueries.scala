@@ -59,6 +59,57 @@ object ExtendedQueries {
         FROM lineitem""")),
 
     GraftQuery(
+      "q118_approx_quantiles",
+      "Approximate quantiles wired to q92's oracle-gate pattern — the " +
+        "remaining sketch family (HLL q92, bloom q64, minhash q52): " +
+        "percentile_approx (the GK/t-digest-style summary every " +
+        "100 TB threshold-tuning pass actually runs — single pass, " +
+        "mergeable, bounded memory) is gated against EXACT kth-" +
+        "smallest order statistics with rank ceil(p*N). The exact " +
+        "side folds a (value, count) histogram — bounded by the " +
+        "distinct length domain, not N — driver-side; the sketch " +
+        "values themselves are deliberately not hash-compared " +
+        "(summary internals are engine-specific), the query is green " +
+        "only while every estimate lands within 5% of its exact " +
+        "order statistic. Deterministic: the summary is built from " +
+        "exact counts and a fixed accuracy.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        // exact kth-smallest from the value histogram: distinct doc
+        // lengths are a bounded domain (the vocabulary posture), so
+        // the driver fold is O(|domain|) regardless of corpus size
+        val hist = d.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+          .orderBy(col("n_chars")).collect()
+        val n = hist.map(_.getLong(1)).sum
+        def kth(r: Long): Long = {
+          var cum = 0L
+          hist.collectFirst {
+            case row if { cum += row.getLong(1); cum >= r } => row.getLong(0)
+          }.getOrElse(hist.last.getLong(0))
+        }
+        val (p25, p50, p75) = (kth(math.ceil(0.25 * n).toLong),
+          kth(math.ceil(0.50 * n).toLong), kth(math.ceil(0.75 * n).toLong))
+        d.agg(
+            percentile_approx(col("n_chars"), lit(0.25), lit(10000)).as("a25"),
+            percentile_approx(col("n_chars"), lit(0.50), lit(10000)).as("a50"),
+            percentile_approx(col("n_chars"), lit(0.75), lit(10000)).as("a75"))
+          .select(lit(p25).as("p25"), lit(p50).as("p50"), lit(p75).as("p75"),
+            (abs(col("a25") - p25) <= p25 * 0.05 &&
+              abs(col("a50") - p50) <= p50 * 0.05 &&
+              abs(col("a75") - p75) <= p75 * 0.05).as("within_tolerance"))
+      },
+      Some("""
+        WITH N AS (SELECT count(*) AS n FROM documents)
+        SELECT
+          (SELECT max(n_chars) FROM (SELECT n_chars FROM documents ORDER BY n_chars
+             LIMIT (SELECT CAST(ceil(0.25 * n) AS BIGINT) FROM N))) AS p25,
+          (SELECT max(n_chars) FROM (SELECT n_chars FROM documents ORDER BY n_chars
+             LIMIT (SELECT CAST(ceil(0.50 * n) AS BIGINT) FROM N))) AS p50,
+          (SELECT max(n_chars) FROM (SELECT n_chars FROM documents ORDER BY n_chars
+             LIMIT (SELECT CAST(ceil(0.75 * n) AS BIGINT) FROM N))) AS p75,
+          TRUE AS within_tolerance""")),
+
+    GraftQuery(
       "q30_set_ops",
       "UNION / INTERSECT / EXCEPT over two key sets, tagged into one result.",
       (spark, dir) => {
