@@ -110,6 +110,34 @@ object ExtendedQueries {
           TRUE AS within_tolerance""")),
 
     GraftQuery(
+      "q119_cube",
+      "CUBE completes the grouping-analytics trio (q31 ROLLUP, q38 " +
+        "GROUPING SETS): all four aggregation levels over (returnflag, " +
+        "linestatus) in one pass via the DataFrame cube API — one " +
+        "Expand + one hash agg, never four scans; grouping() flags " +
+        "disambiguate NULL group keys from NULL data exactly as q38.",
+      (spark, dir) =>
+        Tables.table(spark, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+            count(lit(1)).as("n"),
+            grouping(col("l_returnflag")).cast("long").as("g_rf"),
+            grouping(col("l_linestatus")).cast("long").as("g_ls"))
+          .orderBy(col("g_rf"), col("g_ls"),
+            col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    GraftQuery(
       "q30_set_ops",
       "UNION / INTERSECT / EXCEPT over two key sets, tagged into one result.",
       (spark, dir) => {
