@@ -138,6 +138,34 @@ object ExtendedQueries {
         ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
     GraftQuery(
+      "q120_unpivot",
+      "unpivot/melt — q36 pivot's inverse: the four lineitem measure " +
+        "columns fold into (measure, value) rows through the DataFrame " +
+        "unpivot API (an Expand node, one scan — never a 4-way " +
+        "self-union of scans); raw doubles carried untouched, so the " +
+        "comparison is hash-exact with a portable UNION ALL oracle.",
+      (spark, dir) =>
+        Tables.table(spark, dir, "lineitem")
+          .filter(col("l_orderkey") % 50 === 0)
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "measure", "value")
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure")),
+      Some("""
+        WITH L AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
+        SELECT l_orderkey, l_linenumber, measure, value FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM L
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM L
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM L
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM L)
+        ORDER BY l_orderkey, l_linenumber, measure""")),
+
+    GraftQuery(
       "q30_set_ops",
       "UNION / INTERSECT / EXCEPT over two key sets, tagged into one result.",
       (spark, dir) => {
