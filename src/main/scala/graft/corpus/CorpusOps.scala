@@ -378,22 +378,34 @@ object CorpusOps {
     * division of exact integers, IEEE-identical on both sides). */
   def unigramSurprisal(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = df.sparkSession.sparkContext.defaultParallelism
-    val tf = df.repartition(n, col(idCol))
-      .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
-    val totalRow = counts.agg(sum(col("c"))).collect()(0)
-    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
-    val bits = counts.withColumn("bits",
-      (length(bin(expr(s"CAST($total AS BIGINT) div c"))) - 1).cast("long"))
-    tf.join(broadcast(bits.select(col("term"), col("bits"))), Seq("term"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the bits table is vocabulary-bounded: freeze it driver-side once
+    // (one tokenization pass, via unigramBits) and replay it as a
+    // broadcast local frame, so the final plan tokenizes the corpus
+    // exactly once more — as a lazy lineage the bits subtree would
+    // re-run the explode+agg twice inside the final plan
+    val bits = unigramBits(df, idCol, textCol)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("term", "bits")
+    termTf(df, idCol, textCol)
+      .join(broadcast(bits), Seq("term"))
       .groupBy(col(idCol))
       .agg(
         sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("bits")).as("info_bits"))
       .withColumn("mean_bits",
         col("info_bits").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** The unigram family's shared per-doc term-frequency pass:
+    * (idCol, term, tf) from one explode + hash agg. */
+  private def termTf(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(n, col(idCol))
+      .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
   }
 
   /** The corpus' unigram self-information table — (term, bits) with
@@ -405,10 +417,7 @@ object CorpusOps {
     * new shard against it). */
   def unigramBits(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = df.sparkSession.sparkContext.defaultParallelism
-    val counts = df.repartition(n, col(idCol))
-      .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val counts = termTf(df, idCol, textCol)
       .groupBy(col("term")).agg(sum(col("tf")).as("c"))
     val totalRow = counts.agg(sum(col("c"))).collect()(0)
     val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
@@ -436,7 +445,11 @@ object CorpusOps {
       bits: Map[String, Long], oovBits: Long): DataFrame = {
     val lut = typedlit(bits)
     val ws = TextFunctions.words(col(textCol))
-    df.select(col(idCol),
+    // NULL text drops, matching the join form (whose explode produces
+    // no rows for it) — the q113/q117 parity contract covers the
+    // whole frame, not just non-null rows
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
         size(ws).cast("long").as("n_tokens"),
         aggregate(ws, lit(0L), (acc, w) =>
           acc + coalesce(element_at(lut, w), lit(oovBits))).as("info_bits"))

@@ -62,7 +62,10 @@ object VectorIndexStream {
       Similarity.ivfCentroids(corpus, idCol, vecCol, nLists))
     require(Seq("cent_id", "cent_vec").forall(cent.columns.contains),
       s"centroids frame must have (cent_id, cent_vec), got ${cent.columns.toSeq}")
-    cent.coalesce(1)
+    // prune to the contract columns: an extra column riding along
+    // (worst case one named like a probe-side alias) would be
+    // persisted into the store and break every later assignWith join
+    cent.select(col("cent_id"), col("cent_vec")).coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     import spark.implicits._
     Seq(Tuple1(nLists.toLong)).toDF("nLists").coalesce(1)

@@ -335,12 +335,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows(CorpusOps.scoreAgainstUnigramBits(d, "doc_id", "text", bits, oov))
       == rows(CorpusOps.unigramSurprisal(d, "doc_id", "text")))
 
-    // unseen tokens are charged the OOV penalty per occurrence
+    // unseen tokens are charged the OOV penalty per occurrence, and a
+    // NULL-text row drops exactly as the join form drops it
     val spark2 = spark
     import spark2.implicits._
-    val probe = Seq((1L, "zzzunseenzzz zzzunseenzzz")).toDF("doc_id", "text")
+    val probe = Seq((1L, "zzzunseenzzz zzzunseenzzz"), (2L, null: String))
+      .toDF("doc_id", "text")
     val got = rows(CorpusOps.scoreAgainstUnigramBits(probe, "doc_id", "text", bits, oov))
     assert(got == Seq((1L, 2L, 2 * oov, oov.toDouble)))
+    assert(rows(CorpusOps.unigramSurprisal(probe, "doc_id", "text")).map(_._1)
+      == Seq(1L))
 
     // a pure per-row projection: attaches to an unbounded stream as-is
     implicit val sqlCtx = spark.sqlContext
@@ -356,15 +360,13 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("unigramSurprisal: rarer tokens never carry fewer bits; gibberish outranks prose") {
     val d = graft.Tables.table(spark, sf001, "documents")
-    val n = d.sparkSession.sparkContext.defaultParallelism
-    val tf = d.repartition(n, col("doc_id"))
-      .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
-    val total = counts.agg(sum(col("c"))).collect()(0).getLong(0)
-    val bits = counts.withColumn("bits",
-      (length(bin(expr(s"CAST($total AS BIGINT) div c"))) - 1).cast("long"))
+    // independent corpus term counts joined against the bits table —
+    // the formula itself lives only in CorpusOps
+    val counts = d
+      .select(explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val bits = CorpusOps.unigramBits(d, "doc_id", "text")
+      .join(counts, Seq("term"))
       .collect().map(r => r.getAs[Long]("c") -> r.getAs[Long]("bits"))
     // self-information is antitone in count: c1 <= c2 => bits1 >= bits2
     bits.sortBy(_._1).sliding(2).foreach {
