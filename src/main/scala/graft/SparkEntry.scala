@@ -12,10 +12,32 @@ import graft.queries._
   */
 object SparkEntry {
 
-  val registry: Seq[GraftQuery] =
-    CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ ExtendedQueries.all ++ PipelineQueries.all ++
-      CorpusQueries.all ++ MaintenanceQueries.all
+  /** Queries whose semantics are NOT SQL-expressible and therefore
+    * carry no DuckDB oracle — each must be named here WITH the spec
+    * that gates it instead. Every other registry entry must have an
+    * oracle; the guard below fails loudly otherwise, so a query added
+    * without its oracle (or an oracle dropped by a refactor) can never
+    * silently shrink the driver's correctness coverage. */
+  private val specOnlyAllowed: Map[String, String] = Map.empty
+
+  val registry: Seq[GraftQuery] = {
+    val all =
+      CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+        SimilarityQueries.all ++ ExtendedQueries.all ++ PipelineQueries.all ++
+        CorpusQueries.all ++ MaintenanceQueries.all
+    val dup = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names in registry: $dup — the " +
+      "name->query map would silently drop all but one")
+    val unoracled = all.filter(_.oracle.isEmpty).map(_.name)
+      .filterNot(specOnlyAllowed.contains)
+    require(unoracled.isEmpty, s"queries without a DuckDB oracle and not " +
+      s"in specOnlyAllowed: $unoracled — add the oracle or document the " +
+      "gating spec in specOnlyAllowed")
+    val stale = specOnlyAllowed.keys.filterNot(n => all.exists(_.name == n))
+    require(stale.isEmpty,
+      s"specOnlyAllowed names queries not in the registry: $stale")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full STEDI decode chain (JSON-in-base64-in-JSON -> unbase64 ->

@@ -699,8 +699,7 @@ object CorpusQueries {
         "q102's oracle verbatim.",
       (spark, dir) => {
         val d = Tables.table(spark, dir, "documents")
-        val idx = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_q103_index").getPath
+        val idx = QueryScratch.dir("graft_q103_index")
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
         graft.streaming.PostingsStream.backfillIndex(
           d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
@@ -775,8 +774,7 @@ object CorpusQueries {
         "arithmetic shares q104's exactly-reproducible form.",
       (spark, dir) => {
         val d = Tables.table(spark, dir, "documents")
-        val idx = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_q108_index").getPath
+        val idx = QueryScratch.dir("graft_q108_index")
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
         graft.streaming.PostingsStream.backfillIndex(
           d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)

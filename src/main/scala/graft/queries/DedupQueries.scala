@@ -225,8 +225,7 @@ object DedupQueries {
         val fresh = d.filter(col("doc_id") % 2 === 1)
         // fixed scratch path: repeated verify/bench runs overwrite one
         // seed instead of accumulating temp dirs
-        val idx = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_q93_index").getPath
+        val idx = QueryScratch.dir("graft_q93_index")
         graft.streaming.NearDedupStream
           .backfillIndex(old, "doc_id", "text", idx)
         graft.streaming.NearDedupStream

@@ -91,14 +91,18 @@ object ExtendedQueries {
             val lo = cum + 1; cum += r.getLong(1); (r.getLong(0), lo, cum) } }
         def kth(r: Long): Long =
           spans.find(_._3 >= r).map(_._1).getOrElse(spans.last._1)
-        val slack = n / 10000 + 1
+        // ONE knob: the summary accuracy AND the rank slack it implies
+        // (N/accuracy) derive from this val — changing one without the
+        // other would make the gate wrongly loose or falsely failing
+        val accuracy = 10000
+        val slack = n / accuracy + 1
         def okRank(v: Long, target: Long): Boolean =
           spans.find(_._1 == v).exists { case (_, lo, hi) =>
             lo - slack <= target && target <= hi + slack }
         val approx = d.agg(
-          percentile_approx(col("n_chars"), lit(0.25), lit(10000)),
-          percentile_approx(col("n_chars"), lit(0.50), lit(10000)),
-          percentile_approx(col("n_chars"), lit(0.75), lit(10000))).collect()(0)
+          percentile_approx(col("n_chars"), lit(0.25), lit(accuracy)),
+          percentile_approx(col("n_chars"), lit(0.50), lit(accuracy)),
+          percentile_approx(col("n_chars"), lit(0.75), lit(accuracy))).collect()(0)
         val rs = Seq(0.25, 0.50, 0.75).map(p => math.ceil(p * n).toLong)
         val ok = rs.zipWithIndex.forall { case (r, i) =>
           okRank(approx.getLong(i), r) }

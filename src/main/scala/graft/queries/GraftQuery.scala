@@ -19,3 +19,17 @@ final case class GraftQuery(
     doc: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String])
+
+/** Per-process scratch namespace for the queries that build durable
+  * stores (the served-index and maintenance families). The JVM pid
+  * segments the path: two concurrent bench/test JVMs on one host would
+  * otherwise race on deleteDir/overwrite of the SAME fixed tmp dirs and
+  * corrupt each other's results mid-pass. Stable within a run (the pid
+  * is constant), so re-executions inside one JVM still overwrite their
+  * own store — which the rebuild-from-scratch queries rely on. */
+object QueryScratch {
+  private val nonce: String = java.lang.ProcessHandle.current().pid().toString
+  def dir(name: String): String =
+    new java.io.File(new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-$nonce"), name).getPath
+}

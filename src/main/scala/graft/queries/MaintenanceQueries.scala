@@ -26,8 +26,7 @@ object MaintenanceQueries {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  private def tmp(name: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"), name).getPath
+  private def tmp(name: String): String = QueryScratch.dir(name)
 
   private val docIdSchema = StructType(Seq(StructField("doc_id", LongType)))
 

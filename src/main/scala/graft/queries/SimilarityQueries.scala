@@ -399,8 +399,7 @@ object SimilarityQueries {
       (spark, dir) => {
         val e = Tables.table(spark, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
-        val idx = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_q97_index").getPath
+        val idx = QueryScratch.dir("graft_q97_index")
         graft.sinks.CorpusSink.writeIvfFlatIndex(
           e, "vec_id", "embedding", idx, nLists = 8)
         Similarity.ivfFlatTopKFromIndex(spark, idx, q, "vec_id", "embedding",
@@ -762,8 +761,7 @@ object SimilarityQueries {
         val q = e.filter(col("vec_id") % 50 === 0)
         // fixed scratch path: repeated verify/bench runs overwrite one
         // index instead of accumulating temp dirs
-        val idx = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_q89_index").getPath
+        val idx = QueryScratch.dir("graft_q89_index")
         graft.sinks.CorpusSink.writeIvfPqIndex(
           e, "vec_id", "embedding", idx, nLists = 8, m = 8, dim = 64, kCent = 16)
         Similarity.ivfPqTopKFromIndex(spark, idx, q, "vec_id", "embedding",
@@ -785,8 +783,7 @@ object SimilarityQueries {
       (spark, dir) => {
         val e = Tables.table(spark, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
-        val idx = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_q98_index").getPath
+        val idx = QueryScratch.dir("graft_q98_index")
         graft.sinks.CorpusSink.writeIvfPqIndex(
           e, "vec_id", "embedding", idx, nLists = 8, m = 8, dim = 64, kCent = 16)
         Similarity.recallReport(
@@ -899,8 +896,7 @@ object SimilarityQueries {
       (spark, dir) => {
         val e = Tables.table(spark, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
-        val idx = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_q100_index").getPath
+        val idx = QueryScratch.dir("graft_q100_index")
         graft.sinks.CorpusSink.writeIvfSq8Index(
           e, "vec_id", "embedding", idx, nLists = 8, dim = 64)
         Similarity.ivfSq8TopKFromIndex(spark, idx, q, "vec_id", "embedding",
@@ -923,8 +919,7 @@ object SimilarityQueries {
         "replay, and compaction are MemoryStream-spec'd.",
       (spark, dir) => {
         val e = Tables.table(spark, dir, "embeddings")
-        val idx = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_q101_index").getPath
+        val idx = QueryScratch.dir("graft_q101_index")
         graft.streaming.VectorIndexStream.seedIndex(
           e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
         graft.streaming.VectorIndexStream.appendBatch(
@@ -980,8 +975,7 @@ object SimilarityQueries {
         "margin; cells are q101's even-half quantizer.",
       (spark, dir) => {
         val e = Tables.table(spark, dir, "embeddings")
-        val idx = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_q105_index").getPath
+        val idx = QueryScratch.dir("graft_q105_index")
         graft.streaming.VectorIndexStream.seedIndex(
           e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
         graft.streaming.SemanticDedupStream.dedupBatch(
@@ -1033,8 +1027,7 @@ object SimilarityQueries {
         "— hash-exact.",
       (spark, dir) => {
         val e = Tables.table(spark, dir, "embeddings")
-        val idx = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_q106_index").getPath
+        val idx = QueryScratch.dir("graft_q106_index")
         graft.streaming.VectorIndexStream.seedSq8Index(
           e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
         graft.streaming.VectorIndexStream.appendSq8Batch(
@@ -1101,8 +1094,7 @@ object SimilarityQueries {
         "distances — hash-exact.",
       (spark, dir) => {
         val e = Tables.table(spark, dir, "embeddings")
-        val idx = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_q107_index").getPath
+        val idx = QueryScratch.dir("graft_q107_index")
         graft.streaming.VectorIndexStream.seedPqIndex(
           e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
           nLists = 8, m = 8, dim = 64, kCent = 16)
@@ -1155,8 +1147,7 @@ object SimilarityQueries {
       (spark, dir) => {
         val e = Tables.table(spark, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
-        val idx = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_q109_index").getPath
+        val idx = QueryScratch.dir("graft_q109_index")
         graft.streaming.VectorIndexStream.seedIndex(
           e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
         graft.streaming.VectorIndexStream.appendBatch(
@@ -1323,8 +1314,7 @@ object SimilarityQueries {
       (spark, dir) => {
         val e = Tables.table(spark, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
-        val idx = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_q115_index").getPath
+        val idx = QueryScratch.dir("graft_q115_index")
         graft.sinks.CorpusSink.writePqRefineIndex(
           e, "vec_id", "embedding", idx, m = 8, dim = 64, kCent = 16)
         Similarity.pqRefinedTopKFromIndex(spark, idx, q, "vec_id", "embedding",

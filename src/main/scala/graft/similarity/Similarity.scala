@@ -127,23 +127,30 @@ object Similarity {
     * oracle-expressible (iterative fit), so its contract is
     * served-vs-inline parity under the SAME stored centroids
     * (VectorIndexStreamSpec), not a DuckDB twin. cent_id is the
-    * cluster index — ids only need to be distinct and stably ordered
-    * for the shared argmin tie-break. */
+    * cluster index — no source id participates in training (only the
+    * vectors feed Lloyd's), which is why, unlike [[ivfCentroids]],
+    * this signature takes no idCol. */
   def kmeansCentroids(
-      corpus: DataFrame, idCol: String, vecCol: String, nLists: Int,
+      corpus: DataFrame, vecCol: String, nLists: Int,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
+    // cache the projected frame: ml.KMeans only caches internally when
+    // its input is NOT already cached, and Lloyd's at maxIter=10 would
+    // otherwise re-evaluate the seed-corpus projection every iteration
     val feat = corpus
       .select(array_to_vector(col(vecCol).cast("array<float>")).as("features"))
-    val model = new KMeans()
-      .setK(nLists).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
-      .fit(feat)
-    model.clusterCenters.toSeq.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
-      .toDF("cent_id", "cent_vec")
+      .cache()
+    try {
+      val model = new KMeans()
+        .setK(nLists).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
+        .fit(feat)
+      model.clusterCenters.toSeq.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+        .toDF("cent_id", "cent_vec")
+    } finally feat.unpersist()
   }
 
   /** The one argmin-cell implementation every IVF consumer shares

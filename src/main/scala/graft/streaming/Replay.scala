@@ -30,7 +30,17 @@ object Replay {
     * (graft.Tables — incl. its note on the session-wide legacy conf).
     * An initially-EMPTY replay directory (stream started before any
     * file lands — the normal streaming bootstrap) has no footer to
-    * probe; default to the current generation's timestamp[us] dtype. */
+    * probe; default to the current generation's timestamp[us] dtype.
+    *
+    * OPERATOR NOTE on that empty-dir default: if the first files that
+    * later land are LEGACY INT64-nanos parquet, every micro-batch read
+    * fails (the nanos-recovery branch runs at probe time only, and a
+    * running file stream cannot re-pin its schema). The remedy is to
+    * restart the stream once a file exists — the probe then sees the
+    * real footer and pins the legacy dtype. This is the documented
+    * trade: re-probing inside the stream on first-batch failure would
+    * put a schema mutation on the hot path of every healthy stream to
+    * heal a bootstrap-only, restart-fixable corner. */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     val storedTs =
       try spark.read.parquet(eventsDir).schema("ts").dataType

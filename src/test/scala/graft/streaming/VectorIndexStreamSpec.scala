@@ -55,7 +55,7 @@ class VectorIndexStreamSpec extends SparkSpec {
 
     // train on the seed half only — the Faiss IVF append story: the
     // quantizer is fixed at seed time, later appends assign against it
-    val trained = Similarity.kmeansCentroids(even, "vec_id", "embedding", nLists = 8)
+    val trained = Similarity.kmeansCentroids(even, "embedding", nLists = 8)
     assert(trained.count() == 8)
     VectorIndexStream.seedIndex(
       even, "vec_id", "embedding", s"$dir/index", nLists = 8,
