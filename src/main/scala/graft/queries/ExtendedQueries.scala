@@ -610,6 +610,39 @@ object ExtendedQueries {
               FROM B, unnest(range(0, 20)) AS t(w))
         SELECT a.user_id, a.day, w.w_id
         FROM A a JOIN W w ON a.a_start < w.w_end AND w.w_start < a.a_end
-        ORDER BY user_id, day, w_id"""))
+        ORDER BY user_id, day, w_id""")),
+
+    GraftQuery(
+      "q121_jdbc_roundtrip",
+      "JDBC source end-to-end against a REAL database (SURVEY §2.1 S6, " +
+        "the reference's Kafka Connect JDBC connector in incrementing " +
+        "mode, producers/connector.py:23-45): documents (doc_id, " +
+        "n_chars) is written through the JDBC sink into embedded Derby " +
+        "(the RDBMS shipping in /opt/spark/jars — per-JVM in-memory, " +
+        "so the query is hermetic and rebuilds its table each run), " +
+        "then an incrementing-mode poll with lastSeen=250 reads back " +
+        "ONLY the strictly-newer rows via the pushed-down WHERE " +
+        "subquery — the connector's resume-from-offset semantics, " +
+        "executed IN the database (plan-asserted in JdbcSourceSpec). " +
+        "At 100 TB the same poll shape bounds each cycle to the new " +
+        "rows and readPartitioned spreads big snapshots over N range " +
+        "queries; values round-trip exactly (BIGINT both ways).",
+      (spark, dir) => {
+        val url = graft.sources.JdbcSource.derbyMemoryUrl("graft_q121")
+        Tables.table(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .write.mode("overwrite")
+          .jdbc(url, "graft_docs", new java.util.Properties())
+        // the JDBC sink creates quoted (case-sensitive lowercase)
+        // identifiers, so the poll's incrementing column is passed
+        // pre-quoted — incCol splices verbatim into the pushdown SQL
+        graft.sources.JdbcSource
+          .readIncremental(spark, url, "graft_docs", "\"doc_id\"", 250L)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id > 250 ORDER BY doc_id"""))
   )
 }
