@@ -7,12 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (SURVEY.md §2.10): media payloads are
   * opaque `binary` columns travelling next to a typed metadata struct.
   *
-  * The real decoders (image/audio/video libraries) are NOT available in
-  * this environment, so the decode step is a clearly-marked deterministic
-  * STUB — but everything Spark-side is real and tested: the schema shape,
-  * the batch-oriented `mapPartitions` decode loop (the Scala analog of
-  * `mapInPandas`: one iterator pass per partition, no per-row setup), and
-  * the pushdown-friendly metadata projection.
+  * IMAGE decode is REAL: payloads carrying a known image container
+  * (PNG/JPEG/GIF/BMP by magic bytes) are parsed with JDK ImageIO —
+  * true width/height, no external dependency (16 reader formats ship
+  * with this JDK). Anything else falls back to a clearly-marked
+  * deterministic stub, so non-image payloads still flow through the
+  * same pipeline shape (audio/video codecs are genuinely absent from
+  * the runtime; their decode remains the stub). Everything Spark-side
+  * is real either way: the schema shape, the batch-oriented
+  * `mapPartitions` decode loop (the Scala analog of `mapInPandas`: one
+  * iterator pass per partition, no per-row setup), and the
+  * pushdown-friendly metadata projection.
   *
   * At 100 TB: payload bytes dominate, so (a) metadata lives in separate
   * columns for scan pruning — a metadata-only query never touches bytes;
@@ -46,20 +51,40 @@ object Multimodal {
   case class MediaFeatures(
       media_id: Long, n_bytes: Long, width: Int, height: Int, checksum: String)
 
-  /** STUB decode: a real implementation would parse the payload with an
-    * image/audio codec here. The stub derives deterministic fake
-    * dimensions from the byte length so the full pipeline (partition
-    * batching, feature schema, downstream joins) is exercised end-to-end.
-    */
+  /** Cheap container sniff — decode is only attempted on payloads whose
+    * magic bytes name a format ImageIO ships a reader for; everything
+    * else skips straight to the stub without paying a reader probe. */
+  def looksLikeImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && (
+      (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'G') ||                                  // PNG
+      (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte) || // JPEG
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') || // GIF
+      (bytes(0) == 'B' && bytes(1) == 'M'))                   // BMP
+
+  /** REAL image decode via JDK ImageIO: (width, height) of the decoded
+    * raster, or None when no registered reader claims the bytes (a
+    * sniffed-but-corrupt payload — callers fall back to the stub so a
+    * poisoned row degrades instead of killing the partition). */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      Option(img).map(i => (i.getWidth, i.getHeight))
+    } catch { case _: java.io.IOException => None }
+
+  /** STUB decode for payloads with no available codec (audio/video, or
+    * the opaque test payloads): deterministic fake dimensions from the
+    * byte length so the full pipeline (partition batching, feature
+    * schema, downstream joins) is exercised end-to-end regardless. */
   def stubDecode(payload: Array[Byte]): (Int, Int) = {
-    // ??? <- real codec call goes here (e.g. ImageIO.read) when the
-    // runtime ships decoders; deterministic fake keeps tests hermetic.
     val n = payload.length
     (640 + n % 640, 360 + n % 360)
   }
 
   /** Batch decode via mapPartitions — the Scala analog of a Pandas UDF
-    * over mapInPandas: one pass per partition, features out. */
+    * over mapInPandas: one pass per partition, features out. Image
+    * containers decode for real (ImageIO); everything else stubs. */
   def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -67,17 +92,67 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, payload, checksum) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          val (w, h) = stubDecode(bytes)
+          val (w, h) =
+            (if (looksLikeImage(bytes)) decodeImage(bytes) else None)
+              .getOrElse(stubDecode(bytes))
           MediaFeatures(id, bytes.length.toLong, w, h, checksum)
         }
       }
   }
 
+  /** Deterministic PNG of the given dimensions — the test/query-side
+    * image synthesizer (pixel = a fixed function of position and tone,
+    * encoded by the JDK's own PNG writer), so [[decodeFeatures]] can be
+    * oracle-gated on TRUE decoded dimensions with zero external data. */
+  def syntheticPng(width: Int, height: Int, tone: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (x * 31 + y * 17 + tone) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // NOT `private`: Scala private members compile to private bytecode,
+  // which the codegen'd encoder accessors cannot call (janino falls
+  // back to interpreted row conversion — silent 10x on the hot path)
+  case class MediaMeta(mime: String, n_bytes: Long, checksum: String)
+  case class MediaRow(
+      media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+
+  /** Pack one synthetic PNG per input row at (widthCol x heightCol)
+    * into the media shape — encode rides the same mapPartitions batch
+    * shape as decode (per-partition iterator, bytes out). */
+  def packImages(
+      df: DataFrame, idCol: String, widthCol: String,
+      heightCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(widthCol).cast("int"),
+        col(heightCol).cast("int")).as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        val png = syntheticPng(w, h, tone = (id % 251).toInt)
+        MediaRow(id, "image", png,
+          MediaMeta("image/png", png.length.toLong,
+            java.security.MessageDigest.getInstance("MD5").digest(png)
+              .map("%02x".format(_)).mkString))
+      }).toDF()
+  }
+
   /** STUB resize: a real implementation re-encodes the payload at the
-    * target dimensions; the stub deterministically truncates/pads so the
-    * batch shape (bytes in, bytes out, metadata recomputed) is real. */
+    * target dimensions (for image payloads Java2D + ImageIO could — the
+    * byte-budget contract here is deliberately codec-agnostic); the stub
+    * deterministically truncates/pads so the batch shape (bytes in,
+    * bytes out, metadata recomputed) is real for every media kind. */
   def stubResize(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
-    // ??? <- real codec resize goes here when decoders ship
     if (payload.length >= targetBytes) payload.take(targetBytes)
     else payload ++ Array.fill[Byte](targetBytes - payload.length)(0)
   }
@@ -114,10 +189,13 @@ object Multimodal {
       }
   }
 
-  /** Expression-only twin of [[decodeFeatures]] (same arithmetic,
-    * including the null-payload case: mapPartitions substitutes an
-    * empty byte array, so the expression form coalesces lengths to 0)
-    * used by the oracle-checked query — stays in whole-stage codegen. */
+  /** Expression-only twin of [[decodeFeatures]]' STUB path — exact for
+    * NON-IMAGE payloads (q26 packs text bytes, which never sniff as an
+    * image container; true image payloads take the ImageIO branch and
+    * are gated by q122 instead). Same arithmetic as the stub, including
+    * the null-payload case: mapPartitions substitutes an empty byte
+    * array, so the expression form coalesces lengths to 0. Stays in
+    * whole-stage codegen. */
   def decodeFeaturesExpr(media: DataFrame): DataFrame = {
     val len = coalesce(octet_length(col("payload")), lit(0))
     media.select(

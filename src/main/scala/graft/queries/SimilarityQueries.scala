@@ -541,6 +541,36 @@ object SimilarityQueries {
         FROM documents ORDER BY media_id""")),
 
     GraftQuery(
+      "q122_multimodal_decode",
+      "REAL image decode through the oracle gate (q26 exercises the " +
+        "non-image stub path; this is the codec path): one synthetic " +
+        "PNG per document is ENCODED in-engine at doc_id-derived " +
+        "dimensions (JDK ImageIO writer, mapPartitions batch shape), " +
+        "then decodeFeatures sniffs the PNG magic and DECODES it with " +
+        "ImageIO — the reported width/height are the parsed raster's, " +
+        "not metadata arithmetic — and the oracle recomputes the " +
+        "expected dimensions from doc_id alone. Wrong sniff, wrong " +
+        "decode, or a stub fallback on a valid PNG all hash-mismatch. " +
+        "At 100 TB this is the decode stage's real shape: payload " +
+        "bytes stay columnar, decode runs once per partition batch, " +
+        "features land in their own narrow table.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val dims = d.select(col("doc_id"),
+          (lit(1) + col("doc_id") % 31).cast("int").as("w"),
+          (lit(1) + col("doc_id") % 17).cast("int").as("h"))
+        val media = Multimodal.packImages(dims, "doc_id", "w", "h")
+        Multimodal.decodeFeatures(media)
+          .select(col("media_id"), col("width"), col("height"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               CAST(1 + doc_id % 31 AS INTEGER) AS width,
+               CAST(1 + doc_id % 17 AS INTEGER) AS height
+        FROM documents ORDER BY media_id""")),
+
+    GraftQuery(
       "q65_ann_sq8_topk",
       "SQ8 compressed ANN: top-3 by 8-bit scalar-quantized L2 (global " +
         "per-dim min/max ranges, fused quantize+distance codegen " +

@@ -40,4 +40,41 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
     assert(viaPartitions == viaExpr)
   }
+
+  test("image payloads decode for REAL: ImageIO parses true dimensions") {
+    // PNG via the JDK encoder; BMP hand-synthesized via BufferedImage too
+    val png = Multimodal.syntheticPng(37, 11, tone = 5)
+    assert(Multimodal.looksLikeImage(png))
+    assert(Multimodal.decodeImage(png).contains((37, 11)))
+
+    val bmpImg = new java.awt.image.BufferedImage(
+      9, 23, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bmpImg, "bmp", bos)
+    val bmp = bos.toByteArray
+    assert(Multimodal.looksLikeImage(bmp))
+    assert(Multimodal.decodeImage(bmp).contains((9, 23)))
+
+    // non-image bytes: sniff rejects, text payloads never probe a reader
+    assert(!Multimodal.looksLikeImage("plain text".getBytes("UTF-8")))
+    // sniffed-but-corrupt: magic matches, body truncated -> None, no throw
+    assert(Multimodal.decodeImage(png.take(12)).isEmpty)
+  }
+
+  test("decodeFeatures end-to-end: packed PNGs report decoded dims, not stub math") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dims = Seq((1L, 31, 7), (2L, 4, 18), (3L, 100, 1))
+      .toDF("id", "w", "h")
+    val media = Multimodal.packImages(dims, "id", "w", "h")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val mimes = media.select("meta.mime").collect().map(_.getString(0)).toSet
+    assert(mimes == Set("image/png"))
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> ((f.width, f.height))).toMap
+    assert(feats == Map(1L -> ((31, 7)), 2L -> ((4, 18)), 3L -> ((100, 1))))
+    // and n_bytes is the ENCODED size (nonzero, not width*height)
+    val nb = Multimodal.decodeFeatures(media).collect().map(_.n_bytes)
+    assert(nb.forall(_ > 0))
+  }
 }
