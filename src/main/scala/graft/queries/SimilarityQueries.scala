@@ -1351,6 +1351,85 @@ object SimilarityQueries {
             k = 3, rerankR = 10, m = 8, dim = 64)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(pqRefineOracle))
+      Some(pqRefineOracle)),
+
+    GraftQuery(
+      "q123_ann_streamed_refined",
+      "Two-stage PQ + exact refine over STREAMED stores — the refine " +
+        "cell of the streamed serving matrix (q101 flat / q106 SQ8 / " +
+        "q107 PQ now composed, q114/q115's recipe against live " +
+        "indexes): the even-id seed half pins centroids + grid + " +
+        "codebook in a streamed PQ store AND seeds a flat " +
+        "full-precision companion store; the odd half appends to BOTH " +
+        "as batch 0; the probe shortlists rerankR=10 per query from " +
+        "the PQ store's codes alone (probed-cell pruning, ADC " +
+        "integer distances) and re-ranks ONLY those candidates in " +
+        "exact cosine read id-pruned from the flat store (literal-IN " +
+        "pushdown onto id-sorted cell files). One fence pins both " +
+        "stores to the same admitted history. Stream==backfill parity " +
+        "is spec-asserted (VectorIndexStreamSpec).",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val even = e.filter(col("vec_id") % 2 === 0)
+        val odd = e.filter(col("vec_id") % 2 === 1)
+        val pqIdx = QueryScratch.dir("graft_q123_pq_index")
+        val vecsIdx = QueryScratch.dir("graft_q123_vecs_index")
+        graft.streaming.VectorIndexStream.seedPqIndex(
+          even, "vec_id", "embedding", pqIdx, nLists = 8, m = 8,
+          dim = 64, kCent = 16)
+        graft.streaming.VectorIndexStream.appendPqBatch(
+          odd, "vec_id", "embedding", pqIdx, 0L)
+        graft.streaming.VectorIndexStream.seedIndex(
+          even, "vec_id", "embedding", vecsIdx, nLists = 8)
+        graft.streaming.VectorIndexStream.appendBatch(
+          odd, "vec_id", "embedding", vecsIdx, 0L)
+        graft.streaming.VectorIndexStream.pqRefinedTopKFromIndex(
+            spark, pqIdx, vecsIdx, q, "vec_id", "embedding",
+            k = 3, rerankR = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        """ + pqCte(" WHERE vec_id % 2 = 0") + """,
+        ADC AS (
+          SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
+          FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
+          JOIN CELL ca ON ca.vec_id = l.query_id
+          JOIN CELL cb ON cb.vec_id = c.vec_id AND cb.cell = ca.cell
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2),
+        R AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist, neighbor_id) AS rank
+              FROM ADC),
+        SL AS (SELECT query_id, neighbor_id FROM R WHERE rank <= 10),
+        EX AS (
+          SELECT s.query_id, s.neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM SL s
+          JOIN embeddings q ON q.vec_id = s.query_id
+          JOIN embeddings c ON c.vec_id = s.neighbor_id
+          CROSS JOIN range(1, 65) i(i)
+          GROUP BY 1, 2),
+        RR AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+               FROM EX)
+        SELECT query_id, rank, neighbor_id FROM RR
+        WHERE rank <= 3 ORDER BY query_id, rank"""))
   )
 }

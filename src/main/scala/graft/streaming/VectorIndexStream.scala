@@ -96,6 +96,10 @@ object VectorIndexStream {
     Similarity.assignWith(cent, df.select(col(idCol), col(vecCol)), idCol, vecCol)
       .select(col(idCol), col(vecCol), col("cell"))
       .repartition(col("cell"))
+      // id-sorted within each cell file: parquet row-group min/max on
+      // the id column stay tight, so id-point reads (the refine stage's
+      // literal-IN pushdown) skip non-intersecting row groups
+      .sortWithinPartitions(col(idCol))
       .write.mode("overwrite")
       .partitionBy("cell")
       .parquet(s"$indexDir/cells/batch=$batchId")
@@ -599,6 +603,58 @@ object VectorIndexStream {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
+  /** Two-stage PQ + exact refine SERVED FROM STREAMED STORES — the
+    * streamed face of [[Similarity.pqRefinedTopKFromIndex]] (Faiss
+    * IndexRefineFlat over a live index): the ADC shortlist runs
+    * against THIS store's codes ([[pqTopKFromIndex]] at k = rerankR:
+    * pinned grid + codebook, probed-cell pruning, fenced batches),
+    * then the |Q| x rerankR candidate ids are collected driver-side
+    * (the same bounded-artifact posture as the ADC LUT) and pushed as
+    * a literal IN onto a FLAT companion store (`seedIndex`/
+    * `appendBatch` over the same vectors — the full-precision history
+    * the refine needs), so the exact-cosine re-rank reads only row
+    * groups intersecting the shortlist. Both stores share the
+    * [[BatchIndex]] lifecycle (stamps, fences, compaction, expiry),
+    * so one `beforeBatch` pins BOTH to the same admitted history.
+    *
+    * Scale shape: the corpus is scanned once as m-byte codes (probed
+    * cells only); the flat store contributes an id-pruned point read;
+    * nothing full-precision is ever scanned corpus-wide. */
+  def pqRefinedTopKFromIndex(
+      spark: SparkSession, pqIndexDir: String, vecsIndexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      rerankR: Int, nProbe: Int = 1,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    require(rerankR >= k, s"rerankR=$rerankR must be >= k=$k")
+    val shortlist = pqTopKFromIndex(spark, pqIndexDir, queries,
+        idCol, vecCol, k = rerankR, nProbe = nProbe,
+        beforeBatch = beforeBatch)
+      .select(col("query_id"), col("neighbor_id"))
+    val slRows = shortlist.collect()
+    val ids = slRows.map(_.getLong(1)).distinct.sorted
+    val slLocal = spark.createDataFrame(
+      java.util.Arrays.asList(slRows: _*), shortlist.schema)
+    val idFilter =
+      if (ids.isEmpty) lit(false) else col(idCol).isin(ids: _*)
+    val vecs = latestPerId(
+      readCells(spark, vecsIndexDir, beforeBatch, cellFilter = lit(true))
+        .filter(idFilter)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+          col("batch")),
+      "neighbor_id", Seq("c_vec"))
+    val qvec = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    vecs.join(broadcast(slLocal), Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineSim(
+        col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
   /** Top-k over the SQ8 store before `beforeBatch`: the query is

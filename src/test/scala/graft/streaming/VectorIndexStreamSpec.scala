@@ -317,6 +317,86 @@ class VectorIndexStreamSpec extends SparkSpec {
         spark, s"$seedOnly/index", queries, "vec_id", "embedding", k = 3)))
   }
 
+  test("PQ+refine over streamed stores: stream == backfill; id-pruned refine; full-probe full-rerank == brute force (q123)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_refine").toString
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    VectorIndexStream.seedPqIndex(evens, "vec_id", "embedding", s"$dir/pq")
+    VectorIndexStream.seedIndex(evens, "vec_id", "embedding", s"$dir/vecs")
+
+    // both stores fed from ONE logical stream in two micro-batches
+    val odd = e.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b0, b1) = odd.partition(_._1 % 4 == 1)
+    val inPq = MemoryStream[(Long, Array[Float])]
+    val inFlat = MemoryStream[(Long, Array[Float])]
+    val qPq = VectorIndexStream.pqIndexStreamTo(
+      inPq.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/pq", s"$dir/ckpt_pq")().start()
+    val qFlat = VectorIndexStream.indexStreamTo(
+      inFlat.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/vecs", s"$dir/ckpt_vecs")().start()
+    try {
+      inPq.addData(b0: _*); inFlat.addData(b0: _*)
+      qPq.processAllAvailable(); qFlat.processAllAvailable()
+      inPq.addData(b1: _*); inFlat.addData(b1: _*)
+      qPq.processAllAvailable(); qFlat.processAllAvailable()
+    } finally { qPq.stop(); qFlat.stop() }
+
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+    val served = VectorIndexStream.pqRefinedTopKFromIndex(
+      spark, s"$dir/pq", s"$dir/vecs", queries, "vec_id", "embedding",
+      k = 3, rerankR = 10)
+    // served from stores alone; refine's flat-store scan is id-pruned
+    // (the shortlist literal IN reaches the parquet scan as pushed
+    // filters, over the id-sorted cell files)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"), plan)
+    assert("PushedFilters: \\[[^\\]]*In\\(vec_id".r.findFirstIn(plan).isDefined,
+      s"shortlist ids not pushed onto the vecs scan:\n$plan")
+    val streamed = topk(served)
+    assert(streamed.nonEmpty)
+
+    // == the one-batch backfill twin of BOTH stores
+    val twin = java.nio.file.Files.createTempDirectory("vec_index_refine_twin").toString
+    VectorIndexStream.seedPqIndex(evens, "vec_id", "embedding", s"$twin/pq")
+    VectorIndexStream.appendPqBatch(
+      odd.toDF("vec_id", "embedding"), "vec_id", "embedding", s"$twin/pq", 0L)
+    VectorIndexStream.seedIndex(evens, "vec_id", "embedding", s"$twin/vecs")
+    VectorIndexStream.appendBatch(
+      odd.toDF("vec_id", "embedding"), "vec_id", "embedding", s"$twin/vecs", 0L)
+    assert(streamed == topk(VectorIndexStream.pqRefinedTopKFromIndex(
+      spark, s"$twin/pq", s"$twin/vecs", queries, "vec_id", "embedding",
+      k = 3, rerankR = 10)))
+
+    // refine is a true recall ladder: probing every cell and reranking
+    // the whole shortlist domain degenerates to exact brute force over
+    // everything admitted — Faiss's IndexRefineFlat(rerank=N) contract
+    val all = VectorIndexStream.pqRefinedTopKFromIndex(
+      spark, s"$dir/pq", s"$dir/vecs", queries, "vec_id", "embedding",
+      k = 3, rerankR = e.count().toInt, nProbe = 8)
+    val brute = Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 3)
+    assert(topk(all) == topk(brute))
+
+    // fence pins BOTH stores: pre-stream == seed-only twins
+    val seedOnly = java.nio.file.Files.createTempDirectory("vec_index_refine_seed").toString
+    VectorIndexStream.seedPqIndex(evens, "vec_id", "embedding", s"$seedOnly/pq")
+    VectorIndexStream.seedIndex(evens, "vec_id", "embedding", s"$seedOnly/vecs")
+    assert(topk(VectorIndexStream.pqRefinedTopKFromIndex(
+        spark, s"$dir/pq", s"$dir/vecs", queries, "vec_id", "embedding",
+        k = 3, rerankR = 10, beforeBatch = 0))
+      == topk(VectorIndexStream.pqRefinedTopKFromIndex(
+        spark, s"$seedOnly/pq", s"$seedOnly/vecs", queries, "vec_id",
+        "embedding", k = 3, rerankR = 10)))
+  }
+
   test("compaction journal: reads refuse mid-swap state; recovery completes the swap losslessly") {
     import spark.implicits._
     val e = graft.Tables.table(spark, sf001, "embeddings")
