@@ -643,6 +643,59 @@ object ExtendedQueries {
       },
       Some("""
         SELECT doc_id, n_chars FROM documents
-        WHERE doc_id > 250 ORDER BY doc_id"""))
+        WHERE doc_id > 250 ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q124_heavy_hitters",
+      "Frequent items through the gated-sketch pattern (q92 HLL, q118 " +
+        "quantiles, q64 bloom, q52 minhash — heavy hitters completes " +
+        "the family): a Misra-Gries TypedImperativeAggregate (capacity " +
+        "64, mergeable-summaries combine) shortlists candidate tokens " +
+        "in ONE pass with a bounded buffer per partition, then a " +
+        "broadcast-IN-filtered second aggregation computes EXACT " +
+        "counts for the <= 64 candidates alone; output is every token " +
+        "with exact count > N/(capacity+1) — which the sketch " +
+        "GUARANTEES all appear among its candidates, so the exact " +
+        "filter removes false positives and can miss nothing. The " +
+        "sketch's underestimate bound (<= N/(cap+1) per candidate) is " +
+        "require-asserted in-query; the oracle recomputes the heavy " +
+        "hitters from full exact counts, so a guarantee violation " +
+        "hash-mismatches. The 100 TB shape: the full vocabulary is " +
+        "never shuffled — only bounded sketch buffers and 64 exact " +
+        "candidate counts move.",
+      (spark, dir) => {
+        val cap = 64
+        val toks = Tables.table(spark, dir, "documents")
+          .select(explode(
+            graft.functions.TextFunctions.words(col("text"))).as("term"))
+        val row = toks.agg(
+          graft.functions.MisraGriesAgg.misraGries(col("term"), cap).as("sk"),
+          count(lit(1)).as("n")).collect()(0)
+        val sk = row.getSeq[org.apache.spark.sql.Row](0)
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val n = row.getLong(1)
+        val threshold = n / (cap + 1) // floor; true count > this => in sk
+        val exact = toks.filter(col("term").isin(sk.keys.toSeq: _*))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val exactMap = exact.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        sk.foreach { case (t, est) =>
+          val c = exactMap.getOrElse(t, 0L)
+          require(est <= c && c - est <= threshold,
+            s"misra_gries guarantee violated for '$t': est=$est exact=$c " +
+              s"allowed underestimate <= $threshold")
+        }
+        exact.filter(col("cnt") > lit(threshold))
+          .orderBy(col("cnt").desc, col("term"))
+      },
+      Some("""
+        WITH W AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+        T AS (SELECT unnest(w) AS term FROM W),
+        N AS (SELECT count(*) AS n FROM T),
+        C AS (SELECT term, count(*) AS cnt FROM T GROUP BY term)
+        SELECT c.term AS term, CAST(c.cnt AS BIGINT) AS cnt
+        FROM C c, N
+        WHERE c.cnt > n // 65
+        ORDER BY cnt DESC, term"""))
   )
 }
