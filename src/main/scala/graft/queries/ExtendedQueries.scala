@@ -696,6 +696,64 @@ object ExtendedQueries {
         SELECT c.term AS term, CAST(c.cnt AS BIGINT) AS cnt
         FROM C c, N
         WHERE c.cnt > n // 65
-        ORDER BY cnt DESC, term"""))
+        ORDER BY cnt DESC, term""")),
+
+    GraftQuery(
+      "q125_heavy_hitters_per_source",
+      "GROUPED heavy hitters — q124's sketch composed with groupBy " +
+        "(the per-tenant hot-key pass: one Misra-Gries buffer per " +
+        "source rides the hash aggregate, so 100 TB of tokens reduce " +
+        "to |sources| x capacity counters without ever shuffling the " +
+        "vocabulary). capacity=32 is the EXACT bound for the " +
+        "phi=1/33 threshold: 33 items above n/33 would sum past n, so " +
+        "at most 32 exist and the sketch can never overflow its " +
+        "guarantee. Per-source candidates get exact counts via one " +
+        "broadcast-joined recount; output is every (source, term) " +
+        "above its source's threshold — complete by the guarantee, " +
+        "exact by the recount, bounds require-asserted per candidate.",
+      (spark, dir) => {
+        import spark.implicits._
+        val cap = 32
+        val toks = Tables.table(spark, dir, "documents")
+          .select(col("source"), explode(
+            graft.functions.TextFunctions.words(col("text"))).as("term"))
+        val skRows = toks.groupBy(col("source")).agg(
+          graft.functions.MisraGriesAgg.misraGries(col("term"), cap).as("sk"),
+          count(lit(1)).as("n")).collect()
+        // bounded driver artifacts: |sources| x <= cap candidate rows
+        val cand = skRows.flatMap { r =>
+          val thr = r.getLong(2) / (cap + 1)
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => (r.getString(0), e.getString(0), e.getLong(1), thr))
+        }.toSeq
+        val candDf = cand.toDF("source", "term", "est", "thr")
+        val exact = toks
+          .join(broadcast(candDf.select("source", "term")), Seq("source", "term"))
+          .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+        val exactMap = exact.collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        cand.foreach { case (src, term, est, thr) =>
+          val c = exactMap.getOrElse((src, term), 0L)
+          require(est <= c && c - est <= thr,
+            s"misra_gries guarantee violated for ($src, '$term'): est=$est " +
+              s"exact=$c allowed underestimate <= $thr")
+        }
+        val thrDf = skRows
+          .map(r => (r.getString(0), r.getLong(2) / (cap + 1))).toSeq
+          .toDF("source", "thr")
+        exact.join(broadcast(thrDf), Seq("source"))
+          .filter(col("cnt") > col("thr"))
+          .select(col("source"), col("term"), col("cnt"))
+          .orderBy(col("source"), col("cnt").desc, col("term"))
+      },
+      Some("""
+        WITH W AS (SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        T AS (SELECT source, unnest(w) AS term FROM W),
+        N AS (SELECT source, count(*) AS n FROM T GROUP BY source),
+        C AS (SELECT source, term, count(*) AS cnt FROM T GROUP BY source, term)
+        SELECT c.source AS source, c.term AS term, CAST(c.cnt AS BIGINT) AS cnt
+        FROM C c JOIN N USING (source)
+        WHERE c.cnt > n // 33
+        ORDER BY source, cnt DESC, term"""))
   )
 }
