@@ -138,13 +138,17 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(widthCol).cast("int"),
         col(heightCol).cast("int")).as[(Long, Int, Int)]
-      .mapPartitions(_.map { case (id, w, h) =>
-        val png = syntheticPng(w, h, tone = (id % 251).toInt)
-        MediaRow(id, "image", png,
-          MediaMeta("image/png", png.length.toLong,
-            java.security.MessageDigest.getInstance("MD5").digest(png)
-              .map("%02x".format(_)).mkString))
-      }).toDF()
+      .mapPartitions { it =>
+        // one digest per partition, not per row (MessageDigest.getInstance
+        // is a provider lookup; digest() resets the instance)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, w, h) =>
+          val png = syntheticPng(w, h, tone = (id % 251).toInt)
+          MediaRow(id, "image", png,
+            MediaMeta("image/png", png.length.toLong,
+              md.digest(png).map("%02x".format(_)).mkString))
+        }
+      }.toDF()
   }
 
   /** STUB resize: a real implementation re-encodes the payload at the

@@ -555,7 +555,11 @@ object SimilarityQueries {
         "bytes stay columnar, decode runs once per partition batch, " +
         "features land in their own narrow table.",
       (spark, dir) => {
+        // every 5th document: the codec gate is per-row, so a sampled
+        // fixture proves real decode identically while the in-engine
+        // PNG-encode pass (the query's by-construction cost) stays small
         val d = Tables.table(spark, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
         val dims = d.select(col("doc_id"),
           (lit(1) + col("doc_id") % 31).cast("int").as("w"),
           (lit(1) + col("doc_id") % 17).cast("int").as("h"))
@@ -568,7 +572,7 @@ object SimilarityQueries {
         SELECT doc_id AS media_id,
                CAST(1 + doc_id % 31 AS INTEGER) AS width,
                CAST(1 + doc_id % 17 AS INTEGER) AS height
-        FROM documents ORDER BY media_id""")),
+        FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""")),
 
     GraftQuery(
       "q65_ann_sq8_topk",
