@@ -754,6 +754,76 @@ object ExtendedQueries {
         SELECT c.source AS source, c.term AS term, CAST(c.cnt AS BIGINT) AS cnt
         FROM C c JOIN N USING (source)
         WHERE c.cnt > n // 33
-        ORDER BY source, cnt DESC, term"""))
+        ORDER BY source, cnt DESC, term""")),
+
+    GraftQuery(
+      "q126_jdbc_partitioned",
+      "Range-partitioned JDBC snapshot through the oracle gate (q121's " +
+        "sibling — the big-table shape: N concurrent executor-side " +
+        "range queries instead of one serial cursor): documents land " +
+        "in Derby through the sink, then read back via 8 stride " +
+        "predicates on doc_id. The hash gate IS the exactly-once " +
+        "proof — a row duplicated across stride boundaries or dropped " +
+        "at one would mismatch. At 100 TB this is how a dimension " +
+        "snapshot avoids serializing through a single connection.",
+      (spark, dir) => {
+        val url = graft.sources.JdbcSource.derbyMemoryUrl("graft_q126")
+        val docs = Tables.table(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        docs.write.mode("overwrite")
+          .jdbc(url, "graft_docs_part", new java.util.Properties())
+        val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        // partitionColumn resolves against the JDBC schema and is
+        // dialect-quoted by Spark itself — pass it UNquoted
+        graft.sources.JdbcSource.readPartitioned(
+            spark, url, "graft_docs_part", "doc_id",
+            lowerBound = 0L, upperBound = hi + 1, numPartitions = 8)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, n_chars FROM documents ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q127_jdbc_poll_store",
+      "The connector's poll LOOP made durable (q121 verifies one " +
+        "poll's rows; this verifies the loop's STATE): two poll cycles " +
+        "against a growing Derby table land as batch=0 / batch=1 " +
+        "partitions of a BatchIndex store whose own landed history is " +
+        "the high-water mark — offsets derived from the sink, so a " +
+        "crash before landing re-polls and a crash after resumes past, " +
+        "and the store inherits the full lifecycle (stamps, retention, " +
+        "compaction, fsck) every other durable store has. Output is " +
+        "every landed row with its poll lineage; a row polled twice " +
+        "(offset not advancing) or skipped (offset past unlanded " +
+        "data) hash-mismatches.",
+      (spark, dir) => {
+        import org.apache.spark.sql.types._
+        val url = graft.sources.JdbcSource.derbyMemoryUrl("graft_q127")
+        val store = QueryScratch.dir("graft_q127_store")
+        val p = new org.apache.hadoop.fs.Path(store)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("n_chars", LongType)))
+        val docs = Tables.table(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        docs.filter(col("doc_id") <= 250).write.mode("overwrite")
+          .jdbc(url, "graft_docs_poll", new java.util.Properties())
+        graft.sources.JdbcSource.pollIncrementalOnce(
+          spark, url, "graft_docs_poll", "doc_id", "\"doc_id\"", store, schema)
+        docs.filter(col("doc_id") > 250).write.mode("append")
+          .jdbc(url, "graft_docs_poll", new java.util.Properties())
+        graft.sources.JdbcSource.pollIncrementalOnce(
+          spark, url, "graft_docs_poll", "doc_id", "\"doc_id\"", store, schema)
+        graft.streaming.BatchIndex.read(spark, store, schema)
+          .select(col("doc_id"), col("n_chars"), col("batch"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, n_chars,
+               CASE WHEN doc_id <= 250 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(1 AS BIGINT) END AS batch
+        FROM documents ORDER BY doc_id"""))
   )
 }

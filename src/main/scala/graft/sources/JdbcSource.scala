@@ -56,4 +56,78 @@ object JdbcSource {
       numPartitions: Int, props: Properties = new Properties()): DataFrame =
     spark.read.jdbc(
       url, table, partitionColumn, lowerBound, upperBound, numPartitions, props)
+
+  /** One connector poll cycle, DURABLY (the reference connector's
+    * `mode=incrementing` loop made a store-backed operator): the
+    * incrementing-column high-water mark is read from the landed
+    * history itself — a `BatchIndex` store, the same lifecycle
+    * (stamps, retention, compaction, fsck) as every other durable
+    * store — strictly-newer rows are polled through the pushed-down
+    * subquery, and they land as the store's next `batch=N` partition.
+    *
+    * Offsets derived from the SINK, not side state, is the crash
+    * story: a poll that dies before landing re-polls the same rows
+    * next cycle (nothing advanced); one that dies after landing
+    * resumes past them. No offset can ever point past data that
+    * failed to land. Requires `incCol` monotonically increasing and
+    * >= `startAfter` initially — the connector's own incrementing-mode
+    * contract (producers/connector.py:23-45).
+    *
+    * `incColSql` is the database-side identifier (pre-quoted when the
+    * table was created with quoted names, as Spark's sink does);
+    * `schema` names/types the landed columns (poll output is aligned
+    * positionally and cast, so DB metadata casing never leaks into
+    * the store). Returns rows landed (0 = nothing new, no batch dir
+    * written). */
+  def pollIncrementalOnce(
+      spark: SparkSession, url: String, table: String,
+      incCol: String, incColSql: String, storeDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      startAfter: Long = -1L,
+      props: Properties = new Properties()): Long = {
+    import org.apache.spark.sql.functions.{col, max}
+    val admitted = graft.streaming.BatchIndex.read(spark, storeDir, schema)
+    val fences = admitted
+      .agg(max(col(incCol)).cast("long").as("hw"), max(col("batch")).as("b"))
+      .collect()(0)
+    val lastSeen = if (fences.isNullAt(0)) startAfter else fences.getLong(0)
+    val nextBatch = if (fences.isNullAt(1)) 0L else fences.getLong(1) + 1L
+    val polled = readIncremental(spark, url, table, incColSql, lastSeen, props)
+    val aligned = polled.toDF(schema.fieldNames: _*)
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    // land-then-count from the written partition: counting the JDBC
+    // frame first would poll the database twice and could land rows
+    // the count never saw (a second transaction's inserts)
+    val target = s"$storeDir/batch=$nextBatch"
+    aligned.write.mode("overwrite").parquet(target)
+    val landed = spark.read.schema(schema).parquet(target).count()
+    if (landed == 0L) {
+      val p = new org.apache.hadoop.fs.Path(target)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    } else {
+      graft.streaming.BatchIndex.stampBatch(spark, storeDir, nextBatch)
+    }
+    landed
+  }
+
+  /** Continuous polling face: any ticker stream (production: a `rate`
+    * source at the connector's poll.interval; tests: MemoryStream)
+    * drives one [[pollIncrementalOnce]] per micro-batch via
+    * foreachBatch. The ticker's rows are ignored — only its cadence
+    * matters; all state lives in the store, so the stream restarts
+    * from the landed history with no checkpoint coupling. */
+  def pollStream(
+      ticker: DataFrame, url: String, table: String,
+      incCol: String, incColSql: String, storeDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpointDir: String, startAfter: Long = -1L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ticker.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        pollIncrementalOnce(ticker.sparkSession, url, table, incCol,
+          incColSql, storeDir, schema, startAfter)
+        ()
+      }
 }

@@ -100,6 +100,83 @@ class JdbcSourceSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("pollIncrementalOnce: sink-derived offsets; idle polls land nothing; lifecycle stamps") {
+    import org.apache.spark.sql.types._
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE poll_src (id BIGINT, v VARCHAR(10))")
+      (1 to 5).foreach(i => st.execute(s"INSERT INTO poll_src VALUES ($i, 'a$i')"))
+      st.close()
+    } finally conn.close()
+    val store = java.nio.file.Files.createTempDirectory("jdbc_poll").toString + "/store"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+
+    // first poll from an empty store lands everything as batch 0
+    assert(JdbcSource.pollIncrementalOnce(
+      spark, url, "poll_src", "id", "id", store, schema) == 5L)
+    // nothing new: no rows, no batch dir, fence unchanged
+    assert(JdbcSource.pollIncrementalOnce(
+      spark, url, "poll_src", "id", "id", store, schema) == 0L)
+    val afterIdle = graft.streaming.BatchIndex.read(spark, store, schema)
+    assert(afterIdle.count() == 5)
+    assert(afterIdle.select("batch").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(0L))
+
+    // new rows land as the NEXT batch, older ones never re-poll
+    val c2 = DriverManager.getConnection(url)
+    try {
+      val st = c2.createStatement()
+      (6 to 8).foreach(i => st.execute(s"INSERT INTO poll_src VALUES ($i, 'a$i')"))
+      st.close()
+    } finally c2.close()
+    assert(JdbcSource.pollIncrementalOnce(
+      spark, url, "poll_src", "id", "id", store, schema) == 3L)
+    val rows = graft.streaming.BatchIndex.read(spark, store, schema)
+      .select("id", "batch").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == ((1 to 5).map(_.toLong -> 0L) ++ (6 to 8).map(_.toLong -> 1L)).toMap)
+    // the store carries admission stamps — retention/compaction ready
+    val stamps = new java.io.File(store, "_batch_ts").list()
+    assert(stamps != null &&
+      stamps.filterNot(_.startsWith(".")).toSet == Set("0", "1"))
+  }
+
+  test("pollStream: a ticker stream drives the same durable poll loop") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE tick_src (id BIGINT, v VARCHAR(10))")
+      (1 to 4).foreach(i => st.execute(s"INSERT INTO tick_src VALUES ($i, 'b$i')"))
+      st.close()
+    } finally conn.close()
+    val dir = java.nio.file.Files.createTempDirectory("jdbc_poll_stream").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val ticker = MemoryStream[Long]
+    val q = JdbcSource.pollStream(
+      ticker.toDF(), url, "tick_src", "id", "id", s"$dir/store", schema,
+      s"$dir/ckpt").start()
+    try {
+      ticker.addData(1L); q.processAllAvailable()
+      val c2 = DriverManager.getConnection(url)
+      try {
+        val st = c2.createStatement()
+        st.execute("INSERT INTO tick_src VALUES (9, 'b9')")
+        st.close()
+      } finally c2.close()
+      ticker.addData(2L); q.processAllAvailable()
+    } finally q.stop()
+    val rows = graft.streaming.BatchIndex.read(spark, s"$dir/store", schema)
+      .select("id", "batch").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 9L -> 1L))
+  }
+
   test("readPartitioned: range-split parallel read covers all rows exactly once") {
     fixture
     val df = JdbcSource.readPartitioned(
