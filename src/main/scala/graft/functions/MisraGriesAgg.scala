@@ -88,24 +88,8 @@ case class MisraGriesAgg(
 
   override def merge(
       b1: mutable.HashMap[String, Long],
-      b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b2.foreach { case (k, c) => b1.update(k, b1.getOrElse(k, 0L) + c) }
-    if (b1.size > capacity) {
-      // subtract the (capacity+1)-th largest counter from everything —
-      // the mergeable-summaries offset: at most `capacity` counters can
-      // exceed it, and the cumulative subtraction across all merges
-      // stays within the N/(capacity+1) error budget
-      val counts = b1.values.toArray
-      java.util.Arrays.sort(counts)
-      val offset = counts(counts.length - (capacity + 1))
-      val dead = mutable.ArrayBuffer.empty[String]
-      b1.foreach { case (k, c) =>
-        if (c <= offset) dead += k else b1.update(k, c - offset)
-      }
-      dead.foreach(b1.remove)
-    }
-    b1
-  }
+      b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    MisraGriesAgg.mergeSummaries(b1, b2, capacity)
 
   override def eval(buffer: mutable.HashMap[String, Long]): Any =
     new GenericArrayData(
@@ -153,4 +137,29 @@ object MisraGriesAgg {
   def misraGries(c: Column, capacity: Int): Column =
     GraftBridge.column(
       MisraGriesAgg(GraftBridge.expression(c), capacity).toAggregateExpression())
+
+  /** Merge `b2` into `b1` under `capacity` — the mergeable-summaries
+    * combine (Agarwal et al., PODS'12) shared by the aggregate's
+    * partial-merge and the durable streamed summary store: counters
+    * add, then the (capacity+1)-th largest counter is subtracted from
+    * everything (at most `capacity` counters can exceed it, and the
+    * cumulative subtraction across any merge tree stays within the
+    * N/(capacity+1) error budget). Returns `b1`, mutated. */
+  def mergeSummaries(
+      b1: mutable.HashMap[String, Long],
+      b2: scala.collection.Map[String, Long],
+      capacity: Int): mutable.HashMap[String, Long] = {
+    b2.foreach { case (k, c) => b1.update(k, b1.getOrElse(k, 0L) + c) }
+    if (b1.size > capacity) {
+      val counts = b1.values.toArray
+      java.util.Arrays.sort(counts)
+      val offset = counts(counts.length - (capacity + 1))
+      val dead = mutable.ArrayBuffer.empty[String]
+      b1.foreach { case (k, c) =>
+        if (c <= offset) dead += k else b1.update(k, c - offset)
+      }
+      dead.foreach(b1.remove)
+    }
+    b1
+  }
 }

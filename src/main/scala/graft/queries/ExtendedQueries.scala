@@ -14,6 +14,20 @@ import graft.stedi.Stedi
   */
 object ExtendedQueries {
 
+  /** Shared VERBATIM by q124 (one-pass inline sketch) and q128 (the
+    * durable streamed summary store): the exact-recount gate makes the
+    * heavy-hitter output a pure function of the corpus — independent
+    * of batch slicing — so both faces must hash to exactly this. */
+  private val heavyHittersOracle: String = """
+        WITH W AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+        T AS (SELECT unnest(w) AS term FROM W),
+        N AS (SELECT count(*) AS n FROM T),
+        C AS (SELECT term, count(*) AS cnt FROM T GROUP BY term)
+        SELECT c.term AS term, CAST(c.cnt AS BIGINT) AS cnt
+        FROM C c, N
+        WHERE c.cnt > n // 65
+        ORDER BY cnt DESC, term"""
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -688,15 +702,40 @@ object ExtendedQueries {
         exact.filter(col("cnt") > lit(threshold))
           .orderBy(col("cnt").desc, col("term"))
       },
-      Some("""
-        WITH W AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
-        T AS (SELECT unnest(w) AS term FROM W),
-        N AS (SELECT count(*) AS n FROM T),
-        C AS (SELECT term, count(*) AS cnt FROM T GROUP BY term)
-        SELECT c.term AS term, CAST(c.cnt AS BIGINT) AS cnt
-        FROM C c, N
-        WHERE c.cnt > n // 65
-        ORDER BY cnt DESC, term""")),
+      Some(heavyHittersOracle)),
+
+    GraftQuery(
+      "q128_heavy_hitters_stream",
+      "The DURABLE STREAMED face of q124 (HeavyHittersStream — the " +
+        "sketch family joins the durable-store family): tokens arrive " +
+        "in two batches, each reduces distributed to a bounded " +
+        "Misra-Gries summary and merges into ONE stored O(capacity) " +
+        "summary via the mergeable-summaries combine (guarantee " +
+        "survives any merge tree), committed meta-last with versioned " +
+        "idempotent swaps. Serving recounts the <= 64 candidates " +
+        "exactly over the admitted corpus — output is a pure function " +
+        "of the corpus, independent of batch slicing, so this shares " +
+        "q124's oracle VERBATIM. Stream==batch parity and crash-" +
+        "version skip are spec-asserted.",
+      (spark, dir) => {
+        val cap = 64
+        val store = QueryScratch.dir("graft_q128_hh_store")
+        val p = new org.apache.hadoop.fs.Path(store)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true)
+        val d = Tables.table(spark, dir, "documents")
+        def toks(dd: org.apache.spark.sql.DataFrame) = dd.select(explode(
+          graft.functions.TextFunctions.words(col("text"))).as("term"))
+        graft.streaming.HeavyHittersStream.seed(spark, store, cap)
+        graft.streaming.HeavyHittersStream.mergeBatch(
+          toks(d.filter(col("doc_id") % 2 === 0)), "term", store)
+        graft.streaming.HeavyHittersStream.mergeBatch(
+          toks(d.filter(col("doc_id") % 2 === 1)), "term", store)
+        graft.streaming.HeavyHittersStream
+          .heavyHitters(spark, store, toks(d), "term")
+          .orderBy(col("cnt").desc, col("term"))
+      },
+      Some(heavyHittersOracle)),
 
     GraftQuery(
       "q125_heavy_hitters_per_source",
