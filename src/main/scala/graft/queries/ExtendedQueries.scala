@@ -863,6 +863,57 @@ object ExtendedQueries {
         SELECT doc_id, n_chars,
                CASE WHEN doc_id <= 250 THEN CAST(0 AS BIGINT)
                     ELSE CAST(1 AS BIGINT) END AS batch
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q129_zorder_layout",
+      "Z-ordered write layout end-to-end (the OPTIMIZE ZORDER " +
+        "technique as pure integer expressions): lineitem lands " +
+        "sorted by the Morton interleave of range-bucketed " +
+        "(l_orderkey, l_partkey) — every file a localized 2-D tile, " +
+        "so min/max stats prune 2-D box scans that a linear sort " +
+        "cannot (advantage spec-asserted by counting stats-" +
+        "intersecting files for a partkey band; CorpusSinkSpec). The " +
+        "oracle recomputes the bucket shifts (bitlength(range-1)-bits " +
+        "== ceil(log2(range))-bits) and the bit interleave from the " +
+        "raw table and must match the stored z BIT-FOR-BIT through " +
+        "the box read-back — a drifted shift, a swapped bit lane, or " +
+        "a row lost in the layout rewrite all hash-mismatch.",
+      (spark, dir) => {
+        val out = QueryScratch.dir("graft_q129_zorder")
+        graft.sinks.CorpusSink.writeZOrdered(
+          Tables.table(spark, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber")),
+          "l_orderkey", "l_partkey", out, bits = 8, nFiles = 8)
+        spark.read.parquet(out)
+          .filter(col("l_orderkey").between(100, 1500) &&
+            col("l_partkey").between(10, 150))
+          .select(col("l_orderkey"), col("l_partkey"),
+            col("l_linenumber"), col("z"))
+          .orderBy(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH S AS (
+          SELECT min(l_orderkey) AS amn, max(l_orderkey) AS amx,
+                 min(l_partkey) AS bmn, max(l_partkey) AS bmx
+          FROM lineitem),
+        SH AS (
+          SELECT amn, bmn,
+            greatest(0, CASE WHEN amx - amn + 1 <= 1 THEN 0
+              ELSE CAST(ceil(log2(amx - amn + 1)) AS INTEGER) END - 8) AS sa,
+            greatest(0, CASE WHEN bmx - bmn + 1 <= 1 THEN 0
+              ELSE CAST(ceil(log2(bmx - bmn + 1)) AS INTEGER) END - 8) AS sb
+          FROM S),
+        Z AS (
+          SELECT l_orderkey, l_partkey, l_linenumber,
+                 list_sum([
+                   ((((l_orderkey - amn) >> sa >> i) & 1) << (2*i))
+                   + ((((l_partkey - bmn) >> sb >> i) & 1) << (2*i + 1))
+                   for i in range(0, 8)]) AS z
+          FROM lineitem, SH)
+        SELECT l_orderkey, l_partkey, l_linenumber, CAST(z AS BIGINT) AS z
+        FROM Z
+        WHERE l_orderkey BETWEEN 100 AND 1500 AND l_partkey BETWEEN 10 AND 150
+        ORDER BY l_orderkey, l_partkey, l_linenumber"""))
   )
 }

@@ -27,6 +27,36 @@ import org.apache.spark.sql.functions._
   */
 object CorpusSink {
 
+  /** Z-ORDERED write (Delta/Iceberg OPTIMIZE ZORDER, expressed as
+    * plain codegen'd expressions + repartitionByRange): rows land
+    * sorted by the Morton interleave of two range-bucketed columns,
+    * so every file covers a localized 2-D TILE of (colA, colB) space
+    * and parquet min/max stats prune boxes selective in EITHER
+    * column — a linear sort prunes only its lead column; the
+    * secondary one spans every file (the advantage is spec-asserted
+    * by counting stats-intersecting files for a secondary-column
+    * band). The `z` column is kept in the files: readers can range-
+    * filter on it directly, and the q129 oracle recomputes it
+    * bit-for-bit. Column min/max are one bounded driver-side agg. */
+  def writeZOrdered(
+      df: DataFrame, colA: String, colB: String, path: String,
+      bits: Int = 8, nFiles: Int = 8): Unit = {
+    import graft.functions.ZOrder
+    val s = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).collect()(0)
+    val (aMin, aMax, bMin, bMax) =
+      (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+    val z = ZOrder.zValue(
+      col(colA), aMin, ZOrder.shiftFor(aMax - aMin + 1, bits),
+      col(colB), bMin, ZOrder.shiftFor(bMax - bMin + 1, bits), bits)
+    df.withColumn("z", z)
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** Partition-pruned, sorted-within-files corpus write. */
   def writePartitioned(
       df: DataFrame, path: String,

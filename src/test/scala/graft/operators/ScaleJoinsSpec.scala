@@ -25,6 +25,42 @@ class ScaleJoinsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runtime bloom-filter join pruning injects might_contain on the fact scan") {
+    // Catalyst's InjectRuntimeFilter: a selective filter on the dim
+    // side of a shuffle join grows a bloom filter that is pushed onto
+    // the FACT side's scan — at 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling only rows that can
+    // possibly match. Test data sits under the default thresholds'
+    // radar, so pin them for the assertion window and restore.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.table(spark, sf001, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val o = Tables.table(spark, sf001, "orders")
+        .filter(col("o_totalprice") > 100000.0) // selective dim side
+        .select("o_orderkey")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter not injected on the fact side:\n$plan")
+      // and it is pruning, not corrupting: result matches the plain join
+      val expected = Tables.table(spark, sf001, "lineitem")
+        .join(Tables.table(spark, sf001, "orders")
+          .filter(col("o_totalprice") > 100000.0),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned layout prunes partitions at the scan (PartitionFilters)") {
     val tmp = java.nio.file.Files.createTempDirectory("parted").toString
     Tables.table(spark, sf001, "events")

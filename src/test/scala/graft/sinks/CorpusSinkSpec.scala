@@ -255,4 +255,51 @@ class CorpusSinkSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
     assert(stored == live)
   }
+
+  test("z-ordered layout: secondary-column bands prune files a linear sort cannot") {
+    val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
+    val li = graft.Tables.table(spark, sf001, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_linenumber")
+    CorpusSink.writeZOrdered(li, "l_orderkey", "l_partkey", s"$tmp/z",
+      bits = 8, nFiles = 8)
+    // the linear contender: range-sorted by the LEAD column only
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmp/linear")
+
+    // no row lost or duplicated in the rewrite
+    assert(spark.read.parquet(s"$tmp/z").count() == li.count())
+
+    // per-file stats — exactly what parquet row-group pruning consults:
+    // a file must be read iff its [min,max] box intersects the query box
+    def statsOf(path: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min(col("l_orderkey")), max(col("l_orderkey")),
+          min(col("l_partkey")), max(col("l_partkey")))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // band selective ONLY in the secondary column: every linear file
+    // spans all partkeys, so linear prunes nothing; z-tiles localize it
+    val (bLo, bHi) = (10L, 40L)
+    def touched(stats: Array[(Long, Long, Long, Long)]): Int =
+      stats.count { case (_, _, pMin, pMax) => pMin <= bHi && bLo <= pMax }
+    val zStats = statsOf(s"$tmp/z")
+    val linStats = statsOf(s"$tmp/linear")
+    assert(zStats.length == 8 && linStats.length == 8)
+    assert(touched(linStats) == 8,
+      s"test premise broken: linear layout should span all partkeys per file")
+    assert(touched(zStats) * 2 <= touched(linStats),
+      s"z-order pruning advantage missing: z=${touched(zStats)} " +
+        s"linear=${touched(linStats)} of 8 files for partkey band [$bLo,$bHi]")
+
+    // and the layout answers exactly like the source table
+    val viaZ = spark.read.parquet(s"$tmp/z")
+      .filter(col("l_partkey").between(bLo, bHi))
+      .select("l_orderkey", "l_partkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = li.filter(col("l_partkey").between(bLo, bHi))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaZ == direct)
+  }
 }
