@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** File-format source/sink coverage beyond parquet (SURVEY §2.1's
+  * source family, widened to every format the runtime actually ships:
+  * ORC rides Spark natively, CSV/JSON-lines are core; the spark-avro
+  * FILE datasource jar is absent — payload-level Avro stays covered by
+  * the custom codegen expressions, sources/AvroCodec). Each query is a
+  * write-then-read ROUND-TRIP gated against the parquet-side oracle,
+  * so a lossy encode (CSV null/empty collapse, JSON number widening,
+  * ORC type mapping) hash-mismatches instead of passing silently.
+  * Pushdown into each format's scan is spec-asserted
+  * (FormatSourcesSpec) — at 100 TB a format whose scan cannot skip is
+  * a migration source, not a serving layout.
+  */
+object FormatQueries {
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q130_orc_roundtrip",
+      "ORC source/sink round-trip: documents metadata lands as " +
+        "id-sorted ORC (min/max stripe stats usable), reads back " +
+        "through a pushed-down filter, hash-gated against the parquet " +
+        "oracle. ORC is the one columnar format Spark ships besides " +
+        "parquet — the interchange path for Hive-era estates.",
+      (spark, dir) => {
+        val out = QueryScratch.dir("graft_q130_orc")
+        Tables.table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite").orc(out)
+        spark.read.schema(docsSchema).orc(out)
+          .filter(col("n_chars") > 100)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE n_chars > 100 ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q131_csv_roundtrip",
+      "CSV source/sink round-trip (S5's sink half): the full documents " +
+        "table INCLUDING free text goes through quoted CSV and back " +
+        "under an explicit schema — quoting, embedded delimiters, and " +
+        "the empty-vs-null trap are exactly what the hash gate " +
+        "catches. Header on, one shuffle-free pass each way.",
+      (spark, dir) => {
+        val out = QueryScratch.dir("graft_q131_csv")
+        Tables.table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        spark.read
+          .schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("text", StringType),
+            StructField("lang", StringType), StructField("source", StringType),
+            StructField("n_chars", LongType))))
+          .option("header", "true").csv(out)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q132_jsonl_roundtrip",
+      "JSON-lines source/sink round-trip: documents metadata out as " +
+        "newline-delimited JSON, back under an explicit schema (never " +
+        "inference — at 100 TB schema inference is a full extra scan " +
+        "and a drifting contract), filter pushed to the scan, " +
+        "hash-gated. The interchange format every ingestion pipeline " +
+        "meets first.",
+      (spark, dir) => {
+        val out = QueryScratch.dir("graft_q132_jsonl")
+        Tables.table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").json(out)
+        spark.read.schema(docsSchema).json(out)
+          .filter(col("lang") === "en")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE lang = 'en' ORDER BY doc_id"""))
+  )
+}
