@@ -914,6 +914,65 @@ object ExtendedQueries {
         SELECT l_orderkey, l_partkey, l_linenumber, CAST(z AS BIGINT) AS z
         FROM Z
         WHERE l_orderkey BETWEEN 100 AND 1500 AND l_partkey BETWEEN 10 AND 150
-        ORDER BY l_orderkey, l_partkey, l_linenumber"""))
+        ORDER BY l_orderkey, l_partkey, l_linenumber""")),
+
+    GraftQuery(
+      "q133_quality_constraints",
+      "Declarative data-quality constraints (the Deequ shape, engine-" +
+        "native — pipeline.Constraints): six rules over lineitem " +
+        "evaluate to one (rule, violations) report. The 100 TB " +
+        "contract is PASS-count: all four row-level rules (null, " +
+        "range, value set, regex) fold into ONE conditional-count " +
+        "aggregate — one scan regardless of rule count, whole-stage " +
+        "codegen throughout; uniqueness is one two-level aggregate " +
+        "and referential integrity one broadcast anti-join, the only " +
+        "rule kinds whose semantics are not row-local. The range rule " +
+        "is deliberately violated (quantity spans 1-50, bound 1-25) " +
+        "so a zeroed-out report cannot fake a pass.",
+      (spark, dir) => {
+        import graft.pipeline.Constraints
+        import graft.pipeline.Constraints._
+        val li = Tables.table(spark, dir, "lineitem")
+        val orders = Tables.table(spark, dir, "orders")
+        Constraints.check(li, Seq(
+            notNull("l_orderkey"),
+            inRange("l_quantity", 1.0, 25.0),
+            oneOf("l_returnflag", Seq("A", "N", "R")),
+            matches("l_linestatus", "^[OF]$"),
+            Unique(Seq("l_orderkey", "l_linenumber")),
+            RefIn("l_orderkey", orders, "o_orderkey")))
+          .orderBy(col("rule"))
+      },
+      Some("""
+        SELECT 'in_range:l_quantity[1.0,25.0]' AS rule,
+               CAST(count(*) FILTER (l_quantity IS NULL OR l_quantity < 1.0
+                 OR l_quantity > 25.0) AS BIGINT) AS violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'matches:l_linestatus',
+               CAST(count(*) FILTER (l_linestatus IS NULL
+                 OR NOT regexp_matches(l_linestatus, '^[OF]$')) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'not_null:l_orderkey',
+               CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'one_of:l_returnflag',
+               CAST(count(*) FILTER (l_returnflag IS NULL
+                 OR l_returnflag NOT IN ('A','N','R')) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'ref_in:l_orderkey',
+               CAST((SELECT count(*) FROM lineitem l
+                     LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                       ON l.l_orderkey = o.o_orderkey
+                     WHERE o.o_orderkey IS NULL) AS BIGINT)
+        UNION ALL
+        SELECT 'unique:l_orderkey,l_linenumber',
+               CAST(coalesce((SELECT sum(c - 1) FROM (
+                 SELECT count(*) AS c FROM lineitem
+                 GROUP BY l_orderkey, l_linenumber) WHERE c > 1), 0) AS BIGINT)
+        ORDER BY rule"""))
   )
 }
