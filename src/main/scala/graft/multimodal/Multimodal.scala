@@ -71,7 +71,14 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       Option(img).map(i => (i.getWidth, i.getHeight))
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just IOException: the JDK readers throw
+      // CMMException / IllegalArgumentException / IndexOutOfBounds on
+      // crafted or truncated bodies whose magic sniffed fine — any of
+      // those escaping here would kill the partition the fallback
+      // contract promises to protect
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** STUB decode for payloads with no available codec (audio/video, or
     * the opaque test payloads): deterministic fake dimensions from the

@@ -24,15 +24,20 @@ object Constraints {
   /** Row-level: `violated` is any boolean Column over the row. */
   final case class RowRule(name: String, violated: Column) extends Rule
 
+  // Rule names carry their PARAMETERS: two different rules on the same
+  // column (two regexes, two value sets) must not collide into one
+  // report row — a name collision would silently report one rule's
+  // count for both, and check() also rejects duplicates loudly.
   def notNull(c: String): Rule =
     RowRule(s"not_null:$c", col(c).isNull)
   def inRange(c: String, lo: Double, hi: Double): Rule =
     RowRule(s"in_range:$c[$lo,$hi]",
       col(c).isNull || col(c) < lo || col(c) > hi)
   def oneOf(c: String, values: Seq[String]): Rule =
-    RowRule(s"one_of:$c", col(c).isNull || !col(c).isin(values: _*))
+    RowRule(s"one_of:$c[${values.mkString(",")}]",
+      col(c).isNull || !col(c).isin(values: _*))
   def matches(c: String, regex: String): Rule =
-    RowRule(s"matches:$c", col(c).isNull || !col(c).rlike(regex))
+    RowRule(s"matches:$c[$regex]", col(c).isNull || !col(c).rlike(regex))
 
   /** Key-level: rows beyond the first per duplicate key violate. */
   final case class Unique(cols: Seq[String]) extends Rule {
@@ -42,7 +47,7 @@ object Constraints {
   /** Referential: rows whose `c` has no match in `dim.dimCol` violate. */
   final case class RefIn(c: String, dim: DataFrame, dimCol: String)
     extends Rule {
-    val name = s"ref_in:$c"
+    val name = s"ref_in:$c->$dimCol"
   }
 
   /** Evaluate all rules; returns (rule, violations), one row per rule,
@@ -51,12 +56,17 @@ object Constraints {
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val dup = rules.groupBy(_.name).collect { case (n, rs) if rs.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate rule names would collide in the report: $dup")
     val rowRules = rules.collect { case r: RowRule => r }
     val rowCounts: Map[String, Long] =
       if (rowRules.isEmpty) Map.empty
       else {
+        // count(when(...)) never returns null — an EMPTY table reports
+        // 0 violations per rule instead of NPE-ing on a null sum
         val aggs = rowRules.map(r =>
-          sum(when(r.violated, 1L).otherwise(0L)).as(r.name))
+          count(when(r.violated, lit(1))).as(r.name))
         val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
         rowRules.zipWithIndex
           .map { case (r, i) => r.name -> row.getLong(i) }.toMap

@@ -678,6 +678,7 @@ object ExtendedQueries {
         "never shuffled — only bounded sketch buffers and 64 exact " +
         "candidate counts move.",
       (spark, dir) => {
+        import spark.implicits._
         val cap = 64
         val toks = Tables.table(spark, dir, "documents")
           .select(explode(
@@ -689,17 +690,18 @@ object ExtendedQueries {
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val n = row.getLong(1)
         val threshold = n / (cap + 1) // floor; true count > this => in sk
-        val exact = toks.filter(col("term").isin(sk.keys.toSeq: _*))
+        val exactMap = toks.filter(col("term").isin(sk.keys.toSeq: _*))
           .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-        val exactMap = exact.collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         sk.foreach { case (t, est) =>
           val c = exactMap.getOrElse(t, 0L)
           require(est <= c && c - est <= threshold,
             s"misra_gries guarantee violated for '$t': est=$est exact=$c " +
               s"allowed underestimate <= $threshold")
         }
-        exact.filter(col("cnt") > lit(threshold))
+        // the answer is <= cap rows already collected — never re-run
+        // the corpus-wide recount to produce it
+        exactMap.toSeq.filter(_._2 > threshold).toDF("term", "cnt")
           .orderBy(col("cnt").desc, col("term"))
       },
       Some(heavyHittersOracle)),
@@ -766,10 +768,10 @@ object ExtendedQueries {
             .map(e => (r.getString(0), e.getString(0), e.getLong(1), thr))
         }.toSeq
         val candDf = cand.toDF("source", "term", "est", "thr")
-        val exact = toks
+        val exactMap = toks
           .join(broadcast(candDf.select("source", "term")), Seq("source", "term"))
           .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
-        val exactMap = exact.collect()
+          .collect()
           .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
         cand.foreach { case (src, term, est, thr) =>
           val c = exactMap.getOrElse((src, term), 0L)
@@ -777,12 +779,13 @@ object ExtendedQueries {
             s"misra_gries guarantee violated for ($src, '$term'): est=$est " +
               s"exact=$c allowed underestimate <= $thr")
         }
-        val thrDf = skRows
-          .map(r => (r.getString(0), r.getLong(2) / (cap + 1))).toSeq
-          .toDF("source", "thr")
-        exact.join(broadcast(thrDf), Seq("source"))
-          .filter(col("cnt") > col("thr"))
-          .select(col("source"), col("term"), col("cnt"))
+        // bounded result built from the already-collected counts — the
+        // corpus-wide recount runs exactly once
+        val thrBySrc = skRows
+          .map(r => r.getString(0) -> r.getLong(2) / (cap + 1)).toMap
+        exactMap.toSeq
+          .collect { case ((src, term), c) if c > thrBySrc(src) => (src, term, c) }
+          .toDF("source", "term", "cnt")
           .orderBy(col("source"), col("cnt").desc, col("term"))
       },
       Some("""
@@ -949,7 +952,7 @@ object ExtendedQueries {
                  OR l_quantity > 25.0) AS BIGINT) AS violations
         FROM lineitem
         UNION ALL
-        SELECT 'matches:l_linestatus',
+        SELECT 'matches:l_linestatus[^[OF]$]',
                CAST(count(*) FILTER (l_linestatus IS NULL
                  OR NOT regexp_matches(l_linestatus, '^[OF]$')) AS BIGINT)
         FROM lineitem
@@ -958,12 +961,12 @@ object ExtendedQueries {
                CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT)
         FROM lineitem
         UNION ALL
-        SELECT 'one_of:l_returnflag',
+        SELECT 'one_of:l_returnflag[A,N,R]',
                CAST(count(*) FILTER (l_returnflag IS NULL
                  OR l_returnflag NOT IN ('A','N','R')) AS BIGINT)
         FROM lineitem
         UNION ALL
-        SELECT 'ref_in:l_orderkey',
+        SELECT 'ref_in:l_orderkey->o_orderkey',
                CAST((SELECT count(*) FROM lineitem l
                      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
                        ON l.l_orderkey = o.o_orderkey

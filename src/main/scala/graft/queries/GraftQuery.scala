@@ -26,10 +26,40 @@ final case class GraftQuery(
   * otherwise race on deleteDir/overwrite of the SAME fixed tmp dirs and
   * corrupt each other's results mid-pass. Stable within a run (the pid
   * is constant), so re-executions inside one JVM still overwrite their
-  * own store — which the rebuild-from-scratch queries rely on. */
+  * own store — which the rebuild-from-scratch queries rely on.
+  *
+  * Accumulation is bounded two ways (pid namespacing alone would leak
+  * one store-set per run): a shutdown hook deletes this JVM's dir on
+  * clean exit, and first use sweeps sibling `graft-<pid>` dirs whose
+  * owning process is gone — so a SIGKILLed run's debris lives only
+  * until the next run, never forever. */
 object QueryScratch {
   private val nonce: String = java.lang.ProcessHandle.current().pid().toString
-  def dir(name: String): String =
-    new java.io.File(new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft-$nonce"), name).getPath
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  private lazy val root: java.io.File = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    // stale sweep: dirs of dead pids (crashed/killed earlier runs)
+    val stale = tmp.listFiles()
+    if (stale != null) stale.foreach { f =>
+      if (f.isDirectory && f.getName.startsWith("graft-")) {
+        f.getName.stripPrefix("graft-").toLongOption.foreach { pid =>
+          val alive = java.lang.ProcessHandle.of(pid)
+            .map[java.lang.Boolean](_.isAlive).orElse(java.lang.Boolean.FALSE)
+          if (!alive) deleteRecursively(f)
+        }
+      }
+    }
+    val own = new java.io.File(tmp, s"graft-$nonce")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(own)))
+    own
+  }
+
+  def dir(name: String): String = new java.io.File(root, name).getPath
 }

@@ -45,6 +45,13 @@ object CorpusSink {
     val s = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).collect()(0)
+    if (s.isNullAt(0)) {
+      // empty input: write an empty (but schema-complete) layout
+      // instead of NPE-ing on null min/max
+      df.withColumn("z", lit(0L))
+        .write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val (aMin, aMax, bMin, bMax) =
       (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
     val z = ZOrder.zValue(

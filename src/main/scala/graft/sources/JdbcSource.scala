@@ -86,6 +86,13 @@ object JdbcSource {
       startAfter: Long = -1L,
       props: Properties = new Properties()): Long = {
     import org.apache.spark.sql.functions.{col, max}
+    // recovery BEFORE the fence read: a batch dir without its job
+    // commit marker is a crashed poll's partial write — admitting its
+    // visible files into max(incCol) could fence PAST rows that never
+    // landed (the committer promotes files one rename at a time).
+    // Deleting it re-polls those rows next cycle: at-least-once,
+    // converging, never lossy.
+    dropUncommittedBatches(spark, storeDir)
     val admitted = graft.streaming.BatchIndex.read(spark, storeDir, schema)
     val fences = admitted
       .agg(max(col(incCol)).cast("long").as("hw"), max(col("batch")).as("b"))
@@ -93,8 +100,16 @@ object JdbcSource {
     val lastSeen = if (fences.isNullAt(0)) startAfter else fences.getLong(0)
     val nextBatch = if (fences.isNullAt(1)) 0L else fences.getLong(1) + 1L
     val polled = readIncremental(spark, url, table, incColSql, lastSeen, props)
-    val aligned = polled.toDF(schema.fieldNames: _*)
-      .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    // align by NAME (case-insensitive — DB metadata casing varies),
+    // never positionally: a column-order mismatch would silently cast
+    // the wrong column into the fence and re-land the table forever
+    val byLower = polled.columns.map(c => c.toLowerCase -> c).toMap
+    val missing = schema.fieldNames.filterNot(f => byLower.contains(f.toLowerCase))
+    require(missing.isEmpty,
+      s"polled table $table lacks store-schema columns ${missing.toSeq}; " +
+        s"polled columns: ${polled.columns.toSeq}")
+    val aligned = polled.select(schema.fields.map(f =>
+      col(byLower(f.name.toLowerCase)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     // land-then-count from the written partition: counting the JDBC
     // frame first would poll the database twice and could land rows
     // the count never saw (a second transaction's inserts)
@@ -108,6 +123,21 @@ object JdbcSource {
       graft.streaming.BatchIndex.stampBatch(spark, storeDir, nextBatch)
     }
     landed
+  }
+
+  /** Batch dirs missing the job-commit `_SUCCESS` marker are partial
+    * writes from a crashed poll — removed before any fence read. */
+  private def dropUncommittedBatches(
+      spark: SparkSession, storeDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root)) {
+      fs.listStatus(root).foreach { e =>
+        if (e.isDirectory && e.getPath.getName.startsWith("batch=") &&
+          !fs.exists(new org.apache.hadoop.fs.Path(e.getPath, "_SUCCESS")))
+          fs.delete(e.getPath, true)
+      }
+    }
   }
 
   /** Continuous polling face: any ticker stream (production: a `rate`

@@ -23,13 +23,18 @@ import graft.functions.MisraGriesAgg
   * never shuffles vocabulary.
   *
   * Layout (`storeDir/`): `v=N/items` (term, est) + `v=N/meta`
-  * (n, capacity), written items-first/meta-LAST — meta presence is the
-  * commit mark, so a crash mid-write leaves an uncommitted version
-  * that readers skip and the next write cleans. Readers pick the
-  * highest committed version; versions are monotone, and stale
-  * committed versions are deleted after a successful commit
-  * (crash between commit and cleanup leaves extras, removed next
-  * write — idempotent).
+  * (n, capacity), written items-first/meta-LAST — the commit mark is
+  * meta's `_SUCCESS` file (the job-commit marker, written atomically
+  * LAST by the committer; the meta DIRECTORY itself exists from job
+  * setup, so dir presence would mis-read a crash mid-meta-write as
+  * committed and wedge the store). A crash anywhere mid-write leaves
+  * an uncommitted version that readers skip and the next write
+  * cleans. Readers pick the highest committed version; the PREVIOUS
+  * committed version is retained one generation as a grace window for
+  * in-flight readers (the sibling stores keep history for the same
+  * reason) — older ones are deleted after a successful commit (crash
+  * between commit and cleanup leaves extras, removed next write —
+  * idempotent).
   *
   * Serving is [[heavyHitters]]: candidates from the stored summary,
   * one broadcast-IN exact recount over the admitted corpus, output =
@@ -50,7 +55,7 @@ object HeavyHittersStream {
     else fs.listStatus(root).toSeq
       .filter(e => e.isDirectory && e.getPath.getName.startsWith("v="))
       .flatMap(e => e.getPath.getName.stripPrefix("v=").toLongOption
-        .filter(_ => fs.exists(new Path(e.getPath, "meta"))))
+        .filter(_ => fs.exists(new Path(e.getPath, "meta/_SUCCESS"))))
   }
 
   /** Initialize an empty committed summary (version 0). */
@@ -79,17 +84,24 @@ object HeavyHittersStream {
     items.toSeq.sortBy { case (t, c) => (-c, t) }
       .toDF("term", "est").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/items")
-    // meta LAST: its presence commits the version
+    // meta LAST: its job-commit _SUCCESS marker commits the version
     Seq((n, capacity.toLong)).toDF("n", "capacity").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    // cleanup: uncommitted debris and superseded committed versions
+    // cleanup: uncommitted debris goes immediately; committed
+    // predecessors keep ONE generation of grace (a concurrent reader
+    // that just picked the previous max must still find its files)
+    val committed = committedVersions(spark, storeDir)
+    val keepPrev = committed.filter(_ < v).sorted.lastOption
     val root = new Path(storeDir)
     val fs = fsOf(spark, root)
     fs.listStatus(root).foreach { e =>
       val name = e.getPath.getName
-      if (e.isDirectory && name.startsWith("v=") &&
-        name.stripPrefix("v=").toLongOption.exists(_ != v))
-        fs.delete(e.getPath, true)
+      name.stripPrefix("v=").toLongOption
+        .filter(_ => e.isDirectory && name.startsWith("v="))
+        .foreach { n2 =>
+          val keep = n2 == v || (committed.contains(n2) && keepPrev.contains(n2))
+          if (!keep) fs.delete(e.getPath, true)
+        }
     }
   }
 
@@ -135,19 +147,21 @@ object HeavyHittersStream {
   def heavyHitters(
       spark: SparkSession, storeDir: String, corpusTokens: DataFrame,
       termCol: String): DataFrame = {
+    import spark.implicits._
     val (summary, n, capacity) = read(spark, storeDir)
     val threshold = n / (capacity + 1)
-    val exact = corpusTokens
+    val exactMap = corpusTokens
       .filter(col(termCol).isin(summary.keys.toSeq: _*))
       .groupBy(col(termCol).as("term")).agg(count(lit(1)).as("cnt"))
-    val exactMap = exact.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     summary.foreach { case (t, est) =>
       val c = exactMap.getOrElse(t, 0L)
       require(est <= c && c - est <= threshold,
         s"stored summary guarantee violated for '$t': est=$est exact=$c " +
           s"allowed underestimate <= $threshold")
     }
-    exact.filter(col("cnt") > lit(threshold))
+    // the answer is <= capacity rows already in hand — build it locally
+    // instead of re-running the corpus-wide recount a second time
+    exactMap.toSeq.filter(_._2 > threshold).toDF("term", "cnt")
   }
 }

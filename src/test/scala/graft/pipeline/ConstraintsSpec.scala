@@ -29,10 +29,22 @@ class ConstraintsSpec extends SparkSpec {
     assert(report == Map(
       "not_null:id" -> 1L,
       "in_range:qty[1.0,25.0]" -> 2L,   // 99.0 and the null
-      "one_of:flag" -> 1L,
-      "matches:tag" -> 1L,
+      "one_of:flag[A,N,R]" -> 1L,
+      "matches:tag[^[a-z]+$]" -> 1L,
       "unique:id" -> 1L,                // one surplus row for key 1
-      "ref_in:ref" -> 1L))              // ref=7 dangles
+      "ref_in:ref->k" -> 1L))           // ref=7 dangles
+  }
+
+  test("empty table reports zero violations; duplicate rule names refuse") {
+    val spark0 = spark
+    import spark0.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("id", "qty")
+    val report = Constraints.check(empty,
+      Seq(notNull("id"), inRange("qty", 1.0, 5.0)))
+    assert(report.collect().map(_.getLong(1)).toSeq == Seq(0L, 0L))
+    intercept[IllegalArgumentException] {
+      Constraints.check(empty, Seq(notNull("id"), notNull("id")))
+    }
   }
 
   test("clean frame reports all zeros; row rules share one aggregate pass") {
