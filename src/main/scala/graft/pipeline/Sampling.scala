@@ -178,6 +178,56 @@ object Sampling {
     * window per shard), and reproducible on any engine. The shard hash
     * is salted like every other selection, so shard membership is
     * independent of split/mixture membership. */
+  /** Sharded curriculum schedule: each md5 shard orders its documents
+    * easiest-first by `scoreCol` (desc — higher score = cleaner =
+    * earlier), splits them into `nStages` contiguous difficulty stages
+    * (ntile), and numbers positions within (shard, stage). The global
+    * curriculum is approximated per shard, exactly how data-loader
+    * workers consume shards independently — every window partitions by
+    * shard, so the schedule is fully parallel; a single global
+    * ORDER BY would funnel the corpus through one task. Deterministic:
+    * shard from the id's md5, order by (score, id). */
+  def curriculumSchedule(
+      df: DataFrame, idCol: String, scoreCol: String,
+      nStages: Int, nShards: Int = 32, salt: String = "curr"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nStages > 0 && nShards > 0)
+    val shard = conv(substring(
+        md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 4), 16, 10)
+      .cast("long") % nShards
+    val wStage = Window.partitionBy(col("shard"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wPos = Window.partitionBy(col("shard"), col("stage"))
+      .orderBy(col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("stage", ntile(nStages).over(wStage).cast("long"))
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+  }
+
+  /** Temperature-flattened per-source quotas (the multilingual /
+    * multi-source sampling recipe: rates proportional to n^(1/T),
+    * T = 2 here via sqrt — flattens head sources, boosts the tail):
+    * each source's quota out of `budget` is relative to the LARGEST
+    * source, so no floating-point SUM enters the arithmetic (fp
+    * summation order varies by engine and would break determinism;
+    * sqrt and one division are correctly-rounded IEEE ops identical
+    * everywhere). One groupBy over the corpus; everything after runs
+    * on |sources| rows. */
+  def temperatureQuotas(
+      df: DataFrame, srcCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"))
+    // unpartitioned window is fine HERE: it runs over the aggregated
+    // |sources| rows, never the corpus
+    counts
+      .withColumn("mx", max(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("quota", floor(
+        (lit(budget.toDouble) * sqrt(col("n_docs").cast("double"))) /
+          sqrt(col("mx").cast("double"))).cast("long"))
+      .drop("mx")
+  }
+
   def packIntoBins(
       df: DataFrame, idCol: String, tokCol: String,
       binSize: Long, nShards: Int = 32, salt: String = "pack"): DataFrame = {

@@ -471,6 +471,36 @@ object DedupQueries {
         ORDER BY doc_id""")),
 
     GraftQuery(
+      "q134_cluster_safe_split",
+      "LEAKAGE-FREE train/test split — the ML-hygiene composition of " +
+        "q72's duplicate clusters and q47's content-stable split: the " +
+        "split decision hashes the CLUSTER id (each component's min " +
+        "label), not the document id, so near-duplicates can never " +
+        "straddle the train/test boundary and leak evaluation data " +
+        "into training (the failure mode a doc-level split has " +
+        "whenever dedup is imperfect or deliberately lenient). " +
+        "Singletons degrade to exactly q47's per-doc behavior. Same " +
+        "banded-LSH + verify edge discovery, same min-label " +
+        "propagation, one extra md5 per cluster — nothing new " +
+        "shuffles at 100 TB.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val edges = Dedup.jaccardOnCandidates(d, "doc_id", "text", p = 1, q = 2)
+        val cc = Clusters.connectedComponents(
+          d.select(col("doc_id")), "doc_id", edges)
+        graft.pipeline.Sampling.withSplit(cc, "cluster_id", testFrac = 0.2)
+          .select(col("doc_id"), col("cluster_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + "," + clusterCte + raw""",
+        CC AS (SELECT id AS doc_id, min(r) AS cluster_id
+               FROM REACH GROUP BY id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8) < '33333333'
+                    THEN 'test' ELSE 'train' END AS split
+        FROM CC ORDER BY doc_id""")),
+
+    GraftQuery(
       "q80_dedup_report",
       "Per-source duplication dashboard: doc count, within-source " +
         "distinct-content count on the canonical fingerprint, duplicate " +

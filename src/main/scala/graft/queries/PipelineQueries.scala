@@ -263,6 +263,77 @@ object PipelineQueries {
           FROM documents GROUP BY fp)
         SELECT n_copies, CAST(count(*) AS BIGINT) AS n_groups
         FROM G GROUP BY n_copies
-        ORDER BY n_copies"""))
+        ORDER BY n_copies""")),
+
+    GraftQuery(
+      "q135_curriculum_schedule",
+      "Sharded curriculum schedule (easy-first training order): q18's " +
+        "quality score orders each md5 shard's documents cleanest-" +
+        "first, ntile cuts each shard into 4 contiguous difficulty " +
+        "stages, and positions number within (shard, stage) — the " +
+        "exact shape data-loader workers consume (per-shard order, " +
+        "never a global sort: every window partitions by shard, so " +
+        "the schedule parallelizes where a global ORDER BY would " +
+        "funnel the corpus through one task). Deterministic: md5 " +
+        "shard, (quality desc, id) order, ANSI ntile on both engines.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val q = graft.functions.TextAnalysis.qualityByDoc(d, "doc_id", "text")
+        Sampling.curriculumSchedule(q, "doc_id", "quality",
+            nStages = 4, nShards = 8)
+          .select(col("doc_id"), col("shard"), col("stage"), col("pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH QW AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+        QS AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(w) AS DOUBLE) AS n_tokens,
+                 CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                 CAST(len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and')) + len(list_filter(w, x -> x = 'of')) AS DOUBLE) AS stop_hits
+          FROM QW),
+        Q AS (
+          SELECT doc_id,
+                 CAST(0.4 AS DOUBLE) * least(n_tokens / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 + CAST(0.3 AS DOUBLE) * (n_alpha / n_chars)
+                 + CAST(0.3 AS DOUBLE) * least(stop_hits * CAST(8.0 AS DOUBLE) / n_tokens, CAST(1.0 AS DOUBLE)) AS quality
+          FROM QS),
+        T AS (
+          SELECT doc_id, quality,
+                 CAST(('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard
+          FROM Q),
+        N AS (
+          SELECT doc_id, shard,
+                 ntile(4) OVER (PARTITION BY shard ORDER BY quality DESC, doc_id) AS stage
+          FROM T)
+        SELECT doc_id, shard, CAST(stage AS BIGINT) AS stage,
+               CAST(row_number() OVER (PARTITION BY shard, stage ORDER BY doc_id) AS BIGINT) AS pos
+        FROM N ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q136_temperature_quotas",
+      "Temperature-flattened source mixing (the multilingual/multi-" +
+        "source sampling recipe: rates proportional to n^(1/T), T=2 " +
+        "via sqrt — flattens head sources, boosts the tail): each " +
+        "source's quota out of a 1000-doc budget is computed RELATIVE " +
+        "TO THE LARGEST source, deliberately avoiding a normalizing " +
+        "fp SUM whose summation order varies by engine — sqrt and one " +
+        "division are correctly-rounded IEEE ops, bit-identical in " +
+        "Spark and DuckDB, so the floor is hash-exact. One groupBy " +
+        "over the corpus; everything downstream runs on |sources| rows.",
+      (spark, dir) =>
+        Sampling.temperatureQuotas(
+            Tables.table(spark, dir, "documents"), "source", budget = 1000L)
+          .orderBy(col("source")),
+      Some("""
+        WITH C AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY source),
+        M AS (SELECT max(n_docs) AS mx FROM C)
+        SELECT source, n_docs,
+               CAST(FLOOR((CAST(1000 AS DOUBLE) * sqrt(CAST(n_docs AS DOUBLE)))
+                          / sqrt(CAST(mx AS DOUBLE))) AS BIGINT) AS quota
+        FROM C, M ORDER BY source"""))
   )
 }

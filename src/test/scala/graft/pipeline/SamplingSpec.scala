@@ -160,4 +160,70 @@ class SamplingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("n_tokens"), ex.getMessage)
   }
+
+  test("cluster-safe split: no verified near-dup pair ever straddles train/test") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val edges = graft.dedup.Dedup
+      .jaccardOnCandidates(d, "doc_id", "text", p = 1, q = 2)
+    val cc = graft.dedup.Clusters.connectedComponents(
+      d.select(col("doc_id")), "doc_id", edges)
+    val split = Sampling.withSplit(cc, "cluster_id", testFrac = 0.2)
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "test premise: some near-dup pairs exist at sf0.001")
+    val leaked = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(leaked.isEmpty, s"near-dup pairs straddle the split: ${leaked.take(5)}")
+    // and both sides are populated — the split still splits
+    assert(split.values.toSet == Set("train", "test"))
+  }
+
+  test("curriculum schedule: stages are quality-ordered per shard, positions contiguous") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val q = graft.functions.TextAnalysis.qualityByDoc(d, "doc_id", "text")
+    val sched = Sampling.curriculumSchedule(q, "doc_id", "quality",
+        nStages = 4, nShards = 8)
+      .select(col("doc_id"), col("quality"), col("shard"), col("stage"), col("pos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(sched.map(_._3).distinct.forall(s => s >= 0 && s < 8))
+    sched.groupBy(_._3).foreach { case (shard, rows) =>
+      // ntile respects the (quality desc) order: every doc in stage s
+      // has quality >= every doc in stage s+1 (ties broken by id stay
+      // within the ordering contract)
+      val byStage = rows.groupBy(_._4)
+      val stages = byStage.keys.toSeq.sorted
+      assert(stages.head == 1 && stages == (1L to stages.size).toSeq)
+      stages.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(byStage(a).map(_._2).min >= byStage(b).map(_._2).max - 1e-12,
+            s"shard $shard: stage $a not uniformly easier than $b")
+        case _ =>
+      }
+      // positions contiguous 1..k within each (shard, stage)
+      byStage.foreach { case (_, ss) =>
+        assert(ss.map(_._5).sorted.toSeq == (1L to ss.size).toSeq)
+      }
+    }
+  }
+
+  test("temperature quotas: head source pinned to budget, tail boosted, monotone") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val rows = Sampling.temperatureQuotas(d, "source", budget = 1000L)
+      .select(col("source"), col("n_docs"), col("quota"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mx = rows.maxBy(_._2)
+    assert(mx._3 == 1000L, s"largest source must get the full budget: $mx")
+    // monotone in size, and flattening: per-doc rate rises as size falls
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array((_, n1, q1), (_, n2, q2)) =>
+        assert(q1 <= q2 || n1 == n2)
+        assert(q1.toDouble / n1 >= q2.toDouble / n2 - 1e-12,
+          "temperature must boost the tail's per-doc rate")
+      case _ =>
+    }
+  }
 }
