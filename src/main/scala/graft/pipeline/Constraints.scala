@@ -50,6 +50,25 @@ object Constraints {
     val name = s"ref_in:$c->$dimCol"
   }
 
+  /** ZERO-extra-pass evaluation of the row-level rules: the
+    * conditional counts ride the caller's OWN job via `df.observe`, so
+    * a 100 TB write gets its quality report for free — no second scan
+    * at all (where [[check]] runs one). Returns the instrumented frame
+    * to execute and a handle whose `get` blocks until the first action
+    * on that frame completes, then yields rule -> violations. Only
+    * RowRules can ride along (uniqueness/referential need their own
+    * shapes — use [[check]] for those). */
+  def observed(df: DataFrame, rules: Seq[RowRule])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(rules.nonEmpty, "observed() needs at least one row rule")
+    val dup = rules.groupBy(_.name).collect { case (n, rs) if rs.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate rule names would collide in the report: $dup")
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = rules.map(r => count(when(r.violated, lit(1))).as(r.name))
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** Evaluate all rules; returns (rule, violations), one row per rule,
     * in the given rule order made deterministic by a trailing sort on
     * rule name by callers that hash the output. */

@@ -35,6 +35,27 @@ class ConstraintsSpec extends SparkSpec {
       "ref_in:ref->k" -> 1L))           // ref=7 dangles
   }
 
+  test("observed(): violation counts ride the main job — no second scan — and match check()") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (Some(1L), Some(10.0)), (None, Some(99.0)), (Some(3L), None)
+    ).toDF("id", "qty")
+    val rules = Seq(notNull("id"), inRange("qty", 1.0, 25.0))
+      .collect { case r: RowRule => r }
+    val (instrumented, obs) = Constraints.observed(df, rules)
+    // the caller's own action (here a write) is the only job that runs
+    val out = java.nio.file.Files.createTempDirectory("obs").toString + "/d"
+    instrumented.write.mode("overwrite").parquet(out)
+    val metrics = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+    val viaCheck = Constraints.check(df, rules)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(metrics == viaCheck)
+    assert(metrics == Map("not_null:id" -> 1L, "in_range:qty[1.0,25.0]" -> 2L))
+    // and the written data is untouched by the instrumentation
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("empty table reports zero violations; duplicate rule names refuse") {
     val spark0 = spark
     import spark0.implicits._
