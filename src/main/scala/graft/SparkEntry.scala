@@ -24,7 +24,8 @@ object SparkEntry {
     val all =
       CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
         SimilarityQueries.all ++ ExtendedQueries.all ++ PipelineQueries.all ++
-        CorpusQueries.all ++ MaintenanceQueries.all ++ FormatQueries.all
+        CorpusQueries.all ++ MaintenanceQueries.all ++ FormatQueries.all ++
+        GraphQueries.all
     val dup = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
     require(dup.isEmpty, s"duplicate query names in registry: $dup — the " +
       "name->query map would silently drop all but one")

@@ -591,4 +591,41 @@ object Dedup {
           |                              'id_b', y.id, 'v_b', y.v))))""".stripMargin)).as("p"))
       .filter(VectorFunctions.cosineSim(col("p.v_a"), col("p.v_b")) >= threshold)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+
+  /** COMPLETE edit-distance-1 pair mining over a term vocabulary — the
+    * typo/variant-merging face of the dedup family (OCR noise, casing
+    * drift, plural/singular near-misses in a 100 TB crawl vocabulary).
+    *
+    * Blocking is the union of two EQUI-joins — same first character,
+    * same last character — each with a +-1 length band, and that dual
+    * blocking is LOSSLESS for levenshtein <= 1 over terms of length
+    * >= 2: a single substitution not at position 0 preserves the first
+    * character, one at position 0 preserves the last (length >= 2);
+    * an insert/delete not at the front preserves the first character,
+    * and one at the front preserves the last (the shorter string is a
+    * suffix). So every qualifying pair appears in at least one block
+    * and the levenshtein filter never sees an all-pairs product —
+    * candidate fan-out is bounded by block sizes (vocabulary-bounded,
+    * never corpus-bounded; at larger alphabets compose the block key
+    * with a length band exactly as [[lshCandidates]] bands signatures).
+    * Pairs are oriented `a < b` and deduped BEFORE the levenshtein so
+    * the edit-distance kernel runs once per unique candidate. */
+  def editDistancePairs(vocab: DataFrame, termCol: String): DataFrame = {
+    val base = vocab.select(col(termCol).as("t")).distinct()
+      .filter(length(col("t")) >= 2)
+    def side(n: String) = base.select(
+      col("t").as(n),
+      substring(col("t"), 1, 1).as(s"f$n"),
+      substring(col("t"), -1, 1).as(s"l$n"),
+      length(col("t")).as(s"n$n"))
+    val a = side("a")
+    val b = side("b")
+    val band = col("a") < col("b") && abs(col("na") - col("nb")) <= 1
+    val byFirst = a.join(b, col("fa") === col("fb") && band)
+    val byLast = a.join(b, col("la") === col("lb") && band)
+    byFirst.select(col("a"), col("b"))
+      .union(byLast.select(col("a"), col("b")))
+      .distinct()
+      .filter(levenshtein(col("a"), col("b")) <= 1)
+  }
 }

@@ -51,4 +51,30 @@ object ScaleJoins {
           saltedLeft("_salt") === explodedRight("_salt"))
       .drop("_salt")
   }
+
+  /** Two-phase SALTED aggregation for skewed group keys: phase one
+    * aggregates on (key, salt) — the hot key's rows land on
+    * `saltFactor` reducers instead of one — phase two folds the
+    * `saltFactor` partials per key into the final row. Correct for any
+    * commutative-associative aggregate expressed as (partial, merge)
+    * pairs; here the universally-reusable pair (COUNT via SUM of
+    * partial counts, SUM via SUM of partial sums). The salt must be
+    * derived from a HIGH-CARDINALITY column (a row id), never the
+    * group key — salting on the key would put every copy of the hot
+    * key back on one reducer. Result is identical to the plain
+    * `groupBy(key)`: that identity is the q140 oracle gate. (Spark's
+    * own hash aggregate already does map-side partials; the explicit
+    * salted form ADDITIONALLY splits the reduce side, which matters
+    * when one key dominates entire partitions at 100 TB.) */
+  def saltedTwoPhaseAgg(
+      df: DataFrame, groupKey: String, saltCol: String,
+      sumCols: Seq[String], saltFactor: Int): DataFrame = {
+    val partial = df
+      .groupBy(col(groupKey), pmod(hash(col(saltCol)), lit(saltFactor)).as("_salt"))
+      .agg(count(lit(1)).as("_pn"),
+        sumCols.map(c => sum(col(c)).as(s"_ps_$c")): _*)
+    partial.groupBy(col(groupKey))
+      .agg(sum(col("_pn")).as("n_rows"),
+        sumCols.map(c => sum(col(s"_ps_$c")).as(s"sum_$c")): _*)
+  }
 }

@@ -520,6 +520,49 @@ object DedupQueries {
                CAST(count(*) AS BIGINT) AS n_unique,
                CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_rate
         FROM F GROUP BY source
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    GraftQuery(
+      "q138_edit_distance_pairs",
+      "COMPLETE levenshtein<=1 pair mining over the token vocabulary " +
+        "(Dedup.editDistancePairs) — the typo/variant merge pass (OCR " +
+        "noise, casing drift) that string-edit distance covers and " +
+        "shingle Jaccard does not. Blocking is the union of two EQUI-" +
+        "joins (same first char / same last char, +-1 length band), " +
+        "which is PROVABLY lossless for edit distance 1 over terms of " +
+        "length >= 2: any single substitution, insert, or delete " +
+        "preserves the first character unless it touches position 0, " +
+        "and then it preserves the last. So the hash gate checks true " +
+        "completeness — the oracle mines the same pairs with DuckDB's " +
+        "own levenshtein — while the plan never forms an all-pairs " +
+        "product (spec-asserted no-cartesian): candidate fan-out is " +
+        "block-bounded and VOCABULARY-bounded, never corpus-bounded.",
+      (spark, dir) => {
+        // cross-domain vocabulary: document tokens + part-name words —
+        // the variant-merge pass runs over every string domain a
+        // pipeline ingests, not one table's
+        val vocab = Tables.table(spark, dir, "documents")
+          .select(explode(
+            graft.functions.TextFunctions.words(col("text"))).as("w"))
+          .union(Tables.table(spark, dir, "part")
+            .select(explode(
+              graft.functions.TextFunctions.words(col("p_name"))).as("w")))
+        Dedup.editDistancePairs(vocab, "w")
+          .orderBy(col("a"), col("b"))
+      },
+      Some(raw"""
+        WITH V AS (SELECT DISTINCT t FROM (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+          UNION ALL
+          SELECT unnest(string_split_regex(trim(p_name), '\s+')) AS t FROM part)),
+        V2 AS (SELECT t FROM V WHERE length(t) >= 2)
+        SELECT a.t AS a, b.t AS b
+        FROM V2 a JOIN V2 b
+          ON a.t < b.t
+         AND (substr(a.t, 1, 1) = substr(b.t, 1, 1)
+              OR substr(a.t, -1, 1) = substr(b.t, -1, 1))
+         AND abs(length(a.t) - length(b.t)) <= 1
+         AND levenshtein(a.t, b.t) <= 1
+        ORDER BY a, b"""))
   )
 }

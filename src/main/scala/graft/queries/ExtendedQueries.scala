@@ -976,6 +976,155 @@ object ExtendedQueries {
                CAST(coalesce((SELECT sum(c - 1) FROM (
                  SELECT count(*) AS c FROM lineitem
                  GROUP BY l_orderkey, l_linenumber) WHERE c > 1), 0) AS BIGINT)
-        ORDER BY rule"""))
+        ORDER BY rule""")),
+
+    GraftQuery(
+      "q137_count_min",
+      "Count-Min point-frequency estimates through the gated-sketch " +
+        "pattern (q92 HLL cardinality, q118 quantiles, q124 heavy " +
+        "hitters — CM completes the classical sketch quartet): one " +
+        "pass builds Spark's built-in count_min_sketch over every " +
+        "token (eps 0.001, confidence 0.99, fixed seed — counters are " +
+        "sums, so the merged sketch is bit-identical under any " +
+        "partitioning), the driver deserializes the BOUNDED " +
+        "depth x width counter array, and a probe vocabulary (distinct " +
+        "terms of every-50th document) is estimated against exact " +
+        "recounted truth. Gate: CM never undercounts (est >= exact " +
+        "always, by construction) and overcounts by at most " +
+        "ceil(eps * N) (the sketch's own guarantee at confidence; " +
+        "deterministic here under fixed data + seed). The estimates " +
+        "themselves are deliberately not hash-compared (counter " +
+        "layouts are engine-specific); the oracle recomputes the " +
+        "exact probe counts and expects every bound flag TRUE. The " +
+        "100 TB role vs q124: Misra-Gries yields the candidate SET, " +
+        "CM answers ad-hoc point queries for ANY key after the fact " +
+        "from a few KB — no second corpus pass.",
+      (spark, dir) => {
+        import spark.implicits._
+        val eps = 0.001
+        val docs = Tables.table(spark, dir, "documents")
+        val toks = docs.select(explode(
+          graft.functions.TextFunctions.words(col("text"))).as("term"))
+        val row = toks.agg(
+          count_min_sketch(col("term"), lit(eps), lit(0.99), lit(42)).as("sk"),
+          count(lit(1)).as("n")).collect()(0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(row.getAs[Array[Byte]](0))
+        val bound = math.ceil(eps * row.getLong(1)).toLong
+        val probes = docs.filter(col("doc_id") % 50 === 0)
+          .select(explode(
+            graft.functions.TextFunctions.words(col("text"))).as("term"))
+          .distinct()
+        // exact truth for the bounded probe vocabulary only — the full
+        // vocabulary is never recounted, matching the sketch's purpose
+        val exact = toks.join(broadcast(probes), Seq("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        exact.toSeq.map { case (t, c) =>
+          val est = cms.estimateCount(t)
+          (t, c, est >= c && est <= c + bound)
+        }.toDF("term", "cnt", "within_bound").orderBy(col("term"))
+      },
+      Some(raw"""
+        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        T AS (SELECT doc_id, unnest(w) AS term FROM W),
+        P AS (SELECT DISTINCT term FROM T WHERE doc_id % 50 = 0)
+        SELECT t.term AS term, CAST(count(*) AS BIGINT) AS cnt,
+               TRUE AS within_bound
+        FROM T t JOIN P ON t.term = P.term
+        GROUP BY t.term ORDER BY term""")),
+
+    GraftQuery(
+      "q140_salted_agg",
+      "Two-phase SALTED aggregation oracle-gated against the plain " +
+        "GROUP BY (operators.ScaleJoins.saltedTwoPhaseAgg): events " +
+        "aggregate per event_type — a handful of values, the " +
+        "canonical reduce-side hot-key shape — with phase one on " +
+        "(event_type, hash(event_id) mod 64) spreading each hot key " +
+        "over 64 reducers and phase two folding the bounded partials. " +
+        "The identity with the direct aggregation IS the gate: sums " +
+        "ride exact integer micro-units (floor(value * 1e6), IEEE-" +
+        "identical in both engines), so salting can be verified to " +
+        "change the SHUFFLE shape and nothing else. The spec asserts " +
+        "the two-exchange plan; AQE's skew handling covers sort-merge " +
+        "joins, but a skewed AGGREGATION key at 100 TB needs exactly " +
+        "this explicit split.",
+      (spark, dir) => {
+        val ev = Tables.table(spark, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * lit(1000000.0)).cast("long").as("vmicros"))
+        graft.operators.ScaleJoins
+          .saltedTwoPhaseAgg(ev, "event_type", "event_id",
+            Seq("vmicros"), saltFactor = 64)
+          .select(col("event_type"), col("n_rows"),
+            col("sum_vmicros").as("sum_value_micros"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+                 AS sum_value_micros
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    GraftQuery(
+      "q141_scd2_intervals",
+      "Slowly-changing-dimension (type 2) interval build — the " +
+        "snapshot-to-history operator every warehouse load runs: each " +
+        "user's event_type sequence (ordered by ts with event_id " +
+        "tiebreak) compresses into validity intervals [valid_from, " +
+        "valid_to) via run-length change detection (null-safe lag " +
+        "compare -> running change count -> per-run min/lead), with " +
+        "the open current row carrying NULL valid_to / is_current. " +
+        "Two window passes + one aggregate, all partitioned by " +
+        "user_id — nothing global, so 100 TB of history parallelizes " +
+        "by key with no skew beyond the per-user event count. " +
+        "Composes with q35's as-of join for point-in-time enrichment.",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val runs = Tables.table(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w) <=> col("event_type"), 0)
+              .otherwise(1))
+          .withColumn("run", sum(col("chg")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val iv = runs.groupBy(col("user_id"), col("run"))
+          .agg(min(col("event_type")).as("event_type"),
+            min(col("ts")).as("vfrom"))
+        val w2 = Window.partitionBy(col("user_id")).orderBy(col("run"))
+        iv.withColumn("vto", lead(col("vfrom"), 1).over(w2))
+          .select(col("user_id"), col("run").cast("long").as("seq"),
+            col("event_type"),
+            unix_millis(col("vfrom")).as("valid_from_ms"),
+            unix_millis(col("vto")).as("valid_to_ms"),
+            col("vto").isNull.as("is_current"))
+          .orderBy(col("user_id"), col("seq"))
+      },
+      Some("""
+        WITH E AS (SELECT user_id, event_id, event_type,
+                          CAST(ts AS TIMESTAMP) AS ts FROM events),
+        L AS (SELECT user_id, event_id, event_type, ts,
+                     CASE WHEN lag(event_type) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM E),
+        S AS (SELECT user_id, event_type, ts,
+                     SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS run
+              FROM L),
+        R AS (SELECT user_id, run, min(event_type) AS event_type,
+                     min(ts) AS vfrom
+              FROM S GROUP BY user_id, run),
+        V AS (SELECT user_id, run, event_type, vfrom,
+                     lead(vfrom) OVER (PARTITION BY user_id ORDER BY run) AS vto
+              FROM R)
+        SELECT user_id, CAST(run AS BIGINT) AS seq, event_type,
+               epoch_ms(vfrom) AS valid_from_ms,
+               epoch_ms(vto) AS valid_to_ms,
+               (vto IS NULL) AS is_current
+        FROM V ORDER BY user_id, seq""")),
   )
 }

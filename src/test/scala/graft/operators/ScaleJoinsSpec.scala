@@ -98,4 +98,22 @@ class ScaleJoinsSpec extends SparkSpec {
     val pd = plain.groupBy(col("k")).count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(sd == pd)
   }
+
+  test("salted two-phase aggregation equals the plain groupBy (q140's gate, locally)") {
+    import spark.implicits._
+    // one dominant key (the reduce-side hot spot), two cold keys; row
+    // ids are unique so the salt actually spreads the hot key
+    val rows = (0 until 5000).map(i => ("hot", i.toLong, i.toLong % 7)) ++
+      Seq(("c1", 9001L, 3L), ("c1", 9002L, 4L), ("c2", 9003L, 5L))
+    val df = rows.toDF("k", "rid", "x").repartition(8)
+    val salted = ScaleJoins.saltedTwoPhaseAgg(df, "k", "rid", Seq("x"), 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val plain = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted == plain, s"salted=$salted plain=$plain")
+    // the salt is an internal detail — it must not leak into the output
+    assert(ScaleJoins.saltedTwoPhaseAgg(df, "k", "rid", Seq("x"), 16)
+      .columns.toSeq == Seq("k", "n_rows", "sum_x"))
+  }
 }
