@@ -18,6 +18,21 @@ object ExtendedQueries {
     * durable streamed summary store): the exact-recount gate makes the
     * heavy-hitter output a pure function of the corpus — independent
     * of batch slicing — so both faces must hash to exactly this. */
+  /** Shared VERBATIM by q137 (one-pass inline sketch) and q142 (the
+    * durable streamed sketch store): Count-Min merge is exact counter
+    * addition, so the streamed store's sketch is bit-identical to the
+    * one-pass sketch and the gated output is a pure function of the
+    * corpus — independent of batch slicing — so both faces must hash
+    * to exactly this. */
+  private val countMinOracle: String = raw"""
+        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        T AS (SELECT doc_id, unnest(w) AS term FROM W),
+        P AS (SELECT DISTINCT term FROM T WHERE doc_id % 50 = 0)
+        SELECT t.term AS term, CAST(count(*) AS BIGINT) AS cnt,
+               TRUE AS within_bound
+        FROM T t JOIN P ON t.term = P.term
+        GROUP BY t.term ORDER BY term"""
+
   private val heavyHittersOracle: String = """
         WITH W AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
         T AS (SELECT unnest(w) AS term FROM W),
@@ -1025,14 +1040,7 @@ object ExtendedQueries {
           (t, c, est >= c && est <= c + bound)
         }.toDF("term", "cnt", "within_bound").orderBy(col("term"))
       },
-      Some(raw"""
-        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        T AS (SELECT doc_id, unnest(w) AS term FROM W),
-        P AS (SELECT DISTINCT term FROM T WHERE doc_id % 50 = 0)
-        SELECT t.term AS term, CAST(count(*) AS BIGINT) AS cnt,
-               TRUE AS within_bound
-        FROM T t JOIN P ON t.term = P.term
-        GROUP BY t.term ORDER BY term""")),
+      Some(countMinOracle)),
 
     GraftQuery(
       "q140_salted_agg",
@@ -1126,5 +1134,39 @@ object ExtendedQueries {
                epoch_ms(vto) AS valid_to_ms,
                (vto IS NULL) AS is_current
         FROM V ORDER BY user_id, seq""")),
+
+    GraftQuery(
+      "q142_count_min_stream",
+      "The DURABLE STREAMED face of q137 (CountMinStream — Count-Min " +
+        "joins the durable-store family exactly as Misra-Gries did in " +
+        "q128): tokens arrive in two batches, each reduces distributed " +
+        "to one bounded counter array under the store's pinned (eps, " +
+        "confidence, seed), and the driver folds it into ONE stored " +
+        "sketch by counter addition — a merge so exact the stored " +
+        "bytes are bit-identical to a single-pass sketch of the whole " +
+        "corpus (spec-asserted), so every guarantee survives batch " +
+        "slicing verbatim and this shares q137's oracle VERBATIM. " +
+        "Commit is meta-last versioned idempotent swaps; crash-" +
+        "version skip is spec-asserted.",
+      (spark, dir) => {
+        val store = QueryScratch.dir("graft_q142_cm_store")
+        val pth = new org.apache.hadoop.fs.Path(store)
+        val fs = pth.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(pth)) fs.delete(pth, true)
+        val d = Tables.table(spark, dir, "documents")
+        def toks(dd: org.apache.spark.sql.DataFrame) = dd.select(explode(
+          graft.functions.TextFunctions.words(col("text"))).as("term"))
+        graft.streaming.CountMinStream.seed(spark, store,
+          eps = 0.001, confidence = 0.99, sketchSeed = 42)
+        graft.streaming.CountMinStream.mergeBatch(
+          toks(d.filter(col("doc_id") % 2 === 0)), "term", store)
+        graft.streaming.CountMinStream.mergeBatch(
+          toks(d.filter(col("doc_id") % 2 === 1)), "term", store)
+        val probes = toks(d.filter(col("doc_id") % 50 === 0)).distinct()
+        graft.streaming.CountMinStream
+          .estimates(spark, store, toks(d), "term", probes)
+          .orderBy(col("term"))
+      },
+      Some(countMinOracle)),
   )
 }

@@ -2,7 +2,6 @@ package graft.streaming
 
 import scala.collection.mutable
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
@@ -23,18 +22,11 @@ import graft.functions.MisraGriesAgg
   * never shuffles vocabulary.
   *
   * Layout (`storeDir/`): `v=N/items` (term, est) + `v=N/meta`
-  * (n, capacity), written items-first/meta-LAST — the commit mark is
-  * meta's `_SUCCESS` file (the job-commit marker, written atomically
-  * LAST by the committer; the meta DIRECTORY itself exists from job
-  * setup, so dir presence would mis-read a crash mid-meta-write as
-  * committed and wedge the store). A crash anywhere mid-write leaves
-  * an uncommitted version that readers skip and the next write
-  * cleans. Readers pick the highest committed version; the PREVIOUS
-  * committed version is retained one generation as a grace window for
-  * in-flight readers (the sibling stores keep history for the same
-  * reason) — older ones are deleted after a successful commit (crash
-  * between commit and cleanup leaves extras, removed next write —
-  * idempotent).
+  * (n, capacity), written items-first/meta-LAST under
+  * [[VersionedStore]]'s commit recipe (meta `_SUCCESS` marks the
+  * version; readers pick the highest committed; one committed
+  * predecessor retained as reader grace; crash debris skipped and
+  * cleaned on the next write).
   *
   * Serving is [[heavyHitters]]: candidates from the stored summary,
   * one broadcast-IN exact recount over the admitted corpus, output =
@@ -44,19 +36,9 @@ import graft.functions.MisraGriesAgg
   */
 object HeavyHittersStream {
 
-  private def fsOf(spark: SparkSession, p: Path) =
-    p.getFileSystem(spark.sessionState.newHadoopConf())
-
   private def committedVersions(
-      spark: SparkSession, storeDir: String): Seq[Long] = {
-    val root = new Path(storeDir)
-    val fs = fsOf(spark, root)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(e => e.isDirectory && e.getPath.getName.startsWith("v="))
-      .flatMap(e => e.getPath.getName.stripPrefix("v=").toLongOption
-        .filter(_ => fs.exists(new Path(e.getPath, "meta/_SUCCESS"))))
-  }
+      spark: SparkSession, storeDir: String): Seq[Long] =
+    VersionedStore.committedVersions(spark, storeDir)
 
   /** Initialize an empty committed summary (version 0). */
   def seed(spark: SparkSession, storeDir: String, capacity: Int): Unit = {
@@ -87,22 +69,7 @@ object HeavyHittersStream {
     // meta LAST: its job-commit _SUCCESS marker commits the version
     Seq((n, capacity.toLong)).toDF("n", "capacity").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    // cleanup: uncommitted debris goes immediately; committed
-    // predecessors keep ONE generation of grace (a concurrent reader
-    // that just picked the previous max must still find its files)
-    val committed = committedVersions(spark, storeDir)
-    val keepPrev = committed.filter(_ < v).sorted.lastOption
-    val root = new Path(storeDir)
-    val fs = fsOf(spark, root)
-    fs.listStatus(root).foreach { e =>
-      val name = e.getPath.getName
-      name.stripPrefix("v=").toLongOption
-        .filter(_ => e.isDirectory && name.startsWith("v="))
-        .foreach { n2 =>
-          val keep = n2 == v || (committed.contains(n2) && keepPrev.contains(n2))
-          if (!keep) fs.delete(e.getPath, true)
-        }
-    }
+    VersionedStore.retireOldVersions(spark, storeDir, v)
   }
 
   /** Fold one micro-batch's tokens into the stored summary: the batch

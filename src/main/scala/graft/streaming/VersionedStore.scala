@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** The one version-commit recipe the bounded-summary stores share
+  * ([[HeavyHittersStream]], [[CountMinStream]]): versions live under
+  * `storeDir/v=N/`, a version is committed iff its `meta/_SUCCESS`
+  * job-commit marker exists (the marker file is written atomically
+  * LAST by the committer; the meta DIRECTORY exists from job setup, so
+  * dir presence would mis-read a crash mid-meta-write as committed),
+  * readers pick the highest committed version, and cleanup retires
+  * everything except the current version and ONE committed predecessor
+  * (grace for a concurrent reader that just resolved the previous max
+  * and is still opening its files). Crash anywhere mid-write leaves an
+  * uncommitted version that readers skip and the next writer removes —
+  * idempotent.
+  */
+private[streaming] object VersionedStore {
+
+  def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def committedVersions(spark: SparkSession, storeDir: String): Seq[Long] = {
+    val root = new Path(storeDir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("v="))
+      .flatMap(e => e.getPath.getName.stripPrefix("v=").toLongOption
+        .filter(_ => fs.exists(new Path(e.getPath, "meta/_SUCCESS"))))
+  }
+
+  /** After committing `v`: delete uncommitted debris immediately and
+    * committed predecessors beyond the single grace generation. */
+  def retireOldVersions(
+      spark: SparkSession, storeDir: String, v: Long): Unit = {
+    val committed = committedVersions(spark, storeDir)
+    val keepPrev = committed.filter(_ < v).sorted.lastOption
+    val root = new Path(storeDir)
+    val fs = fsOf(spark, root)
+    fs.listStatus(root).foreach { e =>
+      val name = e.getPath.getName
+      name.stripPrefix("v=").toLongOption
+        .filter(_ => e.isDirectory && name.startsWith("v="))
+        .foreach { n2 =>
+          val keep = n2 == v || (committed.contains(n2) && keepPrev.contains(n2))
+          if (!keep) fs.delete(e.getPath, true)
+        }
+    }
+  }
+}
