@@ -158,6 +158,71 @@ object Multimodal {
       }.toDF()
   }
 
+  case class PerceptualHash(
+      media_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** 8x8 average-hash (aHash, the classic perceptual fingerprint) over
+    * the REAL decoded raster: gray = (r+g+b)/3 per pixel, threshold at
+    * the integer mean, one bit per pixel packed as FOUR 16-bit band
+    * values (not one 64-bit word: bit 63 would need an unsigned type
+    * the oracle side lacks, and the bands double as the LSH blocking
+    * key). All arithmetic is integer, so an oracle that knows the
+    * pixel formula reproduces the hash bit for bit — which is exactly
+    * how q145 gates the DECODE fidelity of the ImageIO path: one
+    * flipped pixel anywhere flips a hash bit and the hash gate
+    * mismatches. Expects 8x8 payloads (the synthesizer's contract);
+    * anything else fails loudly rather than hashing garbage. */
+  def perceptualHash8(media: DataFrame): Dataset[PerceptualHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        require(img != null && img.getWidth == 8 && img.getHeight == 8,
+          s"perceptualHash8 expects a decodable 8x8 image for media $id")
+        val g = Array.tabulate(64) { idx =>
+          val v = img.getRGB(idx % 8, idx / 8) & 0xffffff
+          (((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) / 3
+        }
+        val mean = g.sum / 64
+        def band(b: Int): Long = (0 until 16).foldLeft(0L) { (acc, j) =>
+          if (g(b * 16 + j) > mean) acc | (1L << j) else acc
+        }
+        PerceptualHash(id, band(0), band(1), band(2), band(3))
+      })
+  }
+
+  /** Near-duplicate image pairs by banded hamming distance: candidates
+    * share at least one of the four 16-bit hash bands (the LSH
+    * blocking), the verify recomputes the exact hamming distance from
+    * the full hash. COMPLETE for maxHamming < 4 by pigeonhole — k
+    * differing bits touch at most k bands, so some band is identical —
+    * which is why the bound is require-asserted: a caller passing 4+
+    * would silently lose recall. The hash table is 32 bytes per image;
+    * at 100 TB the bytes never join, only hashes do. */
+  def perceptualNearDups(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"banding is complete only for maxHamming < 4 bands, got $maxHamming")
+    val bands = hashes.select(col("media_id"), posexplode(array(
+      col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bv")))
+    val cand = bands.select(col("media_id").as("id_a"), col("band"), col("bv"))
+      .join(bands.select(col("media_id").as("id_b"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    def side(pfx: String, idName: String) = hashes.select(
+      col("media_id").as(idName), col("b0").as(s"${pfx}0"),
+      col("b1").as(s"${pfx}1"), col("b2").as(s"${pfx}2"),
+      col("b3").as(s"${pfx}3"))
+    cand.join(side("l", "id_a"), "id_a").join(side("r", "id_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (bit_count(expr("l0 ^ r0")) + bit_count(expr("l1 ^ r1")) +
+          bit_count(expr("l2 ^ r2")) + bit_count(expr("l3 ^ r3")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** STUB resize: a real implementation re-encodes the payload at the
     * target dimensions (for image payloads Java2D + ImageIO could — the
     * byte-budget contract here is deliberately codec-agnostic); the stub

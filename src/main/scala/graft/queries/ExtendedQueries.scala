@@ -1168,5 +1168,46 @@ object ExtendedQueries {
           .orderBy(col("term"))
       },
       Some(countMinOracle)),
+
+    GraftQuery(
+      "q144_hll_union",
+      "MERGEABLE cardinality sketches through the gate (q92 proves the " +
+        "estimate; this proves the UNION — the property 100 TB " +
+        "actually relies on, where per-partition/per-day sketches are " +
+        "unioned instead of re-scanning): per-source DataSketches HLL " +
+        "over the even-doc half and the odd-doc half separately " +
+        "(hll_sketch_agg, lgConfigK 12), hll_union folds each " +
+        "source's two halves, and the unioned estimate is gated " +
+        "within 5% (3x the sketch's ~1.6% rsd) of the exact distinct " +
+        "token count the oracle recomputes. A source missing from " +
+        "one half serves the other's sketch — union must degrade to " +
+        "identity, not null. Deterministic: fixed hash, fixed data.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        def toks(dd: org.apache.spark.sql.DataFrame) = dd.select(
+          col("source"), explode(
+            graft.functions.TextFunctions.words(col("text"))).as("term"))
+        def half(m: Int) = toks(d.filter(col("doc_id") % 2 === m))
+          .groupBy(col("source"))
+          .agg(hll_sketch_agg(col("term"), lit(12)).as(s"sk$m"))
+        val est = half(0).join(half(1), Seq("source"), "full_outer")
+          .select(col("source"), hll_sketch_estimate(
+            when(col("sk0").isNull, col("sk1"))
+              .when(col("sk1").isNull, col("sk0"))
+              .otherwise(hll_union(col("sk0"), col("sk1")))).as("est"))
+        val exact = toks(d).groupBy(col("source"))
+          .agg(countDistinct(col("term")).as("n_distinct"))
+        exact.join(est, Seq("source"))
+          .select(col("source"), col("n_distinct"),
+            (abs(col("est") - col("n_distinct")) <=
+              col("n_distinct") * 0.05).as("within_tolerance"))
+          .orderBy(col("source"))
+      },
+      Some(raw"""
+        WITH W AS (SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        T AS (SELECT source, unnest(w) AS term FROM W)
+        SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct,
+               TRUE AS within_tolerance
+        FROM T GROUP BY source ORDER BY source""")),
   )
 }

@@ -67,6 +67,44 @@ object GraphQueries {
           .orderBy(col("pr").desc, col("node"))
           .limit(50)
       },
-      Some(pagerankOracle))
+      Some(pagerankOracle)),
+
+    GraftQuery(
+      "q143_triangle_counts",
+      "Per-node triangle counting over the part co-purchase graph " +
+        "(parts sharing an order; per-order fan-out is bounded by " +
+        "order size, so edge construction never explodes) — the " +
+        "clustering/cohesion signal of the graph family. The " +
+        "implementation orients each edge from its lower-(degree,id) " +
+        "endpoint (Suri-Vassilvitskii), so every triangle is " +
+        "enumerated exactly once and wedge fan-out rides the ORIENTED " +
+        "out-degree, O(sqrt(m)) — a hub's raw degree never squares " +
+        "into the join. Counts are exact integers; the oracle " +
+        "re-derives them with the naive a<b<c three-way self-join, " +
+        "and both enumerations must agree node for node.",
+      (spark, dir) => {
+        val lp = Tables.table(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val l2 = lp.select(col("o"), col("p").as("p2"))
+        val edges = lp.join(l2, Seq("o"))
+          .filter(col("p") < col("p2"))
+          .select(col("p").as("src"), col("p2").as("dst"))
+          .distinct()
+        graft.operators.Graph.triangleCounts(edges)
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH LP AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        E AS (SELECT DISTINCT a.p AS a, b.p AS b
+              FROM LP a JOIN LP b ON a.o = b.o AND a.p < b.p),
+        T AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM E e1 JOIN E e2 ON e2.a = e1.b
+              JOIN E e3 ON e3.a = e1.a AND e3.b = e2.b),
+        N AS (SELECT x AS node FROM T
+              UNION ALL SELECT y FROM T
+              UNION ALL SELECT z FROM T)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM N GROUP BY node ORDER BY node"""))
   )
 }

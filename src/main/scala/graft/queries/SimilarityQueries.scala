@@ -575,6 +575,66 @@ object SimilarityQueries {
         FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""")),
 
     GraftQuery(
+      "q145_image_near_dup",
+      "IMAGE near-duplicate detection — the multimodal member of the " +
+        "dedup family: one 8x8 synthetic PNG per document (tone = " +
+        "doc_id mod 251, so distant ids repeat tones and true dups " +
+        "exist), REALLY decoded with ImageIO, perceptually hashed " +
+        "(8x8 average-hash: integer gray, mean threshold, 64 bits " +
+        "packed as four 16-bit bands), then paired by banded LSH — " +
+        "candidates share a band, verify is exact hamming <= 3, " +
+        "COMPLETE by pigeonhole (3 flipped bits cannot touch all 4 " +
+        "bands). The oracle knows the synthesizer's pixel formula and " +
+        "re-derives every hash bit ARITHMETICALLY, so this gate " +
+        "proves PNG encode->decode pixel fidelity end to end: one " +
+        "channel value off anywhere flips a bit and the hash " +
+        "mismatches. At 100 TB only the 32-byte hashes join; payload " +
+        "bytes never shuffle.",
+      (spark, dir) => {
+        // every 5th document, q122's sampled-fixture rationale: the
+        // decode+hash gate is per-row; the pair structure stays rich
+        val dims = Tables.table(spark, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), lit(8).as("w"), lit(8).as("h"))
+        val media = Multimodal.packImages(dims, "doc_id", "w", "h")
+        val hashes = Multimodal.perceptualHash8(media).toDF()
+        Multimodal.perceptualNearDups(hashes, maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH D AS (SELECT doc_id, doc_id % 251 AS tone FROM documents
+                   WHERE doc_id % 5 = 0),
+        PX AS (SELECT doc_id, x, y,
+                      ((x * 31 + y * 17 + tone) & 16777215) AS v
+               FROM D, range(8) t1(x), range(8) t2(y)),
+        G AS (SELECT doc_id, (y * 8 + x) AS idx,
+                     (((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) // 3 AS g
+              FROM PX),
+        M AS (SELECT doc_id, SUM(g) // 64 AS m FROM G GROUP BY doc_id),
+        B AS (SELECT g.doc_id, idx // 16 AS band,
+                     CAST(SUM(CASE WHEN g.g > m.m
+                                   THEN 1 << (idx % 16) ELSE 0 END) AS BIGINT) AS bv
+              FROM G g JOIN M m ON m.doc_id = g.doc_id
+              GROUP BY g.doc_id, idx // 16),
+        H AS (SELECT doc_id,
+                     max(CASE WHEN band = 0 THEN bv END) AS b0,
+                     max(CASE WHEN band = 1 THEN bv END) AS b1,
+                     max(CASE WHEN band = 2 THEN bv END) AS b2,
+                     max(CASE WHEN band = 3 THEN bv END) AS b3
+              FROM B GROUP BY doc_id),
+        C AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+              FROM B a JOIN B b
+                ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        P AS (SELECT c.ida AS id_a, c.idb AS id_b,
+                     bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+                     + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+                       AS hamming
+              FROM C c JOIN H ha ON ha.doc_id = c.ida
+                       JOIN H hb ON hb.doc_id = c.idb)
+        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        FROM P WHERE hamming <= 3 ORDER BY id_a, id_b""")),
+
+    GraftQuery(
       "q65_ann_sq8_topk",
       "SQ8 compressed ANN: top-3 by 8-bit scalar-quantized L2 (global " +
         "per-dim min/max ranges, fused quantize+distance codegen " +

@@ -77,4 +77,71 @@ class MultimodalSpec extends SparkSpec {
     val nb = Multimodal.decodeFeatures(media).collect().map(_.n_bytes)
     assert(nb.forall(_ > 0))
   }
+
+  /** Driver-side aHash from the synthesizer's pixel FORMULA — the same
+    * arithmetic q145's oracle runs in SQL; the spec's ground truth. */
+  private def formulaHash(tone: Int): (Long, Long, Long, Long) = {
+    val g = Array.tabulate(64) { idx =>
+      val v = ((idx % 8) * 31 + (idx / 8) * 17 + tone) & 0xffffff
+      (((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) / 3
+    }
+    val mean = g.sum / 64
+    def band(b: Int): Long = (0 until 16).foldLeft(0L) { (acc, j) =>
+      if (g(b * 16 + j) > mean) acc | (1L << j) else acc
+    }
+    (band(0), band(1), band(2), band(3))
+  }
+
+  test("perceptualHash8 over DECODED pixels reproduces the formula hash bit for bit") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ids = Seq(0L, 3L, 17L, 250L, 251L, 502L)
+    val media = Multimodal.packImages(
+      ids.map(i => (i, 8, 8)).toDF("id", "w", "h"), "id", "w", "h")
+    val got = Multimodal.perceptualHash8(media).collect()
+      .map(h => h.media_id -> ((h.b0, h.b1, h.b2, h.b3))).toMap
+    ids.foreach { i =>
+      assert(got(i) == formulaHash((i % 251).toInt),
+        s"decoded-pixel hash for id $i diverged from the pixel formula — " +
+          "PNG round-trip is not pixel-exact")
+    }
+    // tone repeats mod 251 -> ids 0 and 251 must hash identically
+    assert(got(0L) == got(251L))
+  }
+
+  test("perceptualNearDups matches brute-force hamming; cap require-asserted") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ids = (0L until 40L)
+    val media = Multimodal.packImages(
+      ids.map(i => (i, 8, 8)).toDF("id", "w", "h"), "id", "w", "h")
+    val hs = Multimodal.perceptualHash8(media).collect()
+      .map(h => h.media_id -> Seq(h.b0, h.b1, h.b2, h.b3)).toMap
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val truth = (for {
+      a <- ids; b <- ids if a < b && ham(hs(a), hs(b)) <= 3
+    } yield (a, b, ham(hs(a), hs(b)).toLong)).toSet
+    assert(truth.nonEmpty, "fixture produced no near-dup pairs")
+    val mined = Multimodal.perceptualNearDups(
+        Multimodal.perceptualHash8(media).toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mined == truth,
+      s"missing=${truth -- mined} extra=${mined -- truth}")
+    intercept[IllegalArgumentException] {
+      Multimodal.perceptualNearDups(
+        Multimodal.perceptualHash8(media).toDF(), maxHamming = 4)
+    }
+  }
+
+  test("perceptualHash8 refuses non-8x8 payloads loudly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val media = Multimodal.packImages(
+      Seq((1L, 9, 8)).toDF("id", "w", "h"), "id", "w", "h")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.perceptualHash8(media).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

@@ -42,4 +42,44 @@ class GraphSpec extends SparkSpec {
     val pair = Seq((1L, 2L), (2L, 1L))
     assert(ranksOf(pair, 4) == Map(1L -> 1000000L, 2L -> 1000000L))
   }
+
+  private def trianglesOf(edges: Seq[(Long, Long)], parts: Int = 4) = {
+    val spark0 = spark
+    import spark0.implicits._
+    Graph.triangleCounts(edges.toDF("src", "dst").repartition(parts))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangles: K4 gives every node 3; a pendant and an open wedge give none") {
+    // K4 on 1-4 (each node in C(3,2)=3 triangles), pendant 5-1,
+    // open wedge 6-7, 7-8 (no closing edge)
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = k4 ++ Seq((5L, 1L), (6L, 7L), (7L, 8L))
+    val got = trianglesOf(edges)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got)
+  }
+
+  test("triangles: orientation, duplicates, and partitioning do not change counts") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L)) // one triangle
+    val messy = base ++ base.map(_.swap) ++ Seq((2L, 1L), (1L, 2L)) // dups + both orientations
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    assert(trianglesOf(base) == expected)
+    assert(trianglesOf(messy) == expected)
+    Seq(1, 8).foreach(p => assert(trianglesOf(messy, p) == expected))
+  }
+
+  test("triangles: hub-heavy graph matches naive enumeration") {
+    // hub 0 connected to 1..10, plus ring edges i-(i+1): triangles are
+    // exactly (0, i, i+1) — verify against a driver-side naive count
+    val edges = (1L to 10L).map(h => (0L, h)) ++
+      (1L until 10L).map(i => (i, i + 1))
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      x <- nodes; y <- nodes if x < y; z <- nodes if y < z
+      if es((x, y)) && es((y, z)) && es((x, z))
+    } Seq(x, y, z).foreach(n => naive(n) += 1)
+    assert(trianglesOf(edges) == naive.toMap)
+  }
 }
