@@ -1209,5 +1209,71 @@ object ExtendedQueries {
         SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct,
                TRUE AS within_tolerance
         FROM T GROUP BY source ORDER BY source""")),
+
+    GraftQuery(
+      "q146_gap_fill",
+      "Time-series gap filling with forward fill — the feature-" +
+        "engineering resample every training pipeline runs over event " +
+        "history: each user's per-day last observation (row_number " +
+        "desc over (ts, event_id)) lands on a dense daily calendar " +
+        "generated from the user's own observed span (sequence + " +
+        "explode — never a global cross join), and missing days carry " +
+        "the last non-null value forward (last() ignoreNulls over an " +
+        "unbounded-preceding frame). Values ride exact integer " +
+        "micro-units so the fill is hash-exact; `observed` flags " +
+        "carried vs measured rows. Everything is partitioned by " +
+        "user_id — the calendar explosion is span-bounded per key, " +
+        "the fill is one window pass, nothing global at 100 TB.",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.table(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * lit(1000000.0)).cast("long").as("vmic"),
+            to_date(col("ts")).as("day"))
+        val wDay = Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val obs = ev.withColumn("rn", row_number().over(wDay))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("day"), col("vmic"))
+        val buckets = obs.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val wFill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        buckets.join(obs, Seq("user_id", "day"), "left")
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            last(col("vmic"), ignoreNulls = true).over(wFill)
+              .as("value_micros"),
+            col("vmic").isNotNull.as("observed"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""
+        WITH E AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                          CAST(floor(value * 1000000.0) AS BIGINT) AS vmic
+                   FROM events),
+        DY AS (SELECT user_id, CAST(ts AS DATE) AS day, vmic,
+                      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+               FROM E),
+        O AS (SELECT user_id, day, vmic FROM DY WHERE rn = 1),
+        SP AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+               FROM O GROUP BY user_id),
+        B AS (SELECT user_id,
+                     CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                       CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+              FROM SP),
+        J AS (SELECT b.user_id, b.day, o.vmic
+              FROM B b LEFT JOIN O o
+                ON o.user_id = b.user_id AND o.day = b.day),
+        F AS (SELECT user_id, day,
+                     last_value(vmic IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS value_micros,
+                     (vmic IS NOT NULL) AS observed
+              FROM J)
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day, value_micros, observed
+        FROM F ORDER BY user_id, day""")),
   )
 }

@@ -93,6 +93,50 @@ object FormatQueries {
       },
       Some("""
         SELECT doc_id, lang, source, n_chars FROM documents
-        WHERE lang = 'en' ORDER BY doc_id"""))
+        WHERE lang = 'en' ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q147_corrupt_quarantine",
+      "Malformed-record QUARANTINE (PERMISSIVE + " +
+        "columnNameOfCorruptRecord) — the 100 TB ingestion reality " +
+        "q130-q132's clean round-trips skip: one JSONL fixture is " +
+        "written with every doc_id % 10 == 3 line deliberately " +
+        "broken, read back under an explicit schema with a corrupt-" +
+        "record column, and rows split into parsed vs quarantined — " +
+        "the job never dies, the bad lines never silently vanish. " +
+        "Output is the classification census plus a content checksum " +
+        "of the PARSED side (sum of n_chars), so a parser that " +
+        "swallows a bad line as nulls, drops a good line, or " +
+        "mis-parses a field all hash-mismatch against the oracle's " +
+        "independent derivation from the clean table.",
+      (spark, dir) => {
+        val out = QueryScratch.dir("graft_q147_jsonl")
+        val docs = Tables.table(spark, dir, "documents")
+        docs.select(
+            when(col("doc_id") % 10 === 3, lit("{not json"))
+              .otherwise(to_json(struct(col("doc_id"), col("n_chars"))))
+              .as("value"))
+          .write.mode("overwrite").text(out)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_chars", LongType),
+          StructField("_bad", StringType)))
+        spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .json(out)
+          .agg(
+            sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_ok"),
+            sum(when(col("_bad").isNotNull, 1L).otherwise(0L))
+              .as("n_quarantined"),
+            sum(when(col("_bad").isNull, col("n_chars"))).as("sum_nchars_ok"))
+      },
+      Some("""
+        SELECT CAST(count(*) FILTER (doc_id % 10 <> 3) AS BIGINT) AS n_ok,
+               CAST(count(*) FILTER (doc_id % 10 = 3) AS BIGINT)
+                 AS n_quarantined,
+               CAST(sum(n_chars) FILTER (doc_id % 10 <> 3) AS BIGINT)
+                 AS sum_nchars_ok
+        FROM documents"""))
   )
 }
