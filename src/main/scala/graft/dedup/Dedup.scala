@@ -610,6 +610,37 @@ object Dedup {
     * with a length band exactly as [[lshCandidates]] bands signatures).
     * Pairs are oriented `a < b` and deduped BEFORE the levenshtein so
     * the edit-distance kernel runs once per unique candidate. */
+  /** DIRECTIONAL shingle containment — the quote/boilerplate detector
+    * Jaccard structurally misses: a short document fully quoted inside
+    * a long one has tiny Jaccard (union is the long doc) but
+    * containment |A∩B|/|A| near 1. Pairs (contained -> container) with
+    * `common * q >= p * |A|` over the df-capped shingle space:
+    * shingles appearing in more than `maxDf` documents are dropped ON
+    * BOTH SIDES of the ratio (sizes and intersections alike), which
+    * (a) bounds the inverted-index join's fan-out per shingle — the
+    * scale guarantee, common boilerplate n-grams are exactly the hot
+    * keys — and (b) keeps the operator a pure deterministic function
+    * an oracle can mirror. Threshold is integer arithmetic (no float
+    * division), like every dedup gate here. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      p: Int, q: Int, shingleN: Int = 3, maxDf: Int = 100000): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
+      .distinct()
+    val kept = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("sh"))
+    val s2 = sh.join(kept, Seq("sh"))
+    val sizes = s2.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val common = s2.select(col("doc").as("id_a"), col("sh"))
+      .join(s2.select(col("doc").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common.join(sizes.withColumnRenamed("doc", "id_a"), "id_a")
+      .filter(col("common") * q >= col("n") * p)
+      .select(col("id_a"), col("id_b"), col("common"), col("n").as("size_a"))
+  }
+
   def editDistancePairs(vocab: DataFrame, termCol: String): DataFrame = {
     val base = vocab.select(col(termCol).as("t")).distinct()
       .filter(length(col("t")) >= 2)

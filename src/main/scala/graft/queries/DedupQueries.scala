@@ -563,6 +563,43 @@ object DedupQueries {
               OR substr(a.t, -1, 1) = substr(b.t, -1, 1))
          AND abs(length(a.t) - length(b.t)) <= 1
          AND levenshtein(a.t, b.t) <= 1
-        ORDER BY a, b"""))
+        ORDER BY a, b""")),
+
+    GraftQuery(
+      "q148_containment_pairs",
+      "DIRECTIONAL shingle containment (Dedup.containmentPairs) — the " +
+        "quote/boilerplate detector Jaccard structurally misses: a " +
+        "short doc fully quoted inside a long one has tiny Jaccard " +
+        "(the union IS the long doc) but containment |A-and-B|/|A| " +
+        "near 1, so near-dedup alone never finds it. Pairs at 80% " +
+        "containment (integer threshold common*10 >= 8*|A|) over the " +
+        "df-capped 3-shingle space; the df cap bounds the inverted-" +
+        "index join's per-shingle fan-out — common boilerplate " +
+        "n-grams are exactly the hot keys — and is applied to sizes " +
+        "and intersections alike, keeping the operator a pure " +
+        "function the oracle mirrors shingle for shingle.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        Dedup.containmentPairs(d, "doc_id", "text", p = 8, q = 10,
+            shingleN = 3, maxDf = 100)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(raw"""
+        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        SH AS (SELECT DISTINCT doc_id,
+                      unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS sh
+               FROM W),
+        DF AS (SELECT sh, count(*) AS df FROM SH GROUP BY sh),
+        SC AS (SELECT sh FROM DF WHERE df <= 100),
+        S2 AS (SELECT doc_id, s.sh FROM SH s JOIN SC USING (sh)),
+        SZ AS (SELECT doc_id, count(*) AS n FROM S2 GROUP BY doc_id),
+        CM AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM S2 a JOIN S2 b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+               GROUP BY 1, 2)
+        SELECT c.id_a, c.id_b, CAST(c.common AS BIGINT) AS common,
+               CAST(sa.n AS BIGINT) AS size_a
+        FROM CM c JOIN SZ sa ON sa.doc_id = c.id_a
+        WHERE c.common * 10 >= 8 * sa.n
+        ORDER BY id_a, id_b"""))
   )
 }

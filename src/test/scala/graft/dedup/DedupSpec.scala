@@ -333,4 +333,40 @@ class DedupSpec extends SparkSpec {
         graft.functions.BloomMightContain.bloomMightContain(col("id"), bf)).collect()
     }
   }
+
+  test("containmentPairs is directional: the quote is found, Jaccard's miss is the point") {
+    import spark.implicits._
+    // A is fully quoted inside B (plus B's own prose), C is unrelated.
+    // Jaccard(A,B) is small (union ~ B) but containment(A->B) = 1.
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = s"intro words here $a and a long tail of unrelated prose follows now"
+    val docs = Seq((1L, a), (2L, b), (3L, "totally different content x y z w"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", p = 8, q = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"quoted doc not detected: $pairs")
+    assert(!pairs.contains((2L, 1L)), "containment must be directional")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // the Jaccard-based near-dedup does NOT pair them — containment
+    // covers a case Jaccard structurally cannot
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", p = 8, q = 10)
+      .collect()
+    assert(jac.isEmpty, s"fixture unexpectedly Jaccard-similar: ${jac.toSeq}")
+  }
+
+  test("containmentPairs df cap drops hot shingles from sizes and intersections alike") {
+    import spark.implicits._
+    // 'hot hot hot' shingle appears in every doc; with maxDf=2 it is
+    // dropped everywhere, so doc 4 (nothing but the hot shingle left)
+    // has an empty capped shingle set and can pair with nothing
+    val docs = Seq(
+      (1L, "hot hot hot unique one two three"),
+      (2L, "hot hot hot unique one two three"),
+      (3L, "hot hot hot other words appear here"),
+      (4L, "hot hot hot")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+        p = 8, q = 10, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 1L)), s"got $pairs")
+  }
 }
