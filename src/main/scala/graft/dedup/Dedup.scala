@@ -625,20 +625,45 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       p: Int, q: Int, shingleN: Int = 3, maxDf: Int = 100000): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"),
-        explode(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
+    // the shingle expression is the expensive map stage here; a narrow
+    // input (one small parquet file -> one partition) would run it on
+    // ONE core before the first shuffle parallelizes anything. Widen
+    // narrow inputs to the cluster's parallelism first — at real scale
+    // the scan already has more partitions than cores and this is a
+    // no-op (no shuffle of raw text is ever added on the 100 TB path)
+    val src = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (src.rdd.getNumPartitions < par) src.repartition(par) else src
+    val sh = wide.select(col("doc"),
+        explode(TextFunctions.shingles(col("txt"), shingleN)).as("sh"))
       .distinct()
     val kept = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("sh"))
+    // the capped shingle table feeds THREE consumers (sizes + both join
+    // sides) — persist it once instead of re-tokenizing per consumer
+    // (the posture sketchEstimatePairs documents as requiring
+    // persistence at production scale, applied); the result is
+    // threshold-bounded and small, so an eager local checkpoint lets
+    // the persisted frame unpin deterministically
     val s2 = sh.join(kept, Seq("sh"))
-    val sizes = s2.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val common = s2.select(col("doc").as("id_a"), col("sh"))
-      .join(s2.select(col("doc").as("id_b"), col("sh")), Seq("sh"))
-      .filter(col("id_a") =!= col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-    common.join(sizes.withColumnRenamed("doc", "id_a"), "id_a")
-      .filter(col("common") * q >= col("n") * p)
-      .select(col("id_a"), col("id_b"), col("common"), col("n").as("size_a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = s2.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+      // |A∩B| is symmetric: aggregate each unordered pair ONCE (a < b
+      // halves the join output and the pair shuffle), then surface both
+      // directions — each with its own |A| — for the directional gate
+      val ordered = s2.select(col("doc").as("id_a"), col("sh"))
+        .join(s2.select(col("doc").as("id_b"), col("sh")), Seq("sh"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+      val both = ordered.union(ordered.select(
+        col("id_b").as("id_a"), col("id_a").as("id_b"), col("common")))
+      both.join(sizes.withColumnRenamed("doc", "id_a"), "id_a")
+        .filter(col("common") * q >= col("n") * p)
+        .select(col("id_a"), col("id_b"), col("common"), col("n").as("size_a"))
+        .localCheckpoint(eager = true)
+    } finally s2.unpersist()
   }
 
   def editDistancePairs(vocab: DataFrame, termCol: String): DataFrame = {

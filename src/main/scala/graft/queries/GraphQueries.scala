@@ -87,10 +87,12 @@ object GraphQueries {
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()
         val l2 = lp.select(col("o"), col("p").as("p2"))
+        // no distinct here: triangleCounts canonicalizes+dedupes its
+        // input anyway — a query-side distinct would just add a
+        // full-width shuffle of the raw pair stream
         val edges = lp.join(l2, Seq("o"))
           .filter(col("p") < col("p2"))
           .select(col("p").as("src"), col("p2").as("dst"))
-          .distinct()
         graft.operators.Graph.triangleCounts(edges)
           .orderBy(col("node"))
       },
