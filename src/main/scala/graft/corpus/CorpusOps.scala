@@ -588,4 +588,76 @@ object CorpusOps {
           .when(col("old_fp") <=> col("new_fp"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** Overlapping token-window chunking — the RAG/pretraining passage
+    * splitter: each document becomes ceil-ish(n/stride) chunks of up to
+    * `window` tokens starting every `stride` tokens (window > stride =>
+    * consecutive chunks overlap by window-stride tokens, the standard
+    * context-preserving recipe). Pure per-row array logic: tokenize
+    * once, `transform` over the start-index sequence, ONE generator
+    * (posexplode) — no join, no shuffle, no second tokenize per chunk,
+    * so at 100 TB the operator is map-only and rides the scan.
+    *
+    * Output: (id, chunk_idx, n_tokens, chunk_md5, chunk_text). The md5
+    * travels instead of re-hashing downstream; exact-dedup of chunks is
+    * then a groupBy on it (q19's shape, one level down).
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 40): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need window >= stride > 0, got window=$window stride=$stride")
+    val toks = TextFunctions.words(col(textCol))
+    docs
+      .select(col(idCol), toks.as("toks"))
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, int((size(toks) - 1) / $stride)), " +
+            s"i -> slice(toks, i * $stride + 1, $window))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
+  /** Token co-occurrence PMI — the collocation/phrase-mining signal
+    * (pointwise mutual information over document co-occurrence, ranked
+    * as the EXACT scaled rational cxy*N*1e6 / (df_a*df_b): monotone in
+    * PMI, so the ranking is identical, but pure BIGINT arithmetic — no
+    * log, no float, no cross-engine rounding lottery).
+    *
+    * Cardinality discipline at 100 TB (PMI's naive form is
+    * vocab^2-explosive):
+    *  - the df band keeps only mid-frequency tokens — scale-RELATIVE
+    *    (2 <= df, df*10 <= 8*N), so it binds identically at every sf
+    *    instead of going empty/total under corpus growth;
+    *  - pair generation is per-document over the df-banded token set —
+    *    fan-out rides the per-doc BANDED vocab, never the corpus;
+    *  - the co-occurrence floor is scale-relative too (cxy*20 >= N):
+    *    a pair must appear in >= 5% of documents to surface.
+    * Two shuffles total (df groupBy; pair groupBy) plus a broadcast of
+    * the banded vocabulary.
+    */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 100): DataFrame = {
+    val t = docs
+      .select(col(idCol).as("doc"), explode(TextFunctions.words(col(textCol))).as("t"))
+      .distinct()
+    val n = docs.select(countDistinct(col(idCol)).as("n"))
+    val dfBand = t.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .join(broadcast(n), col("df") >= 2 && col("df") * 10 <= col("n") * 8)
+    val td = t.join(broadcast(dfBand), Seq("t"))
+    val right = td.select(col("doc"), col("t").as("t2"), col("df").as("df2"))
+    td.join(right, Seq("doc"))
+      .filter(col("t") < col("t2"))
+      .groupBy(col("t").as("ta"), col("t2").as("tb"),
+        col("df").as("dfa"), col("df2").as("dfb"), col("n"))
+      .agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") * 20 >= col("n"))
+      .select(col("ta"), col("tb"), col("cxy").as("n_both"),
+        col("dfa").as("df_a"), col("dfb").as("df_b"),
+        expr("cxy * n * 1000000 div (dfa * dfb)").as("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("ta"), col("tb"))
+      .limit(topK)
+  }
 }

@@ -684,4 +684,52 @@ object Dedup {
       .distinct()
       .filter(levenshtein(col("a"), col("b")) <= 1)
   }
+
+  /** Blocked Jaro-Winkler best-match name linkage: for every DISTINCT
+    * name, the single highest-scoring OTHER name in its block at or
+    * above `thresholdMicros` (score in integer micro-units — no raw
+    * doubles travel), plus how many records carry the name (`n_rows`,
+    * so a merge decision knows each variant's support) and how many
+    * above-threshold candidates it had (`n_cands`).
+    *
+    * Working on the distinct-name domain is the 100 TB design point:
+    * name vocabularies grow sub-linearly in records (here 64 names
+    * over 20k parts), so the O(len^2) JW kernel runs per VOCAB pair,
+    * never per record pair — the same vocabulary-bounded posture as
+    * q138's edit-distance mining. (A per-record variant measured 13.7s
+    * at sf0.1 — 24M kernel calls re-scoring identical strings; this
+    * form is ~200 calls for the same linkage decisions.)
+    *
+    * The block key is the name's first token plus a +-`lenBand` length
+    * band — standard recall-bounded linkage blocking; the pair stream
+    * stays a bounded equi-join (no cartesian; spec-asserted). JW runs
+    * ONCE per unordered pair (it is symmetric) and mirrors; the
+    * per-name top-1 is one window pass ordered (jw desc, match name)
+    * so ties break deterministically in any engine.
+    */
+  def jaroWinklerBestMatch(records: DataFrame, nameCol: String,
+      thresholdMicros: Long = 850000L, lenBand: Int = 2): DataFrame = {
+    val base = records.groupBy(col(nameCol).as("nm"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", split_part(col("nm"), lit(" "), lit(1)))
+      .withColumn("ln", length(col("nm")))
+    val a = base.select(col("nm").as("na"), col("blk"), col("ln").as("la"))
+    val b = base.select(col("nm").as("nb"), col("blk"), col("ln").as("lb"))
+    val scored = a.join(b, Seq("blk"))
+      .filter(col("na") < col("nb") && abs(col("la") - col("lb")) <= lenBand)
+      .select(col("na"), col("nb"),
+        round(graft.functions.JaroWinklerSim.jaroWinklerSim(col("na"), col("nb"))
+          * lit(1000000.0)).cast("long").as("jw"))
+      .filter(col("jw") >= thresholdMicros)
+    val mirrored = scored.select(col("na").as("nm"), col("nb").as("match_nm"), col("jw"))
+      .union(scored.select(col("nb").as("nm"), col("na").as("match_nm"), col("jw")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("nm"))
+    val ranked = mirrored
+      .withColumn("rn", row_number().over(w.orderBy(col("jw").desc, col("match_nm"))))
+      .withColumn("n_cands", count(lit(1)).over(w))
+    ranked.filter(col("rn") === 1)
+      .join(base.select(col("nm"), col("n_rows")), Seq("nm"))
+      .select(col("nm").as("name"), col("match_nm").as("match_name"),
+        col("jw").as("jw_micros"), col("n_cands"), col("n_rows"))
+  }
 }

@@ -856,6 +856,67 @@ object CorpusQueries {
             d, "doc_id", "text", bits, oovBits = bits.values.max + 1)
           .orderBy(col("doc_id"))
       },
-      Some(unigramOracle))
+      Some(unigramOracle)),
+
+    GraftQuery(
+      "q150_doc_chunking",
+      "Overlapping token-window chunking (CorpusOps.chunkTokens) — the " +
+        "RAG/pretraining passage splitter: 64-token chunks every 40 " +
+        "tokens, so consecutive chunks overlap by 24. Map-only: " +
+        "tokenize once, transform over the start sequence, ONE " +
+        "posexplode — no join, no shuffle, no per-chunk re-tokenize; " +
+        "at 100 TB the operator rides the scan. Chunk identity " +
+        "travels as md5 so downstream exact-dedup of chunks is a " +
+        "16-byte groupBy (q19 one level down); the oracle re-derives " +
+        "every chunk boundary and hash with DuckDB list slicing.",
+      (spark, dir) => {
+        CorpusOps.chunkTokens(
+            Tables.table(spark, dir, "documents"), "doc_id", "text",
+            window = 64, stride = 40)
+          .drop("chunk_text")
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(raw"""
+        WITH D AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        C AS (SELECT doc_id, i AS chunk_idx,
+                     toks[i*40+1 : least(i*40+64, len(toks))] AS chunk
+              FROM D, LATERAL (SELECT unnest(range(0, ((len(toks)-1)//40)+1)) AS i))
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(len(chunk) AS BIGINT) AS n_tokens,
+               md5(array_to_string(chunk, ' ')) AS chunk_md5
+        FROM C ORDER BY doc_id, chunk_idx""")),
+
+    GraftQuery(
+      "q154_pmi_pairs",
+      "Token co-occurrence PMI (CorpusOps.pmiPairs) — collocation " +
+        "mining ranked by the EXACT scaled rational cxy*N*1e6/" +
+        "(df_a*df_b) (monotone in PMI, pure BIGINT: no log, no float " +
+        "lottery). The vocab^2 explosion is triple-bounded and every " +
+        "bound is scale-RELATIVE so it binds identically at any sf: " +
+        "df band 2 <= df <= 0.8*N (drops ubiquitous boilerplate " +
+        "tokens), per-doc pair fan-out rides the BANDED per-doc " +
+        "vocab, and pairs must co-occur in >= 5% of documents. Two " +
+        "shuffles + a broadcast vocabulary.",
+      (spark, dir) =>
+        CorpusOps.pmiPairs(
+          Tables.table(spark, dir, "documents"), "doc_id", "text", topK = 100),
+      Some(raw"""
+        WITH T AS (SELECT DISTINCT doc_id,
+                          unnest(string_split_regex(trim(text), '\s+')) AS t
+                   FROM documents),
+        N AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        DF AS (SELECT t, count(*) AS df FROM T GROUP BY t),
+        V AS (SELECT t, df, n FROM DF, N WHERE df >= 2 AND df * 10 <= n * 8),
+        TD AS (SELECT t.doc_id, t.t, v.df, v.n FROM T t JOIN V v USING (t)),
+        PAIR AS (SELECT a.t AS ta, b.t AS tb, a.df AS dfa, b.df AS dfb,
+                        a.n AS n, count(*) AS cxy
+                 FROM TD a JOIN TD b ON a.doc_id = b.doc_id AND a.t < b.t
+                 GROUP BY 1, 2, 3, 4, 5)
+        SELECT ta, tb, CAST(cxy AS BIGINT) AS n_both,
+               CAST(dfa AS BIGINT) AS df_a, CAST(dfb AS BIGINT) AS df_b,
+               CAST((cxy * n * 1000000) // (dfa * dfb) AS BIGINT) AS pmi_scaled
+        FROM PAIR WHERE cxy * 20 >= n
+        ORDER BY pmi_scaled DESC, ta, tb LIMIT 100"""))
   )
 }

@@ -1275,5 +1275,108 @@ object ExtendedQueries {
               FROM J)
         SELECT user_id, strftime(day, '%Y-%m-%d') AS day, value_micros, observed
         FROM F ORDER BY user_id, day""")),
+
+    GraftQuery(
+      "q151_mad_outliers",
+      "Robust per-group outlier detection (RobustStats.madOutliers): " +
+        "events whose value deviates from their event_type median by " +
+        "more than 3 MADs — median/MAD instead of mean/stddev so " +
+        "heavy tails can't drag the threshold toward the outliers " +
+        "(median breaks down at 50%, mean at 0%). ALL arithmetic is " +
+        "integer-exact in doubled units (2*median of ints is always " +
+        "integral), so the flag 2*a2 > 3*mad2a is a pure BIGINT " +
+        "compare both engines reproduce bit-for-bit. Two grouped " +
+        "exact medians on the SAME shuffle key + two broadcast joins " +
+        "of one-row-per-group thresholds; percentile_approx with the " +
+        "q118 rank gate is the drop-in at unbounded cardinality.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * lit(1000000.0)).cast("long").as("vmicros"))
+        graft.operators.RobustStats
+          .madOutliers(e, "event_type", "vmicros", k = 3)
+          .select(col("event_id"), col("event_type"), col("vmicros"),
+            col("a2"), col("mad2a"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH E AS (SELECT event_id, event_type,
+                          CAST(floor(value * 1000000.0) AS BIGINT) AS vmicros
+                   FROM events),
+        M AS (SELECT event_type,
+                     CAST(round(2 * median(vmicros)) AS BIGINT) AS med2
+              FROM E GROUP BY event_type),
+        A AS (SELECT e.event_id, e.event_type, e.vmicros,
+                     abs(2 * e.vmicros - m.med2) AS a2
+              FROM E e JOIN M m USING (event_type)),
+        D AS (SELECT event_type,
+                     CAST(round(2 * median(a2)) AS BIGINT) AS mad2a
+              FROM A GROUP BY event_type)
+        SELECT a.event_id, a.event_type, a.vmicros,
+               CAST(a.a2 AS BIGINT) AS a2, d.mad2a
+        FROM A a JOIN D d USING (event_type)
+        WHERE 2 * a.a2 > 3 * d.mad2a
+        ORDER BY a.event_id""")),
+
+    GraftQuery(
+      "q152_merge_upsert",
+      "Batch MERGE / upsert (operators.Merge.mergeUpsert) — CDC " +
+        "snapshot maintenance with full UPDATE / INSERT / DELETE " +
+        "arbitration: the per-user state table built from the first " +
+        "70% of events (by event_id) absorbs the per-user latest " +
+        "update from the remaining 30%; an 'error'-typed source row " +
+        "is a DELETE (drops the key), a matched key is an UPDATE, a " +
+        "new key an INSERT, an untouched key a KEEP — each row tagged " +
+        "with its op for audit. ONE full-outer shuffle join on the " +
+        "merge key; arbitration is codegen'd CASE logic, and at 100 " +
+        "TB a bucketed target makes the join reshuffle only the " +
+        "update batch. Complements q141 (SCD2 keeps history; MERGE " +
+        "keeps the current image).",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            floor(col("value") * lit(1000000.0)).cast("long").as("vmicros"))
+        val cut = e.agg((max(col("event_id")) * 7).divide(10).cast("long"))
+          .head().getLong(0)
+        def latest(part: org.apache.spark.sql.DataFrame) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("event_id").desc)
+          part.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+        }
+        val target = latest(e.filter(col("event_id") <= cut))
+        val source = latest(e.filter(col("event_id") > cut))
+        graft.operators.Merge
+          .mergeUpsert(target, source, "user_id",
+            col("s_event_type") === "error")
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH CUT AS (SELECT (max(event_id) * 7) // 10 AS cut FROM events),
+        E AS (SELECT user_id, event_id, event_type,
+                     CAST(floor(value * 1000000.0) AS BIGINT) AS vmicros
+              FROM events),
+        T AS (SELECT user_id, event_id, event_type, vmicros
+              FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id
+                                                   ORDER BY event_id DESC) AS rn
+                    FROM E e, CUT WHERE event_id <= cut)
+              WHERE rn = 1),
+        S AS (SELECT user_id, event_id, event_type, vmicros
+              FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id
+                                                   ORDER BY event_id DESC) AS rn
+                    FROM E e, CUT WHERE event_id > cut)
+              WHERE rn = 1),
+        M AS (SELECT coalesce(s.user_id, t.user_id) AS user_id,
+                     coalesce(s.event_id, t.event_id) AS event_id,
+                     coalesce(s.event_type, t.event_type) AS event_type,
+                     coalesce(s.vmicros, t.vmicros) AS vmicros,
+                     CASE WHEN s.user_id IS NULL THEN 'keep'
+                          WHEN t.user_id IS NULL THEN 'insert'
+                          ELSE 'update' END AS op,
+                     s.event_type AS s_type
+              FROM T t FULL JOIN S s ON t.user_id = s.user_id)
+        SELECT user_id, event_id, event_type, vmicros, op
+        FROM M WHERE s_type IS NULL OR s_type <> 'error'
+        ORDER BY user_id""")),
   )
 }

@@ -1494,6 +1494,47 @@ object SimilarityQueries {
                         ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
                FROM EX)
         SELECT query_id, rank, neighbor_id FROM RR
-        WHERE rank <= 3 ORDER BY query_id, rank"""))
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q153_centroid_outliers",
+      "Per-label centroid outliers (Similarity.labelCentroidOutliers) " +
+        "— the embedding-space label-noise detector: the 10 vectors " +
+        "farthest from their class centroid per label are the " +
+        "mislabeled/ambiguous review candidates. Exactness without " +
+        "floats: milli-unit quantization q=round(v*1000) (a float " +
+        "mantissa times 1000 still fits double exactly), and ranking " +
+        "on cnt^2*||v-c||^2 = sum(cnt*q - sum_q)^2 — cnt is constant " +
+        "per label, so the ranking IS the centroid-distance ranking " +
+        "in pure BIGINT arithmetic. Two bounded shuffles (label-dim " +
+        "partials; per-vector regroup) + a broadcast centroid table; " +
+        "top-k is one window pass.",
+      (spark, dir) => {
+        Similarity.labelCentroidOutliers(
+            Tables.table(spark, dir, "embeddings"),
+            "vec_id", "embedding", "label", topK = 10)
+          .select(col("vid").as("vec_id"), col("lbl").as("label"),
+            col("d2s").as("dist2_scaled"), col("rn"))
+          .orderBy(col("label"), col("rn"))
+      },
+      Some("""
+        WITH Q AS (SELECT vec_id, label, dim,
+                          CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS q
+                   FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                                unnest(range(1, len(embedding)+1)) AS dim
+                         FROM embeddings)),
+        C AS (SELECT label, dim, SUM(q) AS sumq, COUNT(*) AS cnt
+              FROM Q GROUP BY label, dim),
+        D AS (SELECT q.vec_id, q.label,
+                     SUM(CAST((c.cnt * q.q - c.sumq) * (c.cnt * q.q - c.sumq)
+                              AS BIGINT)) AS d2s
+              FROM Q q JOIN C c ON q.label = c.label AND q.dim = c.dim
+              GROUP BY q.vec_id, q.label),
+        R AS (SELECT vec_id, label, CAST(d2s AS BIGINT) AS dist2_scaled,
+                     CAST(row_number() OVER (PARTITION BY label
+                                             ORDER BY d2s DESC, vec_id) AS INT) AS rn
+              FROM D)
+        SELECT vec_id, label, dist2_scaled, rn
+        FROM R WHERE rn <= 10 ORDER BY label, rn"""))
   )
 }

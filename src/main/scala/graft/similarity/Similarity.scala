@@ -864,4 +864,43 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
+
+  /** Per-label centroid outliers — the embedding-space label-noise
+    * detector (vectors farthest from their class centroid are the
+    * mislabeled/ambiguous candidates a curation pass reviews first).
+    *
+    * Exactness discipline: embeddings quantize to integer milli-units
+    * q = round(v*1000) (exact: a float's 24-bit mantissa times 1000
+    * still fits double, so the product never rounds), and instead of
+    * dividing by the count to form a float centroid, distance ranks on
+    *   d2s = sum_dims (cnt*q - sum_q)^2  = cnt^2 * ||v - centroid||^2
+    * — cnt is constant within a label, so the ranking is the true
+    * centroid-distance ranking, in pure BIGINT arithmetic that any
+    * engine reproduces bit-for-bit.
+    *
+    * Scale: posexplode -> groupBy(label, dim) partial-aggregates
+    * map-side (64 rows per label after the shuffle); the per-label
+    * centroid table (labels x dims rows) broadcasts back against the
+    * exploded vectors; the per-vector distance re-groups on vec id.
+    * Two shuffles, both on keys with bounded cardinality fan-in, and
+    * the top-k per label is one window pass.
+    */
+  def labelCentroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, topK: Int = 10): DataFrame = {
+    val q = vecs.select(col(idCol).as("vid"), col(labelCol).as("lbl"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("vid"), col("lbl"), (col("pos") + 1).as("dim"),
+        round(col("v").cast("double") * 1000).cast("long").as("q"))
+    val cent = q.groupBy(col("lbl"), col("dim"))
+      .agg(sum(col("q")).as("sumq"), count(lit(1)).as("cnt"))
+    val d2 = q.join(broadcast(cent), Seq("lbl", "dim"))
+      .withColumn("r", col("cnt") * col("q") - col("sumq"))
+      .groupBy(col("vid"), col("lbl"))
+      .agg(sum(col("r") * col("r")).as("d2s"))
+    val w = Window.partitionBy(col("lbl"))
+      .orderBy(col("d2s").desc, col("vid"))
+    d2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("vid"), col("lbl"), col("d2s"), col("rn"))
+  }
 }

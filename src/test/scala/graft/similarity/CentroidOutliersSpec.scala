@@ -1,0 +1,61 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Similarity.labelCentroidOutliers: hand-checked geometry, the
+  * cnt^2-scaling invariance claim (ranking equals true centroid
+  * distance ranking), and integer exactness of the quantization.
+  */
+class CentroidOutliersSpec extends SparkSpec {
+
+  test("farthest-from-centroid ranks first; scaling matches cnt^2 * d^2") {
+    val spark0 = spark
+    import spark0.implicits._
+    // label 0: three 2-d vectors; centroid of q-units = mean of
+    // (1000,0),(0,1000),(2000,2000) = (1000,1000)
+    // d2 (q-units): a:(0,-1000)->1e6; b:(-1000,0)->1e6; c:(1000,1000)->2e6
+    // d2s = cnt^2 * d2 with cnt=3 -> 9e6, 9e6, 18e6
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 0),
+      (3L, Array(2f, 2f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidOutliers(vecs, "vec_id", "embedding", "label")
+      .orderBy("rn").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 1L, 2L),
+      "ties (1,2) break by vec_id")
+    assert(out.map(_.getLong(2)).toSeq == Seq(18000000L, 9000000L, 9000000L))
+  }
+
+  test("labels are independent; topK caps each label") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vecs = ((1 to 20).map(i => (i.toLong, Array(i.toFloat, 0f), 0)) ++
+      (21 to 40).map(i => (i.toLong, Array(0f, i.toFloat), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidOutliers(vecs, "vec_id", "embedding", "label", topK = 5)
+    val byLabel = out.collect().groupBy(_.getInt(1))
+    assert(byLabel.keySet == Set(0, 1))
+    assert(byLabel.values.forall(_.length == 5))
+    // extremes of the 1..20 line are the outliers of label 0
+    assert(byLabel(0).map(_.getLong(0)).contains(20L))
+    assert(byLabel(0).map(_.getLong(0)).contains(1L))
+  }
+
+  test("quantization is exact: float*1000 never rounds (24-bit mantissa * 10 bits < 53)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // adversarial float values: denormal-ish fractions that are exact
+    // in float; their *1000 must round half-away identically everywhere
+    val vecs = Seq(
+      (1L, Array(0.0078125f, -0.0078125f), 0), // 1/128 -> 7.8125 -> 8 / -8
+      (2L, Array(0.5f, -1.5f), 0)              // 500, -1500
+    ).toDF("vec_id", "embedding", "label")
+    val q = vecs.select(posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(round(col("v").cast("double") * 1000).cast("long").as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(q == Seq(8L, -8L, 500L, -1500L))
+  }
+}
