@@ -398,6 +398,69 @@ object CorpusOps {
         col("info_bits").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Bigram-LM fluency surprisal — the conditional-probability upgrade
+    * of [[unigramSurprisal]], same INTEGER-EXACT discipline: a document
+    * is charged its first token's unigram self-information plus, for
+    * every following position, the conditional bits
+    * `floor(log2(c(v·) / c(v,w)))` under the corpus' own bigram
+    * distribution (c(v,w) = corpus count of bigram v w; c(v·) = count
+    * of bigrams starting with v). Both are `length(bin(a div b)) - 1`
+    * — no transcendentals, so any SQL engine agrees bit-for-bit.
+    * Word-order scrambles that unigram surprisal cannot see (same
+    * token multiset, broken syntax) score high here — the actual
+    * fluency signal an LM filter wants.
+    *
+    * Scale shape: bigrams form per-row with `zip_with` over the token
+    * array and its shift (no self-join of positions); per-doc bigram
+    * tf is one hash agg; the bigram table is BIGRAM-VOCABULARY-bounded
+    * and both bits tables freeze driver-side (the q113 recipe — train
+    * the LM once, broadcast, score in one more pass). Scoring corpus
+    * shards against a frozen reference table is the deployment shape;
+    * scoring the corpus against itself (this form) needs no OOV path
+    * by construction. */
+  def bigramSurprisal(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toksC = TextFunctions.words(col(textCol))
+    val docs = df.where(col(textCol).isNotNull)
+      .select(col(idCol), toksC.as("toks"))
+    def bgTf(d: DataFrame) = d
+      .select(col(idCol), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b))"))
+        .as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
+    // freeze the (bigram, bits) table driver-side: vocabulary-bounded,
+    // and as a lazy lineage the final plan would re-run the full
+    // explode+agg chain once per join branch (the q113 rationale)
+    val cvw = bgTf(docs).groupBy(col("bg")).agg(sum(col("tf")).as("cvw"))
+    val cv = cvw.groupBy(split_part(col("bg"), lit(" "), lit(1)).as("v"))
+      .agg(sum(col("cvw")).as("cv"))
+    val bbits = cvw
+      .join(cv, split_part(col("bg"), lit(" "), lit(1)) === col("v"))
+      .select(col("bg"),
+        (length(bin(expr("cv div cvw"))) - 1).cast("long").as("bits"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("bg", "bits")
+    val ubits = unigramBits(df, idCol, textCol)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("w1", "ubits")
+    val bigInfo = bgTf(docs)
+      .join(broadcast(bbits), Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("bits")).as("big_bits"))
+    docs
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+        element_at(col("toks"), 1).as("w1"))
+      .join(broadcast(ubits), Seq("w1"))
+      .join(bigInfo, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("ubits") + coalesce(col("big_bits"), lit(0L))).as("info_bits"))
+      .withColumn("mean_bits",
+        col("info_bits").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** The unigram family's shared per-doc term-frequency pass:
     * (idCol, term, tf) from one explode + hash agg. */
   private def termTf(

@@ -158,6 +158,116 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Deterministic 16-bit PCM mono WAV at 8 kHz — the audio-side
+    * synthesizer (sample i = ((id*31 + i*7) mod 2001) - 1000, n = 100 +
+    * id mod 50 samples), RIFF container hand-rolled so the bytes are
+    * bit-stable. [[decodeAudioFeatures]] must parse the container and
+    * the samples to reproduce stats an oracle recomputes from the
+    * generator formula alone — wrong header math, wrong endianness, or
+    * metadata-only shortcuts all hash-mismatch. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = (100 + id % 50).toInt
+    val sampleRate = 8000
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)               // PCM
+      .putShort(1)               // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)    // byte rate
+      .putShort(2)               // block align
+      .putShort(16)              // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((id * 31 + i * 7) % 2001) - 1000).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Pack one synthetic WAV per input row into the media shape (same
+    * batch posture as [[packImages]]). */
+  def packWavs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val wav = syntheticWav(id)
+          MediaRow(id, "audio", wav,
+            MediaMeta("audio/wav", wav.length.toLong,
+              md.digest(wav).map("%02x".format(_)).mkString))
+        }
+      }.toDF()
+  }
+
+  case class AudioFeatures(
+      media_id: Long, sample_rate: Int, n_samples: Long,
+      sum_sq: Long, max_abs: Long)
+
+  /** REAL audio decode via the JDK's javax.sound.sampled: the WAV
+    * container is parsed by AudioSystem (format + frame count from the
+    * header, PCM frames from the stream), samples are reassembled at
+    * the parsed endianness/width, and the features are pure sample
+    * statistics — integer-exact, so the oracle can recompute them from
+    * the synthesis formula without ever seeing the bytes. Rows whose
+    * payload no reader claims fall back to all-zero stats with
+    * sample_rate -1 (the poisoned-row degrade contract of
+    * [[decodeFeatures]]). */
+  def decodeAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          decodeWav(if (payload == null) Array.emptyByteArray else payload)
+            .map { case (sr, samples) =>
+              var sumSq = 0L
+              var maxAbs = 0L
+              var i = 0
+              while (i < samples.length) {
+                val s = samples(i).toLong
+                sumSq += s * s
+                val a = math.abs(s)
+                if (a > maxAbs) maxAbs = a
+                i += 1
+              }
+              AudioFeatures(id, sr, samples.length.toLong, sumSq, maxAbs)
+            }
+            .getOrElse(AudioFeatures(id, -1, 0L, 0L, 0L))
+        }
+      }
+  }
+
+  /** Parse a WAV payload to (sampleRate, 16-bit samples) with
+    * AudioSystem, or None when no reader claims the bytes. */
+  private[multimodal] def decodeWav(payload: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val bytes = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val out = new Array[Short](bytes.length / 2)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+          Some((fmt.getSampleRate.toInt, out))
+        }
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
   case class PerceptualHash(
       media_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
 

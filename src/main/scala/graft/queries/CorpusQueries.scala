@@ -917,6 +917,53 @@ object CorpusQueries {
                CAST(dfa AS BIGINT) AS df_a, CAST(dfb AS BIGINT) AS df_b,
                CAST((cxy * n * 1000000) // (dfa * dfb) AS BIGINT) AS pmi_scaled
         FROM PAIR WHERE cxy * 20 >= n
-        ORDER BY pmi_scaled DESC, ta, tb LIMIT 100"""))
+        ORDER BY pmi_scaled DESC, ta, tb LIMIT 100""")),
+
+    GraftQuery(
+      "q155_bigram_surprisal",
+      "Bigram-LM fluency surprisal (CorpusOps.bigramSurprisal) — the " +
+        "conditional-probability upgrade of q113: first token pays " +
+        "its unigram bits, every following position pays " +
+        "floor(log2(c(v.)/c(v,w))) under the corpus' own bigram " +
+        "distribution. Word-order scrambles that unigram surprisal " +
+        "cannot see score high here — the actual fluency signal. " +
+        "Same integer-exact length(bin(a div b))-1 mechanics as " +
+        "q113/q117 (no transcendentals, bit-portable); bigrams form " +
+        "per-row via zip_with of the token array and its shift (no " +
+        "positional self-join), both bits tables freeze driver-side " +
+        "(bigram-vocabulary-bounded) and broadcast — train once, " +
+        "score in one pass.",
+      (spark, dir) =>
+        CorpusOps.bigramSurprisal(
+            Tables.table(spark, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(raw"""
+        WITH D AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        BG AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                                    i -> toks[i] || ' ' || toks[i+1])) AS bg
+               FROM D),
+        BTF AS (SELECT doc_id, bg, count(*) AS tf FROM BG GROUP BY doc_id, bg),
+        CVW AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cvw FROM BTF GROUP BY bg),
+        CV AS (SELECT split_part(bg, ' ', 1) AS v, CAST(sum(cvw) AS BIGINT) AS cv
+               FROM CVW GROUP BY 1),
+        BBITS AS (SELECT bg, CAST(length(bin(cv // cvw)) - 1 AS BIGINT) AS bits
+                  FROM CVW JOIN CV ON split_part(bg, ' ', 1) = v),
+        T AS (SELECT doc_id, unnest(toks) AS term FROM D),
+        TF AS (SELECT doc_id, term, count(*) AS tf FROM T GROUP BY 1, 2),
+        C AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM TF GROUP BY term),
+        N AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM C),
+        UB AS (SELECT term, CAST(length(bin(n // c)) - 1 AS BIGINT) AS ubits
+               FROM C, N),
+        BI AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS big_bits
+               FROM BTF JOIN BBITS USING (bg) GROUP BY doc_id),
+        F AS (SELECT doc_id, len(toks) AS n_tokens, toks[1] AS w1 FROM D)
+        SELECT f.doc_id, CAST(f.n_tokens AS BIGINT) AS n_tokens,
+               CAST(ub.ubits + coalesce(bi.big_bits, 0) AS BIGINT) AS info_bits,
+               CAST(ub.ubits + coalesce(bi.big_bits, 0) AS DOUBLE) / f.n_tokens
+                 AS mean_bits
+        FROM F f JOIN UB ub ON ub.term = f.w1
+        LEFT JOIN BI bi ON bi.doc_id = f.doc_id
+        ORDER BY f.doc_id"""))
   )
 }

@@ -1378,5 +1378,47 @@ object ExtendedQueries {
         SELECT user_id, event_id, event_type, vmicros, op
         FROM M WHERE s_type IS NULL OR s_type <> 'error'
         ORDER BY user_id""")),
+
+    GraftQuery(
+      "q156_grouped_regression",
+      "Per-group OLS trend detection (operators.Regression.groupedOls): " +
+        "each event_type's value regressed on time in ONE aggregation " +
+        "pass — OLS needs only the moment sums (n, Sx, Sy, Sxy, Sxx), " +
+        "which partial-aggregate map-side and merge associatively, so " +
+        "100 TB of series regress in a single shuffle with no " +
+        "per-group sort and no iteration. The slope is the exact " +
+        "rational (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2), emitted as BIGINT " +
+        "numerator/denominator plus one IEEE-identical division; " +
+        "inputs are scaled to keep every moment product inside int64 " +
+        "(x = hours since the group's first event, two-pass like " +
+        "q151's medians; y = value millis).",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "events")
+          .select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
+            floor(col("value") * lit(1000.0)).cast("long").as("y"))
+        val m = e.groupBy(col("event_type")).agg(min(col("sec")).as("min_sec"))
+        val xy = e.join(broadcast(m), Seq("event_type"))
+          .select(col("event_type"),
+            expr("(sec - min_sec) div 3600").as("x"), col("y"))
+        graft.operators.Regression.groupedOls(xy, "event_type", "x", "y")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH E AS (SELECT event_type, epoch_ms(ts) // 1000 AS sec,
+                          CAST(floor(value * 1000.0) AS BIGINT) AS y
+                   FROM events),
+        M AS (SELECT event_type, min(sec) AS min_sec FROM E GROUP BY 1),
+        X AS (SELECT e.event_type, (e.sec - m.min_sec) // 3600 AS x, e.y
+              FROM E e JOIN M m USING (event_type)),
+        S AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*y) AS sxy, sum(x*x) AS sxx
+              FROM X GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+               CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+               CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+               CAST(n*sxx - sx*sx AS BIGINT) AS slope_den,
+               CAST(CAST(n*sxy - sx*sy AS BIGINT) AS DOUBLE) /
+                 CAST(CAST(n*sxx - sx*sx AS BIGINT) AS DOUBLE) AS slope
+        FROM S ORDER BY event_type""")),
   )
 }

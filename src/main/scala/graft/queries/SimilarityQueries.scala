@@ -1535,6 +1535,40 @@ object SimilarityQueries {
                                              ORDER BY d2s DESC, vec_id) AS INT) AS rn
               FROM D)
         SELECT vec_id, label, dist2_scaled, rn
-        FROM R WHERE rn <= 10 ORDER BY label, rn"""))
+        FROM R WHERE rn <= 10 ORDER BY label, rn""")),
+
+    GraftQuery(
+      "q157_audio_decode",
+      "REAL audio decode through the oracle gate — the audio face of " +
+        "q122: one deterministic 16-bit PCM mono WAV per sampled " +
+        "document is synthesized in-engine (hand-rolled RIFF " +
+        "container), then decodeAudioFeatures parses it with the " +
+        "JDK's javax.sound.sampled AudioSystem — sample rate and " +
+        "frame bytes come from the PARSED header, the stats from the " +
+        "reassembled samples — and the oracle recomputes the expected " +
+        "integer statistics from the synthesis formula alone " +
+        "(sum-of-squares and peak over ((id*31 + i*7) mod 2001) - " +
+        "1000). Wrong header math, wrong endianness, or a " +
+        "metadata-only shortcut all hash-mismatch. Same 100 TB " +
+        "posture as q122: payload bytes stay columnar, decode runs " +
+        "once per partition batch, features land in a narrow table.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+        val media = Multimodal.packWavs(d, "doc_id")
+        Multimodal.decodeAudioFeatures(media)
+          .select(col("media_id"), col("sample_rate"), col("n_samples"),
+            col("sum_sq"), col("max_abs"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH S AS (SELECT doc_id, unnest(range(0, 100 + doc_id % 50)) AS i
+                   FROM documents WHERE doc_id % 5 = 0),
+        V AS (SELECT doc_id, ((doc_id * 31 + i * 7) % 2001) - 1000 AS s FROM S)
+        SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq,
+               CAST(max(abs(s)) AS BIGINT) AS max_abs
+        FROM V GROUP BY doc_id ORDER BY media_id"""))
   )
 }

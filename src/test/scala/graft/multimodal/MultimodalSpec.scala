@@ -144,4 +144,40 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("audio payloads decode for REAL: AudioSystem parses rate and samples") {
+    // decode must reproduce the synthesis formula from the BYTES alone
+    val id = 7L
+    val n = (100 + id % 50).toInt
+    val expected = (0 until n).map(i => ((id * 31 + i * 7) % 2001) - 1000)
+    Multimodal.decodeWav(Multimodal.syntheticWav(id)) match {
+      case Some((sr, samples)) =>
+        assert(sr == 8000)
+        assert(samples.length == n)
+        assert(samples.map(_.toLong).toSeq == expected)
+      case None => fail("AudioSystem must claim a well-formed PCM WAV")
+    }
+  }
+
+  test("decodeAudioFeatures end-to-end: stats from parsed frames; garbage degrades") {
+    val spark0 = spark
+    import spark0.implicits._
+    val media = Multimodal.packWavs(Seq(1L, 2L, 149L).toDF("id"), "id")
+    val rows = Multimodal.decodeAudioFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- Seq(1L, 2L, 149L)) {
+      val nExp = 100 + id % 50
+      val samples = (0L until nExp).map(i => ((id * 31 + i * 7) % 2001) - 1000)
+      val f = rows(id)
+      assert(f.sample_rate == 8000 && f.n_samples == nExp)
+      assert(f.sum_sq == samples.map(s => s * s).sum)
+      assert(f.max_abs == samples.map(math.abs).max)
+    }
+    // corrupt payload: no reader claims it -> degrade row, not a crash
+    val junk = media.limit(1)
+      .selectExpr("media_id + 1000 AS media_id", "kind",
+        "CAST('not a wav' AS BINARY) AS payload", "meta")
+    val d = Multimodal.decodeAudioFeatures(junk).collect().head
+    assert(d.sample_rate == -1 && d.n_samples == 0L && d.sum_sq == 0L)
+  }
 }
