@@ -28,6 +28,15 @@ object Regression {
     * on ANY zero divisor, doubles included); callers detect the
     * degenerate fit on either column. */
   def groupedOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame =
+    slopesFromMoments(moments(df, groupCol, xCol, yCol), groupCol)
+
+  /** The per-group moment sums (n, Σx, Σy, Σxy, Σx²) — the operator's
+    * whole state, and the unit of incremental merge: moments of a
+    * union are the elementwise SUMS of the parts' moments, so
+    * [[graft.streaming.MomentStore]] folds batch moments into a
+    * durable store with plain addition and zero approximation. */
+  def moments(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     val x = col(xCol)
     val y = col(yCol)
@@ -36,10 +45,13 @@ object Regression {
         count(lit(1)).as("n_rows"),
         sum(x).as("sum_x"), sum(y).as("sum_y"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"))
-      .select(col(groupCol), col("n_rows"), col("sum_x"), col("sum_y"),
+  }
+
+  /** Finish the fit from (possibly merged) moment sums. */
+  def slopesFromMoments(m: DataFrame, groupCol: String): DataFrame =
+    m.select(col(groupCol), col("n_rows"), col("sum_x"), col("sum_y"),
         (col("n_rows") * col("sxy") - col("sum_x") * col("sum_y")).as("slope_num"),
         (col("n_rows") * col("sxx") - col("sum_x") * col("sum_x")).as("slope_den"))
       .withColumn("slope",
         try_divide(col("slope_num").cast("double"), col("slope_den").cast("double")))
-  }
 }

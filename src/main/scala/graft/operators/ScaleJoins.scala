@@ -77,4 +77,43 @@ object ScaleJoins {
       .agg(sum(col("_pn")).as("n_rows"),
         sumCols.map(c => sum(col(s"_ps_$c")).as(s"sum_$c")): _*)
   }
+
+  /** Bloom-pruned inner equi-join — the explicit runtime-filter
+    * pattern for the "huge fact ⋈ selective dim" shape at 100 TB:
+    * build a Bloom filter over the SMALL side's join keys (one
+    * distributed aggregate folding to a bounded few-hundred-KB sketch
+    * on the driver), ship it once per executor, and prune the HUGE
+    * side BEFORE its shuffle with the codegen'd membership probe
+    * ([[graft.functions.BloomFilterStatic]]). Blooms have no false
+    * negatives, so pruning can never change the join result — only
+    * false positives shuffle needlessly and the exact join still
+    * drops them; `fpp` tunes shuffle volume, never correctness. That
+    * identity with the plain join IS the q159 oracle gate. (Spark's
+    * AQE injects this filter for some plans on its own; the explicit
+    * operator covers fixed plans, non-AQE paths, and lets the
+    * filter build ride a frame AQE cannot see through, e.g. a
+    * computed dimension.)
+    *
+    * Keys probe as strings (the static-filter expression's domain) —
+    * numeric keys cast losslessly on both build and probe side.
+    */
+  def bloomPrunedJoin(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    // empty-dim guard: bloomFilter on a zero-row frame NPEs inside
+    // Spark (null aggregation buffer), and an empty dim means an empty
+    // join anyway — prune everything without building a filter. The
+    // extra action runs on the DIM side only (bounded by contract).
+    if (small.isEmpty) {
+      val none = big.filter(lit(false))
+      none.join(small, none(bigKey) === small(smallKey))
+    } else {
+      val filter = small.stat.bloomFilter(
+        col(smallKey).cast("string"), expectedKeys, fpp)
+      val pruned = big.filter(graft.functions.BloomMightContain
+        .bloomMightContain(col(bigKey).cast("string"), filter))
+      pruned.join(small, pruned(bigKey) === small(smallKey))
+    }
+  }
 }

@@ -649,6 +649,47 @@ object DedupQueries {
                CAST(r.n_cands AS BIGINT) AS n_cands,
                CAST(p.n_rows AS BIGINT) AS n_rows
         FROM R r JOIN P p ON p.nm = r.nm
-        WHERE r.rn = 1 ORDER BY name"""))
+        WHERE r.rn = 1 ORDER BY name""")),
+
+    GraftQuery(
+      "q161_prefix_filter_join",
+      "EXACT set-similarity join via prefix filtering " +
+        "(Dedup.prefixFilterJoin; SSJoin/PPJoin family) — all document " +
+        "pairs at shingle-Jaccard >= 0.8 found deterministically, the " +
+        "exact complement of LSH's probabilistic candidates (q21/q43): " +
+        "sets order by ascending df (rarest first, one global order), " +
+        "only the n - ceil(0.8n) + 1 prefix elements join, and the " +
+        "prefix-filter theorem makes that LOSSLESS at the threshold. " +
+        "The oracle PROVES completeness per run: it mines the same " +
+        "pairs with NO prefix filter (full inverted index), so any " +
+        "pair the prefix join missed hash-mismatches. Candidate " +
+        "fan-out rides the df of each set's RAREST shingles — the " +
+        "opposite cost profile of the naive index's hottest-key " +
+        "sum(df^2); verification intersects the two set arrays per " +
+        "candidate row (codegen'd), never re-exploding, and the " +
+        "threshold compare is pure-integer (10*common >= 8*union).",
+      (spark, dir) => {
+        Dedup.prefixFilterJoin(
+            Tables.table(spark, dir, "documents"), "doc_id", "text",
+            p = 8, q = 10, shingleN = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(raw"""
+        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                   FROM documents),
+        SH AS (SELECT DISTINCT doc_id,
+                      unnest([array_to_string(w[i:i+2], ' ')
+                              for i in range(1, len(w)-1)]) AS sh
+               FROM W),
+        SZ AS (SELECT doc_id, count(*) AS n FROM SH GROUP BY doc_id),
+        I AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM SH a JOIN SH b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT i.id_a, i.id_b, CAST(i.common AS BIGINT) AS common,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+        FROM I i JOIN SZ sa ON sa.doc_id = i.id_a
+                 JOIN SZ sb ON sb.doc_id = i.id_b
+        WHERE i.common * 10 >= (sa.n + sb.n - i.common) * 8
+        ORDER BY id_a, id_b"""))
   )
 }

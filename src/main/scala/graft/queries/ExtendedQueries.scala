@@ -1420,5 +1420,130 @@ object ExtendedQueries {
                CAST(CAST(n*sxy - sx*sy AS BIGINT) AS DOUBLE) /
                  CAST(CAST(n*sxx - sx*sx AS BIGINT) AS DOUBLE) AS slope
         FROM S ORDER BY event_type""")),
+
+    GraftQuery(
+      "q158_regression_stream",
+      "The DURABLE STREAMED face of q156 (streaming.MomentStore): the " +
+        "fit's whole state is the per-group moment sums, and moments " +
+        "of a union are elementwise SUMS of the parts' moments — so " +
+        "each micro-batch reduces to one bounded moments frame and " +
+        "folds into the store by plain addition, an EXACT order-free " +
+        "merge (after any batch slicing the stored moments equal a " +
+        "single-pass aggregation; spec-asserted). Unlike q156, x must " +
+        "be row-pure for a stream — the reference epoch is PINNED at " +
+        "seed time (x = hours since 2024-01-01; a row predating the " +
+        "epoch raises rather than flooring differently across " +
+        "engines). Store versions are meta-last idempotent swaps " +
+        "(the q142 recipe).",
+      (spark, dir) => {
+        val store = QueryScratch.dir("graft_q158_moments")
+        val pth = new org.apache.hadoop.fs.Path(store)
+        val fs = pth.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(pth)) fs.delete(pth, true)
+        val e = Tables.table(spark, dir, "events")
+        graft.streaming.MomentStore.seed(spark, store, "2024-01-01 00:00:00")
+        graft.streaming.MomentStore.mergeBatch(
+          e.filter(col("event_id") % 2 === 0), "event_type", "ts", "value", store)
+        graft.streaming.MomentStore.mergeBatch(
+          e.filter(col("event_id") % 2 === 1), "event_type", "ts", "value", store)
+        graft.streaming.MomentStore.slopes(spark, store)
+          .withColumnRenamed("grp", "event_type")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH E AS (SELECT event_type,
+                          (epoch_ms(ts) // 1000
+                           - epoch_ms(TIMESTAMP '2024-01-01 00:00:00') // 1000)
+                            // 3600 AS x,
+                          CAST(floor(value * 1000.0) AS BIGINT) AS y
+                   FROM events),
+        S AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*y) AS sxy, sum(x*x) AS sxx
+              FROM E GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+               CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+               CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+               CAST(n*sxx - sx*sx AS BIGINT) AS slope_den,
+               CAST(CAST(n*sxy - sx*sy AS BIGINT) AS DOUBLE) /
+                 CAST(CAST(n*sxx - sx*sx AS BIGINT) AS DOUBLE) AS slope
+        FROM S ORDER BY event_type""")),
+
+    GraftQuery(
+      "q159_bloom_pruned_join",
+      "Bloom-pruned fact⋈dim join (ScaleJoins.bloomPrunedJoin) — the " +
+        "explicit runtime-filter pattern: a Bloom filter built over " +
+        "the selective dimension's keys (high-balance suppliers) " +
+        "ships once per executor and prunes the lineitem " +
+        "scan BEFORE its shuffle with the codegen'd static-filter " +
+        "probe (q64's expression, reused). Blooms have no false " +
+        "negatives, so pruning can never change the join result — " +
+        "fpp tunes shuffle volume, never correctness — and that " +
+        "identity with the plain join IS this gate: the oracle is " +
+        "the unfiltered join. Revenue folds as exact integer cents.",
+      (spark, dir) => {
+        val li = Tables.table(spark, dir, "lineitem")
+          .select(col("l_suppkey"),
+            floor(col("l_extendedprice") * lit(100.0)).cast("long").as("cents"))
+        val hot = Tables.table(spark, dir, "supplier")
+          .filter(col("s_acctbal") > 5000)
+          .select(col("s_suppkey"), col("s_name"))
+        graft.operators.ScaleJoins
+          .bloomPrunedJoin(li, hot, "l_suppkey", "s_suppkey",
+            expectedKeys = 100000L)
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("cents")).as("revenue_cents"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE s.s_acctbal > 5000
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY s.s_suppkey""")),
+
+    GraftQuery(
+      "q160_decayed_topk",
+      "Time-decayed trending top-k: per-part purchase quantity with a " +
+        "one-week half-life over the last 26 weeks — the freshness-" +
+        "weighted popularity every feed/recommender maintains. The " +
+        "decay is INTEGER-EXACT: age buckets to whole weeks from the " +
+        "corpus' max order date, weight = 2^(25 - age_weeks) (a " +
+        "bounded power of two, exact in BIGINT), so the scores carry " +
+        "no float rounding and the ranking is bit-stable under any " +
+        "partitioning. One join (orders ride the orderkey shuffle), " +
+        "one grouped sum with map-side partials, one top-k window. " +
+        "At 100 TB the 26-week filter prunes the orders scan by " +
+        "partition (date-partitioned layout) before anything joins.",
+      (spark, dir) => {
+        val o = Tables.table(spark, dir, "orders")
+        // .get, not .getTimestamp: orderdate loads as TIMESTAMP_NTZ
+        // (java.time.LocalDateTime), which lit() round-trips directly
+        val mx = o.agg(max(col("o_orderdate"))).head().get(0)
+        val aged = o.select(col("o_orderkey"),
+            floor(datediff(lit(mx), col("o_orderdate")).cast("long")
+              .divide(7)).cast("long").as("age_w"))
+          .filter(col("age_w") < 26)
+        Tables.table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"),
+            col("l_quantity").cast("long").as("q"))
+          .join(aged, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("q") *
+            pow(lit(2.0), lit(25L) - col("age_w")).cast("long")).as("score"))
+          .orderBy(col("score").desc, col("pk"))
+          .limit(20)
+      },
+      Some("""
+        WITH MX AS (SELECT max(o_orderdate) AS mx FROM orders),
+        J AS (SELECT l.l_partkey AS pk, CAST(l.l_quantity AS BIGINT) AS q,
+                     date_diff('day', o.o_orderdate, mx.mx) // 7 AS age_w
+              FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey, MX mx),
+        D AS (SELECT pk, sum(q * CAST(power(2, 25 - age_w) AS BIGINT)) AS score
+              FROM J WHERE age_w < 26 GROUP BY pk)
+        SELECT pk, CAST(score AS BIGINT) AS score FROM D
+        ORDER BY score DESC, pk LIMIT 20""")),
   )
 }

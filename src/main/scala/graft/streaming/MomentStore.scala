@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+import graft.operators.Regression
+
+/** Durable streamed OLS — the streaming face of q156's per-group
+  * regression, built on the observation the batch operator already
+  * exploits: the fit's WHOLE state is the per-group moment sums
+  * (n, Σx, Σy, Σxy, Σx²), and moments of a union are elementwise SUMS
+  * of the parts' moments. So each micro-batch reduces distributed to
+  * one bounded moments frame (group-cardinality rows, map-side partial
+  * aggregation and all) and folds into the store by plain addition —
+  * an EXACT, order-free merge: after any batch slicing the stored
+  * moments are identical to a single-pass aggregation of everything
+  * admitted, so the served slopes are a pure function of the admitted
+  * rows (q158 shares its oracle shape with q156 on that strength).
+  *
+  * Unlike q156's batch form, x must be a pure function of the row —
+  * a streaming store cannot re-center on a per-group min it hasn't
+  * finished seeing — so the reference epoch is PINNED at seed time
+  * (the deployment reality: you fix the time origin when you deploy)
+  * and x = hours since that epoch. Negative x (a row predating the
+  * epoch) fails loudly rather than silently flooring differently
+  * across engines.
+  *
+  * Layout (`storeDir/`): `v=N/moments` (parquet) + `v=N/meta` (the
+  * pinned epoch), moments-first/meta-LAST under [[VersionedStore]]'s
+  * commit recipe (meta's job-commit _SUCCESS marks the version;
+  * readers pick the highest committed; crash debris is skipped and
+  * retired on the next write). Store size is O(groups) rows forever.
+  */
+object MomentStore {
+
+  /** Initialize an empty committed store with the pinned reference
+    * epoch (ISO `yyyy-MM-dd HH:mm:ss`, interpreted in session UTC). */
+  def seed(spark: SparkSession, storeDir: String, epochIso: String): Unit = {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, Long, Long, Long, Long)]
+      .toDF("grp", "n_rows", "sum_x", "sum_y", "sxy", "sxx")
+    writeVersion(spark, storeDir, 0L, empty, epochIso)
+  }
+
+  /** The stored moments plus the pinned epoch. */
+  def read(spark: SparkSession, storeDir: String): (DataFrame, String) = {
+    val vs = VersionedStore.committedVersions(spark, storeDir)
+    require(vs.nonEmpty,
+      s"$storeDir holds no committed moments — seed() the store first")
+    val v = vs.max
+    val epoch = spark.read.parquet(s"$storeDir/v=$v/meta")
+      .collect()(0).getString(0)
+    (spark.read.parquet(s"$storeDir/v=$v/moments"), epoch)
+  }
+
+  private def writeVersion(spark: SparkSession, storeDir: String, v: Long,
+      moments: DataFrame, epochIso: String): Unit = {
+    import spark.implicits._
+    val dir = s"$storeDir/v=$v"
+    moments.coalesce(1).write.mode("overwrite").parquet(s"$dir/moments")
+    // meta LAST: its job-commit _SUCCESS marker commits the version
+    Seq(epochIso).toDF("epoch").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    VersionedStore.retireOldVersions(spark, storeDir, v)
+  }
+
+  /** Fold one micro-batch into the store: derive (x, y) under the
+    * pinned epoch (x = whole hours since epoch, loud on negative;
+    * y = integer value millis), reduce to batch moments, add to the
+    * stored moments, commit as the next version. */
+  def mergeBatch(batch: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, storeDir: String): Unit = {
+    val spark = batch.sparkSession
+    val (stored, epoch) = read(spark, storeDir)
+    val xy = batch
+      .select(col(groupCol).as("grp"),
+        (unix_timestamp(col(tsCol)) -
+          unix_timestamp(to_timestamp(lit(epoch)))).as("secs"),
+        floor(col(valueCol) * lit(1000.0)).cast("long").as("y"))
+      .select(col("grp"),
+        when(col("secs") >= 0, expr("secs div 3600"))
+          .otherwise(raise_error(
+            lit(s"MomentStore: row predates the pinned epoch $epoch")))
+          .as("x"),
+        col("y"))
+    val batchMoments = Regression.moments(xy, "grp", "x", "y")
+    val merged = stored.unionByName(batchMoments)
+      .groupBy(col("grp"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_x")).as("sum_x"), sum(col("sum_y")).as("sum_y"),
+        sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"))
+      // materialize BEFORE the overwrite: the merged plan reads the
+      // version being superseded, and lazy execution inside the write
+      // job would race the retire step
+      .localCheckpoint(true)
+    val v = VersionedStore.committedVersions(spark, storeDir).max + 1
+    writeVersion(spark, storeDir, v, merged, epoch)
+  }
+
+  /** Serve the fitted slopes from the stored moments (q156's exact
+    * output shape, `grp` renamed by the caller). */
+  def slopes(spark: SparkSession, storeDir: String): DataFrame =
+    Regression.slopesFromMoments(read(spark, storeDir)._1, "grp")
+
+  /** Streaming writer: one [[mergeBatch]] per micro-batch. */
+  def streamTo(rows: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, storeDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch, groupCol, tsCol, valueCol, storeDir)
+        ()
+      }
+}

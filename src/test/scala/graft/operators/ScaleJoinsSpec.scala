@@ -116,4 +116,44 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(ScaleJoins.saltedTwoPhaseAgg(df, "k", "rid", Seq("x"), 16)
       .columns.toSeq == Seq("k", "n_rows", "sum_x"))
   }
+
+  test("bloomPrunedJoin: identical to the plain join, and the probe actually prunes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val big = (1L to 5000L).map(i => (i % 100, i)).toDF("k", "payload")
+    val small = Seq(3L, 7L, 42L).map(k => (k, s"dim$k")).toDF("sk", "name")
+    val joined = ScaleJoins.bloomPrunedJoin(big, small, "k", "sk",
+      expectedKeys = 100L)
+    val plain = big.join(small, col("k") === col("sk"))
+    assert(joined.orderBy("payload").collect().map(_.toSeq).toSeq ==
+      plain.orderBy("payload").collect().map(_.toSeq).toSeq)
+    // the filter must prune most of the big side before the join
+    val bf = small.stat.bloomFilter(col("sk").cast("string"), 100L, 0.01)
+    val kept = big.filter(graft.functions.BloomMightContain
+      .bloomMightContain(col("k").cast("string"), bf)).count()
+    assert(kept < 500L, s"3 of 100 keys should keep ~150 rows, kept $kept")
+  }
+
+  test("bloomPrunedJoin: a lying fpp (worst-case false positives) still changes nothing") {
+    val spark0 = spark
+    import spark0.implicits._
+    val big = (1L to 500L).map(i => (i, i * 10)).toDF("k", "payload")
+    val small = Seq((1L, "a"), (499L, "b")).toDF("sk", "name")
+    // absurdly high fpp -> tiny filter -> many false positives; the
+    // exact join must still drop every one of them
+    val joined = ScaleJoins.bloomPrunedJoin(big, small, "k", "sk",
+      expectedKeys = 2L, fpp = 0.5)
+    assert(joined.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 499L))
+  }
+
+  test("bloomPrunedJoin: an EMPTY dim yields an empty join, not an NPE") {
+    val spark0 = spark
+    import spark0.implicits._
+    val big = (1L to 10L).map(i => (i, i)).toDF("k", "payload")
+    val small = Seq.empty[(Long, String)].toDF("sk", "name")
+    // Spark's stat.bloomFilter NPEs on a zero-row frame; the operator
+    // must guard (an empty dim is a legal runtime state, e.g. a
+    // selective filter matching nothing at small scale)
+    assert(ScaleJoins.bloomPrunedJoin(big, small, "k", "sk", 10L).count() == 0L)
+  }
 }

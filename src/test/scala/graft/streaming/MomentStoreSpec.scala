@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Regression
+
+class MomentStoreSpec extends SparkSpec {
+
+  private val epoch = "2024-01-01 00:00:00"
+
+  private def ts(hours: Long, plusSec: Long = 0L): Timestamp =
+    Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+      .plusHours(hours).plusSeconds(plusSec))
+
+  test("streamed merges equal the one-pass fit exactly; slicing never matters") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mom_stream").toString
+    MomentStore.seed(spark, s"$dir/store", epoch)
+    val rows = (1 to 300).map { i =>
+      (if (i % 2 == 0) "a" else "b", ts(i % 50), (i % 17).toDouble + 0.25)
+    }
+    val (b1, rest) = rows.splitAt(60)
+    val (b2, b3) = rest.splitAt(100)
+    val in = MemoryStream[(String, Timestamp, Double)]
+    val q = MomentStore.streamTo(
+      in.toDF().toDF("grp", "ts", "v"), "grp", "ts", "v",
+      s"$dir/store", s"$dir/ckpt").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = MomentStore.slopes(spark, s"$dir/store")
+      .orderBy("grp").collect().map(_.toSeq)
+    // one-pass reference over identical (x, y) derivations
+    val onePass = Regression.groupedOls(
+      rows.toDF("grp", "ts", "v")
+        .select(col("grp"),
+          expr(s"(unix_timestamp(ts) - unix_timestamp('$epoch')) div 3600").as("x"),
+          floor(col("v") * 1000.0).cast("long").as("y")),
+      "grp", "x", "y").orderBy("grp").collect().map(_.toSeq)
+    assert(streamed.toSeq == onePass.toSeq,
+      "streamed moment merge diverged from the single-pass fit")
+  }
+
+  test("uncommitted versions are skipped; next commit cleans the debris") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mom_crash").toString
+    val store = s"$dir/store"
+    MomentStore.seed(spark, store, epoch)
+    MomentStore.mergeBatch(
+      Seq(("g", ts(1), 2.0), ("g", ts(2), 4.0)).toDF("grp", "ts", "v"),
+      "grp", "ts", "v", store)
+    // crash mid-write: moments landed for v=99, meta (the commit) never did
+    Seq(("junk", 0L, 0L, 0L, 0L, 0L))
+      .toDF("grp", "n_rows", "sum_x", "sum_y", "sxy", "sxx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$store/v=99/moments")
+    val afterCrash = MomentStore.slopes(spark, store).collect()
+    assert(afterCrash.map(_.getString(0)).toSeq == Seq("g"),
+      "uncommitted version leaked into a read")
+    MomentStore.mergeBatch(
+      Seq(("g", ts(3), 6.0)).toDF("grp", "ts", "v"), "grp", "ts", "v", store)
+    val m = MomentStore.slopes(spark, store).collect().head
+    assert(m.getLong(1) == 3L, "post-crash merge lost admitted rows")
+    assert(!new java.io.File(s"$store/v=99").exists(),
+      "crashed version debris not cleaned by the next commit")
+  }
+
+  test("hand-checked slope through the store; epoch violation raises") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mom_hand").toString
+    val store = s"$dir/store"
+    MomentStore.seed(spark, store, epoch)
+    // x = 0,1,2 hours; y = 0,2000,4000 millis -> slope exactly 2000
+    MomentStore.mergeBatch(
+      Seq(("g", ts(0), 0.0), ("g", ts(1), 2.0), ("g", ts(2), 4.0))
+        .toDF("grp", "ts", "v"),
+      "grp", "ts", "v", store)
+    val m = MomentStore.slopes(spark, store).collect().head
+    assert(m.getLong(4) == 12000L && m.getLong(5) == 6L) // num/den scale by 1000
+    assert(m.getDouble(6) == 2000.0)
+    // a row predating the pinned epoch must fail LOUDLY
+    val e = intercept[Exception] {
+      MomentStore.mergeBatch(
+        Seq(("g", Timestamp.valueOf("2023-12-31 23:00:00"), 1.0))
+          .toDF("grp", "ts", "v"), "grp", "ts", "v", store)
+    }
+    assert(e.getMessage != null)
+  }
+}
