@@ -713,6 +713,39 @@ object CorpusQueries {
       Some(bm25Oracle)),
 
     GraftQuery(
+      "q163_exactly_once_replay",
+      "EXACTLY-ONCE sink semantics through the oracle gate: q103's " +
+        "postings build, but batch 0 is DELIVERED TWICE (the " +
+        "checkpoint-restart double-delivery every foreachBatch sink " +
+        "must survive — after a crash between sink write and " +
+        "checkpoint commit, the engine replays the batch). The " +
+        "store's per-batch directory overwrite keyed on batchId " +
+        "makes redelivery idempotent, so the replayed run serves " +
+        "IDENTICAL scores: this query shares q102's oracle verbatim, " +
+        "and any duplicate posting row the replay leaked would " +
+        "corrupt tf/df/length statistics and hash-mismatch. The " +
+        "at-least-once -> exactly-once bridge is the sink contract " +
+        "every durable store here builds on (SURVEY §2.8 recovery).",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val idx = QueryScratch.dir("graft_q163_index")
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+        graft.streaming.PostingsStream.backfillIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        val odds = d.filter(col("doc_id") % 2 === 1)
+        graft.streaming.PostingsStream.appendBatch(
+          odds, "doc_id", "text", idx, 0L)
+        // the restart: batch 0 arrives again, byte-for-byte
+        graft.streaming.PostingsStream.appendBatch(
+          odds, "doc_id", "text", idx, 0L)
+        graft.streaming.PostingsStream.bm25TopK(
+            spark, idx, d.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+            k = 5, excludeSelf = true)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(bm25Oracle)),
+
+    GraftQuery(
       "q104_hybrid_rrf",
       "Hybrid retrieval by reciprocal-rank fusion: BM25 (q102's arm, " +
         "pool 20) and shingle-overlap (distinct shared 3-grams, exact " +

@@ -1545,5 +1545,83 @@ object ExtendedQueries {
               FROM J WHERE age_w < 26 GROUP BY pk)
         SELECT pk, CAST(score AS BIGINT) AS score FROM D
         ORDER BY score DESC, pk LIMIT 20""")),
+
+    GraftQuery(
+      "q162_interval_coverage",
+      "Interval-union coverage (operators.Intervals.coverage) — the " +
+        "sweep-line 'merge overlapping intervals' pass as window " +
+        "algebra: each event opens a 30-minute activity interval; per " +
+        "user, the metered answer is the UNION length (naive " +
+        "sum(end-start) double-counts overlaps) plus the island " +
+        "count. One running-max window flags island starts, a " +
+        "running sum numbers islands, a grouped agg folds extents — " +
+        "everything partitions by user (q141's posture, nothing " +
+        "global), and all arithmetic is integer epoch seconds.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("s"),
+            (unix_timestamp(col("ts")) + 1800).as("e"))
+        graft.operators.Intervals
+          .coverage(e, "user_id", "s", "e", "event_id")
+          .select(col("user_id"), col("n_islands"),
+            col("covered").as("covered_sec"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH E AS (SELECT user_id, event_id, epoch_ms(ts)//1000 AS s,
+                          epoch_ms(ts)//1000 + 1800 AS e FROM events),
+        P AS (SELECT user_id, event_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS pmax
+              FROM E),
+        I AS (SELECT user_id, s, e,
+                     sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY s, event_id
+                             ROWS UNBOUNDED PRECEDING) AS island
+              FROM P),
+        L AS (SELECT user_id, island, max(e) - min(s) AS len
+              FROM I GROUP BY user_id, island)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(sum(len) AS BIGINT) AS covered_sec
+        FROM L GROUP BY user_id ORDER BY user_id""")),
+
+    GraftQuery(
+      "q164_rolling_distinct",
+      "Rolling 7-day distinct users per day — the sliding-window " +
+        "cardinality dashboard metric where naive per-day recount " +
+        "misses that DISTINCT does not decompose over windows. The " +
+        "scale-correct batch shape: distinct (day, user) pairs once, " +
+        "EXPLODE each into the <=7 window-days it serves (bounded " +
+        "fan-out = window length, never data-sized), re-distinct, " +
+        "count per day — three hash shuffles, no self-join of days, " +
+        "no window-function total order. Days with no 7-day-trailing " +
+        "activity simply don't appear (inner join against observed " +
+        "days). At extreme cardinality the exact re-distinct swaps " +
+        "for q144's mergeable HLL union; this is the exact face.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val x = d.select(explode(sequence(lit(0), lit(6))).as("i"),
+            col("day"), col("user_id"))
+          .select(date_add(col("day"), col("i")).as("wday"), col("user_id"))
+          .distinct()
+        d.select(col("day")).distinct()
+          .join(x, col("wday") === col("day"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("users_7d"))
+          .select(col("day").cast("string").as("day"), col("users_7d"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH D AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        X AS (SELECT DISTINCT day + CAST(i AS INT) AS wday, user_id
+              FROM D, LATERAL (SELECT unnest(range(0, 7)) AS i)),
+        DAYS AS (SELECT DISTINCT day FROM D)
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS users_7d
+        FROM DAYS d JOIN X a ON a.wday = d.day
+        GROUP BY d.day ORDER BY day""")),
   )
 }

@@ -171,4 +171,23 @@ class PostingsStreamSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("compaction journal"), ex.getMessage)
   }
+
+  test("batch redelivery is idempotent: the q163 exactly-once contract") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("postings_replay").toString
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    PostingsStream.backfillIndex(docs, "doc_id", "text", s"$dir/index")
+    val b = Seq((3L, "alpha alpha delta")).toDF("doc_id", "text")
+    PostingsStream.appendBatch(b, "doc_id", "text", s"$dir/index", 0L)
+    val once = spark.read.parquet(s"$dir/index")
+      .orderBy("doc_id", "term").collect().map(_.toSeq).toSeq
+    // crash-restart: the same batchId arrives again — the per-batch
+    // directory overwrite must leave the store byte-equal, not doubled
+    PostingsStream.appendBatch(b, "doc_id", "text", s"$dir/index", 0L)
+    val twice = spark.read.parquet(s"$dir/index")
+      .orderBy("doc_id", "term").collect().map(_.toSeq).toSeq
+    assert(once == twice, "redelivered batch changed the stored postings")
+    assert(once.exists(r => r.head == 3L), "batch content missing entirely")
+  }
 }
