@@ -1623,5 +1623,76 @@ object ExtendedQueries {
                CAST(count(*) AS BIGINT) AS users_7d
         FROM DAYS d JOIN X a ON a.wday = d.day
         GROUP BY d.day ORDER BY day""")),
+
+    GraftQuery(
+      "q165_pareto_frontier",
+      "2-D Pareto frontier / skyline (operators.Skyline.pareto2D): " +
+        "customers not dominated on (order count, lifetime cents) — " +
+        "the best-tradeoff view whose naive form is a quadratic NOT " +
+        "EXISTS self-join. Maximizing two integer dims decomposes " +
+        "into LINEAR window algebra: per-x maxima (one grouped agg), " +
+        "a running best-from-strictly-higher-x over that " +
+        "x-cardinality-sized frame (the only window, never " +
+        "data-sized), and a broadcast join tags survivors. The " +
+        "oracle IS the quadratic definition, so the decomposition's " +
+        "dominance semantics (ties on both dims all survive) are " +
+        "proven per run, not assumed.",
+      (spark, dir) => {
+        val c = Tables.table(spark, dir, "orders")
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("cents"))
+        graft.operators.Skyline.pareto2D(c, "n_orders", "cents")
+          .orderBy(col("custkey"))
+      },
+      Some("""
+        WITH C AS (SELECT o_custkey AS custkey, count(*) AS n,
+                          sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS cents
+                   FROM orders GROUP BY 1)
+        SELECT custkey, CAST(n AS BIGINT) AS n_orders, CAST(cents AS BIGINT) AS cents
+        FROM C a WHERE NOT EXISTS (
+          SELECT 1 FROM C b WHERE b.n >= a.n AND b.cents >= a.cents
+            AND (b.n > a.n OR b.cents > a.cents))
+        ORDER BY custkey""")),
+
+    GraftQuery(
+      "q166_variant_json",
+      "Spark 4 VARIANT ingestion of semi-structured JSON: props parse " +
+        "ONCE into the binary variant encoding (parse_json), then " +
+        "typed path extraction (variant_get '$.k' as bigint) and " +
+        "missing-path NULL semantics feed a grouped aggregate — the " +
+        "modern replacement for per-access get_json_object string " +
+        "re-parsing: at 100 TB the variant column parses each row " +
+        "once at ingest and every downstream path access is a binary " +
+        "walk, not a JSON re-parse (and parquet shredding applies). " +
+        "The oracle extracts the same paths with DuckDB's JSON " +
+        "functions — typed values and NULL-on-missing must agree " +
+        "exactly.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "events")
+          .select(col("event_type"),
+            parse_json(col("props")).as("v"))
+          .select(col("event_type"),
+            expr("variant_get(v, '$.k', 'bigint')").as("kv"),
+            expr("variant_get(v, '$.missing', 'string')").as("m"))
+        e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("kv")).as("sum_k"),
+            min(col("kv")).as("min_k"),
+            max(col("kv")).as("max_k"),
+            count(when(col("m").isNull, 1)).as("n_missing"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH E AS (SELECT event_type,
+                          CAST(json_extract(props, '$.k') AS BIGINT) AS kv,
+                          json_extract_string(props, '$.missing') AS m
+                   FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(kv) AS BIGINT) AS sum_k,
+               CAST(min(kv) AS BIGINT) AS min_k,
+               CAST(max(kv) AS BIGINT) AS max_k,
+               CAST(count(*) FILTER (m IS NULL) AS BIGINT) AS n_missing
+        FROM E GROUP BY event_type ORDER BY event_type""")),
   )
 }
