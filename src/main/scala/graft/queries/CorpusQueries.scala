@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.corpus.CorpusOps
+import graft.dedup.Dedup
 
 /** Corpus-curation operator verification: sub-document span dedup,
   * benchmark decontamination, repetition quality rules, per-source
@@ -997,6 +998,57 @@ object CorpusQueries {
                  AS mean_bits
         FROM F f JOIN UB ub ON ub.term = f.w1
         LEFT JOIN BI bi ON bi.doc_id = f.doc_id
-        ORDER BY f.doc_id"""))
+        ORDER BY f.doc_id""")),
+
+    GraftQuery(
+      "q168_chunk_dedup",
+      "Chunk-level incremental exact dedup — q150's chunking composed " +
+        "with q49's production dedup flow, one level below documents " +
+        "(where near-identical docs still share most passages): the " +
+        "even-doc chunk batch dedupes against an empty index " +
+        "(min-chunk-id canonical per canonical fingerprint), its " +
+        "SURVIVORS' fingerprints become the index, and the odd-doc " +
+        "batch dedupes against that — cross-batch duplicate chunks " +
+        "dropped forever, the anti-join shuffling 16-byte " +
+        "fingerprints only. The oracle re-derives every boundary, " +
+        "hash, and the two-stage survivor rule (earliest even chunk " +
+        "if any, else earliest odd).",
+      (spark, dir) => {
+        val spark0 = spark
+        import spark0.implicits._
+        val chunks = CorpusOps.chunkTokens(
+            Tables.table(spark, dir, "documents"), "doc_id", "text",
+            window = 64, stride = 40)
+          .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+            col("doc_id"), col("chunk_idx"), col("chunk_md5"), col("chunk_text"))
+        val evens = chunks.filter(col("doc_id") % 2 === 0)
+        val odds = chunks.filter(col("doc_id") % 2 === 1)
+        val s0 = Dedup.dedupAgainstIndex(
+          evens, Seq.empty[String].toDF("fp"), "chunk_id", "chunk_text")
+        val index = s0.select(
+          graft.functions.TextFunctions.fingerprint(col("chunk_text")).as("fp"))
+        val s1 = Dedup.dedupAgainstIndex(odds, index, "chunk_id", "chunk_text")
+        s0.unionByName(s1)
+          .select(col("chunk_id"), col("doc_id"),
+            col("chunk_idx"), col("chunk_md5"))
+          .orderBy(col("chunk_id"))
+      },
+      Some(raw"""
+        WITH D AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        C AS (SELECT doc_id, i AS chunk_idx, doc_id * 1000 + i AS cid,
+                     doc_id % 2 AS par,
+                     array_to_string(toks[i*40+1 : least(i*40+64, len(toks))],
+                                     ' ') AS ct
+              FROM D, LATERAL (SELECT unnest(range(0, ((len(toks)-1)//40)+1)) AS i)),
+        F AS (SELECT doc_id, chunk_idx, cid, par, md5(ct) AS h,
+                     md5(lower(regexp_replace(ct, '\s+', ' ', 'g'))) AS fp
+              FROM C),
+        S AS (SELECT fp, coalesce(min(cid) FILTER (par = 0), min(cid)) AS keep
+              FROM F GROUP BY fp)
+        SELECT f.cid AS chunk_id, f.doc_id, CAST(f.chunk_idx AS INT) AS chunk_idx,
+               f.h AS chunk_md5
+        FROM F f JOIN S s ON s.fp = f.fp AND s.keep = f.cid
+        ORDER BY chunk_id"""))
   )
 }

@@ -1569,6 +1569,49 @@ object SimilarityQueries {
                CAST(count(*) AS BIGINT) AS n_samples,
                CAST(sum(s * s) AS BIGINT) AS sum_sq,
                CAST(max(abs(s)) AS BIGINT) AS max_abs
-        FROM V GROUP BY doc_id ORDER BY media_id"""))
+        FROM V GROUP BY doc_id ORDER BY media_id""")),
+
+    GraftQuery(
+      "q167_embedding_drift",
+      "Per-label embedding drift monitor (Similarity.embeddingDrift): " +
+        "squared distance between two corpus slices' per-label mean " +
+        "embeddings (here the vec_id parity halves standing in for " +
+        "two pipeline versions) — the signal that catches a broken " +
+        "encoder or shifted input distribution before it poisons " +
+        "training. Integer-exact end to end: milli-quantized " +
+        "components SHIFT +4096 into the positive domain before the " +
+        "mean's integer division (trunc == floor only on " +
+        "non-negatives — the one place Spark div and SQL // disagree " +
+        "is negative numerators; the shift cancels in the " +
+        "difference), means as floored micro-units, drift² in " +
+        "BIGINT. One posexplode + one (label,part,dim) agg; " +
+        "everything after is labels-x-dims sized.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+          .withColumn("part", (col("vec_id") % 2).cast("int"))
+        Similarity.embeddingDrift(e, "vec_id", "embedding", "label", "part")
+          .select(col("lbl").as("label"), col("n_a"), col("n_b"),
+            col("drift2_micro"))
+          .orderBy(col("label"))
+      },
+      Some("""
+        WITH Q AS (SELECT vec_id, label, vec_id % 2 AS par, dim,
+                          CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)
+                            + 4096 AS q
+                   FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                                unnest(range(1, len(embedding)+1)) AS dim
+                         FROM embeddings)),
+        M AS (SELECT label, par, dim,
+                     CAST((sum(q) * 1000) // count(*) AS BIGINT) AS m,
+                     count(DISTINCT vec_id) AS c
+              FROM Q GROUP BY label, par, dim),
+        J AS (SELECT a.label, a.dim, a.c AS ca, b.c AS cb,
+                     (a.m - b.m) * (a.m - b.m) AS d2
+              FROM M a JOIN M b ON a.label = b.label AND a.dim = b.dim
+              WHERE a.par = 0 AND b.par = 1)
+        SELECT label, CAST(max(ca) AS BIGINT) AS n_a,
+               CAST(max(cb) AS BIGINT) AS n_b,
+               CAST(sum(d2) AS BIGINT) AS drift2_micro
+        FROM J GROUP BY label ORDER BY label"""))
   )
 }

@@ -903,4 +903,48 @@ object Similarity {
       .filter(col("rn") <= topK)
       .select(col("vid"), col("lbl"), col("d2s"), col("rn"))
   }
+
+  /** Per-label embedding drift between two partitions of the corpus
+    * (time slices, pipeline versions, data sources) — the monitoring
+    * signal that catches a broken encoder or a shifted input
+    * distribution before it poisons training: squared distance
+    * between the two partitions' per-label mean embeddings.
+    *
+    * Integer-exact like [[labelCentroidOutliers]]: milli-unit
+    * quantization, means as floored integer micro-units
+    * (sum*1000 div count — floor division, identical in any engine),
+    * drift² = Σ_dims (m_a − m_b)² in BIGINT. Shape: one posexplode,
+    * one (label, part, dim) grouped agg (labels×2×dims rows), a
+    * self-join of that tiny frame, one fold — nothing data-sized
+    * past the first agg.
+    */
+  def embeddingDrift(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, partCol: String): DataFrame = {
+    // quantized values shift by +4096 into the positive domain BEFORE
+    // the mean's integer division: Spark's `div` truncates toward zero
+    // while SQL `//` floors, and they disagree exactly on negative
+    // numerators — on a non-negative domain trunc == floor in every
+    // engine. The shift cancels in (m_a - m_b), so drift² is
+    // unaffected; components beyond ±4.096 fail loudly instead of
+    // silently wrapping the domain guarantee.
+    val q = vecs.select(col(idCol).as("vid"), col(labelCol).as("lbl"),
+        col(partCol).as("part"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("vid"), col("lbl"), col("part"), (col("pos") + 1).as("dim"),
+        (round(col("v").cast("double") * 1000).cast("long") + 4096).as("q"))
+      .withColumn("q",
+        when(col("q") >= 0 && col("q") <= 8192, col("q"))
+          .otherwise(raise_error(
+            lit("embeddingDrift: component outside [-4.096, 4.096]"))))
+    val m = q.groupBy(col("lbl"), col("part"), col("dim"))
+      .agg(expr("(sum(q) * 1000) div count(*)").as("m"),
+        countDistinct(col("vid")).as("c"))
+    val a = m.filter(col("part") === 0)
+      .select(col("lbl"), col("dim"), col("m").as("ma"), col("c").as("ca"))
+    val b = m.filter(col("part") === 1)
+      .select(col("lbl"), col("dim"), col("m").as("mb"), col("c").as("cb"))
+    a.join(b, Seq("lbl", "dim"))
+      .groupBy(col("lbl"))
+      .agg(max(col("ca")).as("n_a"), max(col("cb")).as("n_b"),
+        sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("drift2_micro"))
+  }
 }

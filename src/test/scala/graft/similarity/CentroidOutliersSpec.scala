@@ -44,6 +44,39 @@ class CentroidOutliersSpec extends SparkSpec {
     assert(byLabel(0).map(_.getLong(0)).contains(1L))
   }
 
+  test("embeddingDrift: identical halves drift 0; a shifted half drifts by the shift") {
+    val spark0 = spark
+    import spark0.implicits._
+    // part 0 and part 1 identical -> means equal -> drift 0
+    val same = Seq(
+      (1L, Array(0.5f, -0.25f), 0, 0), (2L, Array(0.5f, -0.25f), 0, 1),
+      (3L, Array(1.0f, 2.0f), 0, 0), (4L, Array(1.0f, 2.0f), 0, 1)
+    ).toDF("vec_id", "embedding", "label", "part")
+    val d0 = Similarity.embeddingDrift(same, "vec_id", "embedding", "label", "part")
+      .collect().head
+    assert(d0.getLong(3) == 0L)
+    // part 1 shifted +0.1 in dim 1 only: mean micro diff = 100000 -> d2 = 1e10
+    val shifted = Seq(
+      (1L, Array(0.5f, 0.5f), 0, 0),
+      (2L, Array(0.6f, 0.5f), 0, 1)
+    ).toDF("vec_id", "embedding", "label", "part")
+    val d1 = Similarity.embeddingDrift(shifted, "vec_id", "embedding", "label", "part")
+      .collect().head
+    assert(d1.getLong(3) == 100000L * 100000L, s"got ${d1.getLong(3)}")
+    assert(d1.getLong(1) == 1L && d1.getLong(2) == 1L)
+  }
+
+  test("embeddingDrift: components outside the +-4.096 domain fail loudly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val bad = Seq((1L, Array(9.9f), 0, 0), (2L, Array(0.1f), 0, 1))
+      .toDF("vec_id", "embedding", "label", "part")
+    val e = intercept[Exception] {
+      Similarity.embeddingDrift(bad, "vec_id", "embedding", "label", "part").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("quantization is exact: float*1000 never rounds (24-bit mantissa * 10 bits < 53)") {
     val spark0 = spark
     import spark0.implicits._
