@@ -65,7 +65,9 @@ object GraftFunctions {
       Sq8Quantize(es(0), foldedDoubles(es(1)), foldedDoubles(es(2)))),
     "sq8_l2_distance" -> (es =>
       Sq8L2Distance(es(0), es(1), foldedDoubles(es(2)), foldedDoubles(es(3)))),
-    "int_array_l2" -> (es => IntArrayL2(es(0), es(1))))
+    "int_array_l2" -> (es => IntArrayL2(es(0), es(1))),
+    "jaro_winkler_sim" -> (es =>
+      graft.functions.JaroWinklerSim(es(0), es(1))))
 
   // Bad range arguments fail HERE with the actual cause, not downstream:
   // degrading silently to an empty Seq made the expressions'

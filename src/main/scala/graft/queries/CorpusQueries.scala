@@ -1049,6 +1049,61 @@ object CorpusQueries {
         SELECT f.cid AS chunk_id, f.doc_id, CAST(f.chunk_idx AS INT) AS chunk_idx,
                f.h AS chunk_md5
         FROM F f JOIN S s ON s.fp = f.fp AND s.keep = f.cid
-        ORDER BY chunk_id"""))
+        ORDER BY chunk_id""")),
+
+    GraftQuery(
+      "q169_equidepth_bins",
+      "Equi-depth (decile) length binning — the curriculum/batching " +
+        "prerequisite (length-bucketed batches waste no padding; " +
+        "difficulty schedules bin by length): bin boundaries are " +
+        "EXACT ORDER STATISTICS, b_k = the smallest length whose " +
+        "cumulative count reaches ceil(k*N/10), derived from a " +
+        "driver-side (length, count) histogram exactly as q118's " +
+        "exact side (bounded by the distinct-length domain, never a " +
+        "sort of N rows) — all integers, so bin assignment " +
+        "(count of boundaries strictly below) is engine-exact with " +
+        "no interpolated-percentile float lottery. Assignment is a " +
+        "codegen'd 9-comparison fold over the broadcast boundaries.",
+      (spark, dir) => {
+        val lens = Tables.table(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(graft.functions.TextFunctions.words(col("text"))).as("n"))
+        val hist = lens.groupBy(col("n")).agg(count(lit(1)).as("c"))
+          .orderBy(col("n")).collect()
+        val total = hist.map(_.getLong(1)).sum
+        val cum = hist.scanLeft(0L)((acc, r) => acc + r.getLong(1)).tail
+        val bounds = (1 to 9).map { k =>
+          val need = (k * total + 9) / 10
+          hist(cum.indexWhere(_ >= need)).getInt(0)
+        }
+        val bin = bounds.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col("n") > b, 1).otherwise(0)
+        }
+        lens.withColumn("bin", bin)
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n")).cast("long").as("min_len"),
+            max(col("n")).cast("long").as("max_len"),
+            sum(col("n")).as("token_sum"))
+          .orderBy(col("bin"))
+      },
+      Some(raw"""
+        WITH L AS (SELECT doc_id,
+                          len(string_split_regex(trim(text), '\s+')) AS n
+                   FROM documents),
+        HH AS (SELECT n AS v, count(*) AS c FROM L GROUP BY n),
+        CUM AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM HH),
+        NN AS (SELECT count(*) AS total FROM L),
+        B AS (SELECT k, (SELECT min(v) FROM CUM, NN
+                         WHERE cum >= (k * total + 9) // 10) AS b
+              FROM (SELECT unnest(range(1, 10)) AS k)),
+        A AS (SELECT l.doc_id, l.n,
+                     (SELECT count(*) FROM B WHERE l.n > B.b) AS bin
+              FROM L l)
+        SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n) AS BIGINT) AS min_len,
+               CAST(max(n) AS BIGINT) AS max_len,
+               CAST(sum(n) AS BIGINT) AS token_sum
+        FROM A GROUP BY bin ORDER BY bin"""))
   )
 }

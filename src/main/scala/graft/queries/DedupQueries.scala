@@ -22,8 +22,11 @@ object DedupQueries {
   /** Shared DuckDB CTE chain (appended after the RECURSIVE shingle
     * CTE): LSH-verified pairs -> symmetric edges -> min-label reachability
     * — the single definition q72 and q73 both build on, so the banding
-    * scheme and 1:2 threshold can never drift between their oracles. */
-  private val clusterCte: String = raw"""
+    * scheme and 1:2 threshold can never drift between their oracles.
+    * Split as [[edgeCte]] (through the verified pair set E) plus the
+    * reachability tail, so q171 can reuse the SAME edge definition
+    * under a different (multi-signal) edge union. */
+  private val edgeCte: String = raw"""
         H AS (SELECT doc_id, md5(g) AS hg FROM S),
         SIG AS (
           SELECT doc_id,
@@ -48,7 +51,9 @@ object DedupQueries {
               GROUP BY 1, 2),
         E AS (SELECT P.id_a, P.id_b
               FROM P JOIN N na ON P.id_a = na.doc_id JOIN N nb ON P.id_b = nb.doc_id
-              WHERE common * 2 >= (na.n + nb.n - common) * 1),
+              WHERE common * 2 >= (na.n + nb.n - common) * 1)"""
+
+  private val clusterCte: String = edgeCte + raw""",
         SYM AS (SELECT id_a AS src, id_b AS dst FROM E
                 UNION ALL SELECT id_b AS src, id_a AS dst FROM E),
         REACH AS (
@@ -690,6 +695,71 @@ object DedupQueries {
         FROM I i JOIN SZ sa ON sa.doc_id = i.id_a
                  JOIN SZ sb ON sb.doc_id = i.id_b
         WHERE i.common * 10 >= (sa.n + sb.n - i.common) * 8
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    GraftQuery(
+      "q171_multi_signal_clusters",
+      "MULTI-SIGNAL duplicate clusters — the real pipeline's dedup " +
+        "graph unions evidence from different detectors before " +
+        "clustering (lexical near-dup and embedding near-dup each " +
+        "miss pairs the other finds: paraphrases have low Jaccard, " +
+        "topic-similar-but-distinct docs can have high Jaccard " +
+        "fragments): q43's LSH-verified Jaccard pairs UNION q24's " +
+        "cosine pairs (vec_id == doc_id alignment) feed q72's " +
+        "connected components, and the census reports per cluster " +
+        "its size plus WHICH signals contributed — the audit view " +
+        "that tells you what each detector buys. Edge construction " +
+        "stays banded/bucketed (never all-pairs); the census is " +
+        "cluster-cardinality sized.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val e = Tables.table(spark, dir, "embeddings")
+        // edges materialize ONCE (bounded verified-pair lists): each
+        // feeds the component iteration AND its census flag join —
+        // lazily both detector pipelines would re-run per consumer
+        val lsh = Dedup.jaccardOnCandidates(d, "doc_id", "text", p = 1, q = 2)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        val cos = Dedup.embeddingNearDups(e, "vec_id", "embedding", threshold = 0.45)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        val cc = Clusters.connectedComponents(
+          d.select(col("doc_id")), "doc_id",
+          lsh.unionByName(cos).distinct())
+        val sz = cc.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("size"))
+        def flag(edges: org.apache.spark.sql.DataFrame, name: String) =
+          edges.join(cc, edges("id_a") === cc("doc_id"))
+            .select(col("cluster_id")).distinct()
+            .withColumn(name, lit(true))
+        sz.join(flag(lsh, "has_jaccard"), Seq("cluster_id"), "left")
+          .join(flag(cos, "has_cosine"), Seq("cluster_id"), "left")
+          .select(col("cluster_id"), col("size"),
+            coalesce(col("has_jaccard"), lit(false)).as("has_jaccard"),
+            coalesce(col("has_cosine"), lit(false)).as("has_cosine"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + "," + edgeCte + raw""",
+        EMB AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+        ALLE AS (SELECT id_a, id_b FROM E UNION SELECT id_a, id_b FROM EMB),
+        SYM2 AS (SELECT id_a AS src, id_b AS dst FROM ALLE
+                 UNION ALL SELECT id_b AS src, id_a AS dst FROM ALLE),
+        REACH2 AS (
+          SELECT doc_id AS id, doc_id AS r FROM documents
+          UNION
+          SELECT sy.dst AS id, REACH2.r AS r
+          FROM SYM2 sy JOIN REACH2 ON REACH2.id = sy.src),
+        CID AS (SELECT id AS doc_id, min(r) AS cid FROM REACH2 GROUP BY id),
+        SZ AS (SELECT cid, count(*) AS size FROM CID GROUP BY cid),
+        JF AS (SELECT DISTINCT c.cid FROM E e JOIN CID c ON c.doc_id = e.id_a),
+        CF AS (SELECT DISTINCT c.cid FROM EMB e JOIN CID c ON c.doc_id = e.id_a)
+        SELECT s.cid AS cluster_id, CAST(s.size AS BIGINT) AS size,
+               (jf.cid IS NOT NULL) AS has_jaccard,
+               (cf.cid IS NOT NULL) AS has_cosine
+        FROM SZ s LEFT JOIN JF jf ON jf.cid = s.cid
+                  LEFT JOIN CF cf ON cf.cid = s.cid
+        ORDER BY cluster_id"""))
   )
 }

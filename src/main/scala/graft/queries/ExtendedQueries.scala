@@ -1694,5 +1694,53 @@ object ExtendedQueries {
                CAST(max(kv) AS BIGINT) AS max_k,
                CAST(count(*) FILTER (m IS NULL) AS BIGINT) AS n_missing
         FROM E GROUP BY event_type ORDER BY event_type""")),
+
+    GraftQuery(
+      "q170_rolling_hll",
+      "The SKETCH face of q164 — rolling 7-day distinct users via " +
+        "MERGEABLE HLL: one DataSketches HLL per day (the per-" +
+        "partition pass), each day's sketch serves the <=7 windows " +
+        "it belongs to, hll_union_agg folds each window — the shape " +
+        "that replaces q164's exact re-distinct when per-window " +
+        "cardinality no longer fits a shuffle (union cost rides " +
+        "days x sketch bytes, not users). Gated q92-style: the " +
+        "estimate must land within 5% of q164's exact count per day " +
+        "(20*|est-exact| <= exact, integer compare), so the oracle " +
+        "carries the exact counts and a TRUE flag — a drifting " +
+        "sketch hash-mismatches.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val daySketch = d.groupBy(col("day"))
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        val windows = daySketch
+          .select(explode(sequence(lit(0), lit(6))).as("i"), col("day"), col("sk"))
+          .select(date_add(col("day"), col("i")).as("wday"), col("sk"))
+        val est = d.select(col("day")).distinct()
+          .join(windows, col("wday") === col("day"))
+          .groupBy(col("day"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+        val exact = d.distinct()
+          .select(explode(sequence(lit(0), lit(6))).as("i"), col("day"), col("user_id"))
+          .select(date_add(col("day"), col("i")).as("wday"), col("user_id"))
+          .distinct()
+          .join(d.select(col("day")).distinct(), col("wday") === col("day"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("users_7d"))
+        exact.join(est, Seq("day"))
+          .select(col("day").cast("string").as("day"), col("users_7d"),
+            (lit(20) * abs(col("est") - col("users_7d")) <= col("users_7d"))
+              .as("within_tol"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH D AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        X AS (SELECT DISTINCT day + CAST(i AS INT) AS wday, user_id
+              FROM D, LATERAL (SELECT unnest(range(0, 7)) AS i)),
+        DAYS AS (SELECT DISTINCT day FROM D)
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS users_7d, TRUE AS within_tol
+        FROM DAYS d JOIN X a ON a.wday = d.day
+        GROUP BY d.day ORDER BY day""")),
   )
 }
