@@ -375,6 +375,135 @@ object Multimodal {
       }
   }
 
+  /** Deterministic video container ("GVID"): a hand-rolled MJPEG-style
+    * layout — magic, version, width, height, frame count, a seekable
+    * (offset, length) frame index, then concatenated REAL PNG frames
+    * (each frame the q122 pixel synthesizer at a per-frame tone). The
+    * container is what a real video pipeline gives Spark: an opaque
+    * binary whose STRUCTURE must be parsed before any frame decodes.
+    * Frame f of media id has tone (id*7 + f*13) mod 251, dims
+    * (16 + id mod 8) x (12 + id mod 6), nFrames = 4 + id mod 5 — all
+    * pure functions of id, so an oracle can recompute every sampled
+    * frame's pixel statistics without seeing a byte. */
+  def syntheticVideo(id: Long): Array[Byte] = {
+    val nFrames = (4 + id % 5).toInt
+    val w = (16 + id % 8).toInt
+    val h = (12 + id % 6).toInt
+    val frames = (0 until nFrames).map { f =>
+      syntheticPng(w, h, tone = ((id * 7 + f * 13) % 251).toInt)
+    }
+    val headerLen = 4 + 4 * 4 + nFrames * 8
+    val total = headerLen + frames.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GVID".getBytes("US-ASCII")).putInt(1)
+      .putInt(w).putInt(h).putInt(nFrames)
+    var off = headerLen
+    frames.foreach { fb => bb.putInt(off).putInt(fb.length); off += fb.length }
+    frames.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Pack one synthetic GVID per input row into the media shape (same
+    * batch posture as [[packImages]]/[[packWavs]]). */
+  def packVideos(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val v = syntheticVideo(id)
+          MediaRow(id, "video", v,
+            MediaMeta("video/x-graft-gvid", v.length.toLong,
+              md.digest(v).map("%02x".format(_)).mkString))
+        }
+      }.toDF()
+  }
+
+  case class VideoFrameFeatures(
+      media_id: Long, frame_idx: Int, width: Int, height: Int, sum_rgb: Long)
+
+  /** REAL video frame sampling + decode: the GVID container header and
+    * frame index are parsed (magic-checked), every `stride`-th frame's
+    * byte slice is located through the index — never a linear scan of
+    * the payload — and each sampled frame is decoded by ImageIO as the
+    * real PNG it is. Features are per-frame integer pixel statistics
+    * (sum of packed RGB values over the decoded raster), so a wrong
+    * index offset, a truncated frame, or any decode infidelity changes
+    * sum_rgb and hash-mismatches the oracle. Unparseable containers
+    * degrade to a single flagged row (frame_idx -1, zero stats) — the
+    * poisoned-row contract of every decoder here. One media row fans
+    * out to ceil(nFrames/stride) frame rows inside one mapPartitions
+    * pass; payload bytes never shuffle. */
+  def decodeVideoFrames(media: DataFrame, stride: Int): Dataset[VideoFrameFeatures] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        parseGvid(if (payload == null) Array.emptyByteArray else payload) match {
+          case None => Iterator.single(VideoFrameFeatures(id, -1, 0, 0, 0L))
+          case Some((w, h, frames)) =>
+            frames.iterator.zipWithIndex
+              .filter { case (_, f) => f % stride == 0 }
+              .map { case (bytes, f) =>
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes))
+                if (img == null || img.getWidth != w || img.getHeight != h)
+                  VideoFrameFeatures(id, -1, 0, 0, 0L)
+                else {
+                  var sum = 0L
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      sum += (img.getRGB(x, y) & 0xffffff).toLong
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  VideoFrameFeatures(id, f, w, h, sum)
+                }
+              }
+        }
+      })
+  }
+
+  /** Parse a GVID payload to (width, height, frame byte slices), or
+    * None when the magic/version/index is malformed or out of bounds. */
+  private[multimodal] def parseGvid(
+      payload: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] =
+    try {
+      if (payload.length < 20 ||
+          payload(0) != 'G' || payload(1) != 'V' ||
+          payload(2) != 'I' || payload(3) != 'D') None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.position(4)
+        val version = bb.getInt
+        val w = bb.getInt
+        val h = bb.getInt
+        val nFrames = bb.getInt
+        if (version != 1 || w <= 0 || h <= 0 || nFrames < 0 ||
+            nFrames > (payload.length - 20) / 8) None
+        else {
+          val frames = new Array[Array[Byte]](nFrames)
+          var f = 0
+          var ok = true
+          while (ok && f < nFrames) {
+            val off = bb.getInt
+            val len = bb.getInt
+            if (off < 0 || len < 0 || off.toLong + len > payload.length) ok = false
+            else frames(f) = java.util.Arrays.copyOfRange(payload, off, off + len)
+            f += 1
+          }
+          if (ok) Some((w, h, frames)) else None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Expression-only twin of [[decodeFeatures]]' STUB path — exact for
     * NON-IMAGE payloads (q26 packs text bytes, which never sniff as an
     * image container; true image payloads take the ImageIO branch and

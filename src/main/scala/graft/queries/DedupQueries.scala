@@ -760,6 +760,39 @@ object DedupQueries {
                (cf.cid IS NOT NULL) AS has_cosine
         FROM SZ s LEFT JOIN JF jf ON jf.cid = s.cid
                   LEFT JOIN CF cf ON cf.cid = s.cid
-        ORDER BY cluster_id"""))
+        ORDER BY cluster_id""")),
+
+    GraftQuery(
+      "q176_snm_pairs",
+      "Sorted-neighborhood candidate pairs (Hernandez-Stolfo SNM, " +
+        "operators.SortedNeighborhood) — the third blocking strategy " +
+        "next to LSH (content buckets, q22) and prefix-filtering " +
+        "(rare shingles, q161): sort by a fuzzy 10-char key prefix " +
+        "and pair every doc with its 3 successors in the sorted " +
+        "order, so candidates are bounded at exactly n*w under ANY " +
+        "key skew. The global rank is computed DISTRIBUTIVELY " +
+        "(range-repartition + per-partition counts + broadcast " +
+        "prefix-sum offsets — never a single-partition window), and " +
+        "pairing is one bounded explode + one integer rank equi-join. " +
+        "same_key self-diagnoses fuzzy vs exact-block matches.",
+      (spark, dir) => {
+        import graft.operators.SortedNeighborhood
+        SortedNeighborhood.snmPairs(
+            Tables.table(spark, dir, "documents"),
+            substring(lower(trim(col("text"))), 1, 10), col("doc_id"), w = 3)
+          .select(col("id_a"), col("id_b"), col("dist"), col("same_key"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH K AS (SELECT doc_id, substr(lower(trim(text)), 1, 10) AS k
+                   FROM documents),
+        R AS (SELECT doc_id, k,
+                     row_number() OVER (ORDER BY k, doc_id) AS r
+              FROM K)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(b.r - a.r AS BIGINT) AS dist,
+               (a.k = b.k) AS same_key
+        FROM R a JOIN R b ON b.r > a.r AND b.r <= a.r + 3
+        ORDER BY id_a, id_b"""))
   )
 }

@@ -1742,5 +1742,162 @@ object ExtendedQueries {
                CAST(count(*) AS BIGINT) AS users_7d, TRUE AS within_tol
         FROM DAYS d JOIN X a ON a.wday = d.day
         GROUP BY d.day ORDER BY day""")),
+
+    GraftQuery(
+      "q172_bag_set_ops",
+      "BAG-semantics set operations (exceptAll / intersectAll) — the " +
+        "multiset complement of q30's DISTINCT trio: EXCEPT ALL keeps " +
+        "max(m_a - m_b, 0) copies of each key, INTERSECT ALL keeps " +
+        "min(m_a, m_b). Spark rewrites both into a count-aggregate + " +
+        "generator replication — one shuffle each, never a join on " +
+        "row identity — so duplicate multiplicity is exact at any " +
+        "partitioning. The multiset listing is made hash-stable by " +
+        "ordering on (op, k): duplicates are identical rows, so their " +
+        "relative order cannot affect the driver's value hash.",
+      (spark, dir) => {
+        val li = Tables.table(spark, dir, "lineitem")
+        val a = li.filter(col("l_quantity") < 10.0).select(col("l_suppkey").as("k"))
+        val b = li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+        val e = a.exceptAll(b).select(lit("except_all").as("op"), col("k"))
+        val i = a.intersectAll(b).select(lit("intersect_all").as("op"), col("k"))
+        e.union(i).orderBy(col("op"), col("k"))
+      },
+      Some("""
+        WITH A AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 10.0),
+             B AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+        SELECT 'except_all' AS op, k FROM (SELECT k FROM A EXCEPT ALL SELECT k FROM B)
+        UNION ALL
+        SELECT 'intersect_all' AS op, k FROM (SELECT k FROM A INTERSECT ALL SELECT k FROM B)
+        ORDER BY op, k""")),
+
+    GraftQuery(
+      "q173_rank_windows",
+      "Distribution-ranking window family per source — ntile (equal-" +
+        "count buckets), percent_rank ((rank-1)/(n-1)), cume_dist " +
+        "(rank/n) over n_chars, tie-broken by doc_id so the total " +
+        "order (and therefore every bucket boundary) is deterministic. " +
+        "The fractional ranks are emitted as round(x*1e6) BIGINT " +
+        "micro-units: a single IEEE division of two small integers is " +
+        "bit-identical in both engines, so the gate is exact, not " +
+        "tolerant. One shuffle on source; all three functions share " +
+        "the same sort.",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        Tables.table(spark, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            ntile(8).over(w).cast("long").as("bucket8"),
+            round(percent_rank().over(w) * 1000000).cast("long").as("pct_rank_micro"),
+            round(cume_dist().over(w) * 1000000).cast("long").as("cume_micro"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""
+        SELECT source, doc_id, n_chars,
+               CAST(ntile(8) OVER w AS BIGINT) AS bucket8,
+               CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_micro,
+               CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_micro
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+        ORDER BY source, doc_id""")),
+
+    GraftQuery(
+      "q174_winsorized_stats",
+      "Per-source winsorized mean of n_chars — outlier-robust central " +
+        "tendency by CLAMPING to the exact p10/p90 discrete quantiles " +
+        "instead of dropping rows (the robust-stats sibling of q151's " +
+        "MAD). Quantile bounds are defined purely by integer rank " +
+        "arithmetic — the value at rank ceil(n/10) and ceil(9n/10) of " +
+        "the (n_chars, doc_id) total order — so both engines compute " +
+        "them from the same window pass with zero interpolation " +
+        "convention risk. Winsorized mean lands as floored micro-units " +
+        "(all-nonnegative, so trunc == floor agrees across engines). " +
+        "Two shuffles: the rank window and the re-agg after a " +
+        "broadcast joinback of the tiny per-source bounds table.",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val r = Tables.table(spark, dir, "documents")
+          .select(col("source"), col("n_chars").as("v"),
+            row_number().over(w).cast("long").as("rn"),
+            count(lit(1)).over(Window.partitionBy(col("source"))).as("n"))
+        val bounds = r.groupBy(col("source")).agg(
+          max(col("n")).as("bn"),
+          max(when(col("rn") === expr("(n + 9) div 10"), col("v"))).as("lo"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("v"))).as("hi"))
+        r.join(broadcast(bounds.withColumnRenamed("source", "bsource")),
+            col("source") === col("bsource"))
+          .groupBy(col("source"))
+          .agg(max(col("bn")).as("n"), max(col("lo")).as("lo_out"),
+            max(col("hi")).as("hi_out"),
+            sum(least(greatest(col("v"), col("lo")), col("hi"))).as("wsum"))
+          .select(col("source"), col("n"), col("lo_out").as("lo"),
+            col("hi_out").as("hi"),
+            expr("wsum * 1000000 div n").as("wmean_micro"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH R AS (SELECT source, n_chars AS v,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY n_chars, doc_id) AS rn,
+                          count(*) OVER (PARTITION BY source) AS n
+                   FROM documents),
+        B AS (SELECT source, max(n) AS n,
+                     max(CASE WHEN rn = (n + 9) // 10 THEN v END) AS lo,
+                     max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS hi
+              FROM R GROUP BY source)
+        SELECT r.source, max(b.n) AS n, max(b.lo) AS lo, max(b.hi) AS hi,
+               CAST((CAST(sum(least(greatest(r.v, b.lo), b.hi)) AS BIGINT)
+                     * 1000000) // max(b.n) AS BIGINT) AS wmean_micro
+        FROM R r JOIN B b ON r.source = b.source
+        GROUP BY r.source ORDER BY r.source""")),
+
+    GraftQuery(
+      "q175_spearman_rank_corr",
+      "Exact Spearman rank correlation per group (quantity vs price " +
+        "within each returnflag) — the monotone-association monitor " +
+        "that survives outliers where Pearson does not. Ranks are the " +
+        "PERMUTATION ranks of the (value, l_orderkey, l_linenumber) " +
+        "total order (ties broken by the unique key — the convention " +
+        "both engines share verbatim, so no tie-averaging float " +
+        "enters), rho = 1 - 6*sum(d^2)/(n(n^2-1)) lands as truncated " +
+        "micro-units in pure BIGINT. The input slice bounds sum(d^2) " +
+        "~ n^3/6 so 6e6*sum(d^2) stays far inside int64. Both rank " +
+        "windows share one partition exchange (same partitionBy, two " +
+        "sorts); the moment agg is the only other shuffle.",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.table(spark, dir, "lineitem")
+          .filter(col("l_orderkey") % 50 === 0)
+        val p = Window.partitionBy(col("l_returnflag"))
+        val wx = p.orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        val wy = p.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        li.select(col("l_returnflag"),
+            row_number().over(wx).cast("long").as("rx"),
+            row_number().over(wy).cast("long").as("ry"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sum_d2"))
+          .select(col("l_returnflag"), col("n"), col("sum_d2"),
+            (lit(1000000) - expr("6000000 * sum_d2 div (n * (n * n - 1))"))
+              .as("rho_micro"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH L AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0),
+        R AS (SELECT l_returnflag,
+                     row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_quantity, l_orderkey, l_linenumber) AS rx,
+                     row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS ry
+              FROM L),
+        M AS (SELECT l_returnflag, count(*) AS n,
+                     CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+              FROM R GROUP BY l_returnflag)
+        SELECT l_returnflag, n, sum_d2,
+               CAST(1000000 - (6000000 * sum_d2) // (n * (n * n - 1))
+                    AS BIGINT) AS rho_micro
+        FROM M ORDER BY l_returnflag""")),
   )
 }

@@ -137,6 +137,52 @@ object FormatQueries {
                  AS n_quarantined,
                CAST(sum(n_chars) FILTER (doc_id % 10 <> 3) AS BIGINT)
                  AS sum_nchars_ok
-        FROM documents"""))
+        FROM documents""")),
+
+    GraftQuery(
+      "q177_file_skipping",
+      "File-level data skipping via a min/max manifest — the " +
+        "Delta/Iceberg scan-pruning pattern built from parquet " +
+        "primitives: orders lands key-sorted across range partitions " +
+        "(so files hold near-disjoint o_orderkey ranges), a MANIFEST " +
+        "of per-file (min, max, rows) is derived with one metadata-" +
+        "cheap aggregate over input_file_name, and a range predicate " +
+        "is answered by reading ONLY the files whose stat interval " +
+        "overlaps it (driver-side file pick — the manifest is " +
+        "file-count-sized, exactly what a table format keeps in its " +
+        "log). The residual filter still pushes into the chosen " +
+        "files' row-group stats. The oracle is the UNPRUNED predicate " +
+        "over the base table — an identity gate proving skipping " +
+        "lost nothing — and the query itself refuses to pass if no " +
+        "file was skipped. At 100 TB this is the difference between " +
+        "reading 3 files and reading 30,000.",
+      (spark, dir) => {
+        val out = QueryScratch.dir("graft_q177_skip")
+        Tables.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey"))
+          .write.mode("overwrite").parquet(out)
+        val manifest = spark.read.parquet(out)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val mx = Tables.table(spark, dir, "orders")
+          .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val (qLo, qHi) = (mx / 4, mx / 4 + mx / 10)
+        val picked = manifest.filter { case (_, lo, hi) => lo <= qHi && hi >= qLo }
+        require(picked.length < manifest.length,
+          s"manifest pruned nothing (${picked.length}/${manifest.length} " +
+            "files) — the sorted layout or the stats are broken")
+        spark.read.parquet(picked.map(_._1).toIndexedSeq: _*)
+          .filter(col("o_orderkey").between(qLo, qHi))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH M AS (SELECT max(o_orderkey) AS mx FROM orders)
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders, M
+        WHERE o_orderkey BETWEEN mx // 4 AND mx // 4 + mx // 10
+        ORDER BY o_orderkey"""))
   )
 }

@@ -1612,6 +1612,44 @@ object SimilarityQueries {
         SELECT label, CAST(max(ca) AS BIGINT) AS n_a,
                CAST(max(cb) AS BIGINT) AS n_b,
                CAST(sum(d2) AS BIGINT) AS drift2_micro
-        FROM J GROUP BY label ORDER BY label"""))
+        FROM J GROUP BY label ORDER BY label""")),
+
+    GraftQuery(
+      "q178_video_frames",
+      "REAL video frame sampling through the oracle gate — the video " +
+        "face completing q122 (image) and q157 (audio): one " +
+        "deterministic GVID container per sampled document (hand-" +
+        "rolled header + seekable frame index + concatenated REAL PNG " +
+        "frames), then decodeVideoFrames parses the container " +
+        "structure, SEEKS every 2nd frame through the index (never a " +
+        "linear payload scan), decodes each sampled frame with " +
+        "ImageIO, and emits per-frame integer pixel sums. The oracle " +
+        "recomputes each sampled frame's sum_rgb from the synthesis " +
+        "formula alone in closed form — wrong index math, a frame " +
+        "decoded at the wrong offset, or any pixel infidelity " +
+        "hash-mismatches. 100 TB posture: one media row fans out to " +
+        "its sampled frames inside one mapPartitions pass, payload " +
+        "bytes never shuffle, features land in a narrow frame table " +
+        "keyed by (media_id, frame_idx).",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+          .filter(col("doc_id") % 7 === 0)
+        val media = Multimodal.packVideos(d, "doc_id")
+        Multimodal.decodeVideoFrames(media, stride = 2)
+          .select(col("media_id"), col("frame_idx"), col("width"),
+            col("height"), col("sum_rgb"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""
+        WITH D AS (SELECT doc_id, 4 + doc_id % 5 AS nf,
+                          CAST(16 + doc_id % 8 AS BIGINT) AS w,
+                          CAST(12 + doc_id % 6 AS BIGINT) AS h
+                   FROM documents WHERE doc_id % 7 = 0),
+        F AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM D)
+        SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(31 * h * ((w - 1) * w // 2) + 17 * w * ((h - 1) * h // 2)
+                    + ((doc_id * 7 + f * 13) % 251) * w * h AS BIGINT) AS sum_rgb
+        FROM F WHERE f % 2 = 0 ORDER BY media_id, frame_idx"""))
   )
 }

@@ -180,4 +180,51 @@ class MultimodalSpec extends SparkSpec {
     val d = Multimodal.decodeAudioFeatures(junk).collect().head
     assert(d.sample_rate == -1 && d.n_samples == 0L && d.sum_sq == 0L)
   }
+
+  test("GVID container round-trips: header, index, and REAL PNG frames") {
+    val id = 9L // nf = 4 + 9%5 = 8, w = 16 + 1 = 17, h = 12 + 3 = 15
+    val v = Multimodal.syntheticVideo(id)
+    val parsed = Multimodal.parseGvid(v)
+    assert(parsed.isDefined)
+    val (w, h, frames) = parsed.get
+    assert(w == 17 && h == 15 && frames.length == 8)
+    // every frame is a REAL PNG decoding to the header dims
+    frames.foreach { fb =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+    }
+  }
+
+  test("decodeVideoFrames: stride seeks via the index, sums match the formula") {
+    val spark0 = spark
+    import spark0.implicits._
+    val media = Multimodal.packVideos(Seq(9L).toDF("doc_id"), "doc_id")
+    val rows = Multimodal.decodeVideoFrames(media, stride = 3)
+      .collect().sortBy(_.frame_idx)
+    // nf = 8 -> sampled frames 0, 3, 6
+    assert(rows.map(_.frame_idx).toSeq == Seq(0, 3, 6))
+    val (w, h) = (17L, 15L)
+    rows.foreach { r =>
+      val tone = (9L * 7 + r.frame_idx * 13) % 251
+      val want = 31 * h * ((w - 1) * w / 2) + 17 * w * ((h - 1) * h / 2) +
+        tone * w * h
+      assert(r.width == 17 && r.height == 15 && r.sum_rgb == want,
+        s"frame ${r.frame_idx}: got ${r.sum_rgb}, want $want")
+    }
+  }
+
+  test("corrupt video containers degrade to a flagged row, never a crash") {
+    val spark0 = spark
+    import spark0.implicits._
+    val good = Multimodal.syntheticVideo(3L)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    val truncated = good.take(30) // header survives, index points past end
+    val media = Seq(
+      (1L, badMagic), (2L, truncated), (3L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.decodeVideoFrames(media, stride = 1)
+      .collect().sortBy(_.media_id)
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.frame_idx == -1 && r.sum_rgb == 0L))
+  }
 }
