@@ -1899,5 +1899,110 @@ object ExtendedQueries {
                CAST(1000000 - (6000000 * sum_d2) // (n * (n * n - 1))
                     AS BIGINT) AS rho_micro
         FROM M ORDER BY l_returnflag""")),
+
+    GraftQuery(
+      "q179_ordered_listagg",
+      "Deterministic ordered string aggregation (LISTAGG / string_agg " +
+        "WITHIN GROUP): per nation, the sorted comma-joined list of " +
+        "its high-balance supplier names plus the count. Spark has no " +
+        "ordered collect guarantee, so the contract is array_sort " +
+        "AFTER collect_list — the canonical form whose result is " +
+        "independent of partitioning and merge order; the oracle uses " +
+        "string_agg(... ORDER BY ...), so any nondeterminism in the " +
+        "Spark aggregation hash-mismatches. Lists are bounded per " +
+        "group by the selectivity filter (the precondition for ANY " +
+        "collect_list at scale — unbounded lists belong to q150-style " +
+        "re-explosion, not strings).",
+      (spark, dir) => {
+        val s = Tables.table(spark, dir, "supplier")
+          .filter(col("s_acctbal") > 9000.0)
+        val n = Tables.table(spark, dir, "nation")
+        s.join(n, s("s_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_supp"),
+            array_join(array_sort(collect_list(col("s_name"))), ",")
+              .as("suppliers"))
+          .orderBy(col("n_name"))
+      },
+      Some("""
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_supp,
+               string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal > 9000.0
+        GROUP BY n_name ORDER BY n_name""")),
+
+    GraftQuery(
+      "q180_key_skew_gini",
+      "Join-key skew monitor: the exact Gini coefficient of the " +
+        "l_partkey frequency distribution — the one-number diagnostic " +
+        "that decides BEFORE a 100 TB join whether q41's salting or " +
+        "AQE skew handling is needed (0 = uniform keys, ->1 = a few " +
+        "hot keys own the table). Computed integer-exactly from the " +
+        "rank formulation G = (2*sum(i*c_i) - (n+1)*sum(c)) / " +
+        "(n*sum(c)) with frequencies ranked ASCENDING: the ranking " +
+        "reuses SortedNeighborhood.globalRank, so the global " +
+        "frequency sort is range-partitioned + offset-composed — " +
+        "never the single-partition window a naive global row_number " +
+        "would be over a 100 TB table's key census.",
+      (spark, dir) => {
+        import graft.operators.SortedNeighborhood
+        val c = Tables.table(spark, dir, "lineitem")
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+        SortedNeighborhood.globalRank(
+            c, Seq(col("c"), col("l_partkey")), "i")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("s0"),
+            sum(col("i") * col("c")).as("s1"))
+          .select(col("n"), col("s0"), col("s1"),
+            expr("(2 * s1 - (n + 1) * s0) * 1000000 div (n * s0)")
+              .as("gini_micro"))
+      },
+      Some("""
+        WITH C AS (SELECT l_partkey, count(*) AS c
+                   FROM lineitem GROUP BY l_partkey),
+        R AS (SELECT c, row_number() OVER (ORDER BY c, l_partkey) AS i FROM C),
+        M AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s0,
+                     CAST(sum(i * c) AS BIGINT) AS s1
+              FROM R)
+        SELECT n, s0, s1,
+               CAST((2 * s1 - (n + 1) * s0) * 1000000 // (n * s0) AS BIGINT)
+                 AS gini_micro
+        FROM M""")),
+
+    GraftQuery(
+      "q183_interval_left_join",
+      "Stream-stream LEFT OUTER interval join, batch face " +
+        "(StatefulOps.intervalLeftJoin — watermarks are no-ops in " +
+        "batch, so this runs the operator's OWN code path, the q32 " +
+        "parity pattern): every view pairs with each purchase by the " +
+        "same user inside [view.ts, view.ts + 1h]; a view with no " +
+        "purchase emits once with a NULL purchase_id. The time bound " +
+        "lives in the join condition because that is what bounds " +
+        "streaming state; in batch it is the equi-join residual. " +
+        "NULLS FIRST pinned on both sides (Spark's asc default vs " +
+        "DuckDB's NULLS LAST). The streaming semantics — unmatched " +
+        "rows held until the watermark passes their window, then " +
+        "emitted with nulls — are spec-gated in StatefulOpsSpec.",
+      (spark, dir) => {
+        val ev = Tables.table(spark, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+        graft.streaming.StatefulOps
+          .intervalLeftJoin(v, p, "user_id", "ts", "2 hours", "1 hour")
+          .select(col("l_view_id").as("view_id"),
+            col("l_user_id").as("user_id"),
+            col("r_purchase_id").as("purchase_id"))
+          .orderBy(col("view_id"), col("purchase_id").asc_nulls_first)
+      },
+      Some("""
+        WITH V AS (SELECT event_id AS view_id, user_id, ts FROM events
+                   WHERE event_type = 'view'),
+        P AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+              WHERE event_type = 'purchase')
+        SELECT v.view_id, v.user_id, p.purchase_id
+        FROM V v LEFT JOIN P p ON p.user_id = v.user_id AND p.ts >= v.ts
+                               AND p.ts <= v.ts + INTERVAL 1 HOUR
+        ORDER BY view_id, purchase_id NULLS FIRST""")),
   )
 }

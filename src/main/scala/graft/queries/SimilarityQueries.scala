@@ -1650,6 +1650,38 @@ object SimilarityQueries {
                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
                CAST(31 * h * ((w - 1) * w // 2) + 17 * w * ((h - 1) * h // 2)
                     + ((doc_id * 7 + f * 13) % 251) * w * h AS BIGINT) AS sum_rgb
-        FROM F WHERE f % 2 = 0 ORDER BY media_id, frame_idx"""))
+        FROM F WHERE f % 2 = 0 ORDER BY media_id, frame_idx""")),
+
+    GraftQuery(
+      "q182_centroid_pair_dist",
+      "Label-taxonomy confusion matrix " +
+        "(Similarity.centroidPairDistances): pairwise squared " +
+        "distances between per-label mean embeddings — labels whose " +
+        "centroids nearly coincide are merge/relabel candidates, the " +
+        "between-class complement of q153's within-class outliers and " +
+        "q167's between-slice drift. Integer-exact via the q167 " +
+        "recipe (milli-quantize, +4096 shift so the mean's floor " +
+        "division agrees across engines, micro-unit means; the shift " +
+        "cancels in differences). One posexplode + one (label, dim) " +
+        "aggregation over the corpus; the pair join touches only the " +
+        "labels-x-dims centroid table.",
+      (spark, dir) => {
+        Similarity.centroidPairDistances(
+            Tables.table(spark, dir, "embeddings"), "embedding", "label")
+          .orderBy(col("label_a"), col("label_b"))
+      },
+      Some("""
+        WITH Q AS (SELECT label, dim,
+                          CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)
+                            + 4096 AS q
+                   FROM (SELECT label, unnest(embedding) AS v,
+                                unnest(range(1, len(embedding)+1)) AS dim
+                         FROM embeddings)),
+        M AS (SELECT label, dim, (sum(q) * 1000) // count(*) AS m
+              FROM Q GROUP BY label, dim)
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS d2_micro2
+        FROM M a JOIN M b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label ORDER BY label_a, label_b"""))
   )
 }

@@ -203,6 +203,42 @@ object TextQueries {
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                  '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
                  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
-        FROM P ORDER BY doc_id"""))
+        FROM P ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q181_sentence_stats",
+      "Sentence segmentation + per-document sentence statistics — the " +
+        "structural text signal the per-token families (q16/q18) " +
+        "cannot see: split on terminal punctuation runs ([.!?]+), " +
+        "drop empty fragments, count sentences and track total/max/" +
+        "mean sentence length (mean as floored micro-units — " +
+        "nonnegative domain, so trunc == floor in both engines). The " +
+        "regex is an engine-agnostic character class, the split is " +
+        "map-side (rides the scan), and the per-doc aggregation is " +
+        "one shuffle on doc_id. Docs whose text holds no non-empty " +
+        "fragment vanish identically on both sides.",
+      (spark, dir) => {
+        val frags = Tables.table(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), "[.!?]+")).as("s"))
+          .select(col("doc_id"), length(trim(col("s"))).cast("long").as("l"))
+          .filter(col("l") > 0)
+        frags.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sent"),
+            sum(col("l")).as("sum_len"), max(col("l")).as("max_len"))
+          .select(col("doc_id"), col("n_sent"), col("sum_len"), col("max_len"),
+            expr("sum_len * 1000000 div n_sent").as("mean_len_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH S AS (SELECT doc_id,
+                          length(trim(unnest(string_split_regex(text, '[.!?]+')))) AS l
+                   FROM documents),
+        F AS (SELECT doc_id, l FROM S WHERE l > 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sent,
+               CAST(sum(l) AS BIGINT) AS sum_len,
+               CAST(max(l) AS BIGINT) AS max_len,
+               CAST((sum(l) * 1000000) // count(*) AS BIGINT) AS mean_len_micro
+        FROM F GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

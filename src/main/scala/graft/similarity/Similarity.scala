@@ -947,4 +947,36 @@ object Similarity {
       .agg(max(col("ca")).as("n_a"), max(col("cb")).as("n_b"),
         sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("drift2_micro"))
   }
+
+  /** Pairwise squared distances between per-label MEAN embeddings —
+    * the label-taxonomy confusion matrix: labels whose centroids sit
+    * close are merge/relabel candidates, the between-class complement
+    * of [[labelCentroidOutliers]]' within-class view. Same integer
+    * recipe as [[embeddingDrift]] (milli-quantize, +4096 shift so the
+    * mean's floor-division is engine-agnostic, micro-unit means; the
+    * shift cancels in every difference). One posexplode + one
+    * (label, dim) agg over the corpus; everything after is
+    * labels²-x-dims sized — at 100 TB the pair join touches only the
+    * tiny centroid table, never a vector. Output: (label_a, label_b,
+    * d2_micro2) for label_a < label_b. */
+  def centroidPairDistances(
+      vecs: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val q = vecs.select(col(labelCol).as("lbl"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("lbl"), (col("pos") + 1).as("dim"),
+        (round(col("v").cast("double") * 1000).cast("long") + 4096).as("q"))
+      .withColumn("q",
+        when(col("q") >= 0 && col("q") <= 8192, col("q"))
+          .otherwise(raise_error(
+            lit("centroidPairDistances: component outside [-4.096, 4.096]"))))
+    val m = q.groupBy(col("lbl"), col("dim"))
+      .agg(expr("(sum(q) * 1000) div count(*)").as("m"))
+    val a = m.select(col("lbl").as("label_a"), col("dim"), col("m").as("ma"))
+    val b = m.select(col("lbl").as("label_b"), col("dim"), col("m").as("mb"))
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+        .as("d2_micro2"))
+  }
 }

@@ -79,6 +79,31 @@ object StatefulOps {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream LEFT OUTER interval join (§2.8's outer
+    * face — J1 covers the inner join): each left row pairs with every
+    * right row of the same key whose event time falls in
+    * [left.ts, left.ts + `within`]; a left row with NO match is
+    * emitted once with nulls on the right side — but only after the
+    * watermark passes its join window, because until then a match
+    * could still arrive. Both sides MUST be watermarked and the time
+    * bound MUST appear in the join condition: that pair is what lets
+    * Spark evict buffered state instead of holding both streams
+    * forever — the unbounded-state trap of a naive outer join at
+    * 100 TB/day. Left columns arrive prefixed `l_`, right `r_`, so
+    * key/ts names never collide. */
+  def intervalLeftJoin(
+      left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      watermarkDelay: String, within: String): DataFrame = {
+    def pfx(df: DataFrame, p: String): DataFrame =
+      df.select(df.columns.toIndexedSeq.map(c => col(c).as(s"$p$c")): _*)
+    val l = pfx(left, "l_").withWatermark(s"l_$tsCol", watermarkDelay)
+    val r = pfx(right, "r_").withWatermark(s"r_$tsCol", watermarkDelay)
+    l.join(r,
+      expr(s"l_$keyCol = r_$keyCol AND r_$tsCol >= l_$tsCol " +
+        s"AND r_$tsCol <= l_$tsCol + interval $within"),
+      "leftOuter")
+  }
+
   /** Consecutive-change suppression via flatMapGroupsWithState (the
     * reference's consumer models only repaint the UI when a station's
     * state actually changes — consumers/models/station.py mutates in

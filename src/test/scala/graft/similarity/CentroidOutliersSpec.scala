@@ -91,4 +91,26 @@ class CentroidOutliersSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(q == Seq(8L, -8L, 500L, -1500L))
   }
+
+  test("centroidPairDistances: hand geometry, shift cancellation, a<b once") {
+    val spark0 = spark
+    import spark0.implicits._
+    // label 0 centroid = mean((1,0), (3,0)) = (2, 0)
+    // label 1 centroid = (0, 1); label 2 centroid = (-2, 0) (negative
+    // components — the +4096 shift must cancel in every difference)
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(3f, 0f), 0),
+      (3L, Array(0f, 1f), 1),
+      (4L, Array(-2f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidPairDistances(vecs, "embedding", "label")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    // micro-unit means: (2e6, 0), (0, 1e6), (-2e6, 0)
+    assert(got == Map(
+      (0, 1) -> (4000000L * 1000000L + 1000000L * 1000000L),
+      (0, 2) -> (4000000L * 4000000L),
+      (1, 2) -> (2000000L * 2000000L + 1000000L * 1000000L)))
+    // every unordered pair appears exactly once, as label_a < label_b
+    assert(got.keySet.forall { case (a, b) => a < b } && got.size == 3)
+  }
 }

@@ -253,4 +253,44 @@ class StatefulOpsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(2))).toMap
     assert(out == Map(1 -> "new", 2 -> "x"))
   }
+
+  test("intervalLeftJoin: matches emit eagerly; unmatched rows emit nulls " +
+      "only after the watermark closes their join window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StatefulOps.intervalLeftJoin(
+      vIn.toDF().toDF("view_id", "user_id", "ts"),
+      pIn.toDF().toDF("purchase_id", "user_id", "ts"),
+      "user_id", "ts", "2 hours", "1 hour")
+    val q = joined.writeStream.format("memory").queryName("silj")
+      .outputMode("append").start()
+    def collected(): Set[(Long, Option[Long])] =
+      spark.table("silj").select("l_view_id", "r_purchase_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    try {
+      // v1 matches p100 inside its hour; v2 has no purchase — it must
+      // NOT emit yet (a match could still arrive under the watermark)
+      vIn.addData((1L, 1L, ts("2024-01-01 10:00:00")),
+        (2L, 2L, ts("2024-01-01 10:00:00")))
+      pIn.addData((100L, 1L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      assert(collected() == Set((1L, Some(100L))),
+        s"null row leaked before the watermark: ${collected()}")
+      // advance BOTH inputs (global watermark = min across streams)
+      // past v2's window end 11:00 + 2h delay; the no-data batch after
+      // the advance evicts v2's state and releases the null row
+      vIn.addData((3L, 98L, ts("2024-01-01 14:00:00")))
+      pIn.addData((101L, 99L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      vIn.addData((4L, 97L, ts("2024-01-01 14:30:00")))
+      pIn.addData((102L, 99L, ts("2024-01-01 14:30:00")))
+      q.processAllAvailable()
+      assert(collected() == Set((1L, Some(100L)), (2L, None)),
+        s"after watermark: ${collected()}")
+    } finally q.stop()
+  }
 }
