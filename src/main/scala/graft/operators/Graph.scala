@@ -96,16 +96,24 @@ object Graph {
     // at the higher — rank surrogate = deg * 2^40 + id keeps one
     // BIGINT compare in codegen (ids are far below 2^40 here; at wider
     // id domains compare the pair lexicographically instead)
+    // (measured: forcing broadcast on these two |V|-sized joins is ~2x
+    // SLOWER here than letting AQE pick — the eager checkpoint below
+    // serializes both broadcast builds; leave the planner free)
     val ranked = canon
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
       .select(col("a"), col("b"),
         (col("da") * lit(1099511627776L) + col("a")).as("ra"),
         (col("db") * lit(1099511627776L) + col("b")).as("rb"))
+    // materialize the ORIENTED edges too: three consumers below (both
+    // wedge sides + the closing-edge probe) would each re-run the two
+    // degree joins above as lazy lineage — same argument as `canon`,
+    // same |E| bound
     val oriented = ranked.select(
-      when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("lo"),
-      when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("hi"),
-      when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rhi"))
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("lo"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("hi"),
+        when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rhi"))
+      .localCheckpoint(true)
     // wedges from each low vertex: pairs of its out-neighbors, ordered
     // by rank so (v, w) matches the orientation of a closing edge v->w
     val o1 = oriented.select(col("lo").as("u"), col("hi").as("v"), col("rhi").as("rv"))
