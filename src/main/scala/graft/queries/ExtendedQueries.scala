@@ -2004,5 +2004,74 @@ object ExtendedQueries {
         FROM V v LEFT JOIN P p ON p.user_id = v.user_id AND p.ts >= v.ts
                                AND p.ts <= v.ts + INTERVAL 1 HOUR
         ORDER BY view_id, purchase_id NULLS FIRST""")),
+
+    GraftQuery(
+      "q184_running_total",
+      "Global cumulative revenue curve (operators.PrefixScan): each " +
+        "order's running total of exact cents over the FULL " +
+        "(o_orderdate, o_orderkey) order — the scan every budget " +
+        "cutoff and cumulative-share report needs. The naive " +
+        "sum() OVER (ORDER BY ...) with no PARTITION BY is a single-" +
+        "partition window (all 100 TB through one task); PrefixScan " +
+        "computes it distributively — range-repartition + local " +
+        "running sums + broadcast per-partition prefix offsets — so " +
+        "no stage ever holds more than one partition. Cents via " +
+        "round(price*100) are exact in both engines (two stored " +
+        "decimals), the running sum is pure BIGINT.",
+      (spark, dir) => {
+        import graft.operators.PrefixScan
+        val o = Tables.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        PrefixScan.prefixSum(o,
+            Seq(col("o_orderdate"), col("o_orderkey")), col("cents"),
+            "cum_cents")
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("cum_cents"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                 AS cum_cents
+        FROM orders ORDER BY o_orderdate, o_orderkey""")),
+
+    GraftQuery(
+      "q185_salt_planner",
+      "Per-key salt-factor planner — the actionable output q180's " +
+        "Gini only signals: every key whose row count exceeds 4x the " +
+        "mean gets a salt factor ceil(c/t) (how many shuffle buckets " +
+        "its rows must spread over so no reducer holds more than the " +
+        "threshold), the exact input q140's salted two-phase " +
+        "aggregation needs BEFORE touching a skewed key. The driver " +
+        "testdata has no organically skewed column (vocab, users, and " +
+        "TPC-H keys are all near-uniform), so the key family is a " +
+        "DETERMINISTIC exponential fixture: bit-length buckets of " +
+        "event_id (bucket j holds 2^(j-1) ids — a power-law by " +
+        "construction, engine-agnostic via the q113 bin()-length " +
+        "mechanics). Threshold is a broadcast scalar; all arithmetic " +
+        "is integer ceiling-division; output is |hot-keys|-sized.",
+      (spark, dir) => {
+        val c = Tables.table(spark, dir, "events")
+          .select(length(bin(col("event_id"))).cast("long").as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        val s = c.agg(sum(col("c")).as("total"), count(lit(1)).as("nk"))
+        c.crossJoin(broadcast(s))
+          .withColumn("t", expr("(4 * total) div nk"))
+          .filter(col("c") > col("t"))
+          .select(col("k"), col("c"),
+            expr("(c + t - 1) div t").as("salt_factor"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH C AS (SELECT CAST(length(bin(event_id)) AS BIGINT) AS k,
+                          count(*) AS c
+                   FROM events GROUP BY k),
+        S AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS nk FROM C),
+        X AS (SELECT (4 * total) // nk AS t FROM S)
+        SELECT k, c, CAST((c + t - 1) // t AS BIGINT) AS salt_factor
+        FROM C, X WHERE c > t ORDER BY k""")),
   )
 }
