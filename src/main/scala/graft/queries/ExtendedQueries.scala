@@ -2073,5 +2073,45 @@ object ExtendedQueries {
         X AS (SELECT (4 * total) // nk AS t FROM S)
         SELECT k, c, CAST((c + t - 1) // t AS BIGINT) AS salt_factor
         FROM C, X WHERE c > t ORDER BY k""")),
+
+    GraftQuery(
+      "q187_contingency_lift",
+      "Categorical drift monitor: the (lang x source) contingency " +
+        "table with each cell's LIFT against independence — " +
+        "observed/expected as exact micro-units, where expected is " +
+        "row_total*col_total/N. The categorical complement of q167's " +
+        "embedding drift: a source whose language mix shifts shows up " +
+        "as lift moving off 1.0 in exactly its cells. Pure integer " +
+        "end-to-end via the identity trunc(1e6*o*N/(r*c)) - 1e6 = " +
+        "trunc((1e6*o*N - 1e6*r*c)/(r*c)) — all terms positive, so " +
+        "trunc == floor across engines; the doc_id slice keeps " +
+        "1e6*o*N far inside int64. One count aggregation over the " +
+        "corpus; margins are tiny broadcast joins.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+        val cells = d.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rows = d.groupBy(col("lang")).agg(count(lit(1)).as("r"))
+        val cols = d.groupBy(col("source")).agg(count(lit(1)).as("c"))
+        val n = d.agg(count(lit(1)).as("n"))
+        cells.join(broadcast(rows), "lang").join(broadcast(cols), "source")
+          .crossJoin(broadcast(n))
+          .select(col("lang"), col("source"), col("o"), col("r"), col("c"),
+            (expr("1000000 * o * n div (r * c)") - 1000000).as("lift_micro"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""
+        WITH D AS (SELECT lang, source FROM documents WHERE doc_id % 5 = 0),
+        CELLS AS (SELECT lang, source, count(*) AS o FROM D GROUP BY lang, source),
+        R AS (SELECT lang, count(*) AS r FROM D GROUP BY lang),
+        C AS (SELECT source, count(*) AS c FROM D GROUP BY source),
+        N AS (SELECT count(*) AS n FROM D)
+        SELECT x.lang, x.source, x.o, r.r, c.c,
+               CAST((1000000 * x.o * n.n) // (r.r * c.c) - 1000000 AS BIGINT)
+                 AS lift_micro
+        FROM CELLS x JOIN R r ON x.lang = r.lang
+                     JOIN C c ON x.source = c.source, N n
+        ORDER BY x.lang, x.source""")),
   )
 }

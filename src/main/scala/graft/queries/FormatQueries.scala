@@ -183,6 +183,39 @@ object FormatQueries {
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders, M
         WHERE o_orderkey BETWEEN mx // 4 AND mx // 4 + mx // 10
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    GraftQuery(
+      "q186_schema_evolution",
+      "Parquet schema evolution under mergeSchema — the 100 TB " +
+        "reality that a table's files were written by different " +
+        "pipeline generations: generation 1 files carry (doc_id, " +
+        "n_chars), generation 2 adds a lang column, both live under " +
+        "one hive-partitioned root (gen=N — partition DISCOVERY types " +
+        "the generation column). One mergeSchema read must union the " +
+        "schemas, null-fill the missing column for old files, and " +
+        "keep every row — silent row loss or a wrongly-typed evolved " +
+        "column is exactly what the hash gate catches. The oracle " +
+        "re-derives the merged view from the base table with the " +
+        "same generation split.",
+      (spark, dir) => {
+        val out = QueryScratch.dir("graft_q186_evo")
+        val d = Tables.table(spark, dir, "documents")
+        d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$out/gen=1")
+        d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.mode("overwrite").parquet(s"$out/gen=2")
+        spark.read.option("mergeSchema", "true").parquet(out)
+          .select(col("doc_id"), col("n_chars"), col("lang"),
+            col("gen").cast("int").as("gen"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, n_chars,
+               CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS gen
+        FROM documents ORDER BY doc_id"""))
   )
 }
