@@ -2113,5 +2113,51 @@ object ExtendedQueries {
         FROM CELLS x JOIN R r ON x.lang = r.lang
                      JOIN C c ON x.source = c.source, N n
         ORDER BY x.lang, x.source""")),
+
+    GraftQuery(
+      "q188_datetime_fields",
+      "Datetime field-extraction kitchen over event time — the " +
+        "calendar surface every partition layout and report groups " +
+        "by: day/week truncation (both engines start weeks on " +
+        "Monday), year/quarter/month/day-of-month/hour, day-of-week " +
+        "NORMALIZED to 0=Sunday (Spark's dayofweek is 1-based, " +
+        "DuckDB's 0-based — the alignment is explicit, not lucky), " +
+        "day-of-year, and EXACT epoch microseconds (unix_micros; at " +
+        "second granularity the engines disagree on the fractional " +
+        "second — Spark rounds, DuckDB truncates — so the gate pins " +
+        "the representation where nothing is left to disagree on; ts " +
+        "is session-UTC TimestampType via Tables.normalizeEventsTs). " +
+        "All map-side codegen'd field extraction — rides the scan.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "events")
+          .select(col("event_id"),
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+            date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week_start"),
+            year(col("ts")).cast("long").as("y"),
+            quarter(col("ts")).cast("long").as("q"),
+            month(col("ts")).cast("long").as("mo"),
+            dayofmonth(col("ts")).cast("long").as("dom"),
+            (dayofweek(col("ts")) - 1).cast("long").as("dow0"),
+            dayofyear(col("ts")).cast("long").as("doy"),
+            hour(col("ts")).cast("long").as("hr"),
+            // EXACT micros, not seconds: Spark's unix_timestamp rounds
+            // the fractional second while DuckDB's epoch truncates —
+            // at micro precision there is nothing left to disagree on
+            expr("unix_micros(ts)").as("epoch_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+               CAST(year(ts) AS BIGINT) AS y,
+               CAST(quarter(ts) AS BIGINT) AS q,
+               CAST(month(ts) AS BIGINT) AS mo,
+               CAST(dayofmonth(ts) AS BIGINT) AS dom,
+               CAST(dayofweek(ts) AS BIGINT) AS dow0,
+               CAST(dayofyear(ts) AS BIGINT) AS doy,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(epoch_us(ts) AS BIGINT) AS epoch_us
+        FROM events ORDER BY event_id""")),
   )
 }

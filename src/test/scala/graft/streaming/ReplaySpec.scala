@@ -71,4 +71,38 @@ class ReplaySpec extends SparkSpec {
       .select(TextFunctions.topicName(col("s"))).collect()(0).getString(0)
     assert(out == "addison_and_kimball_stop_1_ohare")
   }
+
+  test("Trigger.AvailableNow drains the backlog then stops on its own " +
+      "(the backfill mode: streaming exactly-once semantics, batch lifetime)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-anow").toString
+    val in = s"$root/in"
+    val out = s"$root/out"
+    // a pre-existing backlog of two files
+    Seq(1L, 2L).toDF("v").coalesce(1).write.mode("append").parquet(in)
+    Seq(3L).toDF("v").coalesce(1).write.mode("append").parquet(in)
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema("v LONG").parquet(in)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // awaitTermination returns because AvailableNow SELF-terminates
+      // after the backlog — a processing-time trigger would hang here
+      assert(q.awaitTermination(60000),
+        "AvailableNow query did not self-terminate")
+    }
+    run()
+    val got = spark.read.parquet(out).as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+    // a restart from the same checkpoint reprocesses NOTHING already
+    // committed: only the file that arrived between runs lands
+    Seq(4L).toDF("v").coalesce(1).write.mode("append").parquet(in)
+    run()
+    val got2 = spark.read.parquet(out).as[Long].collect().sorted.toSeq
+    assert(got2 == Seq(1L, 2L, 3L, 4L), s"restart broke exactly-once: $got2")
+  }
 }
