@@ -2159,5 +2159,115 @@ object ExtendedQueries {
                CAST(hour(ts) AS BIGINT) AS hr,
                CAST(epoch_us(ts) AS BIGINT) AS epoch_us
         FROM events ORDER BY event_id""")),
+
+    GraftQuery(
+      "q189_incremental_view",
+      "Incremental view maintenance — the 100 TB aggregation posture " +
+        "where a snapshot is NEVER recomputed from the base table: a " +
+        "per-source (count, sum) snapshot built from the old " +
+        "generation, a CDC delta of inserts (+1 weight) and deletes " +
+        "(-1 weight), and the new snapshot = snapshot FULL OUTER " +
+        "delta-aggregate with weighted addition — the delta batch is " +
+        "the only thing scanned twice. Sources that exist only in " +
+        "the delta appear; sources whose rows all delete drop to " +
+        "zero and are filtered like a real IVM tombstone. The oracle " +
+        "recomputes the view FROM SCRATCH over (base - deletes + " +
+        "inserts) — so any drift between incremental and full " +
+        "recomputation hash-mismatches.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val base = d.filter(col("doc_id") % 10 =!= 7)
+        val snapshot = base.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+        val inserts = d.filter(col("doc_id") % 10 === 7)
+          .select(col("source"), col("n_chars"), lit(1L).as("w"))
+        val deletes = base.filter(col("doc_id") % 20 === 4)
+          .select(col("source"), col("n_chars"), lit(-1L).as("w"))
+        val delta = inserts.union(deletes).groupBy(col("source"))
+          .agg(sum(col("w")).as("dn"),
+            sum(col("w") * col("n_chars")).as("ds"))
+        snapshot.join(delta.withColumnRenamed("source", "dsource"),
+            col("source") === col("dsource"), "full_outer")
+          .select(
+            coalesce(col("source"), col("dsource")).as("source"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+          .filter(col("n") > 0)
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH NEWGEN AS (
+          SELECT source, n_chars FROM documents
+          WHERE doc_id % 10 = 7
+             OR (doc_id % 10 <> 7 AND doc_id % 20 <> 4))
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS s
+        FROM NEWGEN GROUP BY source HAVING count(*) > 0
+        ORDER BY source""")),
+
+    GraftQuery(
+      "q190_bitmap_rollup",
+      "Mergeable bitmap distinct (the roaring-bitmap posture from SQL " +
+        "primitives): per source, a 62-bucket presence bitmap of " +
+        "n_chars div 32 built with the bit_or AGGREGATE — bitwise OR " +
+        "is associative/commutative/idempotent, so per-partition " +
+        "partial bitmaps merge exactly like sketch bytes and a " +
+        "rollup across sources is another OR, never a re-scan. " +
+        "n_buckets = bit_count(mask) is the exact distinct bucket " +
+        "count; the global rollup row (source='*') ORs the per-source " +
+        "masks. Buckets cap at bit 61 so the sign bit never enters.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+          .select(col("source"),
+            expr("shiftleft(cast(1 as bigint), " +
+              "cast(least(n_chars div 32, 61) as int))").as("b"))
+        val per = d.groupBy(col("source")).agg(bit_or(col("b")).as("mask"))
+        val all = per.agg(bit_or(col("mask")).as("mask"))
+          .select(lit("*").as("source"), col("mask"))
+        per.select(col("source"), col("mask")).union(all)
+          .select(col("source"), col("mask"),
+            bit_count(col("mask")).cast("long").as("n_buckets"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH B AS (SELECT source,
+                          (CAST(1 AS BIGINT) << CAST(least(n_chars // 32, 61)
+                                                     AS INT)) AS b
+                   FROM documents),
+        P AS (SELECT source, bit_or(b) AS mask FROM B GROUP BY source),
+        A AS (SELECT '*' AS source, bit_or(mask) AS mask FROM P)
+        SELECT source, mask, CAST(bit_count(mask) AS BIGINT) AS n_buckets
+        FROM (SELECT * FROM P UNION ALL SELECT * FROM A)
+        ORDER BY source""")),
+
+    GraftQuery(
+      "q191_correlated_not_exists",
+      "Correlated NOT EXISTS through the SQL front end (the P10 " +
+        "surface — proving the parser/analyzer path, not just the " +
+        "DataFrame API): high-balance customers with NO order above a " +
+        "threshold, written as a correlated subquery that Catalyst " +
+        "decorrelates into a left anti hash join — the rewrite that " +
+        "makes the 100 TB form one shuffle instead of a per-row " +
+        "probe. The oracle is the same SQL verbatim.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "customer").createOrReplaceTempView("customer_q191")
+        Tables.table(spark, dir, "orders").createOrReplaceTempView("orders_q191")
+        spark.sql("""
+          SELECT c_custkey, c_acctbal
+          FROM customer_q191 c
+          WHERE c_acctbal > 7000.0
+            AND NOT EXISTS (SELECT 1 FROM orders_q191 o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 400000.0)
+          ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > 7000.0
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000.0)
+        ORDER BY c_custkey""")),
   )
 }
