@@ -67,7 +67,9 @@ object GraftFunctions {
       Sq8L2Distance(es(0), es(1), foldedDoubles(es(2)), foldedDoubles(es(3)))),
     "int_array_l2" -> (es => IntArrayL2(es(0), es(1))),
     "jaro_winkler_sim" -> (es =>
-      graft.functions.JaroWinklerSim(es(0), es(1))))
+      graft.functions.JaroWinklerSim(es(0), es(1))),
+    "nfc_normalize" -> (es => graft.functions.NfcNormalize(es(0))),
+    "strip_accents" -> (es => graft.functions.StripAccents(es(0))))
 
   // Bad range arguments fail HERE with the actual cause, not downstream:
   // degrading silently to an empty Seq made the expressions'

@@ -239,6 +239,52 @@ object TextQueries {
                CAST(sum(l) AS BIGINT) AS sum_len,
                CAST(max(l) AS BIGINT) AS max_len,
                CAST((sum(l) * 1000000) // count(*) AS BIGINT) AS mean_len_micro
-        FROM F GROUP BY doc_id ORDER BY doc_id"""))
+        FROM F GROUP BY doc_id ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q192_unicode_normalize",
+      "Unicode normalization through native codegen expressions " +
+        "(functions.{NfcNormalize,StripAccents}) — the first cleaning " +
+        "step of every LLM text pipeline: the same text arrives both " +
+        "precomposed (U+00E9) and decomposed (e + U+0301), and every " +
+        "exact-dedup hash and equality join downstream silently " +
+        "misses until the corpus is NFC-normalized. The fixture " +
+        "cycles decomposed / precomposed / combining-diaeresis / " +
+        "plain-ASCII variants per doc (built from the same code " +
+        "points on both sides — chr() in DuckDB, Scala escapes " +
+        "here); outputs are the NFC form (byte-exact vs DuckDB's " +
+        "utf8proc nfc_normalize — both implement UAX#15), the " +
+        "lower+strip_accents search-fold, and a changed flag. " +
+        "ASCII rows take a zero-allocation fast path and never touch " +
+        "the JDK Normalizer — at 100 TB the overwhelmingly-ASCII " +
+        "corpus pays nothing.",
+      (spark, dir) => {
+        import graft.functions.UnicodeExpressions.{nfcCol, stripAccentsCol}
+        val raw = concat(
+          when(col("doc_id") % 4 === 0, lit("cafe\u0301 du parc"))
+            .when(col("doc_id") % 4 === 1, lit("caf\u00e9 du parc"))
+            .when(col("doc_id") % 4 === 2, lit("Mu\u0308nchen M\u00fcnchen"))
+            .otherwise(lit("plain ascii")),
+          lit(" #"), col("doc_id").cast("string"))
+        Tables.table(spark, dir, "documents")
+          .select(col("doc_id"),
+            nfcCol(raw).as("nfc"),
+            lower(stripAccentsCol(raw)).as("folded"),
+            (nfcCol(raw) =!= raw).as("changed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH R AS (SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN 'cafe' || chr(769) || ' du parc'
+               WHEN doc_id % 4 = 1 THEN 'caf' || chr(233) || ' du parc'
+               WHEN doc_id % 4 = 2 THEN 'Mu' || chr(776) || 'nchen M' ||
+                                        chr(252) || 'nchen'
+               ELSE 'plain ascii' END ||
+          ' #' || CAST(doc_id AS VARCHAR) AS raw
+          FROM documents)
+        SELECT doc_id, nfc_normalize(raw) AS nfc,
+               lower(strip_accents(raw)) AS folded,
+               nfc_normalize(raw) <> raw AS changed
+        FROM R ORDER BY doc_id"""))
   )
 }
