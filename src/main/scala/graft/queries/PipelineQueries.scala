@@ -334,6 +334,36 @@ object PipelineQueries {
         SELECT source, n_docs,
                CAST(FLOOR((CAST(1000 AS DOUBLE) * sqrt(CAST(n_docs AS DOUBLE)))
                           / sqrt(CAST(mx AS DOUBLE))) AS BIGINT) AS quota
-        FROM C, M ORDER BY source"""))
+        FROM C, M ORDER BY source""")),
+
+    GraftQuery(
+      "q193_global_shuffle",
+      "Fixed-seed GLOBAL shuffle order for reproducible training " +
+        "(every doc gets its exact position in one epoch's data " +
+        "order): the deterministic md5 permutation every selection " +
+        "here uses (salted per epoch, so epochs are independent " +
+        "shuffles), positioned by SortedNeighborhood.globalRank — " +
+        "range-partitioned + offset-composed, never a single-" +
+        "partition window, and rerun/partitioning-invariant where " +
+        "Spark's rand(seed) is neither (seed + partition layout " +
+        "change the draw). The position column is what a curriculum " +
+        "or resumable dataloader keys on: shard = pos mod workers, " +
+        "resume = pos > checkpoint.",
+      (spark, dir) => {
+        import graft.operators.SortedNeighborhood
+        val d = Tables.table(spark, dir, "documents")
+          .select(col("doc_id"),
+            md5(concat_ws(":", lit("shuffle-epoch-0"),
+              col("doc_id").cast("string"))).as("h"))
+        SortedNeighborhood.globalRank(d, Seq(col("h"), col("doc_id")), "pos")
+          .select(col("doc_id"), col("pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH H AS (SELECT doc_id,
+                          md5('shuffle-epoch-0:' || CAST(doc_id AS VARCHAR)) AS h
+                   FROM documents)
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM H ORDER BY doc_id"""))
   )
 }

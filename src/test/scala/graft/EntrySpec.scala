@@ -19,7 +19,13 @@ class EntrySpec extends SparkSpec {
   test("every registered query executes and returns rows at sf0.001") {
     val empties = Set("q13_customers_without_orders") // legitimately 0 rows at tiny SF
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf001).count()
+      val df = fn(spark, sf001)
+      // driver-compare lint: duplicate/empty column names would break
+      // the sort-columns-by-name hash compare silently
+      val cols = df.columns.toSeq
+      assert(cols.nonEmpty && cols.distinct.size == cols.size,
+        s"$name has duplicate/empty output columns: $cols")
+      val n = df.count()
       assert(empties.contains(name) || n > 0, s"$name returned 0 rows")
     }
   }
