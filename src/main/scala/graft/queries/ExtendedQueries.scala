@@ -33,6 +33,22 @@ object ExtendedQueries {
         FROM T t JOIN P ON t.term = P.term
         GROUP BY t.term ORDER BY term"""
 
+  /** Shared VERBATIM by q190 (one-pass bitmap rollup) and q194 (the
+    * durable streamed bitmap store — with one batch deliberately
+    * REDELIVERED): bitwise-OR merge is idempotent, so the store's
+    * masks equal the single-pass rollup even under at-least-once
+    * double delivery, and both faces must hash to exactly this. */
+  private val bitmapOracle: String = """
+        WITH B AS (SELECT source,
+                          (CAST(1 AS BIGINT) << CAST(least(n_chars // 32, 61)
+                                                     AS INT)) AS b
+                   FROM documents),
+        P AS (SELECT source, bit_or(b) AS mask FROM B GROUP BY source),
+        A AS (SELECT '*' AS source, bit_or(mask) AS mask FROM P)
+        SELECT source, mask, CAST(bit_count(mask) AS BIGINT) AS n_buckets
+        FROM (SELECT * FROM P UNION ALL SELECT * FROM A)
+        ORDER BY source"""
+
   private val heavyHittersOracle: String = """
         WITH W AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
         T AS (SELECT unnest(w) AS term FROM W),
@@ -2229,16 +2245,7 @@ object ExtendedQueries {
             bit_count(col("mask")).cast("long").as("n_buckets"))
           .orderBy(col("source"))
       },
-      Some("""
-        WITH B AS (SELECT source,
-                          (CAST(1 AS BIGINT) << CAST(least(n_chars // 32, 61)
-                                                     AS INT)) AS b
-                   FROM documents),
-        P AS (SELECT source, bit_or(b) AS mask FROM B GROUP BY source),
-        A AS (SELECT '*' AS source, bit_or(mask) AS mask FROM P)
-        SELECT source, mask, CAST(bit_count(mask) AS BIGINT) AS n_buckets
-        FROM (SELECT * FROM P UNION ALL SELECT * FROM A)
-        ORDER BY source""")),
+      Some(bitmapOracle)),
 
     GraftQuery(
       "q191_correlated_not_exists",
@@ -2269,5 +2276,39 @@ object ExtendedQueries {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_totalprice > 400000.0)
         ORDER BY c_custkey""")),
+
+    GraftQuery(
+      "q194_bitmap_store",
+      "Durable streamed bitmap store (streaming.BitmapStore) — q190's " +
+        "rollup as a versioned store, and the one store whose merge is " +
+        "IDEMPOTENT, not just associative: documents land as four " +
+        "deterministic batches of (source, bucket) rows, each batch's " +
+        "per-group masks OR into the stored masks under the meta-last " +
+        "commit recipe — and then batch 2 is deliberately DELIVERED " +
+        "TWICE. Where the sum-based stores (q142 Count-Min, q158 " +
+        "moments) need exactly-once bookkeeping to avoid double " +
+        "counting, OR lands redelivery on the same bits by algebra, " +
+        "so the store still hash-matches q190's single-pass oracle " +
+        "VERBATIM. The at-least-once safety is the point: at 100 TB " +
+        "a redelivered micro-batch is a when, not an if.",
+      (spark, dir) => {
+        import graft.streaming.BitmapStore
+        val store = QueryScratch.dir("graft_q194_bitmap")
+        BitmapStore.seed(spark, store)
+        val rows = Tables.table(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            least(expr("n_chars div 32"), lit(61L)).as("bucket"))
+        (0 until 4).foreach { b =>
+          BitmapStore.mergeBatch(
+            rows.filter(col("doc_id") % 4 === b), "source", "bucket", store)
+        }
+        // at-least-once: redeliver batch 2 — OR-idempotence absorbs it
+        BitmapStore.mergeBatch(
+          rows.filter(col("doc_id") % 4 === 2), "source", "bucket", store)
+        BitmapStore.serve(spark, store)
+          .select(col("grp").as("source"), col("mask"), col("n_buckets"))
+          .orderBy(col("source"))
+      },
+      Some(bitmapOracle)),
   )
 }
