@@ -1931,7 +1931,7 @@ object ExtendedQueries {
         "re-explosion, not strings).",
       (spark, dir) => {
         val s = Tables.table(spark, dir, "supplier")
-          .filter(col("s_acctbal") > 9000.0)
+          .filter(col("s_acctbal") > 5000.0)
         val n = Tables.table(spark, dir, "nation")
         s.join(n, s("s_nationkey") === n("n_nationkey"))
           .groupBy(col("n_name"))
@@ -1944,7 +1944,7 @@ object ExtendedQueries {
         SELECT n_name, CAST(count(*) AS BIGINT) AS n_supp,
                string_agg(s_name, ',' ORDER BY s_name) AS suppliers
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        WHERE s_acctbal > 9000.0
+        WHERE s_acctbal > 5000.0
         GROUP BY n_name ORDER BY n_name""")),
 
     GraftQuery(
