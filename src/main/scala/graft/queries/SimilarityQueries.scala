@@ -1682,6 +1682,43 @@ object SimilarityQueries {
         SELECT a.label AS label_a, b.label AS label_b,
                CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS d2_micro2
         FROM M a JOIN M b ON a.dim = b.dim AND a.label < b.label
-        GROUP BY a.label, b.label ORDER BY label_a, label_b"""))
+        GROUP BY a.label, b.label ORDER BY label_a, label_b""")),
+
+    GraftQuery(
+      "q195_ivf_cell_balance",
+      "IVF index balance monitor: per-cell occupancy of the q51 " +
+        "deterministic quantizer plus each cell's load factor " +
+        "relative to perfect balance (n*nLists*1e6/N micro-units — " +
+        "1e6 = balanced). The serving-side complement of q185's " +
+        "shuffle-salt planner: a cell far above 1e6 is an ANN " +
+        "hot spot — its probes scan that multiple of the ideal cell " +
+        "size, and at 100 TB it is the cell you split (re-quantize) " +
+        "or cap. One broadcast-centroid assignment pass (the same " +
+        "plan the index writers run) and an nLists-sized aggregate.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val n = e.count()
+        Similarity.ivfAssignCells(e, "vec_id", "embedding", nLists = 8)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+          .select(col("cell"), col("n_vecs"),
+            expr(s"n_vecs * 8 * 1000000 div ${n}L").as("load_micro"))
+          .orderBy(col("cell"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        N AS (SELECT count(*) AS n FROM embeddings)
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(count(*) * 8 * 1000000 // max(N.n) AS BIGINT) AS load_micro
+        FROM CELL, N GROUP BY cell ORDER BY cell"""))
   )
 }
