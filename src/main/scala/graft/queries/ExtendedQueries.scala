@@ -2310,5 +2310,195 @@ object ExtendedQueries {
           .orderBy(col("source"))
       },
       Some(bitmapOracle)),
+
+    GraftQuery(
+      "q196_fk_orphan_census",
+      "Referential-integrity census across the WHOLE schema's foreign " +
+        "keys in one result — the q133 referential rule widened from " +
+        "one pair to the seven-edge FK graph (lineitem->orders/part/" +
+        "supplier, orders->customer, customer->nation, supplier->" +
+        "nation, nation->region): child row count, distinct child " +
+        "keys, and orphan count (left-anti against the parent) per " +
+        "edge. Each edge is one anti join keyed on the FK — " +
+        "broadcast for the dim parents, shuffle for the fact-sized " +
+        "ones — and the census is the tiny union of seven scalar " +
+        "rows. The expected state is zero orphans everywhere; a " +
+        "corrupted load shows up as a nonzero cell, named by edge.",
+      (spark, dir) => {
+        def edge(name: String, child: String, ck: String,
+            parent: String, pk: String) = {
+          val c = Tables.table(spark, dir, child)
+          val p = Tables.table(spark, dir, parent)
+          val orphans = c.join(p, c(ck) === p(pk), "left_anti").count()
+          val stats = c.agg(count(lit(1)).as("n"),
+            countDistinct(col(ck)).as("nk")).collect()(0)
+          (name, stats.getLong(0), stats.getLong(1), orphans)
+        }
+        import spark.implicits._
+        Seq(
+          edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+          edge("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+          edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          edge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+          edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+          .toDF("fk_edge", "n_rows", "n_keys", "n_orphans")
+          .orderBy(col("fk_edge"))
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'lineitem->orders' AS fk_edge, count(*) AS n_rows,
+                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
+                 CAST(count(*) FILTER (l_orderkey NOT IN
+                   (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphans
+          FROM lineitem
+          UNION ALL
+          SELECT 'lineitem->part', count(*),
+                 CAST(count(DISTINCT l_partkey) AS BIGINT),
+                 CAST(count(*) FILTER (l_partkey NOT IN
+                   (SELECT p_partkey FROM part)) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'lineitem->supplier', count(*),
+                 CAST(count(DISTINCT l_suppkey) AS BIGINT),
+                 CAST(count(*) FILTER (l_suppkey NOT IN
+                   (SELECT s_suppkey FROM supplier)) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'orders->customer', count(*),
+                 CAST(count(DISTINCT o_custkey) AS BIGINT),
+                 CAST(count(*) FILTER (o_custkey NOT IN
+                   (SELECT c_custkey FROM customer)) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'customer->nation', count(*),
+                 CAST(count(DISTINCT c_nationkey) AS BIGINT),
+                 CAST(count(*) FILTER (c_nationkey NOT IN
+                   (SELECT n_nationkey FROM nation)) AS BIGINT)
+          FROM customer
+          UNION ALL
+          SELECT 'supplier->nation', count(*),
+                 CAST(count(DISTINCT s_nationkey) AS BIGINT),
+                 CAST(count(*) FILTER (s_nationkey NOT IN
+                   (SELECT n_nationkey FROM nation)) AS BIGINT)
+          FROM supplier
+          UNION ALL
+          SELECT 'nation->region', count(*),
+                 CAST(count(DISTINCT n_regionkey) AS BIGINT),
+                 CAST(count(*) FILTER (n_regionkey NOT IN
+                   (SELECT r_regionkey FROM region)) AS BIGINT)
+          FROM nation)
+        ORDER BY fk_edge""")),
+
+    GraftQuery(
+      "q197_ratio_to_report",
+      "Ratio-to-report windows: each nation's share of its region's " +
+        "revenue and of the global total, as exact micro-units over " +
+        "integer cents (share = cents*1e6 div group_cents — all " +
+        "positive, trunc == floor everywhere). Two window sums over " +
+        "one pre-aggregated nations-sized frame — the report pattern " +
+        "where the corpus is aggregated ONCE and every share " +
+        "derives from the tiny rollup, never a second scan.",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val n = Tables.table(spark, dir, "nation")
+        val c = Tables.table(spark, dir, "customer")
+        val o = Tables.table(spark, dir, "orders")
+        val per = o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_regionkey").as("region_key"), col("n_name"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        per
+          .withColumn("region_cents",
+            sum(col("cents")).over(Window.partitionBy(col("region_key"))))
+          .withColumn("total_cents",
+            sum(col("cents")).over(Window.partitionBy()))
+          .select(col("region_key"), col("n_name"), col("cents"),
+            expr("cents * 1000000 div region_cents").as("region_share_micro"),
+            expr("cents * 1000000 div total_cents").as("total_share_micro"))
+          .orderBy(col("region_key"), col("n_name"))
+      },
+      Some("""
+        WITH P AS (
+          SELECT n.n_regionkey AS region_key, n.n_name,
+                 CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                        JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY 1, 2)
+        SELECT region_key, n_name, cents,
+               CAST(cents * 1000000 //
+                    sum(cents) OVER (PARTITION BY region_key) AS BIGINT)
+                 AS region_share_micro,
+               CAST(cents * 1000000 // sum(cents) OVER () AS BIGINT)
+                 AS total_share_micro
+        FROM P ORDER BY region_key, n_name""")),
+
+    GraftQuery(
+      "q198_value_windows",
+      "first_value / last_value / nth_value / lag / lead with the " +
+        "frame PINNED to the whole partition (ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND UNBOUNDED FOLLOWING) — the classic default-" +
+        "frame trap: with an ORDER BY, the default frame stops at " +
+        "CURRENT ROW, silently turning last_value into 'this row' in " +
+        "every engine; pinning makes all four functions total-" +
+        "partition facts. Per-user event timeline over a unique " +
+        "(ts, event_id) order; one shuffle, one sort, four functions " +
+        "on the same window.",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ordered = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val whole = ordered.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.table(spark, dir, "events")
+          .filter(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("event_id"),
+            first(col("event_id")).over(whole).as("first_event"),
+            last(col("event_id")).over(whole).as("last_event"),
+            nth_value(col("event_id"), 2).over(whole).as("second_event"),
+            lag(col("event_id"), 1).over(ordered).as("prev_event"),
+            lead(col("event_id"), 1).over(ordered).as("next_event"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               first_value(event_id) OVER w AS first_event,
+               last_value(event_id) OVER w AS last_event,
+               nth_value(event_id, 2) OVER w AS second_event,
+               lag(event_id, 1) OVER o AS prev_event,
+               lead(event_id, 1) OVER o AS next_event
+        FROM events WHERE user_id % 10 = 0
+        WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id),
+               w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        ORDER BY user_id, event_id""")),
+
+    GraftQuery(
+      "q199_union_by_name",
+      "Schema-flexible union (unionByName allowMissingColumns=true): " +
+        "two pipeline generations' frames — one missing the lang " +
+        "column, one missing n_chars — union BY NAME with null-fill, " +
+        "the in-memory twin of q186's on-disk mergeSchema (a " +
+        "positional UNION here would silently pair lang with n_chars " +
+        "— exactly the bug BY NAME semantics exist to prevent). " +
+        "Oracle uses DuckDB's UNION ALL BY NAME verbatim.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val gen1 = d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("n_chars"))
+        val gen2 = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"))
+        gen1.unionByName(gen2, allowMissingColumns = true)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+          UNION ALL BY NAME
+          SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1)
+        ORDER BY doc_id""")),
   )
 }
