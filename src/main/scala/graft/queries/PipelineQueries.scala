@@ -364,6 +364,70 @@ object PipelineQueries {
                           md5('shuffle-epoch-0:' || CAST(doc_id AS VARCHAR)) AS h
                    FROM documents)
         SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
-        FROM H ORDER BY doc_id"""))
+        FROM H ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q200_curation_funnel",
+      "The curation FUNNEL census — per-stage survivor counts through " +
+        "a composed cleaning pass, the report every 100 TB pipeline " +
+        "run ends with (what did each stage cost us?): input (the " +
+        "corpus plus a synthesized duplicate slice under fresh ids — " +
+        "the fixture has no organic dups), NFC-canonical exact dedup " +
+        "(fingerprint = md5 of the q192-normalized lowercased text, " +
+        "min-id keeper), language whitelist, length band, and the " +
+        "q47 content-stable train split. Every stage is a predicate " +
+        "or one grouped keeper join — the funnel itself adds five " +
+        "scalar aggregates over progressively smaller frames. A " +
+        "stage silently dropping or double-keeping rows lands as a " +
+        "wrong census cell, named by stage.",
+      (spark, dir) => {
+        import graft.functions.UnicodeExpressions.nfcCol
+        val d = Tables.table(spark, dir, "documents")
+        val extra = d.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val input = d.unionByName(extra)
+        val fp = input.withColumn("fp",
+          md5(nfcCol(lower(trim(col("text"))))))
+        val keepers = fp.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val s1 = fp.join(keepers, Seq("fp", "doc_id"))
+        val s2 = s1.filter(col("lang").isin("en", "de", "fr", "es"))
+        val s3 = s2.filter(col("n_chars").between(100, 500))
+        val s4 = s3.filter(
+          substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
+            1, 8) >= "33333333")
+        import spark.implicits._
+        Seq(
+          ("s0_input", input.count()),
+          ("s1_nfc_dedup", s1.count()),
+          ("s2_lang", s2.count()),
+          ("s3_length", s3.count()),
+          ("s4_train", s4.count()))
+          .toDF("stage", "n_rows")
+          .orderBy(col("stage"))
+      },
+      Some("""
+        WITH INPUT AS (
+          SELECT doc_id, text, lang, n_chars FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text, lang, n_chars FROM documents
+          WHERE doc_id % 5 = 0),
+        FP AS (SELECT doc_id, lang, n_chars,
+                      md5(nfc_normalize(lower(trim(text)))) AS fp
+               FROM INPUT),
+        K AS (SELECT fp, min(doc_id) AS doc_id FROM FP GROUP BY fp),
+        S1 AS (SELECT f.* FROM FP f
+               JOIN K ON K.fp = f.fp AND K.doc_id = f.doc_id),
+        S2 AS (SELECT * FROM S1 WHERE lang IN ('en', 'de', 'fr', 'es')),
+        S3 AS (SELECT * FROM S2 WHERE n_chars BETWEEN 100 AND 500),
+        S4 AS (SELECT * FROM S3
+               WHERE substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     >= '33333333')
+        SELECT 's0_input' AS stage, count(*) AS n_rows FROM INPUT
+        UNION ALL SELECT 's1_nfc_dedup', count(*) FROM S1
+        UNION ALL SELECT 's2_lang', count(*) FROM S2
+        UNION ALL SELECT 's3_length', count(*) FROM S3
+        UNION ALL SELECT 's4_train', count(*) FROM S4
+        ORDER BY stage"""))
   )
 }
