@@ -431,9 +431,12 @@ object Multimodal {
     * real PNG it is. Features are per-frame integer pixel statistics
     * (sum of packed RGB values over the decoded raster), so a wrong
     * index offset, a truncated frame, or any decode infidelity changes
-    * sum_rgb and hash-mismatches the oracle. Unparseable containers
-    * degrade to a single flagged row (frame_idx -1, zero stats) — the
-    * poisoned-row contract of every decoder here. One media row fans
+    * sum_rgb and hash-mismatches the oracle. Unparseable containers —
+    * AND containers whose index is fine but whose sampled frame bytes
+    * don't decode — degrade to exactly ONE flagged row (frame_idx -1,
+    * zero stats): the poisoned-row contract of every decoder here,
+    * with no mixed good-frames-plus-duplicate-flag output. One media
+    * row fans
     * out to ceil(nFrames/stride) frame rows inside one mapPartitions
     * pass; payload bytes never shuffle. */
   def decodeVideoFrames(media: DataFrame, stride: Int): Dataset[VideoFrameFeatures] = {
@@ -442,31 +445,36 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        parseGvid(if (payload == null) Array.emptyByteArray else payload) match {
-          case None => Iterator.single(VideoFrameFeatures(id, -1, 0, 0, 0L))
-          case Some((w, h, frames)) =>
-            frames.iterator.zipWithIndex
-              .filter { case (_, f) => f % stride == 0 }
-              .map { case (bytes, f) =>
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(bytes))
-                if (img == null || img.getWidth != w || img.getHeight != h)
-                  VideoFrameFeatures(id, -1, 0, 0, 0L)
-                else {
-                  var sum = 0L
-                  var y = 0
-                  while (y < h) {
-                    var x = 0
-                    while (x < w) {
-                      sum += (img.getRGB(x, y) & 0xffffff).toLong
-                      x += 1
+        val decoded =
+          parseGvid(if (payload == null) Array.emptyByteArray else payload)
+            .flatMap { case (w, h, frames) =>
+              val out = frames.iterator.zipWithIndex
+                .filter { case (_, f) => f % stride == 0 }
+                .map { case (bytes, f) =>
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes))
+                  if (img == null || img.getWidth != w || img.getHeight != h)
+                    None
+                  else {
+                    var sum = 0L
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        sum += (img.getRGB(x, y) & 0xffffff).toLong
+                        x += 1
+                      }
+                      y += 1
                     }
-                    y += 1
+                    Some(VideoFrameFeatures(id, f, w, h, sum))
                   }
-                  VideoFrameFeatures(id, f, w, h, sum)
-                }
-              }
-        }
+                }.toIndexedSeq
+              // ANY undecodable sampled frame poisons the MEDIA: exactly
+              // one flagged row, same as a bad container — never a mix of
+              // good frames and duplicate (id, -1) rows
+              if (out.contains(None)) None else Some(out.flatten)
+            }
+        decoded.getOrElse(Seq(VideoFrameFeatures(id, -1, 0, 0, 0L))).iterator
       })
   }
 

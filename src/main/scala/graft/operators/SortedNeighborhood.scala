@@ -1,9 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Sorted-neighborhood method (SNM) candidate generation — the classic
   * record-linkage blocking strategy (Hernandez & Stolfo, SIGMOD '95):
@@ -31,38 +29,16 @@ object SortedNeighborhood {
 
   /** Global 1-based dense row rank of `df` under `sortCols` (which must
     * include a unique tiebreaker for determinism), as column `rankCol`.
-    * Distributed: no single-partition window anywhere. The frame is
-    * persisted while the per-partition counts are collected (so the
-    * range partitioning is computed exactly once — re-evaluating it in
-    * a second action could re-sample different range boundaries) and
-    * the result is eagerly materialized before unpersisting, the
-    * fixedPointPageRank lifecycle. */
+    * Distributed: no single-partition window anywhere. A rank is
+    * exactly the inclusive running count of the total order, so this
+    * IS [[PrefixScan.prefixSum]] of the constant 1 — one shared
+    * two-pass lifecycle (range repartition, persist-while-collecting
+    * per-partition totals, broadcast prefix offsets, eager
+    * materialization) instead of two copies to patch in lockstep. */
   def globalRank(
       df: DataFrame, sortCols: Seq[Column], rankCol: String,
-      numPartitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ranged =
-      if (numPartitions > 0) df.repartitionByRange(numPartitions, sortCols: _*)
-      else df.repartitionByRange(sortCols: _*)
-    val sorted = ranged
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val counts = sorted.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
-        .as[(Int, Long)].collect().sortBy(_._1)
-      val offsets = counts.map(_._1)
-        .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1))
-      val offDf = broadcast(offsets.toSeq.toDF("_pid", "_off"))
-      val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
-      val ranked = sorted.join(offDf, "_pid")
-        .withColumn(rankCol, row_number().over(w).cast("long") + col("_off"))
-        .drop("_pid", "_off")
-      // materialize before unpersisting the frame the plan reads
-      ranked.localCheckpoint(eager = true)
-    } finally { sorted.unpersist(); () }
-  }
+      numPartitions: Int = 0): DataFrame =
+    PrefixScan.prefixSum(df, sortCols, lit(1L), rankCol, numPartitions)
 
   /** SNM candidate pairs: every (a, b) with `0 < rank(b) - rank(a) <= w`
     * under the (`keyCol`, `idCol`) sort order. Output columns: `id_a`,

@@ -2325,16 +2325,22 @@ object ExtendedQueries {
         "rows. The expected state is zero orphans everywhere; a " +
         "corrupted load shows up as a nonzero cell, named by edge.",
       (spark, dir) => {
+        // each edge: ONE left join + one aggregate (orphan = unmatched
+        // parent key; parents are PK-unique so the join never fans out),
+        // lazily unioned into a single 7-branch plan — one action total,
+        // and the scheduler overlaps the scans instead of running 14
+        // sequential driver-blocking jobs
         def edge(name: String, child: String, ck: String,
             parent: String, pk: String) = {
           val c = Tables.table(spark, dir, child)
-          val p = Tables.table(spark, dir, parent)
-          val orphans = c.join(p, c(ck) === p(pk), "left_anti").count()
-          val stats = c.agg(count(lit(1)).as("n"),
-            countDistinct(col(ck)).as("nk")).collect()(0)
-          (name, stats.getLong(0), stats.getLong(1), orphans)
+          val p = Tables.table(spark, dir, parent).select(col(pk))
+          c.join(p, c(ck) === p(pk), "left")
+            .agg(count(lit(1)).as("n_rows"),
+              countDistinct(col(ck)).as("n_keys"),
+              sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+            .select(lit(name).as("fk_edge"), col("n_rows"),
+              col("n_keys"), col("n_orphans"))
         }
-        import spark.implicits._
         Seq(
           edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
           edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
@@ -2343,7 +2349,7 @@ object ExtendedQueries {
           edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
           edge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
           edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
-          .toDF("fk_edge", "n_rows", "n_keys", "n_orphans")
+          .reduce(_.unionByName(_))
           .orderBy(col("fk_edge"))
       },
       Some("""

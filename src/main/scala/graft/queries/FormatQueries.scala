@@ -167,8 +167,10 @@ object FormatQueries {
           .groupBy(input_file_name().as("f"))
           .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
           .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-        val mx = Tables.table(spark, dir, "orders")
-          .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        // the global max IS the max of the per-file stats just collected
+        // — re-aggregating the base table for it would be a second full
+        // scan inside the very query whose point is scan avoidance
+        val mx = manifest.map(_._3).max
         val (qLo, qHi) = (mx / 4, mx / 4 + mx / 10)
         val picked = manifest.filter { case (_, lo, hi) => lo <= qHi && hi >= qLo }
         require(picked.length < manifest.length,

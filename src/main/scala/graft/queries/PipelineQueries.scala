@@ -381,28 +381,39 @@ object PipelineQueries {
         "stage silently dropping or double-keeping rows lands as a " +
         "wrong census cell, named by stage.",
       (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
         import graft.functions.UnicodeExpressions.nfcCol
         val d = Tables.table(spark, dir, "documents")
         val extra = d.filter(col("doc_id") % 5 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000L)
         val input = d.unionByName(extra)
-        val fp = input.withColumn("fp",
-          md5(nfcCol(lower(trim(col("text"))))))
-        val keepers = fp.groupBy(col("fp"))
-          .agg(min(col("doc_id")).as("doc_id"))
-        val s1 = fp.join(keepers, Seq("fp", "doc_id"))
-        val s2 = s1.filter(col("lang").isin("en", "de", "fr", "es"))
-        val s3 = s2.filter(col("n_chars").between(100, 500))
-        val s4 = s3.filter(
-          substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
-            1, 8) >= "33333333")
+        // every stage as a FLAG on one frame, census as ONE aggregation
+        // pass (a count() per stage would re-run the union + hashing +
+        // dedup lineage up to five times); the keeper flag is a window
+        // min over the fingerprint — one shuffle, no join-back
+        val flagged = input
+          .withColumn("fp", md5(nfcCol(lower(trim(col("text"))))))
+          .withColumn("keeper", col("doc_id") ===
+            min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+          .withColumn("lang_ok", col("lang").isin("en", "de", "fr", "es"))
+          .withColumn("len_ok", col("n_chars").between(100, 500))
+          .withColumn("train_ok",
+            substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
+              1, 8) >= "33333333")
+        val c = flagged.agg(
+          count(lit(1)).as("s0"),
+          sum(when(col("keeper"), 1L).otherwise(0L)).as("s1"),
+          sum(when(col("keeper") && col("lang_ok"), 1L).otherwise(0L)).as("s2"),
+          sum(when(col("keeper") && col("lang_ok") && col("len_ok"), 1L)
+            .otherwise(0L)).as("s3"),
+          sum(when(col("keeper") && col("lang_ok") && col("len_ok") &&
+            col("train_ok"), 1L).otherwise(0L)).as("s4"))
+          .collect()(0)
         import spark.implicits._
         Seq(
-          ("s0_input", input.count()),
-          ("s1_nfc_dedup", s1.count()),
-          ("s2_lang", s2.count()),
-          ("s3_length", s3.count()),
-          ("s4_train", s4.count()))
+          ("s0_input", c.getLong(0)), ("s1_nfc_dedup", c.getLong(1)),
+          ("s2_lang", c.getLong(2)), ("s3_length", c.getLong(3)),
+          ("s4_train", c.getLong(4)))
           .toDF("stage", "n_rows")
           .orderBy(col("stage"))
       },

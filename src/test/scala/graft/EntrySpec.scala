@@ -23,7 +23,8 @@ class EntrySpec extends SparkSpec {
       // driver-compare lint: duplicate/empty column names would break
       // the sort-columns-by-name hash compare silently
       val cols = df.columns.toSeq
-      assert(cols.nonEmpty && cols.distinct.size == cols.size,
+      assert(cols.nonEmpty && cols.forall(_.nonEmpty) &&
+        cols.distinct.size == cols.size,
         s"$name has duplicate/empty output columns: $cols")
       val n = df.count()
       assert(empties.contains(name) || n > 0, s"$name returned 0 rows")

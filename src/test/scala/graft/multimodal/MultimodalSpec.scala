@@ -219,12 +219,22 @@ class MultimodalSpec extends SparkSpec {
     val good = Multimodal.syntheticVideo(3L)
     val badMagic = good.clone(); badMagic(0) = 'X'.toByte
     val truncated = good.take(30) // header survives, index points past end
+    // valid container + index, but one sampled frame's PNG bytes zeroed:
+    // must also yield exactly ONE flagged row (never good frames mixed
+    // with duplicate (id, -1) rows)
+    val badFrame = Multimodal.syntheticVideo(3L)
+    val bb = java.nio.ByteBuffer.wrap(badFrame)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(20) // first index entry: (offset, len) of frame 0
+    val f0off = bb.getInt
+    java.util.Arrays.fill(badFrame, f0off, f0off + 8, 0.toByte)
     val media = Seq(
-      (1L, badMagic), (2L, truncated), (3L, Array[Byte](1, 2, 3)))
+      (1L, badMagic), (2L, truncated), (3L, Array[Byte](1, 2, 3)),
+      (4L, badFrame))
       .toDF("media_id", "payload")
     val rows = Multimodal.decodeVideoFrames(media, stride = 1)
       .collect().sortBy(_.media_id)
-    assert(rows.length == 3)
+    assert(rows.length == 4)
     assert(rows.forall(r => r.frame_idx == -1 && r.sum_rgb == 0L))
   }
 }
