@@ -156,4 +156,41 @@ class ScaleJoinsSpec extends SparkSpec {
     // selective filter matching nothing at small scale)
     assert(ScaleJoins.bloomPrunedJoin(big, small, "k", "sk", 10L).count() == 0L)
   }
+
+  test("AQE splits a skewed sort-merge join partition (OptimizeSkewedJoin)") {
+    // an ISOLATED child session (shared SparkContext, own SQLConf) so
+    // the aggressive skew thresholds never leak into other suites
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import s.implicits._
+    // one hot key owning ~90% of the fact side. The payload must be
+    // INCOMPRESSIBLE (hashed, row-unique): skew detection reads the
+    // COMPRESSED map-output sizes, and a constant string deflates to
+    // nearly nothing, hiding the skew from the threshold
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val fact = (1 to 60000).map { i =>
+      val k = if (i % 10 != 0) 1L else (i % 500).toLong
+      val h = md.digest(java.nio.ByteBuffer.allocate(4).putInt(i).array())
+        .map("%02x".format(_)).mkString
+      (k, h * 4)
+    }.toDF("k", "payload")
+    val dim = (0L to 500L).map(k => (k, s"name$k")).toDF("dk", "name")
+    val joined = fact.join(dim, col("k") === col("dk"))
+    // execute THIS DataFrame's own plan (a .count() spawns a separate
+    // QueryExecution and would leave this one un-finalized)
+    val n = joined.queryExecution.toRdd.count()
+    assert(n == 60000L)
+    // the ADAPTIVE final plan must carry the skew=true SMJ marker —
+    // proof the hot partition was split instead of landing on one task
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"skew join did not engage; plan:\n${plan.take(2000)}")
+  }
 }
