@@ -2506,5 +2506,61 @@ object ExtendedQueries {
           UNION ALL BY NAME
           SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1)
         ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q201_topk_with_ties",
+      "Top-k WITH TIES via rank() — the semantics row_number top-k " +
+        "(q4) silently breaks: rank is computed on the VALUE alone " +
+        "(n_chars desc, no tiebreaker inside the rank), so every doc " +
+        "tied at the boundary survives and a group can return MORE " +
+        "than k rows — SQL's FETCH FIRST k WITH TIES. The OUTPUT " +
+        "order still pins a unique key, so determinism lives in the " +
+        "presentation, never in which rows qualify.",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc)
+        Tables.table(spark, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            rank().over(w).cast("long").as("rk"))
+          .filter(col("rk") <= 3)
+          .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+      },
+      Some("""
+        SELECT source, doc_id, n_chars,
+               CAST(rank() OVER (PARTITION BY source ORDER BY n_chars DESC)
+                    AS BIGINT) AS rk
+        FROM documents
+        QUALIFY rk <= 3
+        ORDER BY source, n_chars DESC, doc_id""")),
+
+    GraftQuery(
+      "q202_filter_clause_agg",
+      "Aggregate FILTER clauses through the SQL front end (the " +
+        "ANSI conditional-aggregation surface, q191's sibling): one " +
+        "scan, per-language counts/sums split by predicate — the " +
+        "idiom that replaces N filtered subqueries with one pass. " +
+        "The oracle is the same SQL verbatim modulo DuckDB's " +
+        "optional WHERE keyword.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "documents")
+          .createOrReplaceTempView("documents_q202")
+        spark.sql("""
+          SELECT lang,
+                 count(*) AS n_docs,
+                 count(*) FILTER (WHERE n_chars > 300) AS n_long,
+                 sum(n_chars) FILTER (WHERE n_chars > 300) AS chars_long,
+                 count(*) FILTER (WHERE doc_id % 2 = 0) AS n_even
+          FROM documents_q202
+          GROUP BY lang ORDER BY lang""")
+      },
+      Some("""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(count(*) FILTER (n_chars > 300) AS BIGINT) AS n_long,
+               CAST(sum(n_chars) FILTER (n_chars > 300) AS BIGINT) AS chars_long,
+               CAST(count(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS n_even
+        FROM documents
+        GROUP BY lang ORDER BY lang""")),
   )
 }
