@@ -46,6 +46,25 @@ class UnicodeSpec extends SparkSpec {
     assert(fold("na\u00efve \u00c9cole") == "naive Ecole")
   }
 
+  test("both expressions run inside WholeStageCodegen (no UDF boxing)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // range-backed, non-foldable input (a literal would be constant-
+    // folded at plan time and the expressions would vanish)
+    val q = spark.range(3)
+      .select(concat(lit(decomposed), col("id").cast("string")).as("s"))
+      .select(UnicodeExpressions.nfcCol(col("s")).as("n"),
+        UnicodeExpressions.stripAccentsCol(col("s")).as("f"))
+      .filter(length(col("n")) > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("nfc_normalize") && plan.contains("strip_accents"), plan)
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    val rows = q.as[(String, String)].collect()
+    assert(rows.length == 3 &&
+      rows.forall { case (n, f) => n.startsWith(precomposed) && f.startsWith("cafe") })
+  }
+
   test("SQL registration: nfc_normalize / strip_accents callable from SQL") {
     graft.GraftFunctions.register(spark)
     val r = spark.sql(
