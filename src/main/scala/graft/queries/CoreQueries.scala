@@ -321,6 +321,98 @@ object CoreQueries {
         SELECT o_orderkey,
                replace(replace(replace(replace(lower(o_orderpriority), '/', '_and_'), ' ', '_'), '-', '_'), '''', '') AS topic,
                epoch_ms(o_orderdate) AS key_ms
-        FROM orders ORDER BY o_orderkey"""))
+        FROM orders ORDER BY o_orderkey""")),
+
+    GraftQuery(
+      "q203_local_supplier_volume",
+      "TPC-H Q5-shaped LOCAL supplier volume: the deepest join chain " +
+        "in the registry — lineitem x orders x supplier x customer " +
+        "with the customer-and-supplier-SAME-NATION residual (the " +
+        "constraint that makes Q5 a join-order stress test: it binds " +
+        "two dimension paths of the fact), nation broadcast on top, a " +
+        "two-year order-date band pushed to the orders scan. Revenue " +
+        "in exact DECIMAL summed then cast to double (the q1/q3 " +
+        "discipline), ranked per nation. At 100 TB this is the plan " +
+        "AQE join reordering and the q159 runtime filters exist for.",
+      (spark, dir) => {
+        val li = Tables.table(spark, dir, "lineitem")
+        val o = Tables.table(spark, dir, "orders")
+          .filter(col("o_orderdate") >=
+              lit("1995-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        val s = Tables.table(spark, dir, "supplier")
+        val c = Tables.table(spark, dir, "customer")
+        val n = Tables.table(spark, dir, "nation")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(s, col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .filter(col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")),
+
+    GraftQuery(
+      "q204_returned_items",
+      "TPC-H Q10-shaped returned-item reporting: customers ranked by " +
+        "the revenue they returned in one year — the churn-triage " +
+        "report. Fact-fact join under a pushed date band + returnflag " +
+        "filter, customer/nation lookups, exact-DECIMAL revenue, " +
+        "top 20 with the unique customer key breaking any revenue " +
+        "tie so LIMIT is deterministic in both engines.",
+      (spark, dir) => {
+        val li = Tables.table(spark, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+        val o = Tables.table(spark, dir, "orders")
+          .filter(col("o_orderdate") >=
+              lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        val c = Tables.table(spark, dir, "customer")
+        val n = Tables.table(spark, dir, "nation")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20"""))
   )
 }
