@@ -143,7 +143,26 @@ object Bench {
     val failedJson = failed
       .map(n => "\"" + (if (useShort) shortKeys(n) else n) + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","npass":$nPass,"stat":"min","median_total":${fmt3(medTotal)},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    // The registry has outgrown the driver's ~2000-char tail capture
+    // (204 queries x ~12 bytes ≈ 2.5 KB: BENCH_r12/r13 both carried
+    // "parsed": null and only the LAST ~150 per-query timings — the
+    // round-1 baseline set fell off the front, so cross-round ratios
+    // went half-blind). Two-part fix: (1) the COMPLETE result — full
+    // query names, full double precision, per-query minima AND medians
+    // — is written to BENCH_LOCAL.json in the repo root and committed
+    // each round, so the per-query history lives in git, immune to any
+    // capture window; (2) the stdout contract line below puts the big
+    // `queries` map FIRST and the small scalar fields (median_total,
+    // failed, value) LAST, so tail truncation can only ever eat
+    // per-query detail (recoverable from the committed file), never
+    // the totals or the dead-query list.
+    val localPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    java.nio.file.Files.writeString(localPath,
+      s"""{"sf":"$sfDir","npass":$nPass,"stat":"min",""" +
+        s""""total":$total,"median_total":$medTotal,""" +
+        s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""queries":$qsFull,"medians":$medMap}""" + "\n")
+    println(s"""{"metric":"total","unit":"sec","npass":$nPass,"stat":"min","sf":"$sfDir","queries":$qs,"median_total":${fmt3(medTotal)},"failed":$failedJson,"value":${fmt3(total)}}""")
     System.out.flush()
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -20,8 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `nfc_normalize` implements via utf8proc, so the oracle gate is
   *    byte-exact).
   *  - [[StripAccents]]: the accent-folding recipe (NFD decompose,
-  *    drop combining marks \p{Mn}, recompose) matching DuckDB's
-  *    `strip_accents` on Latin-script text — the search/linkage
+  *    drop ALL combining-mark code points — Mn, Mc, Me, including
+  *    supplementary-plane marks — then recompose) matching DuckDB's
+  *    utf8proc-STRIPMARK `strip_accents` — the search/linkage
   *    canonicalization (München -> Munchen) fed to q149-style fuzzy
   *    matching.
   *
@@ -92,11 +93,20 @@ object UnicodeExpressions {
     if (isAscii(s)) return s
     val nfd = Normalizer.normalize(s.toString, Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(nfd.length)
+    // iterate by CODE POINT, not UTF-16 unit: a supplementary-plane
+    // mark (e.g. U+1D165 MUSICAL SYMBOL COMBINING STEM) is a surrogate
+    // pair whose per-char category is SURROGATE, so a char loop would
+    // pass it through; and utf8proc's STRIPMARK (what DuckDB's
+    // strip_accents runs) drops ALL mark categories — Mn, Mc, Me —
+    // not just non-spacing marks
     var i = 0
     while (i < nfd.length) {
-      val c = nfd.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      i += 1
+      val cp = nfd.codePointAt(i)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK &&
+          t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(
       Normalizer.normalize(sb.toString, Normalizer.Form.NFC))

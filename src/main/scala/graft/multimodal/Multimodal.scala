@@ -471,8 +471,12 @@ object Multimodal {
                 }.toIndexedSeq
               // ANY undecodable sampled frame poisons the MEDIA: exactly
               // one flagged row, same as a bad container — never a mix of
-              // good frames and duplicate (id, -1) rows
-              if (out.contains(None)) None else Some(out.flatten)
+              // good frames and duplicate (id, -1) rows. A structurally
+              // valid container that yields ZERO sampled frames (nFrames
+              // = 0) flags too: without this the media would silently
+              // vanish from the output, breaking the one-row-per-bad-
+              // media contract the flagged row exists to guarantee.
+              if (out.contains(None) || out.isEmpty) None else Some(out.flatten)
             }
         decoded.getOrElse(Seq(VideoFrameFeatures(id, -1, 0, 0, 0L))).iterator
       })

@@ -30,14 +30,37 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Lineage pin for the iterative materializations here. Default is
+    * `localCheckpoint` — executor-block storage, zero external
+    * dependencies, right for the fixed-small-iteration shapes below on
+    * a healthy cluster. Pass `checkpointDir` for the RELIABLE variant
+    * (same knob as [[graft.dedup.Clusters.connectedComponents]]):
+    * blocks land on the shared filesystem, so losing an executor
+    * mid-computation recomputes from the checkpoint instead of killing
+    * the job — the trade every long-running production graph job makes.
+    * Output is bit-identical either way: the integer formulations are
+    * exact under any partitioning, and a checkpoint only pins lineage.
+    */
+  private def pinLineage(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+
   /** `iters` rounds of damped fixed-point PageRank over `edges`
     * (columns `src`, `dst`; every node must appear as a `dst` at least
     * once per round to keep a rank — guaranteed for symmetrized edge
     * lists, which is the intended input). Initial rank is 1_000_000
     * micro-units per node; each round:
     * `rank'(v) = 150000 + 85% * sum_{(u,v) in E} rank(u) div deg(u)`.
+    * `checkpointDir` opts the round loop into reliable checkpoints
+    * ([[pinLineage]]); identical ranks by the integer design.
     */
-  def fixedPointPageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def fixedPointPageRank(
+      edges: DataFrame, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src")
@@ -59,7 +82,7 @@ object Graph {
             expr("150000L + (s * 85L) div 100L").as("pr"))
       }
       // materialize before unpersisting the edge frame the plan reads
-      ranks.localCheckpoint(eager = true)
+      pinLineage(ranks, checkpointDir)
     } finally edgesDeg.unpersist()
   }
 
@@ -74,8 +97,12 @@ object Graph {
     * the ORIENTED out-degree — O(sqrt(m)) — instead of the raw degree,
     * which is the difference between a hub node exploding the wedge
     * join and not, at 100 TB. Three hash joins, no cartesian.
+    * `checkpointDir` opts the two edge-set materializations into
+    * reliable checkpoints ([[pinLineage]]); identical counts (exact
+    * integers under any partitioning).
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(
+      edges: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
     // materialize the canonical edge set ONCE: it feeds four plan
     // branches (degree union x2, the rank join, the closing-edge side),
     // and edge construction is typically an expensive upstream join —
@@ -83,12 +110,11 @@ object Graph {
     // at sf0.1 on the q143 co-purchase graph). Bounded by |E|; the
     // cluster-scale analog is persisting the edge list before the
     // triangle pass, which every production graph pipeline does.
-    val canon = edges
+    val canon = pinLineage(edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), checkpointDir)
     val deg = canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -109,11 +135,11 @@ object Graph {
     // wedge sides + the closing-edge probe) would each re-run the two
     // degree joins above as lazy lineage — same argument as `canon`,
     // same |E| bound
-    val oriented = ranked.select(
+    val oriented = pinLineage(ranked.select(
         when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("lo"),
         when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("hi"),
-        when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rhi"))
-      .localCheckpoint(true)
+        when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rhi")),
+      checkpointDir)
     // wedges from each low vertex: pairs of its out-neighbors, ordered
     // by rank so (v, w) matches the orientation of a closing edge v->w
     val o1 = oriented.select(col("lo").as("u"), col("hi").as("v"), col("rhi").as("rv"))

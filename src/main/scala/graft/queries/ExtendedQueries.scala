@@ -1878,10 +1878,15 @@ object ExtendedQueries {
         "total order (ties broken by the unique key — the convention " +
         "both engines share verbatim, so no tie-averaging float " +
         "enters), rho = 1 - 6*sum(d^2)/(n(n^2-1)) lands as truncated " +
-        "micro-units in pure BIGINT. The input slice bounds sum(d^2) " +
-        "~ n^3/6 so 6e6*sum(d^2) stays far inside int64. Both rank " +
-        "windows share one partition exchange (same partitionBy, two " +
-        "sorts); the moment agg is the only other shuffle.",
+        "micro-units. sum(d^2) grows as n^3/6, so 6e6*sum(d^2) (and " +
+        "the n^3 denominator) leave int64 once a group passes ~1e5 " +
+        "rows — the rho arithmetic therefore rides DECIMAL(38,0) on " +
+        "the Spark side and HUGEINT in the oracle (headroom to 1e38: " +
+        "safe to ~1e10-row groups), with the integral division back " +
+        "to BIGINT only on the bounded quotient (|rho_micro| <= 2e6). " +
+        "All terms positive, so trunc == floor across engines. Both " +
+        "rank windows share one partition exchange (same partitionBy, " +
+        "two sorts); the moment agg is the only other shuffle.",
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         val li = Tables.table(spark, dir, "lineitem")
@@ -1896,7 +1901,10 @@ object ExtendedQueries {
           .agg(count(lit(1)).as("n"),
             sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sum_d2"))
           .select(col("l_returnflag"), col("n"), col("sum_d2"),
-            (lit(1000000) - expr("6000000 * sum_d2 div (n * (n * n - 1))"))
+            (lit(1000000) - expr(
+              "(6000000 * cast(sum_d2 as decimal(38,0))) div " +
+                "(cast(n as decimal(38,0)) * " +
+                "(cast(n as decimal(38,0)) * cast(n as decimal(38,0)) - 1))"))
               .as("rho_micro"))
           .orderBy(col("l_returnflag"))
       },
@@ -1912,7 +1920,8 @@ object ExtendedQueries {
                      CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
               FROM R GROUP BY l_returnflag)
         SELECT l_returnflag, n, sum_d2,
-               CAST(1000000 - (6000000 * sum_d2) // (n * (n * n - 1))
+               CAST(1000000 - (6000000 * CAST(sum_d2 AS HUGEINT)) //
+                    (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - 1))
                     AS BIGINT) AS rho_micro
         FROM M ORDER BY l_returnflag""")),
 

@@ -61,8 +61,11 @@ object BitmapStore {
     val stored = read(spark, storeDir)
     val batchMasks = batch
       .select(col(groupCol).as("grp"),
+        // call_function, not an expr() string: splicing bucketCol into
+        // SQL text would break for names needing backticks, unlike the
+        // Column-API handling of the same column one line up
         when(col(bucketCol).between(0, 61),
-          expr(s"shiftleft(cast(1 as bigint), cast($bucketCol as int))"))
+          call_function("shiftleft", lit(1L), col(bucketCol).cast("int")))
           .otherwise(raise_error(
             lit("BitmapStore: bucket outside [0, 61]")))
           .as("b"))

@@ -68,6 +68,34 @@ class GraphSpec extends SparkSpec {
     Seq(1, 8).foreach(p => assert(trianglesOf(messy, p) == expected))
   }
 
+  test("reliable checkpointDir path is bit-identical for both operators") {
+    // the knob only changes WHERE lineage is pinned (shared-FS blocks
+    // vs executor blocks) — the integer designs make the outputs exact,
+    // so reliable == local must hold bit-for-bit
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graph-ckpt").toString
+    val edges = (star ++ Seq((2L, 3L), (3L, 2L))).toDF("src", "dst")
+    try {
+      val prLocal = Graph.fixedPointPageRank(edges, 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prReliable = Graph.fixedPointPageRank(edges, 3, Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prReliable == prLocal)
+      val triLocal = Graph.triangleCounts(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val triReliable = Graph.triangleCounts(edges, Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(triReliable == triLocal)
+      // the reliable run actually wrote checkpoint data to the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no checkpoint files landed under $dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("triangles: hub-heavy graph matches naive enumeration") {
     // hub 0 connected to 1..10, plus ring edges i-(i+1): triangles are
     // exactly (0, i, i+1) — verify against a driver-side naive count
