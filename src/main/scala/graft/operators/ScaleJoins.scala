@@ -78,6 +78,47 @@ object ScaleJoins {
         sumCols.map(c => sum(col(s"_ps_$c")).as(s"sum_$c")): _*)
   }
 
+  /** PLANNED two-phase salted aggregation — [[saltedTwoPhaseAgg]]
+    * driven by a measured per-key salt plan instead of one global
+    * factor (the composition of the q185 planner with the q140
+    * executor, end-to-end): `saltPlan` holds one row per HOT key
+    * (`planKeyCol`, `factorCol` — exactly the q185 salt-factor
+    * planner's output), broadcast-joined onto the input so each hot
+    * key splits over ITS OWN factor's reducers while cold keys keep
+    * factor 1 — salt 0, one partial, zero overhead beyond the global
+    * two-phase shape. A single global factor must be sized for the
+    * hottest key and so shatters every COLD key into that many
+    * near-empty partials; per-key factors make phase-two's row count
+    * sum(factor_k) over hot keys only, which at 100 TB (millions of
+    * cold keys, a handful of hot ones) is the difference between a
+    * bounded fold and a phase-two as large as the input. Correctness
+    * is factor-independent — partials are commutative-associative
+    * sums — so the result is identical to the plain `groupBy(key)`
+    * (the oracle gate), whatever plan is supplied. A non-positive
+    * planned factor fails loudly: pmod against it would null the salt
+    * and silently merge the key's rows onto one reducer again. */
+  def autoSaltedAgg(
+      df: DataFrame, groupKey: String, saltCol: String,
+      sumCols: Seq[String], saltPlan: DataFrame,
+      planKeyCol: String = "k", factorCol: String = "salt_factor"): DataFrame = {
+    val plan = saltPlan.select(
+      col(planKeyCol).as(groupKey), col(factorCol).cast("int").as("_sf"))
+    val salted = df.join(broadcast(plan), Seq(groupKey), "left")
+      .withColumn("_sf",
+        when(coalesce(col("_sf"), lit(1)) >= 1, coalesce(col("_sf"), lit(1)))
+          .otherwise(raise_error(concat(
+            lit("autoSaltedAgg: non-positive salt factor "),
+            col("_sf").cast("string"), lit(s" planned for a $groupKey key")))))
+      .withColumn("_salt", pmod(hash(col(saltCol)), col("_sf")))
+    val partial = salted
+      .groupBy(col(groupKey), col("_salt"))
+      .agg(count(lit(1)).as("_pn"),
+        sumCols.map(c => sum(col(c)).as(s"_ps_$c")): _*)
+    partial.groupBy(col(groupKey))
+      .agg(sum(col("_pn")).as("n_rows"),
+        sumCols.map(c => sum(col(s"_ps_$c")).as(s"sum_$c")): _*)
+  }
+
   /** Bloom-pruned inner equi-join — the explicit runtime-filter
     * pattern for the "huge fact ⋈ selective dim" shape at 100 TB:
     * build a Bloom filter over the SMALL side's join keys (one

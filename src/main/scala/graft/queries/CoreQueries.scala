@@ -413,6 +413,55 @@ object CoreQueries {
           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    GraftQuery(
+      "q205_correlated_scalar_agg",
+      "Correlated SCALAR-AGGREGATE subquery through the SQL front end " +
+        "(TPC-H Q17 shape): per-brand revenue from small-size parts' " +
+        "below-average-quantity lineitems, where the threshold is " +
+        "0.2x the part's OWN average quantity — a correlated " +
+        "avg() subquery per outer row. q191 proved NOT EXISTS " +
+        "decorrelation; this is the other rewrite real users hit " +
+        "constantly: RewriteCorrelatedScalarSubquery turns the per-row " +
+        "probe into one per-partkey aggregate joined back, so the " +
+        "100 TB form is two shuffles, never an O(rows) re-scan " +
+        "(PlanShapeSpec asserts no subquery survives into the " +
+        "physical plan). Engine-exactness: the average rides " +
+        "avg(CAST(l_quantity AS BIGINT)) — quantities are small " +
+        "integers, so every partial sum is exact in ANY engine's " +
+        "buffer and the single division is correctly rounded " +
+        "identically; 0.2x then compares double-to-double, byte-" +
+        "identical on both sides. Revenue itself is the q1/q3 exact-" +
+        "DECIMAL discipline. Oracle is the same SQL verbatim, with " +
+        "DuckDB executing its own native correlated form.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q205")
+        Tables.table(spark, dir, "part").createOrReplaceTempView("part_q205")
+        spark.sql("""
+          SELECT p_brand,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS small_qty_revenue,
+                 COUNT(*) AS n_items
+          FROM lineitem_q205 l JOIN part_q205 p ON p.p_partkey = l.l_partkey
+          WHERE p.p_size <= 5
+            AND l.l_quantity < 0.2 * (SELECT avg(CAST(l2.l_quantity AS BIGINT))
+                                      FROM lineitem_q205 l2
+                                      WHERE l2.l_partkey = l.l_partkey)
+          GROUP BY p_brand
+          ORDER BY p_brand""")
+      },
+      Some("""
+        SELECT p_brand,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS small_qty_revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 5
+          AND l.l_quantity < 0.2 * (SELECT avg(CAST(l2.l_quantity AS BIGINT))
+                                    FROM lineitem l2
+                                    WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand"""))
   )
 }

@@ -2571,5 +2571,49 @@ object ExtendedQueries {
                CAST(count(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS n_even
         FROM documents
         GROUP BY lang ORDER BY lang""")),
+
+    GraftQuery(
+      "q206_planned_salted_agg",
+      "The skew toolkit composed END-TO-END (closing the q180 -> q185 " +
+        "-> q140 loop that previously connected only by prose): the " +
+        "q185 salt-factor planner's output — per hot-key factors over " +
+        "the deterministic exponential bit-length key family — feeds " +
+        "operators.ScaleJoins.autoSaltedAgg, which broadcast-joins " +
+        "the plan onto the rows and salts each HOT key over its own " +
+        "factor while cold keys pass through unsalted (factor 1, " +
+        "salt 0). Phase-two row count is sum of planned factors over " +
+        "hot keys only — q140's global factor would shatter every " +
+        "cold key into 64 near-empty partials; at 100 TB with " +
+        "millions of cold keys that difference IS the operator. " +
+        "Sums ride exact integer micro-units; the identity with the " +
+        "plain GROUP BY over all keys is the oracle gate, proving " +
+        "the measured plan changes the shuffle shape and nothing " +
+        "else.",
+      (spark, dir) => {
+        val ev = Tables.table(spark, dir, "events")
+          .select(length(bin(col("event_id"))).cast("long").as("k"),
+            col("event_id"),
+            floor(col("value") * lit(1000000.0)).cast("long").as("vmicros"))
+        // the q185 planner, verbatim: keys over 4x the mean row count
+        // get factor ceil(c/t)
+        val c = ev.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        val s = c.agg(sum(col("c")).as("total"), count(lit(1)).as("nk"))
+        val saltPlan = c.crossJoin(broadcast(s))
+          .withColumn("t", expr("(4 * total) div nk"))
+          .filter(col("c") > col("t"))
+          .select(col("k"), expr("(c + t - 1) div t").as("salt_factor"))
+        graft.operators.ScaleJoins
+          .autoSaltedAgg(ev, "k", "event_id", Seq("vmicros"), saltPlan)
+          .select(col("k"), col("n_rows"),
+            col("sum_vmicros").as("sum_value_micros"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH E AS (SELECT CAST(length(bin(event_id)) AS BIGINT) AS k,
+                          CAST(floor(value * 1000000.0) AS BIGINT) AS vmicros
+                   FROM events)
+        SELECT k, COUNT(*) AS n_rows,
+               CAST(SUM(vmicros) AS BIGINT) AS sum_value_micros
+        FROM E GROUP BY k ORDER BY k""")),
   )
 }

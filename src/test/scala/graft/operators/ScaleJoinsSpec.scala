@@ -117,6 +117,56 @@ class ScaleJoinsSpec extends SparkSpec {
       .columns.toSeq == Seq("k", "n_rows", "sum_x"))
   }
 
+  test("autoSaltedAgg: planned per-key salting equals the plain groupBy") {
+    import spark.implicits._
+    // hot key with 5000 rows, cold keys with a handful — the plan
+    // salts ONLY the hot key, over its own factor
+    val rows = (0 until 5000).map(i => ("hot", i.toLong, i.toLong % 7)) ++
+      Seq(("c1", 9001L, 3L), ("c1", 9002L, 4L), ("c2", 9003L, 5L))
+    val df = rows.toDF("k", "rid", "x").repartition(8)
+    val plan = Seq(("hot", 16L)).toDF("k", "salt_factor")
+    val auto = ScaleJoins.autoSaltedAgg(df, "k", "rid", Seq("x"), plan)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val plain = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(auto == plain, s"auto=$auto plain=$plain")
+    // phase one must split the hot key across its planned factor while
+    // each cold key stays a SINGLE partial (salt 0): re-derive the
+    // phase-one grouping and count partials per key
+    val partials = df.join(broadcast(plan), Seq("k"), "left")
+      .withColumn("_sf", coalesce(col("salt_factor"), lit(1L)).cast("int"))
+      .groupBy(col("k"), pmod(hash(col("rid")), col("_sf")).as("_salt"))
+      .count()
+      .groupBy(col("k")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(partials("hot") == 16L, partials)
+    assert(partials("c1") == 1L && partials("c2") == 1L, partials)
+    // column contract matches saltedTwoPhaseAgg's
+    assert(ScaleJoins.autoSaltedAgg(df, "k", "rid", Seq("x"), plan)
+      .columns.toSeq == Seq("k", "n_rows", "sum_x"))
+  }
+
+  test("autoSaltedAgg: an EMPTY plan (no hot keys) degrades to the plain shape") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 2L), ("b", 2L, 3L), ("a", 3L, 4L))
+      .toDF("k", "rid", "x")
+    val plan = Seq.empty[(String, Long)].toDF("k", "salt_factor")
+    val got = ScaleJoins.autoSaltedAgg(df, "k", "rid", Seq("x"), plan)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> (2L, 6L), "b" -> (1L, 3L)))
+  }
+
+  test("autoSaltedAgg: a non-positive planned factor fails loudly") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 2L)).toDF("k", "rid", "x")
+    val plan = Seq(("a", 0L)).toDF("k", "salt_factor")
+    val e = intercept[Exception] {
+      ScaleJoins.autoSaltedAgg(df, "k", "rid", Seq("x"), plan).collect()
+    }
+    assert(e.getMessage.contains("non-positive salt factor"), e.getMessage)
+  }
+
   test("bloomPrunedJoin: identical to the plain join, and the probe actually prunes") {
     val spark0 = spark
     import spark0.implicits._

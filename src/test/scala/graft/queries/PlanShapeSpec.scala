@@ -29,4 +29,19 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     }
   }
+
+  test("q205 decorrelates the scalar-aggregate subquery (no per-row probe)") {
+    // RewriteCorrelatedScalarSubquery must turn the correlated avg()
+    // into an aggregate joined back on l_partkey: the optimized plan
+    // carries no scalar-subquery expression and the physical plan no
+    // subquery stage — a surviving per-row probe would be an O(rows)
+    // re-scan of lineitem at 100 TB
+    val df = SparkEntry.queries("q205_correlated_scalar_agg")(spark, sf001)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("scalar-subquery"), optimized)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Subquery"), physical)
+    assert(physical.contains("Join"), physical)
+  }
 }
