@@ -597,6 +597,8 @@ object Similarity {
   def ivfFlatTopKFromIndex(
       spark: SparkSession, indexPath: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 1): DataFrame = {
+    graft.streaming.StoreLayout.check(
+      spark.read.parquet(s"$indexPath/meta"), s"IVF-Flat index at $indexPath")
     val cent = spark.read.parquet(s"$indexPath/centroids")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val qc =
@@ -641,7 +643,8 @@ object Similarity {
       spark: SparkSession, indexPath: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       dim: Int = 64, nProbe: Int = 1): DataFrame = {
-    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val meta = graft.streaming.StoreLayout.checkedMetaRow(
+      spark, s"$indexPath/meta", s"IVF-SQ8 index at $indexPath")
     val storedDim = meta.getAs[Long]("dim")
     require(storedDim == dim,
       s"index at $indexPath was written with dim=$storedDim, probe " +
@@ -704,7 +707,8 @@ object Similarity {
       spark: SparkSession, indexPath: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, dim: Int = 64, nProbe: Int = 1): DataFrame = {
-    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val meta = graft.streaming.StoreLayout.checkedMetaRow(
+      spark, s"$indexPath/meta", s"IVF-PQ index at $indexPath")
     val (storedM, storedDim) =
       (meta.getAs[Long]("m"), meta.getAs[Long]("dim"))
     require(storedM == m && storedDim == dim,

@@ -179,8 +179,10 @@ object CorpusSink {
     // this instead of trusting its caller
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((nLists.toLong, m.toLong, dim.toLong, kCent.toLong))
-      .toDF("nLists", "m", "dim", "kCent").coalesce(1)
+    graft.streaming.StoreLayout.stamp(
+        Seq((nLists.toLong, m.toLong, dim.toLong, kCent.toLong))
+          .toDF("nLists", "m", "dim", "kCent"))
+      .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -206,7 +208,9 @@ object CorpusSink {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq(Tuple1(nLists.toLong)).toDF("nLists").coalesce(1)
+    graft.streaming.StoreLayout.stamp(
+        Seq(Tuple1(nLists.toLong)).toDF("nLists"))
+      .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -251,7 +255,9 @@ object CorpusSink {
     mns.indices.map(i => (i.toLong, mns(i), mxs(i))).toDF("i", "mn", "mx")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/ranges")
-    Seq((nLists.toLong, dim.toLong)).toDF("nLists", "dim").coalesce(1)
+    graft.streaming.StoreLayout.stamp(
+        Seq((nLists.toLong, dim.toLong)).toDF("nLists", "dim"))
+      .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 

@@ -35,6 +35,8 @@ object BitmapStore {
     val vs = VersionedStore.committedVersions(spark, storeDir)
     require(vs.nonEmpty,
       s"$storeDir holds no committed bitmaps — seed() the store first")
+    StoreLayout.check(spark.read.parquet(s"$storeDir/v=${vs.max}/meta"),
+      s"bitmap store at $storeDir")
     spark.read.parquet(s"$storeDir/v=${vs.max}/masks")
   }
 
@@ -44,7 +46,7 @@ object BitmapStore {
     val dir = s"$storeDir/v=$v"
     masks.coalesce(1).write.mode("overwrite").parquet(s"$dir/masks")
     // meta LAST: its job-commit _SUCCESS marker commits the version
-    Seq(formatTag).toDF("format").coalesce(1)
+    StoreLayout.stamp(Seq(formatTag).toDF("format")).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
     VersionedStore.retireOldVersions(spark, storeDir, v)
   }

@@ -56,7 +56,8 @@ object CountMinStream {
     require(vs.nonEmpty,
       s"$storeDir holds no committed sketch — seed() the store first")
     val v = vs.max
-    val meta = spark.read.parquet(s"$storeDir/v=$v/meta").collect()(0)
+    val meta = StoreLayout.checkedMetaRow(
+      spark, s"$storeDir/v=$v/meta", s"Count-Min store at $storeDir")
     val bytes = spark.read.parquet(s"$storeDir/v=$v/sketch")
       .collect()(0).getAs[Array[Byte]](0)
     (CountMinSketch.readFrom(bytes),
@@ -73,7 +74,8 @@ object CountMinStream {
     Seq(bos.toByteArray).toDF("sketch").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/sketch")
     // meta LAST: its job-commit _SUCCESS marker commits the version
-    Seq((eps, confidence, sketchSeed.toLong)).toDF("eps", "confidence", "seed")
+    StoreLayout.stamp(
+        Seq((eps, confidence, sketchSeed.toLong)).toDF("eps", "confidence", "seed"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     VersionedStore.retireOldVersions(spark, storeDir, v)
   }

@@ -52,7 +52,8 @@ object HeavyHittersStream {
     require(vs.nonEmpty,
       s"$storeDir holds no committed summary — seed() the store first")
     val v = vs.max
-    val meta = spark.read.parquet(s"$storeDir/v=$v/meta").collect()(0)
+    val meta = StoreLayout.checkedMetaRow(
+      spark, s"$storeDir/v=$v/meta", s"heavy-hitters store at $storeDir")
     val items = spark.read.parquet(s"$storeDir/v=$v/items").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     (items, meta.getLong(0), meta.getLong(1).toInt)
@@ -67,7 +68,8 @@ object HeavyHittersStream {
       .toDF("term", "est").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/items")
     // meta LAST: its job-commit _SUCCESS marker commits the version
-    Seq((n, capacity.toLong)).toDF("n", "capacity").coalesce(1)
+    StoreLayout.stamp(Seq((n, capacity.toLong)).toDF("n", "capacity"))
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
     VersionedStore.retireOldVersions(spark, storeDir, v)
   }

@@ -49,8 +49,8 @@ object MomentStore {
     require(vs.nonEmpty,
       s"$storeDir holds no committed moments — seed() the store first")
     val v = vs.max
-    val epoch = spark.read.parquet(s"$storeDir/v=$v/meta")
-      .collect()(0).getString(0)
+    val epoch = StoreLayout.checkedMetaRow(
+      spark, s"$storeDir/v=$v/meta", s"moment store at $storeDir").getString(0)
     (spark.read.parquet(s"$storeDir/v=$v/moments"), epoch)
   }
 
@@ -60,7 +60,7 @@ object MomentStore {
     val dir = s"$storeDir/v=$v"
     moments.coalesce(1).write.mode("overwrite").parquet(s"$dir/moments")
     // meta LAST: its job-commit _SUCCESS marker commits the version
-    Seq(epochIso).toDF("epoch").coalesce(1)
+    StoreLayout.stamp(Seq(epochIso).toDF("epoch")).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
     VersionedStore.retireOldVersions(spark, storeDir, v)
   }

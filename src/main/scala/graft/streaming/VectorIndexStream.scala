@@ -68,7 +68,7 @@ object VectorIndexStream {
     cent.select(col("cent_id"), col("cent_vec")).coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     import spark.implicits._
-    Seq(Tuple1(nLists.toLong)).toDF("nLists").coalesce(1)
+    StoreLayout.stamp(Seq(Tuple1(nLists.toLong)).toDF("nLists")).coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/meta")
     writeCells(corpus, idCol, vecCol, indexDir, -1L)
   }
@@ -140,6 +140,9 @@ object VectorIndexStream {
       vectors: DataFrame, idCol: String, vecCol: String,
       indexDir: String, checkpointDir: String)(
       emit: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+    StoreLayout.check(
+      vectors.sparkSession.read.parquet(s"$indexDir/meta"),
+      s"vector store at $indexDir")
     val cent = localized(
       vectors.sparkSession.read.parquet(s"$indexDir/centroids"))
     streamTo(vectors, checkpointDir,
@@ -370,7 +373,9 @@ object VectorIndexStream {
     val spark = corpus.sparkSession
     val (mns, mxs) = writeCentroidsAndRanges(corpus, idCol, vecCol, indexDir, nLists)
     import spark.implicits._
-    Seq((nLists.toLong, mns.length.toLong)).toDF("nLists", "dim").coalesce(1)
+    StoreLayout.stamp(
+        Seq((nLists.toLong, mns.length.toLong)).toDF("nLists", "dim"))
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/meta")
     appendSq8(loadSq8Artifacts(spark, indexDir), corpus, idCol, vecCol,
       indexDir, -1L)
@@ -394,6 +399,8 @@ object VectorIndexStream {
 
   private def loadSq8Artifacts(
       spark: SparkSession, indexDir: String): Sq8Artifacts = {
+    StoreLayout.check(spark.read.parquet(s"$indexDir/meta"),
+      s"SQ8 vector store at $indexDir")
     val (mns, mxs) = storedRanges(spark, indexDir)
     Sq8Artifacts(
       localized(spark.read.parquet(s"$indexDir/centroids")), mns, mxs)
@@ -483,8 +490,10 @@ object VectorIndexStream {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
     import spark.implicits._
-    Seq((nLists.toLong, m.toLong, dim.toLong, kCent.toLong))
-      .toDF("nLists", "m", "dim", "kCent").coalesce(1)
+    StoreLayout.stamp(
+        Seq((nLists.toLong, m.toLong, dim.toLong, kCent.toLong))
+          .toDF("nLists", "m", "dim", "kCent"))
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/meta")
     appendPq(loadPqArtifacts(spark, indexDir), corpus, idCol, vecCol,
       indexDir, -1L)
@@ -507,7 +516,8 @@ object VectorIndexStream {
 
   private def loadPqArtifacts(
       spark: SparkSession, indexDir: String): PqArtifacts = {
-    val meta = spark.read.parquet(s"$indexDir/meta").collect()(0)
+    val meta = StoreLayout.checkedMetaRow(
+      spark, s"$indexDir/meta", s"PQ vector store at $indexDir")
     val (mns, mxs) = storedRanges(spark, indexDir)
     PqArtifacts(
       localized(spark.read.parquet(s"$indexDir/centroids")),
@@ -757,6 +767,8 @@ object VectorIndexStream {
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
       beforeBatch: Long = Long.MaxValue): DataFrame = {
+    StoreLayout.check(spark.read.parquet(s"$indexDir/meta"),
+      s"vector store at $indexDir")
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val qc =

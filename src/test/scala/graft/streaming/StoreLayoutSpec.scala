@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Layout-version gate: every durable store's meta carries a
+  * `layout_version` stamped at write time; an open against a FOREIGN
+  * layout generation must refuse loudly with the upgrade note instead
+  * of serving rows under layout assumptions that no longer hold, and
+  * a PRE-VERSIONING meta (no field at all) must keep reading as
+  * layout 1.
+  */
+class StoreLayoutSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("every store family stamps layout_version into its meta") {
+    val spark0 = spark
+    import spark0.implicits._
+    val cm = tmp("layout-cm")
+    CountMinStream.seed(spark, cm, eps = 0.01, confidence = 0.9, sketchSeed = 7)
+    val hh = tmp("layout-hh")
+    HeavyHittersStream.seed(spark, hh, capacity = 8)
+    val bm = tmp("layout-bm")
+    BitmapStore.seed(spark, bm)
+    val ms = tmp("layout-ms")
+    MomentStore.seed(spark, ms, "2020-01-01 00:00:00")
+    val vs = tmp("layout-vs")
+    val corpus = (0L until 32L).map(i =>
+      (i, Array.fill(4)(((i % 7) + 1).toFloat))).toDF("id", "vec")
+    VectorIndexStream.seedIndex(corpus, "id", "vec", vs, nLists = 2)
+    Seq(s"$cm/v=0/meta", s"$hh/v=0/meta", s"$bm/v=0/meta",
+        s"$ms/v=0/meta", s"$vs/meta").foreach { p =>
+      val meta = spark.read.parquet(p)
+      assert(meta.columns.contains("layout_version"), p)
+      assert(meta.select(col("layout_version").cast("long"))
+        .collect()(0).getLong(0) == StoreLayout.Version, p)
+    }
+  }
+
+  test("a store written by a FOREIGN layout version refuses at open") {
+    val spark0 = spark
+    import spark0.implicits._
+    val cm = tmp("layout-cm-bad")
+    CountMinStream.seed(spark, cm, eps = 0.01, confidence = 0.9, sketchSeed = 7)
+    // doctor the meta to a future layout generation (same fields, so
+    // only the version gate can catch it)
+    Seq((0.01, 0.9, 7L)).toDF("eps", "confidence", "seed")
+      .withColumn("layout_version", lit(99L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$cm/v=0/meta")
+    val e = intercept[IllegalStateException] {
+      CountMinStream.read(spark, cm)
+    }
+    assert(e.getMessage.contains("store-layout version 99"), e.getMessage)
+    assert(e.getMessage.contains(s"version ${StoreLayout.Version}"), e.getMessage)
+  }
+
+  test("a vector-store probe refuses a foreign layout too") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vs = tmp("layout-vs-bad")
+    val corpus = (0L until 32L).map(i =>
+      (i, Array.fill(4)(((i % 7) + 1).toFloat))).toDF("id", "vec")
+    VectorIndexStream.seedIndex(corpus, "id", "vec", vs, nLists = 2)
+    Seq(Tuple1(2L)).toDF("nLists")
+      .withColumn("layout_version", lit(2L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$vs/meta")
+    val e = intercept[IllegalStateException] {
+      VectorIndexStream.topKFromIndex(spark, vs,
+        corpus.limit(2), "id", "vec", k = 3)
+    }
+    assert(e.getMessage.contains("store-layout version 2"), e.getMessage)
+  }
+
+  test("a PRE-VERSIONING meta (no field) still reads as layout 1") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ms = tmp("layout-ms-old")
+    MomentStore.seed(spark, ms, "2020-01-01 00:00:00")
+    // strip the stamp — the layout an older build wrote
+    Seq("2020-01-01 00:00:00").toDF("epoch").coalesce(1)
+      .write.mode("overwrite").parquet(s"$ms/v=0/meta")
+    val (moments, epoch) = MomentStore.read(spark, ms)
+    assert(epoch == "2020-01-01 00:00:00")
+    assert(moments.count() == 0L)
+  }
+}
