@@ -72,6 +72,84 @@ class ReplaySpec extends SparkSpec {
     assert(out == "addison_and_kimball_stop_1_ohare")
   }
 
+  test("startHealed: empty-dir bootstrap then legacy nanos files heals with ONE restart") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+
+    val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosConf)
+    spark.conf.unset(nanosConf) // canonical bootstrap: NTZ default pinned
+    val root = java.nio.file.Files.createTempDirectory("graft-heal").toString
+    val in = s"$root/in"
+    val out = s"$root/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+
+    def writeLegacyFile(): Unit = {
+      val schema = Types.buildMessage()
+        .required(INT64).named("event_id")
+        .required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+        .named("events")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      GroupWriteSupport.setSchema(schema, conf)
+      val writer = ExampleParquetWriter.builder(
+          new org.apache.hadoop.fs.Path(s"$in/events.parquet"))
+        .withConf(conf).withType(schema).build()
+      writer.write(new SimpleGroupFactory(schema).newGroup()
+        .append("event_id", 7L).append("ts", 1700000000123456789L))
+      writer.close()
+    }
+
+    var starts = 0
+    try {
+      val q = Replay.startHealed(spark, in) { df =>
+        starts += 1
+        val started = df.select(col("event_id"), unix_micros(col("ts")).as("us"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", s"$root/cp")
+          .start()
+        // the bootstrap corner, sequenced exactly: the stream's schema
+        // was pinned against an EMPTY directory (the probe ran before
+        // this hook), and the first file to land is a LEGACY
+        // INT64-nanos one — the first micro-batch must die on it
+        if (starts == 1) writeLegacyFile()
+        started
+      }()
+      try {
+        assert(starts == 2, s"expected exactly one healing restart, got $starts")
+        val rows = spark.read.parquet(out).collect()
+        assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+          Seq((7L, 1700000000123456L))) // sub-micro tail truncated
+      } finally q.stop()
+    } finally prevNanos match {
+      case Some(v) => spark.conf.set(nanosConf, v)
+      case None => spark.conf.unset(nanosConf)
+    }
+  }
+
+  test("startHealed: a healthy current-generation bootstrap never restarts") {
+    val root = java.nio.file.Files.createTempDirectory("graft-heal-ok").toString
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(s"$in/events.parquet"))
+    var starts = 0
+    val q = Replay.startHealed(spark, in) { df =>
+      starts += 1
+      df.groupBy(col("event_type")).count()
+        .writeStream.format("memory").queryName("heal_noop")
+        .outputMode("complete").start()
+    }()
+    try {
+      assert(starts == 1, s"healthy stream must not restart, got $starts")
+      assert(spark.table("heal_noop").count() > 0)
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog then stops on its own " +
       "(the backfill mode: streaming exactly-once semantics, batch lifetime)") {
     import org.apache.spark.sql.streaming.Trigger
