@@ -462,6 +462,95 @@ object CoreQueries {
                                     FROM lineitem l2
                                     WHERE l2.l_partkey = l.l_partkey)
         GROUP BY p_brand
-        ORDER BY p_brand"""))
+        ORDER BY p_brand""")),
+
+    GraftQuery(
+      "q207_sole_late_supplier",
+      "TPC-H Q21-shaped waiting-supplier census: suppliers who were " +
+        "the ONLY late shipper on a finished multi-supplier order — " +
+        "EXISTS (another supplier shipped on this order) AND NOT " +
+        "EXISTS (another supplier shipped LATE, correlated on BOTH " +
+        "l1's order and o's date) in one query, the hardest " +
+        "decorrelation shape in TPC-H: Catalyst rewrites the pair " +
+        "into a left-semi and a left-anti join against the same " +
+        "fact, each on l_orderkey — two hash joins at 100 TB, never " +
+        "a per-row re-scan. Lateness is l_shipdate > o_orderdate + " +
+        "45 days (this schema's receipt/commit proxy); timestamps " +
+        "compare exactly, the aggregate is a pure count, and the " +
+        "unique s_name breaks the top-20 tie in both engines.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "supplier").createOrReplaceTempView("supplier_q207")
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q207")
+        Tables.table(spark, dir, "orders").createOrReplaceTempView("orders_q207")
+        spark.sql("""
+          SELECT s_name, count(*) AS numwait
+          FROM supplier_q207 s
+          JOIN lineitem_q207 l1 ON s.s_suppkey = l1.l_suppkey
+          JOIN orders_q207 o ON o.o_orderkey = l1.l_orderkey
+          WHERE o.o_orderstatus = 'F'
+            AND l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+            AND EXISTS (SELECT 1 FROM lineitem_q207 l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem_q207 l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+          GROUP BY s_name
+          ORDER BY numwait DESC, s_name
+          LIMIT 20""")
+      },
+      Some("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20""")),
+
+    GraftQuery(
+      "q208_lateral_topk",
+      "LATERAL correlated subquery with ORDER BY + LIMIT through the " +
+        "SQL front end: per-nation top-2 customers by balance, the " +
+        "SQL-standard spelling of grouped top-k (q70's window form, " +
+        "as real analysts write it against Postgres/DuckDB). " +
+        "Catalyst's DecorrelateInnerQuery must push the correlated " +
+        "per-nation LIMIT through a window/rank rewrite joined on " +
+        "n_nationkey — never one subquery execution per nation row. " +
+        "Balances and names are stored values compared verbatim, and " +
+        "the subquery's full ORDER BY (unique c_name tiebreak) makes " +
+        "the LIMIT 2 deterministic in both engines.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "nation").createOrReplaceTempView("nation_q208")
+        Tables.table(spark, dir, "customer").createOrReplaceTempView("customer_q208")
+        spark.sql("""
+          SELECT n.n_name, t.c_name, t.c_acctbal
+          FROM nation_q208 n JOIN LATERAL (
+            SELECT c_name, c_acctbal FROM customer_q208 c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name
+            LIMIT 2
+          ) t
+          ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+      },
+      Some("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 2
+        ) t ON true
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""))
   )
 }

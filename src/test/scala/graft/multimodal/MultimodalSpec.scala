@@ -237,4 +237,20 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == 4)
     assert(rows.forall(r => r.frame_idx == -1 && r.sum_rgb == 0L))
   }
+
+  test("a structurally valid nFrames=0 container flags instead of vanishing") {
+    val spark0 = spark
+    import spark0.implicits._
+    // hand-rolled header: magic/version/dims valid, zero frames, empty
+    // index — parseGvid accepts it, so only the empty-sample guard can
+    // keep the one-row-per-bad-media contract
+    val bb = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GVID".getBytes("US-ASCII")).putInt(1)
+      .putInt(16).putInt(12).putInt(0)
+    val media = Seq((5L, bb.array())).toDF("media_id", "payload")
+    val rows = Multimodal.decodeVideoFrames(media, stride = 1).collect()
+    assert(rows.toSeq.map(r => (r.media_id, r.frame_idx, r.sum_rgb)) ==
+      Seq((5L, -1, 0L)))
+  }
 }

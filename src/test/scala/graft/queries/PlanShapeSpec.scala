@@ -30,6 +30,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  Seq("q207_sole_late_supplier", "q208_lateral_topk").foreach { name =>
+    test(s"$name decorrelates (no subquery stage, no cartesian)") {
+      // q207's EXISTS + NOT EXISTS pair must land as semi/anti hash
+      // joins; q208's correlated LATERAL LIMIT as a rank rewrite
+      // joined on the correlation key — in both cases the physical
+      // plan carries no per-row subquery stage
+      val df = SparkEntry.queries(name)(spark, sf001)
+      df.collect()
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("Subquery"), physical)
+      assert(!physical.contains("CartesianProduct"), physical)
+    }
+  }
+
   test("q205 decorrelates the scalar-aggregate subquery (no per-row probe)") {
     // RewriteCorrelatedScalarSubquery must turn the correlated avg()
     // into an aggregate joined back on l_partkey: the optimized plan
