@@ -551,6 +551,92 @@ object CoreQueries {
           ORDER BY c_acctbal DESC, c_name
           LIMIT 2
         ) t ON true
-        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""))
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")),
+
+    GraftQuery(
+      "q209_recursive_cte",
+      "WITH RECURSIVE through the SQL front end (Spark 4's recursive " +
+        "CTE execution — the iterative-traversal surface q139's " +
+        "operator loop provides programmatically, as declarative " +
+        "SQL): orders form an implicit binary tree (children of key " +
+        "k are 2k and 2k+1), and the recursion walks it from the " +
+        "root, counting nodes and exact revenue cents per depth. " +
+        "Each recursion step is one join of the frontier against " +
+        "orders — at 100 TB the same per-round shuffle shape as " +
+        "PageRank, with the engine (not the operator author) owning " +
+        "the loop, and termination is structural: the frontier " +
+        "empties past the deepest key. The step is deliberately " +
+        "frontier-explode (okey*2 + {0,1}) then EQUI-join — the " +
+        "naive 'ON o_orderkey = 2k OR o_orderkey = 2k+1' spelling " +
+        "plans a nested-loop probe of the whole fact per iteration. " +
+        "All arithmetic is exact BIGINT; the oracle runs the " +
+        "identical recursion natively.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "orders").createOrReplaceTempView("orders_q209")
+        spark.sql("""
+          WITH RECURSIVE tree AS (
+            SELECT CAST(1 AS BIGINT) AS okey, 0 AS depth
+            UNION ALL
+            SELECT o.o_orderkey, c.depth + 1
+            FROM (SELECT t.okey * 2 + v.i AS child, t.depth
+                  FROM tree t CROSS JOIN (VALUES (0), (1)) AS v(i)) c
+            JOIN orders_q209 o ON o.o_orderkey = c.child
+          )
+          SELECT depth, count(*) AS n,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM tree JOIN orders_q209 ON o_orderkey = okey
+          GROUP BY depth ORDER BY depth""")
+      },
+      Some("""
+        WITH RECURSIVE tree AS (
+          SELECT CAST(1 AS BIGINT) AS okey, 0 AS depth
+          UNION ALL
+          SELECT o.o_orderkey, c.depth + 1
+          FROM (SELECT t.okey * 2 + v.i AS child, t.depth
+                FROM tree t CROSS JOIN (VALUES (0), (1)) AS v(i)) c
+          JOIN orders o ON o.o_orderkey = c.child
+        )
+        SELECT depth, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM tree JOIN orders ON o_orderkey = okey
+        GROUP BY depth ORDER BY depth""")),
+
+    GraftQuery(
+      "q210_sql_pivot",
+      "The SQL PIVOT clause (q36's DataFrame pivot, as the ANSI-ish " +
+        "SQL surface real reports use): per-language character " +
+        "volume pivoted over three named sources, with aliased " +
+        "output columns. Spark compiles PIVOT to one conditional " +
+        "aggregation pass — the oracle IS that rewrite, written out " +
+        "as CASE sums, so the gate proves the clause and its " +
+        "desugaring agree cell by cell (absent cells NULL in both " +
+        "engines). One scan, one shuffle, pivot width fixed by the " +
+        "IN list — the bounded-width contract that makes PIVOT safe " +
+        "at 100 TB (an unlisted-value pivot would need a driver-side " +
+        "distinct first).",
+      (spark, dir) => {
+        Tables.table(spark, dir, "documents").createOrReplaceTempView("documents_q210")
+        spark.sql("""
+          SELECT * FROM (
+            SELECT lang, source, n_chars FROM documents_q210
+          )
+          PIVOT (
+            sum(n_chars) FOR source IN ('src0' AS src0_chars,
+                                        'src1' AS src1_chars,
+                                        'src2' AS src2_chars)
+          )
+          ORDER BY lang""")
+      },
+      Some("""
+        SELECT lang,
+               CAST(sum(CASE WHEN source = 'src0' THEN n_chars END) AS BIGINT)
+                 AS src0_chars,
+               CAST(sum(CASE WHEN source = 'src1' THEN n_chars END) AS BIGINT)
+                 AS src1_chars,
+               CAST(sum(CASE WHEN source = 'src2' THEN n_chars END) AS BIGINT)
+                 AS src2_chars
+        FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }
