@@ -78,6 +78,66 @@ object ScaleJoins {
         sumCols.map(c => sum(col(s"_ps_$c")).as(s"sum_$c")): _*)
   }
 
+  /** Per-key salt-factor PLAN (the q185 planner as a reusable
+    * operator): over `df`'s `keyCol`, every key whose row count
+    * exceeds `hotMultiple`x the mean gets `salt_factor = ceil(c/t)` —
+    * how many shuffle buckets its rows must spread over so no reducer
+    * holds more than the threshold. Output is |hot-keys|-sized
+    * (`k`, `c`, `salt_factor`), the exact input [[autoSaltedAgg]] and
+    * [[autoSaltedJoin]] consume; all arithmetic is integer
+    * ceiling-division, the threshold a broadcast scalar. */
+  def saltFactorPlan(
+      df: DataFrame, keyCol: String, hotMultiple: Int = 4): DataFrame = {
+    val c = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+    val s = c.agg(sum(col("c")).as("total"), count(lit(1)).as("nk"))
+    c.crossJoin(broadcast(s))
+      .withColumn("t", expr(s"($hotMultiple * total) div nk"))
+      .filter(col("c") > col("t"))
+      .select(col("k"), col("c"), expr("(c + t - 1) div t").as("salt_factor"))
+  }
+
+  /** PLANNED variable-factor salted inner equi-join — [[saltedInnerJoin]]
+    * driven by a measured per-key plan, the join-side composition of
+    * the skew toolkit ([[autoSaltedAgg]] is the aggregation side):
+    * left rows of a HOT key get a salt in [0, factor_k) and the right
+    * side replicates each hot key's rows factor_k times; COLD keys
+    * keep factor 1 — salt 0, one copy, zero overhead. A single global
+    * factor must be sized for the hottest key and so replicates the
+    * ENTIRE right side that many times; per-key factors bound the
+    * replication volume by sum(factor_k x rows_k) over hot keys only,
+    * which at 100 TB (a handful of hot keys) is the difference
+    * between a bounded build side and factor x the whole dimension.
+    * Result is identical to the plain join whatever plan is supplied
+    * — salting only splits a key's rows across reducers (the q211
+    * oracle gate). Non-positive planned factors fail loudly, as in
+    * [[autoSaltedAgg]]. */
+  def autoSaltedJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, saltPlan: DataFrame,
+      planKeyCol: String = "k", factorCol: String = "salt_factor"): DataFrame = {
+    def withFactor(df: DataFrame, key: String): DataFrame = {
+      val plan = saltPlan.select(
+        col(planKeyCol).as("_pk"), col(factorCol).cast("long").as("_pf"))
+      df.join(broadcast(plan), df(key) === col("_pk"), "left")
+        .withColumn("_sf",
+          when(coalesce(col("_pf"), lit(1L)) >= 1, coalesce(col("_pf"), lit(1L)))
+            .otherwise(raise_error(concat(
+              lit("autoSaltedJoin: non-positive salt factor "),
+              col("_pf").cast("string"), lit(s" planned for a $key key")))))
+        .drop("_pk", "_pf")
+    }
+    val saltedLeft = withFactor(left, leftKey)
+      .withColumn("_salt", pmod(monotonically_increasing_id(), col("_sf")))
+      .drop("_sf")
+    val explodedRight = withFactor(right, rightKey)
+      .withColumn("_salt", explode(sequence(lit(0L), col("_sf") - 1)))
+      .drop("_sf")
+    saltedLeft.join(explodedRight,
+        saltedLeft(leftKey) === explodedRight(rightKey) &&
+          saltedLeft("_salt") === explodedRight("_salt"))
+      .drop("_salt")
+  }
+
   /** PLANNED two-phase salted aggregation — [[saltedTwoPhaseAgg]]
     * driven by a measured per-key salt plan instead of one global
     * factor (the composition of the q185 planner with the q140

@@ -2079,15 +2079,10 @@ object ExtendedQueries {
         "mechanics). Threshold is a broadcast scalar; all arithmetic " +
         "is integer ceiling-division; output is |hot-keys|-sized.",
       (spark, dir) => {
-        val c = Tables.table(spark, dir, "events")
-          .select(length(bin(col("event_id"))).cast("long").as("k"))
-          .groupBy(col("k")).agg(count(lit(1)).as("c"))
-        val s = c.agg(sum(col("c")).as("total"), count(lit(1)).as("nk"))
-        c.crossJoin(broadcast(s))
-          .withColumn("t", expr("(4 * total) div nk"))
-          .filter(col("c") > col("t"))
-          .select(col("k"), col("c"),
-            expr("(c + t - 1) div t").as("salt_factor"))
+        graft.operators.ScaleJoins.saltFactorPlan(
+            Tables.table(spark, dir, "events")
+              .select(length(bin(col("event_id"))).cast("long").as("k")),
+            "k", hotMultiple = 4)
           .orderBy(col("k"))
       },
       Some("""
@@ -2594,14 +2589,9 @@ object ExtendedQueries {
           .select(length(bin(col("event_id"))).cast("long").as("k"),
             col("event_id"),
             floor(col("value") * lit(1000000.0)).cast("long").as("vmicros"))
-        // the q185 planner, verbatim: keys over 4x the mean row count
-        // get factor ceil(c/t)
-        val c = ev.groupBy(col("k")).agg(count(lit(1)).as("c"))
-        val s = c.agg(sum(col("c")).as("total"), count(lit(1)).as("nk"))
-        val saltPlan = c.crossJoin(broadcast(s))
-          .withColumn("t", expr("(4 * total) div nk"))
-          .filter(col("c") > col("t"))
-          .select(col("k"), expr("(c + t - 1) div t").as("salt_factor"))
+        // the q185 planner, as the shared operator: keys over 4x the
+        // mean row count get factor ceil(c/t)
+        val saltPlan = graft.operators.ScaleJoins.saltFactorPlan(ev, "k")
         graft.operators.ScaleJoins
           .autoSaltedAgg(ev, "k", "event_id", Seq("vmicros"), saltPlan)
           .select(col("k"), col("n_rows"),
@@ -2615,5 +2605,45 @@ object ExtendedQueries {
         SELECT k, COUNT(*) AS n_rows,
                CAST(SUM(vmicros) AS BIGINT) AS sum_value_micros
         FROM E GROUP BY k ORDER BY k""")),
+
+    GraftQuery(
+      "q211_planned_salted_join",
+      "The skew toolkit's JOIN side composed end-to-end (q206's " +
+        "sibling): the q185 salt-factor plan drives operators." +
+        "ScaleJoins.autoSaltedJoin — each HOT key's fact rows salt " +
+        "over the key's own factor and the dimension replicates that " +
+        "key's row factor times, while cold keys pass through " +
+        "unreplicated. A global factor replicates the WHOLE dim by " +
+        "the hottest key's need; the plan bounds replication to " +
+        "sum(factor_k) rows over hot keys only. The fixture is the " +
+        "exponential bit-length family joined to its own per-key " +
+        "census; the gate aggregates the joined rows per key and " +
+        "must match the plain-join SQL verbatim — salting can split " +
+        "reducers, never change a match.",
+      (spark, dir) => {
+        val ev = Tables.table(spark, dir, "events")
+          .select(length(bin(col("event_id"))).cast("long").as("k"),
+            floor(col("value") * lit(1000000.0)).cast("long").as("vmicros"))
+        val dim = ev.groupBy(col("k")).agg(count(lit(1)).as("k_rows"))
+          .select(col("k").as("dk"), col("k_rows"))
+        val saltPlan = graft.operators.ScaleJoins.saltFactorPlan(ev, "k")
+        graft.operators.ScaleJoins
+          .autoSaltedJoin(ev, dim, "k", "dk", saltPlan)
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("vmicros")).as("sum_value_micros"),
+            max(col("k_rows")).as("k_rows"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH E AS (SELECT CAST(length(bin(event_id)) AS BIGINT) AS k,
+                          CAST(floor(value * 1000000.0) AS BIGINT) AS vmicros
+                   FROM events),
+        D AS (SELECT k, count(*) AS k_rows FROM E GROUP BY k)
+        SELECT e.k, count(*) AS n_rows,
+               CAST(sum(e.vmicros) AS BIGINT) AS sum_value_micros,
+               CAST(max(d.k_rows) AS BIGINT) AS k_rows
+        FROM E e JOIN D d ON e.k = d.k
+        GROUP BY e.k ORDER BY e.k""")),
   )
 }

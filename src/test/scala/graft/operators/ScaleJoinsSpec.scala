@@ -147,6 +147,52 @@ class ScaleJoinsSpec extends SparkSpec {
       .columns.toSeq == Seq("k", "n_rows", "sum_x"))
   }
 
+  test("saltFactorPlan: only above-threshold keys appear, factors cover their rows") {
+    import spark.implicits._
+    // 900 hot rows over 10 cold keys of 3: total 930, nk 11 ->
+    // t = 4*930 div 11 = 338; only "hot" (900 > 338) plans a factor
+    val rows = Seq.fill(900)("hot") ++
+      (1 to 10).flatMap(i => Seq.fill(3)(s"c$i"))
+    val plan = ScaleJoins.saltFactorPlan(rows.toDF("k"), "k")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(plan.keySet == Set("hot"), plan)
+    val (c, f) = plan("hot")
+    assert(c == 900L)
+    val t = 4L * 930L / 11L // integer threshold the planner used
+    assert(f == (c + t - 1) / t, s"factor $f does not cover $c rows at $t/reducer")
+  }
+
+  test("autoSaltedJoin: planned per-key replication equals the plain join") {
+    import spark.implicits._
+    val fact = ((0 until 4000).map(i => ("hot", i.toLong)) ++
+      Seq(("c1", 9001L), ("c1", 9002L), ("c2", 9003L))).toDF("k", "payload")
+    val dim = Seq(("hot", "H"), ("c1", "X"), ("c2", "Y"), ("unmatched", "Z"))
+      .toDF("dk", "name")
+    val plan = Seq(("hot", 8L)).toDF("k", "salt_factor")
+    val auto = ScaleJoins.autoSaltedJoin(fact, dim, "k", "dk", plan)
+    val plain = fact.join(dim, col("k") === col("dk"))
+    assert(auto.columns.toSeq == plain.columns.toSeq)
+    assert(auto.orderBy("payload").collect().map(_.toSeq).toSeq ==
+      plain.orderBy("payload").collect().map(_.toSeq).toSeq)
+    // replication is bounded by the PLAN: hot dim row 8 copies, cold 1 —
+    // a global factor 8 would have made 8 copies of every dim row
+    val replicated = dim
+      .join(broadcast(plan), col("dk") === col("k"), "left")
+      .withColumn("_sf", coalesce(col("salt_factor"), lit(1L)))
+    assert(replicated.agg(sum(col("_sf"))).collect()(0).getLong(0) == 11L)
+  }
+
+  test("autoSaltedJoin: a non-positive planned factor fails loudly") {
+    import spark.implicits._
+    val fact = Seq(("a", 1L)).toDF("k", "payload")
+    val dim = Seq(("a", "A")).toDF("dk", "name")
+    val plan = Seq(("a", -2L)).toDF("k", "salt_factor")
+    val e = intercept[Exception] {
+      ScaleJoins.autoSaltedJoin(fact, dim, "k", "dk", plan).collect()
+    }
+    assert(e.getMessage.contains("non-positive salt factor"), e.getMessage)
+  }
+
   test("autoSaltedAgg: an EMPTY plan (no hot keys) degrades to the plain shape") {
     import spark.implicits._
     val df = Seq(("a", 1L, 2L), ("b", 2L, 3L), ("a", 3L, 4L))
