@@ -2645,5 +2645,45 @@ object ExtendedQueries {
                CAST(max(d.k_rows) AS BIGINT) AS k_rows
         FROM E e JOIN D d ON e.k = d.k
         GROUP BY e.k ORDER BY e.k""")),
+
+    GraftQuery(
+      "q212_interval_range_window",
+      "Time-based RANGE window frames (RANGE BETWEEN INTERVAL 1 HOUR " +
+        "PRECEDING AND CURRENT ROW): each event's rolling one-hour " +
+        "sum and count per user — the sliding-window analytic q12's " +
+        "ROWS frame cannot express (a row-count frame ignores the " +
+        "clock; an interval frame slides by event TIME, the shape " +
+        "every rate-limit and burst-detection report needs). " +
+        "Partitioned by user_id, so 100 TB parallelizes by key with " +
+        "no single-partition window; equal-timestamp rows are frame " +
+        "PEERS in both engines, so the result is deterministic under " +
+        "any tie order. Sums ride exact integer micro-units.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "events").createOrReplaceTempView("events_q212")
+        spark.sql("""
+          WITH E AS (SELECT user_id, event_id, ts,
+                            CAST(floor(value * 1000000.0) AS BIGINT) AS vmicros
+                     FROM events_q212)
+          SELECT user_id, event_id,
+                 CAST(sum(vmicros) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS hour_sum,
+                 count(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                   AS hour_n
+          FROM E ORDER BY user_id, event_id""")
+      },
+      Some("""
+        WITH E AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                          CAST(floor(value * 1000000.0) AS BIGINT) AS vmicros
+                   FROM events)
+        SELECT user_id, event_id,
+               CAST(sum(vmicros) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS hour_sum,
+               CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS hour_n
+        FROM E ORDER BY user_id, event_id""")),
   )
 }
