@@ -74,6 +74,26 @@ class StoreLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("store-layout version 2"), e.getMessage)
   }
 
+  test("a WRITTEN serving index (CorpusSink) stamps and refuses the same way") {
+    val spark0 = spark
+    import spark0.implicits._
+    val path = tmp("layout-sink")
+    val corpus = (0L until 32L).map(i =>
+      (i, Array.fill(4)(((i % 5) + 1).toFloat))).toDF("id", "vec")
+    graft.sinks.CorpusSink.writeIvfFlatIndex(corpus, "id", "vec", path, nLists = 2)
+    val meta = spark.read.parquet(s"$path/meta")
+    assert(meta.columns.contains("layout_version"))
+    // doctor to a future generation: the probe must refuse at open
+    Seq(Tuple1(2L)).toDF("nLists")
+      .withColumn("layout_version", lit(3L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val e = intercept[IllegalStateException] {
+      graft.similarity.Similarity.ivfFlatTopKFromIndex(
+        spark, path, corpus.limit(2), "id", "vec", k = 3)
+    }
+    assert(e.getMessage.contains("store-layout version 3"), e.getMessage)
+  }
+
   test("a PRE-VERSIONING meta (no field) still reads as layout 1") {
     val spark0 = spark
     import spark0.implicits._
