@@ -2685,5 +2685,44 @@ object ExtendedQueries {
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS hour_n
         FROM E ORDER BY user_id, event_id""")),
+
+    GraftQuery(
+      "q213_lambda_battery",
+      "Higher-order array-lambda parity battery (q37's scalar battery " +
+        "for the functional surface): transform, filter, exists, " +
+        "zip_with, and the aggregate fold — the codegen'd lambda " +
+        "forms every array-typed pipeline column leans on (token " +
+        "lists, shingles, embeddings) — against DuckDB's list_* " +
+        "twins. Arrays are sequence()-derived BIGINTs, so every " +
+        "lambda result is exact in both engines: sum of squares via " +
+        "fold, even-count via filter+size, membership via exists, " +
+        "and a reversed self zip_with product (the dot-product shape " +
+        "q24's vector kernel runs on floats, here integer-exact). " +
+        "Pure per-row map-side codegen — rides the scan, no shuffle " +
+        "but the output sort.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+          .select(col("doc_id"),
+            sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(10L))).as("r"))
+        d.select(col("doc_id"),
+            size(col("r")).cast("long").as("n"),
+            aggregate(col("r"), lit(0L), (acc, x) => acc + x * x).as("sumsq"),
+            size(filter(col("r"), x => pmod(x, lit(2L)) === lit(0L)))
+              .cast("long").as("n_even"),
+            exists(col("r"), x => x === lit(7L)).as("has7"),
+            aggregate(zip_with(col("r"), reverse(col("r")), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).as("cross_sum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH D AS (SELECT doc_id, range(1, 2 + doc_id % 10) AS r FROM documents)
+        SELECT doc_id,
+               CAST(len(r) AS BIGINT) AS n,
+               CAST(list_sum(list_transform(r, x -> x * x)) AS BIGINT) AS sumsq,
+               CAST(len(list_filter(r, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+               list_contains(r, 7) AS has7,
+               CAST(list_sum(list_transform(range(1, len(r) + 1),
+                      i -> r[i] * r[len(r) - i + 1])) AS BIGINT) AS cross_sum
+        FROM D ORDER BY doc_id""")),
   )
 }
