@@ -2724,5 +2724,42 @@ object ExtendedQueries {
                CAST(list_sum(list_transform(range(1, len(r) + 1),
                       i -> r[i] * r[len(r) - i + 1])) AS BIGINT) AS cross_sum
         FROM D ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q214_exact_percentiles",
+      "EXACT sort-based percentiles per group (q118's approximate " +
+        "quantiles are the sketch path; this is the ground truth the " +
+        "sketch is tuned against): continuous (R-7 interpolated) " +
+        "p25/p50/p90 plus the discrete median over per-source " +
+        "document lengths — Spark's percentile/percentile_disc vs " +
+        "DuckDB's quantile_cont/quantile_disc. Both engines share " +
+        "the R-7 definition (index p*(n-1), linear interpolation " +
+        "lower + frac*(higher-lower)), and the inputs are exact " +
+        "integers, so the interpolated doubles agree to the last " +
+        "bit — the gate proves the DEFINITIONS align, which is " +
+        "exactly what a sketch-accuracy report needs its truth side " +
+        "to guarantee. Exact percentiles sort within each group: " +
+        "right at per-source granularity, the global-sort analog is " +
+        "q118's sketch or q169's equi-depth bins at 100 TB.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "documents").createOrReplaceTempView("documents_q214")
+        spark.sql("""
+          SELECT source,
+                 count(*) AS n,
+                 percentile(n_chars, 0.25) AS p25,
+                 percentile(n_chars, 0.5) AS p50,
+                 percentile(n_chars, 0.9) AS p90,
+                 CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                      AS BIGINT) AS p50_disc
+          FROM documents_q214 GROUP BY source ORDER BY source""")
+      },
+      Some("""
+        SELECT source,
+               count(*) AS n,
+               quantile_cont(n_chars, 0.25) AS p25,
+               quantile_cont(n_chars, 0.5) AS p50,
+               quantile_cont(n_chars, 0.9) AS p90,
+               CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_disc
+        FROM documents GROUP BY source ORDER BY source""")),
   )
 }
