@@ -156,12 +156,16 @@ object Bench {
     // failed, value) LAST, so tail truncation can only ever eat
     // per-query detail (recoverable from the committed file), never
     // the totals or the dead-query list.
-    val localPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
-    java.nio.file.Files.writeString(localPath,
-      s"""{"sf":"$sfDir","npass":$nPass,"stat":"min",""" +
-        s""""total":$total,"median_total":$medTotal,""" +
-        s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""queries":$qsFull,"medians":$medMap}""" + "\n")
+    // FULL-registry runs only: a SPARK_GRAFT_BENCH_ONLY regression hunt
+    // must never overwrite the committed full map with a 3-query one
+    if (registry.size == SparkEntry.registry.size) {
+      val localPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      java.nio.file.Files.writeString(localPath,
+        s"""{"sf":"$sfDir","npass":$nPass,"stat":"min",""" +
+          s""""total":$total,"median_total":$medTotal,""" +
+          s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""queries":$qsFull,"medians":$medMap}""" + "\n")
+    }
     println(s"""{"metric":"total","unit":"sec","npass":$nPass,"stat":"min","sf":"$sfDir","queries":$qs,"median_total":${fmt3(medTotal)},"failed":$failedJson,"value":${fmt3(total)}}""")
     System.out.flush()
     spark.stop()
