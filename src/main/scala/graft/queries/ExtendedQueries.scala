@@ -1873,11 +1873,17 @@ object ExtendedQueries {
       "q175_spearman_rank_corr",
       "Exact Spearman rank correlation per group (quantity vs price " +
         "within each returnflag) — the monotone-association monitor " +
-        "that survives outliers where Pearson does not. Ranks are the " +
-        "PERMUTATION ranks of the (value, l_orderkey, l_linenumber) " +
-        "total order (ties broken by the unique key — the convention " +
-        "both engines share verbatim, so no tie-averaging float " +
-        "enters), rho = 1 - 6*sum(d^2)/(n(n^2-1)) lands as truncated " +
+        "that survives outliers where Pearson does not. The input is " +
+        "the DISTINCT (flag, quantity, price, orderkey, linenumber) " +
+        "rows of the slice and BOTH rank windows order over all four " +
+        "non-flag columns: the driver data contains duplicate line " +
+        "rows — (l_orderkey, l_linenumber) is NOT unique — and a " +
+        "permutation rank is only engine-deterministic over a set " +
+        "with a TOTAL order (row_number tie order is engine-" +
+        "arbitrary; sf0.1 exposed real rank divergence before this " +
+        "dedup). Over the distinct rows each window's four-column " +
+        "order is total, so the permutations are pinned exactly; " +
+        "rho = 1 - 6*sum(d^2)/(n(n^2-1)) lands as truncated " +
         "micro-units. sum(d^2) grows as n^3/6, so 6e6*sum(d^2) (and " +
         "the n^3 denominator) leave int64 once a group passes ~1e5 " +
         "rows — the rho arithmetic therefore rides DECIMAL(38,0) on " +
@@ -1891,9 +1897,14 @@ object ExtendedQueries {
         import org.apache.spark.sql.expressions.Window
         val li = Tables.table(spark, dir, "lineitem")
           .filter(col("l_orderkey") % 50 === 0)
+          .select(col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+          .distinct()
         val p = Window.partitionBy(col("l_returnflag"))
-        val wx = p.orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-        val wy = p.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        val wx = p.orderBy(col("l_quantity"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        val wy = p.orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
         li.select(col("l_returnflag"),
             row_number().over(wx).cast("long").as("rx"),
             row_number().over(wy).cast("long").as("ry"))
@@ -1909,12 +1920,16 @@ object ExtendedQueries {
           .orderBy(col("l_returnflag"))
       },
       Some("""
-        WITH L AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0),
+        WITH L AS (SELECT DISTINCT l_returnflag, l_quantity,
+                          l_extendedprice, l_orderkey, l_linenumber
+                   FROM lineitem WHERE l_orderkey % 50 = 0),
         R AS (SELECT l_returnflag,
                      row_number() OVER (PARTITION BY l_returnflag
-                       ORDER BY l_quantity, l_orderkey, l_linenumber) AS rx,
+                       ORDER BY l_quantity, l_orderkey, l_linenumber,
+                                l_extendedprice) AS rx,
                      row_number() OVER (PARTITION BY l_returnflag
-                       ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS ry
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+                                l_quantity) AS ry
               FROM L),
         M AS (SELECT l_returnflag, count(*) AS n,
                      CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
