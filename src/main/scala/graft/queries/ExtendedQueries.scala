@@ -2776,5 +2776,53 @@ object ExtendedQueries {
                quantile_cont(n_chars, 0.9) AS p90,
                CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_disc
         FROM documents GROUP BY source ORDER BY source""")),
+
+    GraftQuery(
+      "q215_try_semantics",
+      "NULL-on-error (try_) semantics battery — the messy-data " +
+        "cleaning surface every ingest pipeline leans on: try_cast " +
+        "of a mixed numeric/word column to INT, try_cast of a mixed " +
+        "date/word column to DATE, try_divide with an intermittent " +
+        "zero divisor, and try_add at int64 max (overflow -> NULL " +
+        "on exactly the odd rows). ANSI mode makes each of these a " +
+        "JOB-KILLING error at row one of 100 TB; the try_ forms " +
+        "degrade per-row to NULL and the pipeline quarantines " +
+        "instead of dying. The oracle derives the identical truth " +
+        "with DuckDB's TRY_CAST and guard expressions (NULLIF " +
+        "divisor, CASE overflow), so the gate proves the error " +
+        "SEMANTICS match row-for-row, not just the happy path. " +
+        "All map-side codegen.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "documents").createOrReplaceTempView("documents_q215")
+        spark.sql("""
+          WITH D AS (SELECT doc_id, lang, source, n_chars,
+                            CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS STRING)
+                                 ELSE lang END AS s_num,
+                            CASE WHEN doc_id % 4 = 0
+                                 THEN concat('2024-01-0', CAST(1 + doc_id % 9 AS STRING))
+                                 ELSE source END AS s_date
+                     FROM documents_q215)
+          SELECT doc_id,
+                 try_cast(s_num AS INT) AS as_int,
+                 CAST(try_cast(s_date AS DATE) AS STRING) AS as_date,
+                 try_divide(n_chars, doc_id % 5) AS safe_div,
+                 try_add(9223372036854775807L, doc_id % 2) AS add_guard
+          FROM D ORDER BY doc_id""")
+      },
+      Some("""
+        WITH D AS (SELECT doc_id, lang, source, n_chars,
+                          CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS VARCHAR)
+                               ELSE lang END AS s_num,
+                          CASE WHEN doc_id % 4 = 0
+                               THEN '2024-01-0' || CAST(1 + doc_id % 9 AS VARCHAR)
+                               ELSE source END AS s_date
+                   FROM documents)
+        SELECT doc_id,
+               TRY_CAST(s_num AS INTEGER) AS as_int,
+               CAST(TRY_CAST(s_date AS DATE) AS VARCHAR) AS as_date,
+               n_chars / NULLIF(doc_id % 5, 0) AS safe_div,
+               CASE WHEN doc_id % 2 = 1 THEN NULL
+                    ELSE 9223372036854775807 END AS add_guard
+        FROM D ORDER BY doc_id""")),
   )
 }
