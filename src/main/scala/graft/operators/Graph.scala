@@ -40,12 +40,24 @@ object Graph {
     * the job — the trade every long-running production graph job makes.
     * Output is bit-identical either way: the integer formulations are
     * exact under any partitioning, and a checkpoint only pins lineage.
+    *
+    * setCheckpointDir is application-global state; the caller's setting
+    * is captured before and restored after the eager checkpoint (same
+    * convention and same CONCURRENCY CONTRACT as
+    * [[graft.dedup.Clusters.connectedComponents]]: only safe when no
+    * other job on this context calls .checkpoint() concurrently —
+    * concurrent callers should set the dir once at startup and pass
+    * that same value here, a no-op race). If no dir was set before,
+    * ours necessarily remains — Spark has no unset.
     */
   private def pinLineage(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        val sc = df.sparkSession.sparkContext
+        val prevCheckpointDir = sc.getCheckpointDir
+        sc.setCheckpointDir(dir)
+        try df.checkpoint(eager = true)
+        finally prevCheckpointDir.foreach(sc.setCheckpointDir)
       case None => df.localCheckpoint(eager = true)
     }
 

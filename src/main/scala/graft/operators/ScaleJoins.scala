@@ -38,12 +38,26 @@ object ScaleJoins {
     * reducers instead of one. Result is identical to the plain join.
     * (AQE's skewJoin does this adaptively for sort-merge joins; the
     * explicit form also covers aggregation-free pipelines and fixed
-    * plans.) */
+    * plans.)
+    *
+    * The salt is DETERMINISTIC — `pmod(hash(saltCols...), factor)`,
+    * with `saltCols` defaulting to every left column: on a real
+    * cluster a map task recomputed after a fetch failure must re-emit
+    * each row with the SAME salt (= same reducer) as the copies some
+    * reducers already consumed, or the retry duplicates/loses rows.
+    * A nondeterministic salt source (partition-dependent row ids)
+    * passes every single-host test and corrupts exactly in the
+    * large-cluster retry regime this operator exists for. Pass a
+    * high-cardinality `saltCols` (a row id) when the data has one —
+    * hashing all columns spreads duplicates of the SAME row onto the
+    * same reducer, which only matters for duplicate-dominated keys. */
   def saltedInnerJoin(
       left: DataFrame, right: DataFrame,
-      leftKey: String, rightKey: String, saltFactor: Int): DataFrame = {
+      leftKey: String, rightKey: String, saltFactor: Int,
+      saltCols: Seq[String] = Nil): DataFrame = {
+    val src = (if (saltCols.nonEmpty) saltCols else left.columns.toSeq).map(col)
     val saltedLeft = left.withColumn(
-      "_salt", pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+      "_salt", pmod(hash(src: _*).cast("long"), lit(saltFactor.toLong)))
     val explodedRight = right.withColumn(
       "_salt", explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     saltedLeft.join(explodedRight,
@@ -110,11 +124,18 @@ object ScaleJoins {
     * Result is identical to the plain join whatever plan is supplied
     * — salting only splits a key's rows across reducers (the q211
     * oracle gate). Non-positive planned factors fail loudly, as in
-    * [[autoSaltedAgg]]. */
+    * [[autoSaltedAgg]].
+    *
+    * The left salt is DETERMINISTIC (`pmod(hash(saltCols...), f_k)`,
+    * defaulting to all left columns — same contract and same retry
+    * rationale as [[saltedInnerJoin]], matching [[autoSaltedAgg]]'s
+    * `hash(saltCol)` convention): a recomputed map task must re-salt
+    * each row identically or shuffle retries duplicate/lose rows. */
   def autoSaltedJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, saltPlan: DataFrame,
-      planKeyCol: String = "k", factorCol: String = "salt_factor"): DataFrame = {
+      planKeyCol: String = "k", factorCol: String = "salt_factor",
+      saltCols: Seq[String] = Nil): DataFrame = {
     def withFactor(df: DataFrame, key: String): DataFrame = {
       val plan = saltPlan.select(
         col(planKeyCol).as("_pk"), col(factorCol).cast("long").as("_pf"))
@@ -126,8 +147,9 @@ object ScaleJoins {
               col("_pf").cast("string"), lit(s" planned for a $key key")))))
         .drop("_pk", "_pf")
     }
+    val saltSrc = (if (saltCols.nonEmpty) saltCols else left.columns.toSeq).map(col)
     val saltedLeft = withFactor(left, leftKey)
-      .withColumn("_salt", pmod(monotonically_increasing_id(), col("_sf")))
+      .withColumn("_salt", pmod(hash(saltSrc: _*).cast("long"), col("_sf")))
       .drop("_sf")
     val explodedRight = withFactor(right, rightKey)
       .withColumn("_salt", explode(sequence(lit(0L), col("_sf") - 1)))

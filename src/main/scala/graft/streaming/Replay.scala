@@ -112,7 +112,14 @@ object Replay {
     val q = start(eventsStream(spark, eventsDir))
     try { await(q); q }
     catch {
-      case e: Throwable if isTsBootstrapFailure(e) =>
+      // NonFatal only: a fatal error (OOM, thread death) whose cause
+      // chain HAPPENS to contain a matching parquet message must not
+      // trigger a stream restart on a dying JVM — the heal is for the
+      // StreamingQueryException both processAllAvailable() and
+      // awaitTermination() actually throw, and NonFatal keeps the
+      // message-based signature match from widening past recoverable
+      // query failures.
+      case scala.util.control.NonFatal(e) if isTsBootstrapFailure(e) =>
         val healed = start(eventsStream(spark, eventsDir))
         await(healed)
         healed

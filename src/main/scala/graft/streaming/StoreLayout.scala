@@ -33,11 +33,18 @@ private[graft] object StoreLayout {
   def stamp(meta: DataFrame): DataFrame =
     meta.withColumn("layout_version", lit(Version))
 
-  /** Validate an already-loaded meta frame against [[Version]]. */
+  /** Validate an already-loaded meta frame against [[Version]].
+    * A NULL version (partially-written or hand-doctored meta) is a
+    * foreign/corrupt layout and refuses with the same loud upgrade
+    * note — never a bare NPE far from the cause. */
   def check(meta: DataFrame, store: String): Unit =
     if (meta.columns.contains("layout_version")) {
-      val v = meta.select(col("layout_version").cast("long"))
-        .collect()(0).getLong(0)
+      val row = meta.select(col("layout_version").cast("long")).collect()(0)
+      if (row.isNullAt(0)) throw new IllegalStateException(
+        s"$store carries a NULL store-layout version (partially written " +
+          s"or corrupt meta); this build reads version $Version — " +
+          "re-seed/rebuild the store from its source data")
+      val v = row.getLong(0)
       if (v != Version) throw new IllegalStateException(
         s"$store was written by store-layout version $v; this build " +
           s"reads version $Version — re-seed/rebuild the store from its " +

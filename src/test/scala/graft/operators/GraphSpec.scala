@@ -96,6 +96,40 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("checkpointDir runs restore the caller's application-global checkpoint dir") {
+    // setCheckpointDir is SparkContext-global: an operator that leaves
+    // its own dir behind silently repoints every later .checkpoint()
+    // in the app. Same convention as Clusters.connectedComponents.
+    val spark0 = spark
+    import spark0.implicits._
+    val sc = spark.sparkContext
+    val callerDir = java.nio.file.Files.createTempDirectory("caller-ckpt").toString
+    val opDir = java.nio.file.Files.createTempDirectory("op-ckpt").toString
+    val prevAtStart = sc.getCheckpointDir
+    try {
+      sc.setCheckpointDir(callerDir)
+      // setCheckpointDir appends a fresh UUID level each call, so
+      // restore cannot be exact-equal — the contract is that later
+      // .checkpoint()s still land under the CALLER'S directory tree
+      val callerSet = sc.getCheckpointDir.get // fs-qualified callerDir/UUID
+      def underCaller = sc.getCheckpointDir.exists(_.contains(callerDir
+        .stripPrefix("/"))) && !sc.getCheckpointDir.exists(_.contains(opDir
+        .stripPrefix("/")))
+      assert(callerSet.contains(callerDir.stripPrefix("/")))
+      val edges = (star ++ Seq((2L, 3L), (3L, 2L))).toDF("src", "dst")
+      Graph.fixedPointPageRank(edges, 2, Some(opDir)).count()
+      assert(underCaller,
+        s"pageRank leaked its checkpoint dir: ${sc.getCheckpointDir}")
+      Graph.triangleCounts(edges, Some(opDir)).count()
+      assert(underCaller,
+        s"triangleCounts leaked its checkpoint dir: ${sc.getCheckpointDir}")
+    } finally {
+      prevAtStart.foreach(sc.setCheckpointDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(callerDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(opDir))
+    }
+  }
+
   test("triangles: hub-heavy graph matches naive enumeration") {
     // hub 0 connected to 1..10, plus ring edges i-(i+1): triangles are
     // exactly (0, i, i+1) — verify against a driver-side naive count

@@ -182,6 +182,54 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(replicated.agg(sum(col("_sf"))).collect()(0).getLong(0) == 11L)
   }
 
+  test("salted joins carry only DETERMINISTIC expressions (shuffle-retry safety)") {
+    import spark.implicits._
+    // a map task recomputed after a fetch failure must re-emit every
+    // row with the SAME salt as the copies some reducers already
+    // consumed — any nondeterministic expression (partition-dependent
+    // row ids, rand) in the salted plan is the classic duplicate/
+    // lost-row hazard. Single-host tests cannot catch the corruption
+    // itself; this gate catches the expression class that causes it.
+    val fact = Seq(("hot", 1L), ("hot", 2L), ("c1", 3L)).toDF("k", "payload")
+    val dim = Seq(("hot", "H"), ("c1", "X")).toDF("dk", "name")
+    val plan = Seq(("hot", 8L)).toDF("k", "salt_factor")
+    for (df <- Seq(
+        ScaleJoins.saltedInnerJoin(fact, dim, "k", "dk", saltFactor = 8),
+        ScaleJoins.autoSaltedJoin(fact, dim, "k", "dk", plan),
+        ScaleJoins.autoSaltedAgg(fact, "k", "payload", Seq("payload"), plan))) {
+      val nondet = df.queryExecution.analyzed.collect {
+        case p => p.expressions.flatMap(e => e.collect {
+          case x if !x.deterministic => x
+        })
+      }.flatten
+      assert(nondet.isEmpty, s"nondeterministic exprs in salted plan: $nondet")
+    }
+  }
+
+  test("salted join salts identically under different input partitionings") {
+    import spark.implicits._
+    // the determinism contract, observed end-to-end: the same rows in
+    // a different partition layout must land on the same (key, salt)
+    // reducer buckets
+    val left = ((0 until 2000).map(i => (1, i)) ++ Seq((2, 9001), (3, 9002)))
+      .toDF("k", "v")
+    val right = Seq((1, "a"), (2, "b"), (3, "c")).toDF("rk", "d")
+    def saltHistogram(l: org.apache.spark.sql.DataFrame) =
+      l.withColumn("_salt", pmod(hash(col("k"), col("v")).cast("long"), lit(8L)))
+        .groupBy("k", "_salt").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(saltHistogram(left.repartition(3)) == saltHistogram(left.repartition(17)))
+    // and the joined result is still exactly the plain join either way
+    val plain = left.join(right, col("k") === col("rk")).orderBy("v", "rk")
+      .collect().map(_.toSeq).toSeq
+    for (parts <- Seq(3, 17)) {
+      val got = ScaleJoins
+        .saltedInnerJoin(left.repartition(parts), right, "k", "rk", saltFactor = 8)
+        .orderBy("v", "rk").collect().map(_.toSeq).toSeq
+      assert(got == plain)
+    }
+  }
+
   test("autoSaltedJoin: a non-positive planned factor fails loudly") {
     import spark.implicits._
     val fact = Seq(("a", 1L)).toDF("k", "payload")

@@ -94,6 +94,23 @@ class StoreLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("store-layout version 3"), e.getMessage)
   }
 
+  test("a NULL layout_version (partially-written meta) refuses loudly, never NPEs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val cm = tmp("layout-cm-null")
+    CountMinStream.seed(spark, cm, eps = 0.01, confidence = 0.9, sketchSeed = 7)
+    // doctor the meta so the column EXISTS but holds NULL — the shape a
+    // torn write or hand-edit leaves behind; the gate must raise its
+    // own loud refusal, not a bare NullPointerException far from here
+    Seq((0.01, 0.9, 7L)).toDF("eps", "confidence", "seed")
+      .withColumn("layout_version", lit(null).cast("long")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$cm/v=0/meta")
+    val e = intercept[IllegalStateException] {
+      CountMinStream.read(spark, cm)
+    }
+    assert(e.getMessage.contains("NULL store-layout version"), e.getMessage)
+  }
+
   test("a PRE-VERSIONING meta (no field) still reads as layout 1") {
     val spark0 = spark
     import spark0.implicits._
