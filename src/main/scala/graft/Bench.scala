@@ -45,18 +45,74 @@ import org.apache.spark.sql.functions._
 object Bench {
   private final case class Sample(sec: Double, startMs: Long, ok: Boolean)
 
+  /** Deterministic per-query PLAN metrics — the drift-immune
+    * regression signal: wall-time on this host swings ~1.3x with
+    * ambient load, but the executed plan's exchange count and its
+    * shuffle/scan row counts are functions of (code, data) only.
+    * Collected AFTER execution from the final adaptive plan, walking
+    * through AQE wrappers (`AdaptiveSparkPlanExec.executedPlan`,
+    * `QueryStageExec.plan`) and expression-embedded subqueries;
+    * `ReusedExchangeExec` is NOT re-entered, so a reused shuffle's
+    * rows count once. Only the RETURNED frame's plan is measured —
+    * side jobs a query runs internally (store seeds) are out of
+    * frame by design, deterministically. */
+  private[graft] final case class PlanStats(
+      exchanges: Long, broadcasts: Long, shuffleRows: Long, scanRows: Long) {
+    def json: String =
+      s"""{"exchanges":$exchanges,"broadcasts":$broadcasts,""" +
+        s""""shuffle_rows":$shuffleRows,"scan_rows":$scanRows}"""
+  }
+
+  private[graft] def planStats(
+      qe: org.apache.spark.sql.execution.QueryExecution): PlanStats = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange._
+    var ex = 0L; var bc = 0L; var sr = 0L; var sc = 0L
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(p: SparkPlan): Unit = if (seen.add(p)) {
+      p match {
+        case s: ShuffleExchangeLike =>
+          ex += 1
+          sr += s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+        case _: BroadcastExchangeLike => bc += 1
+        case _: QueryStageExec => () // wrapper; its plan walks below
+        case l: LeafExecNode =>
+          sc += l.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        case _ => ()
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _: ReusedExchangeExec => Nil
+        case _ => p.children
+      }
+      kids.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(qe.executedPlan)
+    PlanStats(ex, bc, sr, sc)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
 
     warmup(spark, sfDir)
 
-    def timeOnce(q: graft.queries.GraftQuery): Sample = {
+    val planByQuery = scala.collection.mutable.Map.empty[String, PlanStats]
+    def timeOnce(q: graft.queries.GraftQuery, collectPlan: Boolean): Sample = {
       val startMs = System.currentTimeMillis()
       val t0 = System.nanoTime()
       try {
-        q.run(spark, sfDir).queryExecution.toRdd.count()
-        Sample((System.nanoTime() - t0) / 1e9, startMs, ok = true)
+        val qe = q.run(spark, sfDir).queryExecution
+        qe.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // plan-walk AFTER stopping the clock — driver-side tree walk,
+        // never billed to the query
+        if (collectPlan) planByQuery(q.name) = planStats(qe)
+        Sample(sec, startMs, ok = true)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         Sample(-1.0, startMs, ok = false)
@@ -76,9 +132,12 @@ object Bench {
       case None => SparkEntry.registry
     }
     val nPass = 3
-    // interleaved: every query runs once per pass before any repeats
+    // interleaved: every query runs once per pass before any repeats;
+    // plan metrics come from the FIRST pass (AQE's decisions are
+    // (code, data)-deterministic, so any pass yields the same plan)
     val passMaps: Seq[Map[String, Sample]] =
-      (1 to nPass).map(_ => registry.map(q => q.name -> timeOnce(q)).toMap)
+      (1 to nPass).map(p =>
+        registry.map(q => q.name -> timeOnce(q, collectPlan = p == 1)).toMap)
     def samples(name: String): Seq[Sample] = passMaps.map(_(name))
 
     // a failed query reports -1.0, never a fast-looking time-to-failure
@@ -124,12 +183,51 @@ object Bench {
     // is NOT "merged first" across pipes, so the only safe layout is:
     // big diagnostics off-pipe entirely, stdout ends with the contract
     // line, and the line on stderr is a short fixed-size pointer.
+    val planMap = registry.flatMap(q => planByQuery.get(q.name).map(s =>
+      "\"" + q.name + "\":" + s.json)).mkString("{", ",", "}")
+    // PLAN DRIFT GATE (drift-immune regression signal): compare this
+    // run's exchange counts and shuffle row counts against the
+    // previously COMMITTED full map — wall-time regressions hide in
+    // this host's 1.3x ambient swing, but a query whose plan grew an
+    // exchange or whose shuffle volume moved did so because code or
+    // data changed. Same-sf comparisons only (row counts scale with
+    // the input); scan_rows is recorded but not gated (it moves with
+    // legitimate pruning changes the exchange gate already catches).
+    val planDrift: Seq[String] = {
+      val prev = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      if (!java.nio.file.Files.exists(prev)) Nil
+      else try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(prev.toFile)
+        if (root.path("sf").asText() != sfDir || !root.has("plan")) Nil
+        else {
+          val old = root.path("plan")
+          registry.map(_.name).filter(old.has).flatMap { name =>
+            planByQuery.get(name).flatMap { now =>
+              val o = old.path(name)
+              val msgs = Seq(
+                ("exchanges", o.path("exchanges").asLong(-1L), now.exchanges),
+                ("shuffle_rows", o.path("shuffle_rows").asLong(-1L), now.shuffleRows)
+              ).collect { case (m, a, b) if a >= 0 && a != b => s"$m $a->$b" }
+              if (msgs.isEmpty) None
+              else Some(s"$name: ${msgs.mkString(", ")}")
+            }
+          }
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] plan-drift compare skipped: ${e.getMessage}")
+        Nil
+      }
+    }
+    planDrift.foreach(d => System.err.println(s"[bench] PLAN DRIFT $d"))
     val diagPath = java.nio.file.Paths.get("target", "bench_diag.json")
     java.nio.file.Files.createDirectories(diagPath.getParent)
     java.nio.file.Files.writeString(diagPath,
       s"""{"full_names":$qsFull,""" +
         s""""median_total":$medTotal,"medians":$medMap,""" +
-        s""""npass":$nPass,"passes":$passes,"starts":$starts}""" + "\n")
+        s""""npass":$nPass,"plan":$planMap,""" +
+        s""""plan_drift":${planDrift.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""passes":$passes,"starts":$starts}""" + "\n")
     System.err.println(s"""{"diag":"bench_diag_file","path":"$diagPath"}""")
     System.err.flush()
     // npass + median_total ride the contract line (small, fixed-size)
@@ -164,9 +262,13 @@ object Bench {
         s"""{"sf":"$sfDir","npass":$nPass,"stat":"min",""" +
           s""""total":$total,"median_total":$medTotal,""" +
           s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-          s""""queries":$qsFull,"medians":$medMap}""" + "\n")
+          s""""plan_drift":${planDrift.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""queries":$qsFull,"medians":$medMap,"plan":$planMap}""" + "\n")
     }
-    println(s"""{"metric":"total","unit":"sec","npass":$nPass,"stat":"min","sf":"$sfDir","queries":$qs,"median_total":${fmt3(medTotal)},"failed":$failedJson,"value":${fmt3(total)}}""")
+    // plan_drift rides the contract line as a COUNT (fixed-size): a
+    // nonzero value tells the round reader to open BENCH_LOCAL.json's
+    // plan_drift list before trusting any wall-time comparison
+    println(s"""{"metric":"total","unit":"sec","npass":$nPass,"stat":"min","sf":"$sfDir","queries":$qs,"median_total":${fmt3(medTotal)},"plan_drift":${planDrift.size},"failed":$failedJson,"value":${fmt3(total)}}""")
     System.out.flush()
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
