@@ -637,6 +637,251 @@ object CoreQueries {
                  AS src1_chars,
                CAST(sum(CASE WHEN source = 'src2' THEN n_chars END) AS BIGINT)
                  AS src2_chars
-        FROM documents GROUP BY lang ORDER BY lang"""))
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    GraftQuery(
+      "q216_correlated_min_over_join",
+      "TPC-H Q2 shape: the correlated MIN-over-a-JOIN in the WHERE " +
+        "clause — cheapest regional supplier per part, where the " +
+        "floor price is itself a four-table join re-correlated on " +
+        "the outer part key. Catalyst must decorrelate the scalar " +
+        "MIN into one aggregate over the joined frame and hash-join " +
+        "it back on p_partkey — at 100 TB the difference between " +
+        "two shuffles and a four-table re-scan per part row. The " +
+        "partsupp surrogate is lineitem grouped by (partkey, " +
+        "suppkey) with MIN(extendedprice) as the supply cost, all " +
+        "in DECIMAL(18,2) so the min and its equality probe are " +
+        "exact in both engines; (p_partkey, s_name) is unique by " +
+        "the grouping, so the ORDER BY is total.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q216")
+        Tables.table(spark, dir, "part").createOrReplaceTempView("part_q216")
+        Tables.table(spark, dir, "supplier").createOrReplaceTempView("supplier_q216")
+        Tables.table(spark, dir, "nation").createOrReplaceTempView("nation_q216")
+        Tables.table(spark, dir, "region").createOrReplaceTempView("region_q216")
+        spark.sql("""
+          WITH ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+            FROM lineitem_q216 GROUP BY l_partkey, l_suppkey)
+          SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+                 CAST(ps.ps_supplycost AS DOUBLE) AS supplycost
+          FROM part_q216 p
+          JOIN ps ON p.p_partkey = ps.ps_partkey
+          JOIN supplier_q216 s ON s.s_suppkey = ps.ps_suppkey
+          JOIN nation_q216 n ON s.s_nationkey = n.n_nationkey
+          JOIN region_q216 r ON n.n_regionkey = r.r_regionkey
+          WHERE p.p_size BETWEEN 1 AND 15 AND p.p_type = 'ECONOMY'
+            AND r.r_name = 'ASIA'
+            AND ps.ps_supplycost = (
+              SELECT MIN(ps2.ps_supplycost)
+              FROM ps ps2
+              JOIN supplier_q216 s2 ON s2.s_suppkey = ps2.ps_suppkey
+              JOIN nation_q216 n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN region_q216 r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+          ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+          LIMIT 100""")
+      },
+      Some("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+          FROM lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+               CAST(ps.ps_supplycost AS DOUBLE) AS supplycost
+        FROM part p
+        JOIN ps ON p.p_partkey = ps.ps_partkey
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size BETWEEN 1 AND 15 AND p.p_type = 'ECONOMY'
+          AND r.r_name = 'ASIA'
+          AND ps.ps_supplycost = (
+            SELECT MIN(ps2.ps_supplycost)
+            FROM ps ps2
+            JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100""")),
+
+    GraftQuery(
+      "q217_having_scalar_subquery",
+      "TPC-H Q11 shape: HAVING filtered against a scalar subquery " +
+        "over the WHOLE table — per-part inventory value within one " +
+        "nation, kept only when it exceeds a fraction of the " +
+        "nation's total. The subquery is uncorrelated, so Catalyst " +
+        "executes it ONCE as a broadcast scalar and the HAVING " +
+        "becomes a cheap post-aggregate filter — never a re-scan " +
+        "per group. Value arithmetic is DECIMAL(18,2) x BIGINT " +
+        "(exact partial sums in any engine); the 0.001 fraction " +
+        "compares the same exact totals scaled by the same double.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q217")
+        Tables.table(spark, dir, "supplier").createOrReplaceTempView("supplier_q217b")
+        Tables.table(spark, dir, "nation").createOrReplaceTempView("nation_q217")
+        spark.sql("""
+          WITH ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   SUM(CAST(l_quantity AS BIGINT)) AS ps_availqty,
+                   MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+            FROM lineitem_q217 GROUP BY l_partkey, l_suppkey)
+          SELECT ps_partkey,
+                 CAST(SUM(ps_supplycost * ps_availqty) AS DOUBLE) AS part_value
+          FROM ps
+          JOIN supplier_q217b ON s_suppkey = ps_suppkey
+          JOIN nation_q217 ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'
+          GROUP BY ps_partkey
+          HAVING SUM(ps_supplycost * ps_availqty) > (
+            SELECT SUM(ps_supplycost * ps_availqty) * 0.0001
+            FROM ps JOIN supplier_q217b ON s_suppkey = ps_suppkey
+                    JOIN nation_q217 ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3')
+          ORDER BY part_value DESC, ps_partkey""")
+      },
+      Some("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 SUM(CAST(l_quantity AS BIGINT)) AS ps_availqty,
+                 MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+          FROM lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT ps_partkey,
+               CAST(SUM(ps_supplycost * ps_availqty) AS DOUBLE) AS part_value
+        FROM ps
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY ps_partkey
+        HAVING SUM(ps_supplycost * ps_availqty) > (
+          SELECT SUM(ps_supplycost * ps_availqty) * 0.0001
+          FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3')
+        ORDER BY part_value DESC, ps_partkey""")),
+
+    GraftQuery(
+      "q218_in_correlated_agg_chain",
+      "TPC-H Q20 shape: IN over a subquery whose WHERE chains " +
+        "another IN (the part-name filter) AND a correlated " +
+        "aggregate comparison — suppliers in one nation who shipped " +
+        "at least a quarter of a red part's all-time volume inside " +
+        "1997. Catalyst must decorrelate the inner SUM into a " +
+        "grouped aggregate joined on BOTH correlation keys and " +
+        "turn each IN into a left-semi join — three hash joins at " +
+        "100 TB, never a per-(part,supplier) fact re-scan. " +
+        "Quantities ride BIGINT (exact everywhere); a pair with no " +
+        "1997 shipments yields NULL, which fails the comparison " +
+        "identically in both engines.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q218")
+        Tables.table(spark, dir, "part").createOrReplaceTempView("part_q218")
+        Tables.table(spark, dir, "supplier").createOrReplaceTempView("supplier_q218")
+        Tables.table(spark, dir, "nation").createOrReplaceTempView("nation_q218")
+        spark.sql("""
+          WITH ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   SUM(CAST(l_quantity AS BIGINT)) AS ps_availqty
+            FROM lineitem_q218 GROUP BY l_partkey, l_suppkey)
+          SELECT s.s_name, s.s_acctbal
+          FROM supplier_q218 s JOIN nation_q218 n ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_name = 'NATION_1'
+            AND s.s_suppkey IN (
+              SELECT ps.ps_suppkey FROM ps
+              WHERE ps.ps_partkey IN (SELECT p_partkey FROM part_q218
+                                      WHERE p_name LIKE 'red%')
+                AND (SELECT COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0)
+                     FROM lineitem_q218 l
+                     WHERE l.l_partkey = ps.ps_partkey
+                       AND l.l_suppkey = ps.ps_suppkey
+                       AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+                    * 4 > ps.ps_availqty)
+          ORDER BY s.s_name""")
+      },
+      Some("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 SUM(CAST(l_quantity AS BIGINT)) AS ps_availqty
+          FROM lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT s.s_name, s.s_acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_1'
+          AND s.s_suppkey IN (
+            SELECT ps.ps_suppkey FROM ps
+            WHERE ps.ps_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'red%')
+              AND (SELECT COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0)
+                   FROM lineitem l
+                   WHERE l.l_partkey = ps.ps_partkey
+                     AND l.l_suppkey = ps.ps_suppkey
+                     AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                     AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+                  * 4 > ps.ps_availqty)
+        ORDER BY s.s_name""")),
+
+    GraftQuery(
+      "q219_antijoin_scalar_avg_dispatch",
+      "TPC-H Q22 shape: NOT EXISTS anti-join + a scalar AVG over a " +
+        "filtered set + substring dispatch, in one query — balance " +
+        "census of above-average customers in selected name-code " +
+        "buckets who placed no order since 2000. Catalyst executes " +
+        "the uncorrelated AVG once, rewrites NOT EXISTS to a left-" +
+        "anti hash join on o_custkey, and the dispatch is a scan-" +
+        "level IN over the last-two-character code — one fact " +
+        "shuffle total. The threshold rides exact integer cents " +
+        "(ROUND(x*100) never lands on .5 for 2-decimal stored " +
+        "values) so both engines average identical BIGINTs into " +
+        "the identical double.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "customer").createOrReplaceTempView("customer_q219")
+        Tables.table(spark, dir, "orders").createOrReplaceTempView("orders_q219")
+        spark.sql("""
+          SELECT cntrycode, COUNT(*) AS numcust,
+                 CAST(SUM(acctbal) AS DOUBLE) AS totacctbal
+          FROM (
+            SELECT SUBSTRING(c_name, LENGTH(c_name)-1, 2) AS cntrycode,
+                   CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+            FROM customer_q219 c
+            WHERE SUBSTRING(c_name, LENGTH(c_name)-1, 2)
+                    IN ('01','12','23','34','45','56')
+              AND CAST(ROUND(c_acctbal * 100) AS BIGINT) > (
+                SELECT AVG(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT))
+                FROM customer_q219 c2
+                WHERE c2.c_acctbal > 0.0
+                  AND SUBSTRING(c2.c_name, LENGTH(c2.c_name)-1, 2)
+                        IN ('01','12','23','34','45','56'))
+              AND NOT EXISTS (SELECT 1 FROM orders_q219 o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >=
+                                    TIMESTAMP '2000-01-01 00:00:00')
+          ) t
+          GROUP BY cntrycode
+          ORDER BY cntrycode""")
+      },
+      Some("""
+        SELECT cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(acctbal) AS DOUBLE) AS totacctbal
+        FROM (
+          SELECT SUBSTRING(c_name, LENGTH(c_name)-1, 2) AS cntrycode,
+                 CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+          FROM customer c
+          WHERE SUBSTRING(c_name, LENGTH(c_name)-1, 2)
+                  IN ('01','12','23','34','45','56')
+            AND CAST(ROUND(c_acctbal * 100) AS BIGINT) > (
+              SELECT AVG(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT))
+              FROM customer c2
+              WHERE c2.c_acctbal > 0.0
+                AND SUBSTRING(c2.c_name, LENGTH(c2.c_name)-1, 2)
+                      IN ('01','12','23','34','45','56'))
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderdate >=
+                                  TIMESTAMP '2000-01-01 00:00:00')
+        ) t
+        GROUP BY cntrycode
+        ORDER BY cntrycode"""))
   )
 }

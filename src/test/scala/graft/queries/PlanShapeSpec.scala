@@ -44,6 +44,58 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q216 decorrelates the correlated MIN-over-join (TPC-H Q2 shape)") {
+    // the scalar MIN over a four-table join, correlated on p_partkey,
+    // must become one aggregate joined back — NO subquery survives
+    // anywhere and every join is an equi hash join
+    val df = SparkEntry.queries("q216_correlated_min_over_join")(spark, sf001)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("scalar-subquery"), optimized)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Subquery"), physical)
+    assert(!physical.contains("CartesianProduct"), physical)
+    assert(physical.contains("Join"), physical)
+  }
+
+  test("q217/q219 keep exactly ONE one-shot UNCORRELATED scalar subquery") {
+    // the whole-table scalar (Q11's HAVING threshold, Q22's avg) is
+    // the plan where a subquery SHOULD survive — executed once as a
+    // broadcast scalar, never re-run per row: assert one scalar-
+    // subquery with EMPTY outer references (`[]`), and none with a
+    // non-empty (correlated) reference list
+    val correlated = """scalar-subquery#\d+ \[[^\]]""".r
+    val uncorrelated = """scalar-subquery#\d+ \[\]""".r
+    for (name <- Seq("q217_having_scalar_subquery",
+        "q219_antijoin_scalar_avg_dispatch")) {
+      val df = SparkEntry.queries(name)(spark, sf001)
+      df.collect()
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(correlated.findFirstIn(optimized).isEmpty, s"$name:\n$optimized")
+      assert(uncorrelated.findAllIn(optimized).size == 1, s"$name:\n$optimized")
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("CartesianProduct"), s"$name:\n$physical")
+    }
+  }
+
+  test("q218 rewrites the IN chain to semi joins and decorrelates the inner SUM") {
+    val df = SparkEntry.queries("q218_in_correlated_agg_chain")(spark, sf001)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("scalar-subquery"), optimized)
+    assert(optimized.contains("LeftSemi"), optimized)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Subquery"), physical)
+    assert(!physical.contains("CartesianProduct"), physical)
+  }
+
+  test("q219 anti-joins the NOT EXISTS (left-anti, never a per-row probe)") {
+    val df = SparkEntry.queries("q219_antijoin_scalar_avg_dispatch")(spark, sf001)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LeftAnti"), optimized)
+  }
+
   test("q205 decorrelates the scalar-aggregate subquery (no per-row probe)") {
     // RewriteCorrelatedScalarSubquery must turn the correlated avg()
     // into an aggregate joined back on l_partkey: the optimized plan
