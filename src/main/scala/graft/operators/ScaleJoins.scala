@@ -110,6 +110,43 @@ object ScaleJoins {
       .select(col("k"), col("c"), expr("(c + t - 1) div t").as("salt_factor"))
   }
 
+  /** SAMPLED salt-factor plan — [[saltFactorPlan]] from a
+    * deterministic row sample instead of a full census. The full
+    * planner is itself a groupBy over EVERY row: at 100 TB the
+    * planning pass is as expensive as the shuffle it is trying to
+    * protect. Hot keys are by definition the keys a row sample
+    * cannot miss — a key holding k% of the input lands ~k% of any
+    * sample — so planning from `fraction` of the rows with counts
+    * scaled by 1/fraction finds the same hot keys at 1/fraction the
+    * cost. Counts scale via ceil(count/fraction), so a sampled hot
+    * key never under-plans its factor by truncation. Bias note: keys
+    * BELOW the sample's resolution (expected sampled rows ~ 1) are
+    * invisible, which (a) cannot matter — they are orders of
+    * magnitude below any hot threshold — and (b) shrinks the
+    * denominator key count, RAISING the threshold estimate slightly:
+    * the sampled plan is conservative for keys sitting exactly at
+    * the boundary, and exact for genuinely hot ones. Correctness of
+    * [[autoSaltedAgg]]/[[autoSaltedJoin]] is factor-independent, so
+    * ANY plan this returns yields identical results — the q220/q221
+    * oracle gates run the sampled plan against the plain-SQL answer
+    * verbatim. Sampling is seed-deterministic per partition (stable
+    * for a stable input layout); replanning on a re-split cluster
+    * may flag boundary keys differently, never change results. */
+  def saltFactorPlanSampled(
+      df: DataFrame, keyCol: String, fraction: Double, seed: Long,
+      hotMultiple: Int = 4): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    val sampled = df.sample(withReplacement = false, fraction, seed)
+    val c = sampled.groupBy(col(keyCol).as("k"))
+      .agg(ceil(count(lit(1)) / lit(fraction)).cast("long").as("c"))
+    val s = c.agg(sum(col("c")).as("total"), count(lit(1)).as("nk"))
+    c.crossJoin(broadcast(s))
+      .withColumn("t", expr(s"($hotMultiple * total) div nk"))
+      .filter(col("c") > col("t"))
+      .select(col("k"), col("c"), expr("(c + t - 1) div t").as("salt_factor"))
+  }
+
   /** PLANNED variable-factor salted inner equi-join — [[saltedInnerJoin]]
     * driven by a measured per-key plan, the join-side composition of
     * the skew toolkit ([[autoSaltedAgg]] is the aggregation side):

@@ -2824,5 +2824,75 @@ object ExtendedQueries {
                CASE WHEN doc_id % 2 = 1 THEN NULL
                     ELSE 9223372036854775807 END AS add_guard
         FROM D ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q220_sampled_salt_plan_agg",
+      "q206's planned salted aggregation driven by the SAMPLED salt " +
+        "planner (ScaleJoins.saltFactorPlanSampled, 10% rows, fixed " +
+        "seed): the full planner censuses EVERY row to find hot " +
+        "keys, so at 100 TB the planning pass is itself a full " +
+        "shuffle — but hot keys are by definition the keys a sample " +
+        "cannot miss, so a 10% sample with counts scaled by 1/f " +
+        "plans the same protection at a tenth the cost. Correctness " +
+        "is factor-independent (partials are commutative-" +
+        "associative sums), so the oracle is q206's plain-groupBy " +
+        "SQL VERBATIM — whatever keys the sample flags, the answer " +
+        "must not move.",
+      (spark, dir) => {
+        val ev = Tables.table(spark, dir, "events")
+          .select(length(bin(col("event_id"))).cast("long").as("k"),
+            col("event_id"),
+            floor(col("value") * lit(1000000.0)).cast("long").as("vmicros"))
+        val saltPlan = graft.operators.ScaleJoins
+          .saltFactorPlanSampled(ev, "k", fraction = 0.1, seed = 42L)
+        graft.operators.ScaleJoins
+          .autoSaltedAgg(ev, "k", "event_id", Seq("vmicros"), saltPlan)
+          .select(col("k"), col("n_rows"),
+            col("sum_vmicros").as("sum_value_micros"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH E AS (SELECT CAST(length(bin(event_id)) AS BIGINT) AS k,
+                          CAST(floor(value * 1000000.0) AS BIGINT) AS vmicros
+                   FROM events)
+        SELECT k, COUNT(*) AS n_rows,
+               CAST(SUM(vmicros) AS BIGINT) AS sum_value_micros
+        FROM E GROUP BY k ORDER BY k""")),
+
+    GraftQuery(
+      "q221_sampled_salt_plan_join",
+      "q211's planned salted join driven by the SAMPLED salt planner " +
+        "(10% rows, fixed seed) — the join-side twin of q220: per-" +
+        "key replication factors come from the sample census instead " +
+        "of a full pass, and the salted join's result must still " +
+        "equal the plain join row-for-row (salting splits reducers, " +
+        "never matches). The oracle is q211's plain-join SQL " +
+        "VERBATIM.",
+      (spark, dir) => {
+        val ev = Tables.table(spark, dir, "events")
+          .select(length(bin(col("event_id"))).cast("long").as("k"),
+            floor(col("value") * lit(1000000.0)).cast("long").as("vmicros"))
+        val dim = ev.groupBy(col("k")).agg(count(lit(1)).as("k_rows"))
+          .select(col("k").as("dk"), col("k_rows"))
+        val saltPlan = graft.operators.ScaleJoins
+          .saltFactorPlanSampled(ev, "k", fraction = 0.1, seed = 42L)
+        graft.operators.ScaleJoins
+          .autoSaltedJoin(ev, dim, "k", "dk", saltPlan)
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("vmicros")).as("sum_value_micros"),
+            max(col("k_rows")).as("k_rows"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH E AS (SELECT CAST(length(bin(event_id)) AS BIGINT) AS k,
+                          CAST(floor(value * 1000000.0) AS BIGINT) AS vmicros
+                   FROM events),
+        D AS (SELECT k, count(*) AS k_rows FROM E GROUP BY k)
+        SELECT e.k, count(*) AS n_rows,
+               CAST(sum(e.vmicros) AS BIGINT) AS sum_value_micros,
+               CAST(max(d.k_rows) AS BIGINT) AS k_rows
+        FROM E e JOIN D d ON e.k = d.k
+        GROUP BY e.k ORDER BY e.k""")),
   )
 }

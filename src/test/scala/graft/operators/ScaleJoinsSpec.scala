@@ -162,6 +162,42 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(f == (c + t - 1) / t, s"factor $f does not cover $c rows at $t/reducer")
   }
 
+  test("saltFactorPlanSampled: the sample finds every hot key of the exponential fixture") {
+    import spark.implicits._
+    // exponential family: key i holds 2^i rows (i = 0..12) — the
+    // top keys dominate, exactly the shape a sample cannot miss
+    val rows = (0 to 12).flatMap(i => Seq.fill(1 << i)(s"k$i"))
+    val df = rows.toDF("k").repartition(8)
+    val fullHot = ScaleJoins.saltFactorPlan(df, "k")
+      .collect().map(_.getString(0)).toSet
+    assert(fullHot.nonEmpty)
+    val sampled = ScaleJoins.saltFactorPlanSampled(df, "k", fraction = 0.25, seed = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // every key the FULL census flags must be flagged by the sample,
+    // with a usable (positive) factor
+    fullHot.foreach { k =>
+      assert(sampled.contains(k), s"sampled plan missed hot key $k: $sampled")
+      assert(sampled(k) >= 1L, s"non-positive sampled factor for $k: $sampled")
+    }
+    // and the sampled plan never flags a key the full census shows
+    // BELOW half the threshold (boundary wobble allowed, cold keys not)
+    val counts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = 4L * rows.size / 13L
+    sampled.keys.foreach { k =>
+      assert(counts(k) * 2 > t, s"sampled plan flagged cold key $k (count ${counts(k)}, t $t)")
+    }
+    // factor-independence: the sampled plan drives the same exact agg
+    val withId = rows.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "rid")
+    val plan = ScaleJoins.saltFactorPlanSampled(withId, "k", 0.25, 7L)
+    val auto = ScaleJoins.autoSaltedAgg(withId, "k", "rid", Seq("rid"), plan)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val plain = withId.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("rid")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(auto == plain)
+  }
+
   test("autoSaltedJoin: planned per-key replication equals the plain join") {
     import spark.implicits._
     val fact = ((0 until 4000).map(i => ("hot", i.toLong)) ++
