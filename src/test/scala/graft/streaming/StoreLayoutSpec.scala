@@ -111,6 +111,57 @@ class StoreLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("NULL store-layout version"), e.getMessage)
   }
 
+  test("the 0->1 migration shim: a layout-0 store reads equivalent to a native one") {
+    val spark0 = spark
+    import spark0.implicits._
+    // native layout-1 store with real admitted tokens
+    val native = tmp("layout-native")
+    CountMinStream.seed(spark, native, eps = 0.01, confidence = 0.9, sketchSeed = 7)
+    val tokens = Seq.fill(50)("hot").union(Seq("a", "b", "c")).toDF("term")
+    CountMinStream.mergeBatch(tokens, "term", native)
+    // hand-write the LAYOUT-0 generation of the same store: identical
+    // sketch bytes, meta with the prototype's `sketch_seed` column
+    // name and layout_version = 0
+    val old = tmp("layout-zero")
+    CountMinStream.seed(spark, old, eps = 0.01, confidence = 0.9, sketchSeed = 7)
+    CountMinStream.mergeBatch(tokens, "term", old)
+    val v = VersionedStore.committedVersions(spark, old).max
+    Seq((0.01, 0.9, 7L)).toDF("eps", "confidence", "sketch_seed")
+      .withColumn("layout_version", lit(0L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$old/v=$v/meta")
+    // the open must take the migration shim and serve identically
+    val (skN, epsN, confN, seedN) = CountMinStream.read(spark, native)
+    val (skO, epsO, confO, seedO) = CountMinStream.read(spark, old)
+    assert((epsO, confO, seedO) == (epsN, confN, seedN))
+    assert(skO.estimateCount("hot") == skN.estimateCount("hot"))
+    assert(skO.totalCount() == skN.totalCount())
+    // and the estimates surface is byte-for-byte the native store's
+    val probes = Seq("hot", "a", "zzz").toDF("term")
+    val eN = CountMinStream.estimates(spark, native, tokens, "term", probes)
+      .collect().map(_.toSeq).toSet
+    val eO = CountMinStream.estimates(spark, old, tokens, "term", probes)
+      .collect().map(_.toSeq).toSet
+    assert(eO == eN)
+  }
+
+  test("a version-0 meta WITHOUT the layout-0 marker column refuses, never guesses") {
+    val spark0 = spark
+    import spark0.implicits._
+    val cm = tmp("layout-zero-foreign")
+    CountMinStream.seed(spark, cm, eps = 0.01, confidence = 0.9, sketchSeed = 7)
+    // claims version 0 but carries layout-1 column names — not the
+    // generation the shim knows; migrating would be a guess
+    Seq((0.01, 0.9, 7L)).toDF("eps", "confidence", "seed")
+      .withColumn("layout_version", lit(0L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$cm/v=0/meta")
+    val e = intercept[IllegalStateException] {
+      CountMinStream.read(spark, cm)
+    }
+    assert(e.getMessage.contains("store-layout version 0"), e.getMessage)
+    // the upgrade note points at the real migration hook
+    assert(e.getMessage.contains("StoreLayout.migrated"), e.getMessage)
+  }
+
   test("a PRE-VERSIONING meta (no field) still reads as layout 1") {
     val spark0 = spark
     import spark0.implicits._
