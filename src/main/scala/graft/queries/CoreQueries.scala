@@ -570,9 +570,20 @@ object CoreQueries {
         "naive 'ON o_orderkey = 2k OR o_orderkey = 2k+1' spelling " +
         "plans a nested-loop probe of the whole fact per iteration. " +
         "All arithmetic is exact BIGINT; the oracle runs the " +
-        "identical recursion natively.",
+        "identical recursion natively. Depth is budget-checked " +
+        "BEFORE round one (RecursionGuard): the tree's depth is " +
+        "log2(max key), so one bounded max() refuses loudly — " +
+        "naming spark.sql.cteRecursionLevelLimit — instead of " +
+        "letting a deeper fixture die with Spark's generic error " +
+        "after paying for every round under the limit.",
       (spark, dir) => {
-        Tables.table(spark, dir, "orders").createOrReplaceTempView("orders_q209")
+        val orders = Tables.table(spark, dir, "orders")
+        val maxKey = orders
+          .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        graft.operators.RecursionGuard.requireDepthBudget(spark,
+          graft.operators.RecursionGuard.doublingTreeLevels(maxKey),
+          s"q209's order-tree walk (max o_orderkey $maxKey)")
+        orders.createOrReplaceTempView("orders_q209")
         spark.sql("""
           WITH RECURSIVE tree AS (
             SELECT CAST(1 AS BIGINT) AS okey, 0 AS depth
