@@ -73,6 +73,20 @@ object CorpusQueries {
         SELECT query_id, rank, doc_id FROM R
         WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** q102's oracle restricted to the even-id SEED half — the truth an
+    * AS-OF-the-seed read must reproduce (q222). Derived from
+    * [[bm25Ctes]] by filtering the corpus CTE, so the scoring text
+    * stays shared verbatim with q102/q103/q163. */
+  private val bm25SeedOracle: String = {
+    val seeded = bm25Ctes.replace(
+      "FROM documents)", "FROM documents WHERE doc_id % 2 = 0)")
+    require(seeded != bm25Ctes, "bm25Ctes corpus clause moved; fix the seed filter")
+    s"""
+        WITH $seeded
+        SELECT query_id, rank, doc_id FROM R
+        WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -745,6 +759,36 @@ object CorpusQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       Some(bm25Oracle)),
+
+    GraftQuery(
+      "q222_bm25_asof_seed",
+      "AS-OF (time-travel) read of the durable postings store: q103's " +
+        "build (even half seeded, odd half appended as batch 0) " +
+        "served through PostingsStream.bm25TopKAsOf pinned at the " +
+        "SEED fence (asOfBatch = -1) — the read every incremental-" +
+        "reprocessing debug session wants, generalized in " +
+        "BatchIndex.asOf for every batch=N store. Because all BM25 " +
+        "statistics derive from the pinned posting rows, the served " +
+        "ranking must be bit-identical to running q102 on the seed " +
+        "half alone: the oracle is q102's SQL with the corpus CTE " +
+        "filtered to even ids, scoring text shared verbatim. The " +
+        "batch-0 rows are PRESENT in the store and must be invisible " +
+        "behind the fence — any leak changes tf/df/N/avgdl and " +
+        "hash-mismatches.",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        val idx = QueryScratch.dir("graft_q222_index")
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+        graft.streaming.PostingsStream.backfillIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        graft.streaming.PostingsStream.appendBatch(
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx, 0L)
+        graft.streaming.PostingsStream.bm25TopKAsOf(
+            spark, idx, d.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+            k = 5, asOfBatch = -1L, excludeSelf = true)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(bm25SeedOracle)),
 
     GraftQuery(
       "q104_hybrid_rrf",

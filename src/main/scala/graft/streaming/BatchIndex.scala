@@ -105,6 +105,24 @@ private[graft] object BatchIndex {
     }
   }
 
+  /** AS-OF read (time travel): the store's state as of batch `batch`
+    * — every row admitted by batches `<= batch`, root seeds included
+    * (`asOf(-1)` is the seed alone). This is the read every
+    * incremental-reprocessing debug session wants: "what did the
+    * store serve when batch N+1 ran?" is `asOf(N)`, byte-identical to
+    * the fence that batch actually read. Exactness bound: [[compact]]
+    * folds old partitions into seed rows (batch -1), which every
+    * fence admits — so a pinned read is exact only for fences at or
+    * above the last compaction's `throughBatch`; keep compaction
+    * below any fence still being debugged. Works for ANY store on
+    * this layout — the per-store readers (postings, fingerprints,
+    * near-dup bands/docs) are this call with their schema. */
+  def asOf(
+      spark: SparkSession, dir: String, dataSchema: StructType,
+      batch: Long): DataFrame =
+    read(spark, dir, dataSchema,
+      beforeBatch = if (batch == Long.MaxValue) batch else batch + 1L)
+
   /** Fold `batch=N` partitions with `N <= throughBatch` (plus any
     * existing seed files) into root-level seed files. Read-equivalent
     * for every fence a future batch can present: folded rows move from

@@ -147,6 +147,23 @@ object PostingsStream {
         .select(col("doc_id"), col("term"), col("tf")),
       queries, qIdCol, qTextCol, k, k1, b, excludeSelf, maxPostings)
 
+  /** BM25 pinned to an AS-OF fence ([[BatchIndex.asOf]] semantics):
+    * serve exactly what the store held as of batch `asOfBatch`
+    * (`-1` = the seed alone) — the time-travel read for debugging an
+    * incremental reprocessing run. All BM25 statistics (tf/df/N/
+    * avgdl) derive from the pinned posting rows, so the served
+    * ranking is bit-identical to what a query at that point in the
+    * stream's history saw. */
+  def bm25TopKAsOf(
+      spark: SparkSession, indexDir: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, asOfBatch: Long, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false, maxPostings: Long = 100000L): DataFrame =
+    bm25TopK(spark, indexDir, queries, qIdCol, qTextCol, k, k1, b,
+      excludeSelf, maxPostings,
+      beforeBatch =
+        if (asOfBatch == Long.MaxValue) asOfBatch else asOfBatch + 1L)
+
   /** Hybrid more-like-this served ENTIRELY from the store: for each
     * stored doc id in `queryIds`, fuse stored-BM25 and distinct-shared-
     * term overlap by reciprocal rank — and take the query's own term

@@ -143,6 +143,40 @@ class PostingsStreamSpec extends SparkSpec {
       spark, s"$dir/index", oddQuery, "doc_id", k = 5).isEmpty)
   }
 
+  test("asOf fences walk the store's history exactly; compaction bounds them as documented") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("postings-asof").toString
+    val even = d.filter(col("doc_id") % 2 === 0)
+    val b0 = d.filter(col("doc_id") % 4 === 1)
+    val b1 = d.filter(col("doc_id") % 4 === 3)
+    PostingsStream.backfillIndex(even, "doc_id", "text", dir)
+    PostingsStream.appendBatch(b0, "doc_id", "text", dir, 0L)
+    PostingsStream.appendBatch(b1, "doc_id", "text", dir, 1L)
+    val queries = d.filter(col("doc_id") % 100 === 0)
+    def servedAsOf(n: Long) = ranks(PostingsStream.bm25TopKAsOf(
+      spark, dir, queries, "doc_id", "text", k = 5, asOfBatch = n,
+      excludeSelf = true))
+    def batchOver(corpus: org.apache.spark.sql.DataFrame) =
+      ranks(TextRetrieval.bm25TopK(
+        corpus, "doc_id", "text", queries, "doc_id", "text",
+        k = 5, excludeSelf = true))
+    // each fence reproduces the batch operator over exactly the
+    // history admitted at that point — the time-travel contract
+    assert(servedAsOf(-1L) == batchOver(even))
+    assert(servedAsOf(0L) == batchOver(even.unionByName(b0)))
+    assert(servedAsOf(1L) == batchOver(d))
+    assert(servedAsOf(Long.MaxValue) == batchOver(d))
+    assert(servedAsOf(-1L) != servedAsOf(1L), "fences must differ on this fixture")
+    // compaction folds batch 0 into seed rows: fences ABOVE the fold
+    // point stay exact, the seed fence now admits the folded rows —
+    // exactly the documented exactness bound of BatchIndex.asOf
+    PostingsStream.compactIndex(spark, dir, throughBatch = 0L)
+    assert(servedAsOf(1L) == batchOver(d), "post-compaction fence above fold moved")
+    assert(servedAsOf(-1L) == batchOver(even.unionByName(b0)),
+      "folded rows must read as seed history")
+  }
+
   test("backfillIndex refuses to clobber a store with streamed history") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("postings_guard").toString
