@@ -2894,5 +2894,99 @@ object ExtendedQueries {
                CAST(max(d.k_rows) AS BIGINT) AS k_rows
         FROM E e JOIN D d ON e.k = d.k
         GROUP BY e.k ORDER BY e.k""")),
+
+    GraftQuery(
+      "q223_window_rank_battery",
+      "Ranking/navigation window battery over one shared named " +
+        "window (the analytics surface q70/q175 left uncovered): " +
+        "ntile quartiles, percent_rank, cume_dist, lag with a " +
+        "default, lead by 2, nth_value under an explicit ROWS frame, " +
+        "and first_value — all in a single Window pass per " +
+        "partition. Determinism: the window order (o_totalprice " +
+        "DESC, o_orderkey) is total because o_orderkey is unique, so " +
+        "every rank expression is tie-free; percent_rank/cume_dist " +
+        "divide identical small integers into identical doubles. " +
+        "One shuffle on the partition key, whole-stage window exec — " +
+        "the 100 TB shape is bounded per-priority partitions, never " +
+        "a global sort.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "orders").createOrReplaceTempView("orders_q223")
+        spark.sql("""
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                 percent_rank() OVER w AS pct_rank,
+                 cume_dist() OVER w AS cdist,
+                 lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
+                 lead(o_totalprice, 2, -1.0) OVER w AS next2_price,
+                 nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key,
+                 first_value(o_orderkey) OVER w AS top_key
+          FROM orders_q223
+          WHERE o_orderkey % 7 = 0
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey)
+          ORDER BY o_orderpriority, pct_rank, o_orderkey""")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cdist,
+               lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
+               lead(o_totalprice, 2, -1.0) OVER w AS next2_price,
+               nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key,
+               first_value(o_orderkey) OVER w AS top_key
+        FROM orders
+        WHERE o_orderkey % 7 = 0
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderpriority, pct_rank, o_orderkey""")),
+
+    GraftQuery(
+      "q224_numeric_range_frame",
+      "NUMERIC value-based RANGE window frames (q212 proved the " +
+        "time-INTERVAL form; this is the integer-offset sibling): " +
+        "per-part running sums over quantity neighborhoods — RANGE 5 " +
+        "PRECEDING to CURRENT ROW, and a symmetric 5-PRECEDING-to-5-" +
+        "FOLLOWING census. RANGE frames admit ALL peers of the " +
+        "current order value, so ties in qty contribute " +
+        "deterministically whatever their physical order — the " +
+        "property that makes value frames safe on non-unique sort " +
+        "keys where ROWS frames would be engine-arbitrary. Money " +
+        "rides exact integer cents.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q224")
+        spark.sql("""
+          WITH Q AS (SELECT l_orderkey, l_linenumber, l_partkey,
+                            CAST(l_quantity AS BIGINT) AS qty,
+                            CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                     FROM lineitem_q224 WHERE l_partkey % 50 = 0)
+          SELECT l_orderkey, l_linenumber, l_partkey, qty,
+                 CAST(sum(cents) OVER (PARTITION BY l_partkey ORDER BY qty
+                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS near_cents,
+                 CAST(count(*) OVER (PARTITION BY l_partkey ORDER BY qty
+                   RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT)
+                   AS near_n
+          FROM Q
+          ORDER BY l_partkey, qty, l_orderkey, l_linenumber, cents""")
+      },
+      Some("""
+        WITH Q AS (SELECT l_orderkey, l_linenumber, l_partkey,
+                          CAST(l_quantity AS BIGINT) AS qty,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                   FROM lineitem WHERE l_partkey % 50 = 0)
+        SELECT l_orderkey, l_linenumber, l_partkey, qty,
+               CAST(sum(cents) OVER (PARTITION BY l_partkey ORDER BY qty
+                 RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS near_cents,
+               CAST(count(*) OVER (PARTITION BY l_partkey ORDER BY qty
+                 RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT)
+                 AS near_n
+        FROM Q
+        ORDER BY l_partkey, qty, l_orderkey, l_linenumber, cents""")),
   )
 }
