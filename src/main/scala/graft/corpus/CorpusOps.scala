@@ -1,6 +1,6 @@
 package graft.corpus
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -701,6 +701,62 @@ object CorpusOps {
     * Two shuffles total (df groupBy; pair groupBy) plus a broadcast of
     * the banded vocabulary.
     */
+  /** DSIR-style importance weights (Xie et al.'s Data Selection via
+    * Importance Resampling, public recipe): score every RAW document
+    * by how target-like its hashed unigram features are — the
+    * log-likelihood ratio sum  Σ_tokens log P_target(b)/P_raw(b)
+    * over hashed feature buckets, with add-one smoothing. Documents
+    * ranked by this weight are the classic cheap domain-selection
+    * pass a 100 TB pretraining pipeline runs before expensive
+    * curation.
+    *
+    * Engine-exactness discipline: buckets are md5-hex prefixes
+    * (`hexChars` chars — 16^hexChars buckets; any SQL engine computes
+    * the identical md5), bucket counts are exact integers, and the
+    * per-BUCKET log ratio is computed ONCE from identical integer
+    * operands then frozen to integer MICRO-nats — after which each
+    * document's weight is an exact integer sum of its tokens'
+    * bucket micros, independent of summation order. (A per-token
+    * double sum would make the oracle hash a summation-order
+    * lottery; the only residual cross-engine surface is ln()'s final
+    * ulp against the half-micro rounding boundary — ~1e-9 odds per
+    * bucket, the same class as q219's cents rounding.)
+    *
+    * Scale shape: one tokenize pass; bucket census is one hash-agg
+    * over ≤ 16^hexChars keys; the log-ratio table is bucket-bounded
+    * and BROADCAST back onto the token stream, so raw docs are scored
+    * in a single shuffle on the doc id. Target rows shape the table
+    * but are not scored (the selection pool is the raw side).
+    *
+    * @param isTarget boolean column marking the target-domain rows.
+    * @return (`idCol`, weight_micros) for every raw document. */
+  def importanceWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, hexChars: Int = 3): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8,
+      s"hexChars in [1, 8] required, got $hexChars")
+    val nBuckets = math.pow(16.0, hexChars.toDouble)
+    val tok = docs
+      .select(col(idCol).as("id"), isTarget.as("t"),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("b", substring(md5(col("term").cast("binary")), 1, hexChars))
+    val counts = tok.groupBy(col("b")).agg(
+      sum(when(col("t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("t"), 1L).otherwise(0L)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lr = counts.crossJoin(broadcast(totals)).select(col("b"),
+      round(log(
+        ((col("ct") + 1).cast("double") * (col("nr") + lit(nBuckets))) /
+          ((col("cr") + 1).cast("double") * (col("nt") + lit(nBuckets)))
+      ) * lit(1000000.0)).cast("long").as("lr_micros"))
+    tok.filter(!col("t"))
+      .join(broadcast(lr), Seq("b"))
+      .groupBy(col("id"))
+      .agg(sum(col("lr_micros")).as("weight_micros"))
+      .select(col("id").as(idCol), col("weight_micros"))
+  }
+
   def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 100): DataFrame = {
     val t = docs

@@ -791,6 +791,49 @@ object CorpusQueries {
       Some(bm25SeedOracle)),
 
     GraftQuery(
+      "q225_dsir_importance",
+      "DSIR-style data selection (hashed-unigram importance " +
+        "resampling weights, Xie et al.'s public recipe): every raw " +
+        "document scored by the log-likelihood ratio of its tokens " +
+        "under target (source = src0) vs raw bucket distributions, " +
+        "top-200 selected — the cheap domain-selection pass a 100 TB " +
+        "pretraining pipeline runs before expensive curation. " +
+        "Buckets are md5-hex prefixes (4096 — both engines hash " +
+        "identically); the per-bucket log ratio freezes ONCE to " +
+        "integer micro-nats from identical integer operands, so each " +
+        "doc weight is an exact integer sum, immune to summation " +
+        "order. One tokenize pass, bucket-bounded broadcast table, " +
+        "one shuffle on doc id (CorpusOps.importanceWeights).",
+      (spark, dir) => {
+        val d = Tables.table(spark, dir, "documents")
+        CorpusOps.importanceWeights(d, "doc_id", "text",
+            col("source") === "src0")
+          .orderBy(col("weight_micros").desc, col("doc_id"))
+          .limit(200)
+      },
+      Some(raw"""
+        WITH TOK AS (
+          SELECT doc_id, source = 'src0' AS t,
+                 unnest(string_split_regex(trim(text), '\s+')) AS term
+          FROM documents),
+        TK AS (SELECT doc_id, t, substr(md5(term), 1, 3) AS b
+               FROM TOK WHERE term <> ''),
+        C AS (SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+                     sum(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+              FROM TK GROUP BY b),
+        G AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM C),
+        LR AS (SELECT b,
+                      CAST(round(ln(((ct + 1) * (nr + 4096.0))
+                                    / ((cr + 1) * (nt + 4096.0))) * 1000000)
+                        AS BIGINT) AS lr_micros
+               FROM C CROSS JOIN G),
+        W AS (SELECT doc_id, CAST(sum(lr_micros) AS BIGINT) AS weight_micros
+              FROM TK JOIN LR USING (b) WHERE NOT t GROUP BY doc_id)
+        SELECT doc_id, weight_micros FROM W
+        ORDER BY weight_micros DESC, doc_id
+        LIMIT 200""")),
+
+    GraftQuery(
       "q104_hybrid_rrf",
       "Hybrid retrieval by reciprocal-rank fusion: BM25 (q102's arm, " +
         "pool 20) and shingle-overlap (distinct shared 3-grams, exact " +

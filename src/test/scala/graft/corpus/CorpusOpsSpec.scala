@@ -388,4 +388,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(scored(0) < scored(1),
       s"common-token doc should score below gibberish: ${scored.toSeq}")
   }
+
+  test("importanceWeights: target-like raw docs outrank off-domain ones; target rows unscored") {
+    import org.apache.spark.sql.functions.col
+    val spark0 = spark
+    import spark0.implicits._
+    // target domain speaks {alpha beta gamma}; raw pool: one doc in
+    // the target's vocabulary, one in a disjoint vocabulary
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "beta gamma alpha beta gamma", true),
+      (10L, "alpha beta gamma beta", false),
+      (11L, "zeta omega kappa zeta", false)
+    ).toDF("doc_id", "text", "is_target")
+    val w = CorpusOps
+      .importanceWeights(docs, "doc_id", "text", col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.keySet == Set(10L, 11L), s"only raw docs are scored: $w")
+    assert(w(10L) > w(11L),
+      s"target-vocabulary doc must outweigh the off-domain doc: $w")
+    // weights are an exact integer sum — repeated runs are identical
+    val w2 = CorpusOps
+      .importanceWeights(docs.repartition(7), "doc_id", "text", col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w2 == w)
+  }
 }
