@@ -74,6 +74,33 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("dynamic partition pruning injects a runtime partition filter on the fact scan") {
+    import spark.implicits._
+    // partitioned fact joined on its PARTITION column to a filtered
+    // dim: DPP must turn the dim's filter into a runtime
+    // PartitionFilter on the fact scan — at 100 TB this skips whole
+    // partitions the static planner cannot prove dead. (The static
+    // sibling is the PartitionFilters test above.)
+    val tmp = java.nio.file.Files.createTempDirectory("dpp").toString
+    Tables.table(spark, sf001, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$tmp/fact")
+    // the dim must be a FILE source: a local relation's filter is
+    // constant-folded away (ConvertToLocalRelation) and DPP then sees
+    // no predicate on the pruning side
+    Seq(("error", 1), ("click", 2), ("signup", 3)).toDF("t", "prio")
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    val dim = spark.read.parquet(s"$tmp/dim")
+    val joined = fact.join(dim.filter(col("prio") === 1),
+      col("event_type") === col("t"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic pruning subquery on the fact scan:\n${plan.take(3000)}")
+    val expected = Tables.table(spark, sf001, "events")
+      .filter(col("event_type") === "error").count()
+    assert(joined.count() == expected)
+  }
+
   test("parquet schema evolution: mergeSchema unions old and new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evolve").toString
