@@ -2988,5 +2988,92 @@ object ExtendedQueries {
                  AS near_n
         FROM Q
         ORDER BY l_partkey, qty, l_orderkey, l_linenumber, cents""")),
+
+    GraftQuery(
+      "q226_sql_unpivot",
+      "The SQL UNPIVOT clause round-tripped through q210's PIVOT: " +
+        "per-(lang, source) character volume pivoted to three named " +
+        "columns and immediately unpivoted back to rows — " +
+        "unpivot(pivot(x)) must equal the plain GROUP BY, which IS " +
+        "the oracle. UNPIVOT's default NULL-cell drop mirrors the " +
+        "group-by's absent combinations exactly, so the identity " +
+        "holds with no special-casing. Spark compiles UNPIVOT to one " +
+        "Expand over the pivoted frame — bounded width in, bounded " +
+        "rows out, the same 100 TB safety argument as q210.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "documents").createOrReplaceTempView("documents_q226")
+        spark.sql("""
+          SELECT lang, src, n_chars FROM (
+            SELECT * FROM (SELECT lang, source, n_chars FROM documents_q226)
+            PIVOT (sum(n_chars) FOR source IN ('src0' AS src0,
+                                               'src1' AS src1,
+                                               'src2' AS src2))
+          ) UNPIVOT (n_chars FOR src IN (src0, src1, src2))
+          ORDER BY lang, src""")
+      },
+      Some("""
+        SELECT lang, source AS src, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents WHERE source IN ('src0','src1','src2')
+        GROUP BY lang, source ORDER BY lang, src""")),
+
+    GraftQuery(
+      "q227_listagg_within_group",
+      "ANSI listagg WITHIN GROUP (ORDER BY ...) — ordered string " +
+        "aggregation, the report-building surface (Spark 4's native " +
+        "form of the collect_list+array_join idiom the curation " +
+        "queries use). The inner ORDER BY (balance DESC, then the " +
+        "UNIQUE name) makes the concatenation deterministic in both " +
+        "engines — an unordered listagg would be a partition-order " +
+        "lottery, exactly like an untotaled sort. One hash agg with " +
+        "a sorted buffer per group; group count is bounded by the " +
+        "segment cardinality.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "customer").createOrReplaceTempView("customer_q227")
+        spark.sql("""
+          SELECT c_mktsegment,
+                 listagg(c_name, '|')
+                   WITHIN GROUP (ORDER BY c_acctbal DESC, c_name) AS names
+          FROM customer_q227 WHERE c_custkey % 97 = 0
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""
+        SELECT c_mktsegment,
+               string_agg(c_name, '|' ORDER BY c_acctbal DESC, c_name) AS names
+        FROM customer WHERE c_custkey % 97 = 0
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    GraftQuery(
+      "q228_percentile_cont_disc",
+      "ANSI percentile_cont / percentile_disc WITHIN GROUP — the " +
+        "interpolated and discrete quantile surfaces (q214 proved " +
+        "the distributed exact-percentile algorithm; this is the " +
+        "declarative form real SQL users write). Both engines sort " +
+        "the identical stored doubles and apply the identical linear-" +
+        "interpolation formula on identical rank arithmetic, so cont " +
+        "agrees bit-for-bit and disc picks the identical stored " +
+        "element. Spark plans one sort-based aggregate per group — " +
+        "bounded groups, never a global sort.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "orders").createOrReplaceTempView("orders_q228")
+        spark.sql("""
+          SELECT o_orderpriority,
+                 percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS med_cont,
+                 percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p90_cont,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS med_disc,
+                 count(*) AS n
+          FROM orders_q228 GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.5) AS med_cont,
+               quantile_cont(o_totalprice, 0.9) AS p90_cont,
+               quantile_disc(o_totalprice, 0.5) AS med_disc,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
   )
 }
