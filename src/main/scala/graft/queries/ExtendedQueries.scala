@@ -3075,5 +3075,44 @@ object ExtendedQueries {
                count(*) AS n
         FROM orders GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")),
+
+    GraftQuery(
+      "q229_cdc_apply",
+      "CDC changelog materialization — apply an insert/update/delete " +
+        "change stream to a final state table (the Debezium-consumer " +
+        "pattern; q152's MERGE is one batch of it, this is the " +
+        "generic latest-wins fold): events replay as changes keyed " +
+        "by user with op derived from the event id, the LAST change " +
+        "per key wins under the TOTAL version order (ts, then the " +
+        "unique event_id — ts alone ties and would be engine-" +
+        "arbitrary), and a terminal D removes the key. One " +
+        "row_number window per key — single shuffle, bounded state, " +
+        "the exact shape a 100 TB snapshot rebuild runs. Oracle " +
+        "derives the identical fold natively.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "events").createOrReplaceTempView("events_q229")
+        spark.sql("""
+          WITH C AS (SELECT user_id AS k, ts, event_id,
+                            CASE event_id % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U'
+                                 ELSE 'D' END AS op,
+                            event_type AS payload
+                     FROM events_q229),
+          R AS (SELECT *, row_number() OVER (PARTITION BY k
+                  ORDER BY ts DESC, event_id DESC) AS rn FROM C)
+          SELECT k AS user_id, event_id AS last_event_id, payload AS last_type
+          FROM R WHERE rn = 1 AND op <> 'D'
+          ORDER BY user_id""")
+      },
+      Some("""
+        WITH C AS (SELECT user_id AS k, ts, event_id,
+                          CASE event_id % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U'
+                               ELSE 'D' END AS op,
+                          event_type AS payload
+                   FROM events),
+        R AS (SELECT *, row_number() OVER (PARTITION BY k
+                ORDER BY ts DESC, event_id DESC) AS rn FROM C)
+        SELECT k AS user_id, event_id AS last_event_id, payload AS last_type
+        FROM R WHERE rn = 1 AND op <> 'D'
+        ORDER BY user_id""")),
   )
 }

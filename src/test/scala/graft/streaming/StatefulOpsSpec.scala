@@ -222,6 +222,45 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: dups inside the delay drop, state evicts past it") {
+    // the engine-native streaming dedup (Spark 3.5+): duplicates of a
+    // key arriving within the watermark delay are dropped whatever
+    // batch they ride in, and the key's state is EVICTED once the
+    // watermark passes — bounded state, unlike a plain
+    // dropDuplicates whose state grows forever. This is the built-in
+    // sibling of IncrementalDedup's durable-store exactness; here the
+    // contract under test is the bounded-state eviction itself.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = in.toDF().toDF("ts", "id")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("ddww")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L))
+      q.processAllAvailable()
+      in.addData((ts(3), 1L)) // still inside the delay: dropped
+      q.processAllAvailable()
+      // advance the watermark far past id 1's window, then REPLAY id 1:
+      // its state must be gone, so the late duplicate emits again
+      in.addData((ts(180), 99L))
+      q.processAllAvailable()
+      in.addData((ts(181), 1L))
+      q.processAllAvailable()
+      val got = spark.table("ddww").collect()
+        .map(r => (r.getLong(1), r.getTimestamp(0))).toSeq
+      val firstBatchIds = got.filter(_._2.getTime < ts(100).getTime).map(_._1)
+      assert(firstBatchIds.sorted == Seq(1L, 2L),
+        s"one row per id inside the window: $got")
+      assert(got.count(_._1 == 1L) == 2,
+        s"id 1 must re-emit after its state evicted: $got")
+    } finally q.stop()
+  }
+
   test("changedOnly suppresses unchanged upserts, re-emits on change (flatMapGroupsWithState)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
