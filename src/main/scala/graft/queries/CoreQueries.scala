@@ -777,7 +777,7 @@ object CoreQueries {
       "q218_in_correlated_agg_chain",
       "TPC-H Q20 shape: IN over a subquery whose WHERE chains " +
         "another IN (the part-name filter) AND a correlated " +
-        "aggregate comparison — suppliers in one nation who shipped " +
+        "aggregate comparison — suppliers across the NATION_1x name-prefix group who shipped " +
         "at least a quarter of a red part's all-time volume inside " +
         "1997. Catalyst must decorrelate the inner SUM into a " +
         "grouped aggregate joined on BOTH correlation keys and " +
@@ -798,7 +798,7 @@ object CoreQueries {
             FROM lineitem_q218 GROUP BY l_partkey, l_suppkey)
           SELECT s.s_name, s.s_acctbal
           FROM supplier_q218 s JOIN nation_q218 n ON s.s_nationkey = n.n_nationkey
-          WHERE n.n_name = 'NATION_1'
+          WHERE n.n_name LIKE 'NATION_1%'
             AND s.s_suppkey IN (
               SELECT ps.ps_suppkey FROM ps
               WHERE ps.ps_partkey IN (SELECT p_partkey FROM part_q218
@@ -819,7 +819,7 @@ object CoreQueries {
           FROM lineitem GROUP BY l_partkey, l_suppkey)
         SELECT s.s_name, s.s_acctbal
         FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
-        WHERE n.n_name = 'NATION_1'
+        WHERE n.n_name LIKE 'NATION_1%'
           AND s.s_suppkey IN (
             SELECT ps.ps_suppkey FROM ps
             WHERE ps.ps_partkey IN (SELECT p_partkey FROM part
