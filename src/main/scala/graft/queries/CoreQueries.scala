@@ -893,6 +893,481 @@ object CoreQueries {
                                   TIMESTAMP '2000-01-01 00:00:00')
         ) t
         GROUP BY cntrycode
-        ORDER BY cntrycode"""))
+        ORDER BY cntrycode""")),
+
+    GraftQuery(
+      "q230_exists_priority_census",
+      "TPC-H Q4 shape: EXISTS whose correlation touches the outer " +
+        "row's key AND a non-key column — orders in a six-month " +
+        "window counted per priority when at least one of their " +
+        "lines shipped more than 30 days after the order date. " +
+        "Catalyst rewrites the EXISTS into a left-semi hash join on " +
+        "o_orderkey with the date comparison as the join's residual " +
+        "condition — at 100 TB one fact shuffle, never a per-order " +
+        "probe (PlanShapeSpec asserts the semi join and that no " +
+        "subquery survives). Timestamp + INTERVAL arithmetic is " +
+        "exact in both engines; the count is a pure COUNT(*).",
+      (spark, dir) => {
+        Tables.table(spark, dir, "orders").createOrReplaceTempView("orders_q230")
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q230")
+        spark.sql("""
+          SELECT o_orderpriority, count(*) AS order_count
+          FROM orders_q230 o
+          WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+            AND EXISTS (SELECT 1 FROM lineitem_q230 l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    GraftQuery(
+      "q231_binational_volume",
+      "TPC-H Q7 shape: the nation-PAIR disjunction over a five-table " +
+        "join — shipping volume between NATION_1 and NATION_2 in " +
+        "both directions, by year. The OR references columns from " +
+        "two different dimension branches, so it cannot ride either " +
+        "scan; the plan that survives 100 TB keeps every join an " +
+        "equi hash join (both nation joins are key equalities) and " +
+        "evaluates the pair disjunction as a post-join filter over " +
+        "two broadcast dims — never a cartesian over nation x " +
+        "nation. Revenue rides the q1/q3 exact-DECIMAL discipline; " +
+        "(supp_nation, cust_nation, l_year) is a total order.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "supplier").createOrReplaceTempView("supplier_q231")
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q231")
+        Tables.table(spark, dir, "orders").createOrReplaceTempView("orders_q231")
+        Tables.table(spark, dir, "customer").createOrReplaceTempView("customer_q231")
+        Tables.table(spark, dir, "nation").createOrReplaceTempView("nation_q231")
+        spark.sql("""
+          SELECT supp_nation, cust_nation, l_year,
+                 CAST(SUM(volume) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+          FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+                   CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2))
+                        - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+            FROM supplier_q231 s
+            JOIN lineitem_q231 l ON s.s_suppkey = l.l_suppkey
+            JOIN orders_q231 o ON o.o_orderkey = l.l_orderkey
+            JOIN customer_q231 c ON c.c_custkey = o.o_custkey
+            JOIN nation_q231 n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation_q231 n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+          ) shipping
+          GROUP BY supp_nation, cust_nation, l_year
+          ORDER BY supp_nation, cust_nation, l_year""")
+      },
+      Some("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+                 CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")),
+
+    GraftQuery(
+      "q232_market_share",
+      "TPC-H Q8 shape: market share as a conditional-aggregate " +
+        "RATIO — one focal nation's fraction of a region's PROMO-" +
+        "part revenue per order year, over an eight-table join with " +
+        "the SAME dimension (nation) joined twice under different " +
+        "roles. Both sums stay exact DECIMAL through the partial " +
+        "aggregation and are cast to double only for the single " +
+        "division, so the ratio is the same double in any engine at " +
+        "any parallelism. At 100 TB the numerator costs nothing " +
+        "extra: it is the same map-side partial aggregate with a " +
+        "CASE, not a second pass over the fact.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "part").createOrReplaceTempView("part_q232")
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q232")
+        Tables.table(spark, dir, "supplier").createOrReplaceTempView("supplier_q232")
+        Tables.table(spark, dir, "orders").createOrReplaceTempView("orders_q232")
+        Tables.table(spark, dir, "customer").createOrReplaceTempView("customer_q232")
+        Tables.table(spark, dir, "nation").createOrReplaceTempView("nation_q232")
+        Tables.table(spark, dir, "region").createOrReplaceTempView("region_q232")
+        spark.sql("""
+          SELECT o_year,
+                 CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+                 COUNT(*) AS n_items
+          FROM (
+            SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+                   CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2))
+                        - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+                   n2.n_name AS supp_nation
+            FROM part_q232 p
+            JOIN lineitem_q232 l ON p.p_partkey = l.l_partkey
+            JOIN supplier_q232 s ON s.s_suppkey = l.l_suppkey
+            JOIN orders_q232 o ON l.l_orderkey = o.o_orderkey
+            JOIN customer_q232 c ON o.o_custkey = c.c_custkey
+            JOIN nation_q232 n1 ON c.c_nationkey = n1.n_nationkey
+            JOIN nation_q232 n2 ON s.s_nationkey = n2.n_nationkey
+            JOIN region_q232 r ON n1.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          ) all_nations
+          GROUP BY o_year
+          ORDER BY o_year""")
+      },
+      Some("""
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+               COUNT(*) AS n_items
+        FROM (
+          SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+                 CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+                 n2.n_name AS supp_nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          JOIN region r ON n1.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year""")),
+
+    GraftQuery(
+      "q233_priority_class_counts",
+      "TPC-H Q12 shape: the two-bucket CASE census over a fact-to-" +
+        "fact join — finished lineitems shipped in 1997 classified " +
+        "by their order's priority into high/low counts per return " +
+        "flag. Both CASE sums ride the same partial aggregate (one " +
+        "pass, map-side combined); the join is orders x lineitem on " +
+        "the order key with the date+status filters pushed to the " +
+        "lineitem scan. Counts are CAST to BIGINT on both sides " +
+        "(DuckDB's SUM over INTEGER widens to HUGEINT).",
+      (spark, dir) => {
+        Tables.table(spark, dir, "orders").createOrReplaceTempView("orders_q233")
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q233")
+        spark.sql("""
+          SELECT l_returnflag,
+                 CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                 CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          FROM orders_q233 JOIN lineitem_q233 ON o_orderkey = l_orderkey
+          WHERE l_linestatus = 'F'
+            AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_returnflag
+          ORDER BY l_returnflag""")
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_linestatus = 'F'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    GraftQuery(
+      "q234_order_count_distribution",
+      "TPC-H Q13 shape: the outer-join histogram — customers LEFT " +
+        "OUTER joined to their non-'4-NOT SPECIFIED' orders (the " +
+        "filter lives in the JOIN CONDITION, not a WHERE, so " +
+        "customers with zero qualifying orders survive as count 0), " +
+        "aggregated twice: orders per customer, then customers per " +
+        "order count. The ON-clause placement is the semantic trap " +
+        "this query pins: a WHERE would silently drop the zero " +
+        "bucket. At 100 TB this is two hash aggregations and one " +
+        "shuffle join on o_custkey; count(o_orderkey) counts only " +
+        "matched rows by SQL NULL semantics, identically in both " +
+        "engines.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "customer").createOrReplaceTempView("customer_q234")
+        Tables.table(spark, dir, "orders").createOrReplaceTempView("orders_q234")
+        spark.sql("""
+          SELECT c_count, count(*) AS custdist
+          FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer_q234 c LEFT OUTER JOIN orders_q234 o
+              ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c.c_custkey
+          ) c_orders
+          GROUP BY c_count
+          ORDER BY custdist DESC, c_count DESC""")
+      },
+      Some("""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    GraftQuery(
+      "q235_promo_revenue_share",
+      "TPC-H Q14 shape: single-row conditional-revenue ratio — the " +
+        "PROMO part type's share of one month's revenue, numerator " +
+        "and denominator from ONE pass over the joined frame (the " +
+        "CASE rides the same partial aggregate). Both components " +
+        "are exposed as exact-DECIMAL-summed doubles alongside the " +
+        "percentage so a divergence would localize; the percentage " +
+        "itself is double arithmetic over identical doubles " +
+        "(100.0 * promo / total, left-associative in both engines).",
+      (spark, dir) => {
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q235")
+        Tables.table(spark, dir, "part").createOrReplaceTempView("part_q235")
+        spark.sql("""
+          SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS promo_revenue,
+                 CAST(SUM(volume) AS DOUBLE) AS total_revenue,
+                 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume
+                                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                       / CAST(SUM(volume) AS DOUBLE) AS promo_pct
+          FROM (
+            SELECT p.p_type,
+                   CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2))
+                        - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+            FROM lineitem_q235 l JOIN part_q235 p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+          ) t""")
+      },
+      Some("""
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 AS promo_revenue,
+               CAST(SUM(volume) AS DOUBLE) AS total_revenue,
+               100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / CAST(SUM(volume) AS DOUBLE) AS promo_pct
+        FROM (
+          SELECT p.p_type,
+                 CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+            AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        ) t""")),
+
+    GraftQuery(
+      "q236_notin_supplier_census",
+      "TPC-H Q16 shape: NOT IN over a subquery — the null-aware " +
+        "anti-join — plus COUNT(DISTINCT) per three-column group. " +
+        "Suppliers-per-(brand, type, size) over the distinct " +
+        "lineitem part-supplier association, excluding negative-" +
+        "balance suppliers via NOT IN (Spark plans the null-aware " +
+        "single-column anti join; s_suppkey is non-null so the " +
+        "semantics equal a plain anti join, and PlanShapeSpec " +
+        "asserts no cartesian fallback). The distinct count " +
+        "deduplicates inside the aggregate exactly in both engines; " +
+        "(supplier_cnt DESC, brand, type, size) is a total order.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q236")
+        Tables.table(spark, dir, "part").createOrReplaceTempView("part_q236")
+        Tables.table(spark, dir, "supplier").createOrReplaceTempView("supplier_q236")
+        spark.sql("""
+          WITH ps AS (
+            SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem_q236)
+          SELECT p_brand, p_type, p_size,
+                 count(DISTINCT ps_suppkey) AS supplier_cnt
+          FROM ps JOIN part_q236 ON p_partkey = ps_partkey
+          WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+            AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+            AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier_q236
+                                   WHERE s_acctbal < 0)
+          GROUP BY p_brand, p_type, p_size
+          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+      },
+      Some("""
+        WITH ps AS (
+          SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM ps JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    GraftQuery(
+      "q237_big_order_customers",
+      "TPC-H Q18 shape: IN over a GROUP BY ... HAVING subquery — " +
+        "large-quantity orders (total quantity > 280) with their " +
+        "customers and exact quantity sums. Catalyst plans the IN " +
+        "as a left-semi hash join against the pre-aggregated " +
+        "lineitem — the HAVING aggregate runs ONCE as its own " +
+        "shuffle, never per outer row; at 100 TB that is the only " +
+        "scalable spelling. Quantity sums ride BIGINT and are CAST " +
+        "to BIGINT on both sides (DuckDB widens SUM(BIGINT) to " +
+        "HUGEINT); the ORDER BY tiebreaks on the unique order key.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "customer").createOrReplaceTempView("customer_q237")
+        Tables.table(spark, dir, "orders").createOrReplaceTempView("orders_q237")
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q237")
+        spark.sql("""
+          SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+                 CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM customer_q237 c
+          JOIN orders_q237 o ON c.c_custkey = o.o_custkey
+          JOIN lineitem_q237 l ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem_q237
+                                 GROUP BY l_orderkey
+                                 HAVING SUM(CAST(l_quantity AS BIGINT)) > 280)
+          GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice
+          ORDER BY totalprice DESC, o.o_orderkey
+          LIMIT 100""")
+      },
+      Some("""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                               GROUP BY l_orderkey
+                               HAVING SUM(CAST(l_quantity AS BIGINT)) > 280)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        ORDER BY totalprice DESC, o.o_orderkey
+        LIMIT 100""")),
+
+    GraftQuery(
+      "q238_disjunctive_pushdown",
+      "TPC-H Q19 shape: the OR-of-ANDs predicate spanning BOTH join " +
+        "sides — three (brand, size-range, quantity-range) clauses " +
+        "over lineitem x part. The plan this query pins: Catalyst " +
+        "extracts the common p_partkey = l_partkey equi-condition " +
+        "so the join stays a hash join with the disjunction as its " +
+        "residual filter, and infers per-side OR filters pushed " +
+        "into each scan — never a nested-loop evaluating the " +
+        "disjunction as the join condition itself (PlanShapeSpec " +
+        "asserts no BNLJ/cartesian). Revenue is the exact-DECIMAL " +
+        "discipline on a single output row.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q238")
+        Tables.table(spark, dir, "part").createOrReplaceTempView("part_q238")
+        spark.sql("""
+          SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2))
+                             - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+                 COUNT(*) AS n_items
+          FROM lineitem_q238 l JOIN part_q238 p ON p.p_partkey = l.l_partkey
+          WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+                 AND l.l_quantity BETWEEN 1 AND 11)
+             OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+                 AND l.l_quantity BETWEEN 10 AND 20)
+             OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                 AND l.l_quantity BETWEEN 20 AND 30)""")
+      },
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)""")),
+
+    GraftQuery(
+      "q239_max_revenue_supplier",
+      "TPC-H Q15 shape: a named revenue view consumed TWICE — once " +
+        "joined to supplier, once inside the scalar MAX that " +
+        "selects the winner(s). The aggregate stays exact DECIMAL " +
+        "end-to-end, so the equality probe against the MAX is an " +
+        "exact-value match (the double cast happens only at " +
+        "output) — the float-equality trap the textbook Q15 " +
+        "carries is engineered out identically in both engines. " +
+        "The scalar MAX executes once (one-shot uncorrelated " +
+        "subquery, same plan family PlanShapeSpec pins for q217).",
+      (spark, dir) => {
+        Tables.table(spark, dir, "supplier").createOrReplaceTempView("supplier_q239")
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q239")
+        spark.sql("""
+          WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+            FROM lineitem_q239
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+          FROM supplier_q239 JOIN revenue ON s_suppkey = supplier_no
+          WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+          ORDER BY s_suppkey""")
+      },
+      Some("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2))
+                        - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        ORDER BY s_suppkey"""))
   )
 }

@@ -3114,5 +3114,97 @@ object ExtendedQueries {
         SELECT k AS user_id, event_id AS last_event_id, payload AS last_type
         FROM R WHERE rn = 1 AND op <> 'D'
         ORDER BY user_id""")),
+
+    GraftQuery(
+      "q240_map_function_battery",
+      "MapType function battery — the map-shaped half of q213's " +
+        "higher-order-lambda parity surface: per return flag, build " +
+        "linestatus->count and linestatus->quantity maps " +
+        "(map_from_entries over a sort_array'd collect_list, so the " +
+        "map's construction order is deterministic regardless of " +
+        "task arrival), double the counts with transform_values, " +
+        "fuse both maps with map_zip_with into a struct-valued map, " +
+        "threshold it with map_filter, and explode back to rows. " +
+        "Every map op is codegen-free but driver-safe: the maps are " +
+        "GROUP-sized (at most |linestatus| entries), never " +
+        "row-count-sized, so the same plan holds at 100 TB. The " +
+        "oracle computes the identical algebra relationally — the " +
+        "battery pins that Spark's map semantics (key order " +
+        "irrelevant post-explode, lambda null handling, struct " +
+        "field access) agree with the plain-SQL meaning.",
+      (spark, dir) => {
+        val li = Tables.table(spark, dir, "lineitem")
+        val base = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+        val maps = base.groupBy(col("l_returnflag"))
+          .agg(
+            map_from_entries(sort_array(collect_list(
+              struct(col("l_linestatus"), col("cnt"))))).as("cnt_map"),
+            map_from_entries(sort_array(collect_list(
+              struct(col("l_linestatus"), col("qty"))))).as("qty_map"))
+        val fused = maps.select(
+          col("l_returnflag"),
+          map_filter(
+            map_zip_with(
+              transform_values(col("cnt_map"), (_, v) => v * lit(2L)),
+              col("qty_map"),
+              (_, c2, q) => struct(c2.as("doubled_cnt"), q.as("qty"))),
+            (_, v) => v.getField("doubled_cnt") >= lit(1000L)).as("m"))
+        fused
+          .select(col("l_returnflag"), explode(col("m")).as(Seq("k", "v")))
+          .select(col("l_returnflag"), col("k").as("l_linestatus"),
+            col("v.doubled_cnt").as("doubled_cnt"),
+            col("v.qty").as("qty"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               2 * cnt AS doubled_cnt,
+               CAST(qty AS BIGINT) AS qty
+        FROM (
+          SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                 SUM(CAST(l_quantity AS BIGINT)) AS qty
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ) t
+        WHERE 2 * cnt >= 1000
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    GraftQuery(
+      "q241_str_to_map_props",
+      "str_to_map over the events props JSON — the delimiter-parsed " +
+        "sibling of q8's get_json_object path: strip the JSON " +
+        "framing with one regexp_replace, split into a MapType with " +
+        "str_to_map, and aggregate the extracted k value into " +
+        "decade buckets. Pins that the map-parsing route and the " +
+        "JSON-extraction route (the oracle side) read the same " +
+        "values — the schema-light key-value ingestion pattern flat " +
+        "telemetry uses at scale, one scan, no shuffle before the " +
+        "bucket aggregate. Sums are CAST to BIGINT on both sides " +
+        "(DuckDB widens to HUGEINT).",
+      (spark, dir) => {
+        Tables.table(spark, dir, "events")
+          .filter(col("props").isNotNull)
+          .select(
+            element_at(
+              str_to_map(
+                regexp_replace(col("props"), "[{}\" ]", ""),
+                lit(","), lit(":")),
+              "k").cast("int").as("k_val"))
+          .groupBy(floor(col("k_val") / lit(10)).cast("int").as("k_bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k_val").cast("long")).cast("long").as("k_sum"))
+          .orderBy(col("k_bucket"))
+      },
+      Some("""
+        SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10)
+                    AS INT) AS k_bucket,
+               count(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum
+        FROM events
+        WHERE props IS NOT NULL
+        GROUP BY 1
+        ORDER BY k_bucket""")),
   )
 }

@@ -110,4 +110,66 @@ class PlanShapeSpec extends SparkSpec {
     assert(!physical.contains("Subquery"), physical)
     assert(physical.contains("Join"), physical)
   }
+
+  test("q230 plans the date-correlated EXISTS as ONE left-semi join") {
+    // the EXISTS correlates on o_orderkey AND the outer o_orderdate;
+    // both must fold into a single semi join (key equality + date
+    // residual) — a surviving subquery would probe lineitem per order
+    val df = SparkEntry.queries("q230_exists_priority_census")(spark, sf001)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LeftSemi"), optimized)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Subquery"), physical)
+    assert(!physical.contains("CartesianProduct"), physical)
+  }
+
+  test("q236 plans NOT IN as a left-anti hash join (no BNLJ fallback)") {
+    // NOT IN is null-aware: with a nullable probe column Spark can
+    // only run it as a BroadcastNestedLoopJoin — this gate pins that
+    // the non-null s_suppkey lets the planner keep a hash anti join,
+    // the only shape that survives a 100 TB probe side
+    val df = SparkEntry.queries("q236_notin_supplier_census")(spark, sf001)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LeftAnti"), optimized)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+    assert(!physical.contains("CartesianProduct"), physical)
+  }
+
+  test("q237 runs the HAVING aggregate once, joined semi (TPC-H Q18 shape)") {
+    val df = SparkEntry.queries("q237_big_order_customers")(spark, sf001)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LeftSemi"), optimized)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Subquery"), physical)
+    assert(!physical.contains("CartesianProduct"), physical)
+  }
+
+  test("q238 keeps the equi hash join under the OR-of-ANDs (TPC-H Q19 shape)") {
+    // Catalyst must extract the common p_partkey = l_partkey from the
+    // disjunction so the join is hash on the key with the OR as a
+    // residual — the disjunction AS the join condition would plan a
+    // nested loop over lineitem x part
+    val df = SparkEntry.queries("q238_disjunctive_pushdown")(spark, sf001)
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+    assert(!physical.contains("CartesianProduct"), physical)
+    assert(physical.contains("Join"), physical)
+  }
+
+  test("q239 executes the revenue-view MAX as one uncorrelated scalar") {
+    val correlated = """scalar-subquery#\d+ \[[^\]]""".r
+    val uncorrelated = """scalar-subquery#\d+ \[\]""".r
+    val df = SparkEntry.queries("q239_max_revenue_supplier")(spark, sf001)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(correlated.findFirstIn(optimized).isEmpty, optimized)
+    assert(uncorrelated.findAllIn(optimized).size == 1, optimized)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical)
+  }
 }
