@@ -3206,5 +3206,98 @@ object ExtendedQueries {
         WHERE props IS NOT NULL
         GROUP BY 1
         ORDER BY k_bucket""")),
+
+    GraftQuery(
+      "q242_ohlc_resample",
+      "Time-series OHLC downsampling — per (user, day) open/high/" +
+        "low/close/volume bars from the event stream, the standard " +
+        "resample-to-bars shape telemetry and market pipelines run. " +
+        "Open/close ride two row_number windows under the TOTAL " +
+        "(ts, event_id) order (ts alone repeats at scale and would " +
+        "be engine-arbitrary — the q175 lesson); high/low/volume are " +
+        "plain aggregates. The two windows and the final aggregate " +
+        "all partition by the SAME (user_id, day) keys, so the " +
+        "whole query is ONE exchange at 100 TB — Spark reuses the " +
+        "hash partitioning across the windows and the hash " +
+        "aggregate. Values are stored doubles compared verbatim " +
+        "(MAX/MIN/CASE pick, no arithmetic), so both engines emit " +
+        "identical bytes.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "events").createOrReplaceTempView("events_q242")
+        // the bucket is projected ONCE in `base` so the windows and the
+        // aggregate all key on the same attribute — Spark then reuses
+        // the window's hash partitioning for the aggregate (no second
+        // exchange); windowing on the raw date_trunc expression while
+        // grouping on its alias re-shuffles (PlanStatsSpec-visible)
+        spark.sql("""
+          WITH base AS (
+            SELECT user_id, date_trunc('day', ts) AS bucket, ts, event_id, value
+            FROM events_q242),
+          b AS (
+            SELECT user_id, bucket, value,
+                   row_number() OVER (PARTITION BY user_id, bucket
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY user_id, bucket
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM base)
+          SELECT user_id, bucket,
+                 MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                 MAX(value) AS high,
+                 MIN(value) AS low,
+                 MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                 COUNT(*) AS n_events
+          FROM b GROUP BY user_id, bucket
+          ORDER BY user_id, bucket""")
+      },
+      Some("""
+        WITH b AS (
+          SELECT user_id, date_trunc('day', ts) AS bucket, value,
+                 row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events)
+        SELECT user_id, bucket,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               COUNT(*) AS n_events
+        FROM b GROUP BY user_id, bucket
+        ORDER BY user_id, bucket""")),
+
+    GraftQuery(
+      "q243_agg_predicate_battery",
+      "Predicate/selection aggregate battery — count_if, bool_and/" +
+        "bool_or, and max_by/min_by (DuckDB arg_max/arg_min) per " +
+        "order priority, through the typed DataFrame API. The " +
+        "max_by/min_by selector key is the UNIQUE o_orderkey, so " +
+        "the picked row is total-order-deterministic in any engine " +
+        "at any parallelism — by-keys with ties are the documented " +
+        "nondeterminism trap this battery deliberately avoids. All " +
+        "five forms fold into ONE hash aggregate (one exchange); " +
+        "count_if is CAST to BIGINT on both sides.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count_if(col("o_totalprice") > lit(100000.0)).cast("long").as("n_big"),
+            bool_and(col("o_totalprice") > lit(0.0)).as("all_positive"),
+            bool_or(col("o_orderstatus") === lit("F")).as("any_finished"),
+            max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
+            min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+            countDistinct(col("o_orderstatus")).as("n_statuses"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_totalprice > 100000)
+                    AS BIGINT) AS n_big,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_orderstatus = 'F') AS any_finished,
+               arg_max(o_orderstatus, o_orderkey) AS latest_status,
+               arg_min(o_orderstatus, o_orderkey) AS first_status,
+               count(DISTINCT o_orderstatus) AS n_statuses
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
   )
 }

@@ -148,6 +148,71 @@ class StreamStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained stateful operators: watermarked join feeds a windowed agg") {
+    // Spark 4 runs MULTIPLE stateful operators in one streaming query
+    // when every input is watermarked — here a time-range stream-stream
+    // join whose output flows into a tumbling-window aggregate, the
+    // enrich-then-rollup shape a 100 TB pipeline wants as ONE query
+    // (two state stores, one checkpoint, no intermediate topic). The
+    // emitted bars must equal the batch twin over the same rows.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val leftIn = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val rightIn = MemoryStream[(java.sql.Timestamp, String, String)]
+    def pipeline(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame) = l
+      .join(r, expr("""k = k2 AND
+        rts BETWEEN lts - INTERVAL 10 MINUTES AND lts + INTERVAL 10 MINUTES"""))
+      .groupBy(window(col("lts"), "30 minutes"), col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("window.start").as("ws"), col("tag"), col("n"), col("sv"))
+
+    val q = pipeline(
+      leftIn.toDF().toDF("lts", "k", "v").withWatermark("lts", "10 minutes"),
+      rightIn.toDF().toDF("rts", "k2", "tag").withWatermark("rts", "10 minutes"))
+      .writeStream.format("memory").queryName("chain_out")
+      .outputMode("append").start()
+    try {
+      val lRows = Seq((ts(1), "a", 2.0), (ts(5), "a", 3.0), (ts(7), "b", 10.0))
+      val rRows = Seq((ts(2), "a", "hot"), (ts(6), "b", "cold"))
+      leftIn.addData(lRows: _*)
+      rightIn.addData(rRows: _*)
+      q.processAllAvailable()
+      // push the watermark far past the window end twice: the join
+      // emits on the first advance, the downstream window finalizes
+      // the batch after
+      for (m <- Seq(240, 480)) {
+        leftIn.addData((ts(m), "zz", 0.0))
+        rightIn.addData((ts(m), "zz2", "none"))
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.exists(_.stateOperators.length >= 2),
+        "expected two stateful operators (join + window agg) in one query")
+      val got = spark.table("chain_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val expected = pipelineBatchTwin(lRows, rRows)
+      assert(got == expected, s"streamed $got vs batch $expected")
+    } finally q.stop()
+  }
+
+  private def pipelineBatchTwin(
+      lRows: Seq[(java.sql.Timestamp, String, Double)],
+      rRows: Seq[(java.sql.Timestamp, String, String)]) = {
+    import spark.implicits._
+    lRows.toDF("lts", "k", "v")
+      .join(rRows.toDF("rts", "k2", "tag"), expr("""k = k2 AND
+        rts BETWEEN lts - INTERVAL 10 MINUTES AND lts + INTERVAL 10 MINUTES"""))
+      .groupBy(window(col("lts"), "30 minutes"), col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("window.start").as("ws"), col("tag"), col("n"), col("sv"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+  }
+
   test("foreachBatch sink receives each micro-batch exactly once (K5)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
