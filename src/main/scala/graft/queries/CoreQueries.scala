@@ -1368,6 +1368,92 @@ object CoreQueries {
         SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
         FROM supplier JOIN revenue ON s_suppkey = supplier_no
         WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    GraftQuery(
+      "q244_forecast_revenue_delta",
+      "TPC-H Q6 shape: the pure scan-side filter aggregate — revenue " +
+        "delta from discounted small-quantity lineitems in one year, " +
+        "no join at all. The query pins that ALL three predicates " +
+        "reach the parquet scan as pushed filters (date range, " +
+        "discount band, quantity cap) so the 100 TB form reads only " +
+        "matching row groups; the product rides DECIMAL(18,2) x " +
+        "DECIMAL(18,2) exactly. Completes the 22-shape TPC-H " +
+        "battery together with q1/q3/q5/q10 and q203-q239. Stored " +
+        "double literals (0.02/0.04) parse to identical doubles in " +
+        "both engines, so the band keeps the same rows.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q244")
+        spark.sql("""
+          SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                 COUNT(*) AS n_items
+          FROM lineitem_q244
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            AND l_discount BETWEEN 0.02 AND 0.04
+            AND l_quantity < 10""")
+      },
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 10""")),
+
+    GraftQuery(
+      "q245_product_profit_by_nation",
+      "TPC-H Q9 shape: profit by supplier nation and year for parts " +
+        "matching a CONTAINS pattern — the '%red%' LIKE cannot be a " +
+        "range predicate, so the plan this pins is the LIKE pushed " +
+        "to the part SCAN (shrinking the build side before any " +
+        "join) with the four joins staying key-equi hash joins. " +
+        "Amount is the q1/q3 exact-DECIMAL discipline; " +
+        "(nation, o_year) totals the order with Q9's traditional " +
+        "year DESC.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "part").createOrReplaceTempView("part_q245")
+        Tables.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q245")
+        Tables.table(spark, dir, "supplier").createOrReplaceTempView("supplier_q245")
+        Tables.table(spark, dir, "orders").createOrReplaceTempView("orders_q245")
+        Tables.table(spark, dir, "nation").createOrReplaceTempView("nation_q245")
+        spark.sql("""
+          SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit,
+                 COUNT(*) AS n
+          FROM (
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2))
+                        - CAST(l_discount AS DECIMAL(18,2))) AS amount
+            FROM part_q245 JOIN lineitem_q245 ON p_partkey = l_partkey
+            JOIN supplier_q245 ON s_suppkey = l_suppkey
+            JOIN orders_q245 ON o_orderkey = l_orderkey
+            JOIN nation_q245 ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+          ) profit
+          GROUP BY nation, o_year
+          ORDER BY nation, o_year DESC""")
+      },
+      Some("""
+        SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit,
+               COUNT(*) AS n
+        FROM (
+          SELECT n_name AS nation,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l_discount AS DECIMAL(18,2))) AS amount
+          FROM part JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC"""))
   )
 }

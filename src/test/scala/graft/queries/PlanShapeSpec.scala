@@ -161,6 +161,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(physical.contains("Join"), physical)
   }
 
+  test("q244 pushes all three predicates into the parquet scan (TPC-H Q6 shape)") {
+    // the no-join filter aggregate lives or dies on scan pushdown: at
+    // 100 TB the date band must prune row groups, not filter post-read
+    val df = SparkEntry.queries("q244_forecast_revenue_delta")(spark, sf001)
+    df.collect()
+    // executedPlan.toString ELIDES long PushedFilters lists with "..." —
+    // formatted explain prints them in full
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters"), formatted)
+    for (p <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(formatted.contains(p), s"missing pushed filter $p:\n$formatted")
+  }
+
+  test("q245 pushes the LIKE into the part scan, keeps equi hash joins (Q9 shape)") {
+    val df = SparkEntry.queries("q245_product_profit_by_nation")(spark, sf001)
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("StringContains(p_name,red)"), physical)
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+    assert(!physical.contains("CartesianProduct"), physical)
+  }
+
   test("q239 executes the revenue-view MAX as one uncorrelated scalar") {
     val correlated = """scalar-subquery#\d+ \[[^\]]""".r
     val uncorrelated = """scalar-subquery#\d+ \[\]""".r
