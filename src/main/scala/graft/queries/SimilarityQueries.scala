@@ -1719,6 +1719,103 @@ object SimilarityQueries {
         N AS (SELECT count(*) AS n FROM embeddings)
         SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
                CAST(count(*) * 8 * 1000000 // max(N.n) AS BIGINT) AS load_micro
-        FROM CELL, N GROUP BY cell ORDER BY cell"""))
+        FROM CELL, N GROUP BY cell ORDER BY cell""")),
+
+    GraftQuery(
+      "q246_ann_filtered_exact",
+      "Metadata-FILTERED exact vector search — top-3 cosine " +
+        "restricted to corpus rows with label IN (2,4,6), queries " +
+        "unrestricted (how production vector serving is actually " +
+        "queried: label/language/license predicates on every " +
+        "request). PRE-FILTER strategy: the predicate cuts the " +
+        "corpus before any distance work (pushed to the scan; a " +
+        "partition filter under a label-partitioned layout), recall " +
+        "exact by construction — the baseline q247's shared-index " +
+        "post-filter path is measured against. Cosine in float64 on " +
+        "both sides (dot/sqrt in SQL); min rank-3/4 gap 1.8e-5 at " +
+        "every SF, orders above summation-order error; id-only " +
+        "output.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.filteredTopK(e, q, "vec_id", "embedding",
+            col("label").isin(2, 4, 6), k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CAND AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q
+          JOIN embeddings c ON c.vec_id <> q.vec_id AND c.label IN (2, 4, 6)
+          CROSS JOIN range(1, 65) i(i)
+          WHERE q.vec_id % 50 = 0
+          GROUP BY 1, 2),
+        R AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+          FROM CAND)
+        SELECT query_id, rank, neighbor_id FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q247_ann_ivf_filtered",
+      "Filtered IVF multi-probe — ONE shared unfiltered index " +
+        "serving the label IN (2,4,6) query: centroids and the " +
+        "2-nearest-cell probe list come from the FULL corpus (the " +
+        "same written cell layout serves every predicate), the " +
+        "candidates are label-filtered inside the probed cells " +
+        "before the exact re-rank. POST-FILTER strategy: cost stays " +
+        "|corpus|*nProbe/nLists at any selectivity; recall vs q246 " +
+        "degrades as the predicate sharpens (the documented " +
+        "filtered-ANN trap — raise nProbe until recall holds). " +
+        "Margins: min rank-3/4 cosine gap 4.2e-5, probe-2/3 cell " +
+        "margin 4.6e-3, min 33 filtered candidates per query at " +
+        "every SF.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfFilteredTopK(e, q, "vec_id", "embedding",
+            col("label").isin(2, 4, 6), k = 3, nLists = 8, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT d.vec_id, d.cent_id AS cell FROM D d
+          JOIN embeddings e ON e.vec_id = d.vec_id AND e.label IN (2, 4, 6)
+          QUALIFY row_number() OVER (PARTITION BY d.vec_id ORDER BY d.l2, d.cent_id) = 1),
+        PROBE AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          WHERE vec_id % 50 = 0
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) <= 2),
+        CAND AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q
+          JOIN PROBE pq ON pq.vec_id = q.vec_id
+          JOIN CELL cc ON cc.cell = pq.cell
+          JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+          CROSS JOIN range(1, 65) i(i)
+          GROUP BY 1, 2),
+        R AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+          FROM CAND)
+        SELECT query_id, rank, neighbor_id FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank"""))
   )
 }

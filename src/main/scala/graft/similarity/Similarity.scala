@@ -242,6 +242,57 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
   }
 
+  /** Metadata-FILTERED exact search — ANN constrained to corpus rows
+    * matching a predicate (label/language/source/license filters are
+    * how production vector serving is actually queried). This is the
+    * PRE-FILTER strategy: the predicate cuts the corpus before any
+    * distance work, so cost scales with selectivity and recall is
+    * exact by construction — the right path when the predicate is
+    * selective (the candidate set fits a brute-force re-rank) and the
+    * baseline every approximate filtered variant is measured against
+    * ([[recallReport]] vs [[ivfFilteredTopK]]). At 100 TB the
+    * predicate is a scan-level pushed filter (and a partition filter
+    * when the corpus is written partitioned by the metadata column),
+    * so the unselected rows are never read. */
+  def filteredTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      predicate: org.apache.spark.sql.Column, k: Int): DataFrame =
+    bruteForceTopK(corpus.filter(predicate), queries, idCol, vecCol, k)
+
+  /** Filtered IVF multi-probe — ONE shared unfiltered index serving a
+    * filtered query: centroids and the probe list come from the FULL
+    * corpus (so the same written cell layout serves every predicate),
+    * while candidate rows are filtered inside the probed cells before
+    * the exact re-rank. This is the POST-FILTER strategy: cost stays
+    * |corpus| * nProbe / nLists regardless of selectivity, but recall
+    * degrades when the predicate is selective (a probed cell may hold
+    * few matching rows — the documented filtered-ANN trap; measure
+    * against [[filteredTopK]] with [[recallReport]] and raise nProbe
+    * until recall holds). Filtering BEFORE cell assignment is
+    * result-identical to filtering after (assignment is per-row) and
+    * cheaper, so that is what runs. */
+  def ivfFilteredTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      predicate: org.apache.spark.sql.Column, k: Int, nLists: Int,
+      nProbe: Int = 2): DataFrame = {
+    val cent = ivfCentroids(corpus, idCol, vecCol, nLists)
+    val cc = assignWith(cent,
+      corpus.filter(predicate)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      "neighbor_id", "c_vec")
+    val qProbes = probeCells(cent,
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec", nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cc.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   def ivfMultiProbeTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nLists: Int, nProbe: Int = 2): DataFrame = {

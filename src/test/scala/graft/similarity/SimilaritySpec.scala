@@ -306,6 +306,34 @@ class SimilaritySpec extends SparkSpec {
       nh <= ne && rc == nh.toDouble / ne.toDouble })
   }
 
+  test("filteredTopK/ivfFilteredTopK: predicate respected, recall ordered, all-cells = exact") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val pred = col("label").isin(2, 4, 6)
+    val allowed = e.filter(pred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.filteredTopK(e, q, "vec_id", "embedding", pred, k = 3)
+    // every neighbor satisfies the predicate — on both strategies
+    assert(exact.collect().forall(r => allowed(r.getLong(2))))
+    val post = Similarity.ivfFilteredTopK(e, q, "vec_id", "embedding",
+      pred, k = 3, nLists = 8, nProbe = 2)
+    assert(post.collect().forall(r => allowed(r.getLong(2))))
+    // probing every cell makes the shared-index post-filter EXACT
+    val allCells = Similarity.ivfFilteredTopK(e, q, "vec_id", "embedding",
+      pred, k = 3, nLists = 8, nProbe = 8)
+    assert(Similarity.recallReport(exact, allCells)
+      .collect().forall(_.getDouble(3) == 1.0))
+    // recall is monotone in nProbe (the filtered-ANN recall lever)
+    def mean(df: org.apache.spark.sql.DataFrame) = {
+      val rs = Similarity.recallReport(exact, df).collect().map(_.getDouble(3))
+      rs.sum / rs.length
+    }
+    val r1 = mean(Similarity.ivfFilteredTopK(e, q, "vec_id", "embedding",
+      pred, k = 3, nLists = 8, nProbe = 1))
+    val r2 = mean(post)
+    assert(r1 <= r2 + 1e-12, s"nProbe=1 recall $r1 above nProbe=2 $r2")
+  }
+
   test("pqTopK recall overlaps brute force on real embeddings") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)
