@@ -64,6 +64,43 @@ object TextRetrieval {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL postings — (doc_id, pos, term), the row format phrase
+    * and proximity search read. Like [[postings]] this is the durable
+    * shape: stored once, a phrase query then touches only its own
+    * terms' rows (a scan-level `term IN (...)` pushdown), never the
+    * text. */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.words(col(textCol))).as(Seq("pos", "term")))
+
+  /** Phrase + proximity match from positional postings: documents
+    * where `second` occurs within `slop` positions AFTER `first`;
+    * `phrase_tf` counts exact adjacency (the quoted-phrase hit count),
+    * `near_tf` all in-window pairs (the proximity relaxation —
+    * slop > 1 is how a retrieval stack serves "A near B"). The two
+    * term branches filter BEFORE the join, so the join input is
+    * bounded by the terms' posting lists — at 100 TB two selective
+    * index lookups merged on doc_id (a hash join with the position
+    * window as residual), never an all-positions self-join. Output
+    * ordered (phrase_tf DESC, near_tf DESC, doc_id) — total because
+    * doc_id is unique per group. */
+  def phraseFromPostings(
+      postings: DataFrame, first: String, second: String,
+      slop: Int = 1): DataFrame = {
+    val a = postings.filter(col("term") === first)
+      .select(col("doc_id"), col("pos").as("pa"))
+    val b = postings.filter(col("term") === second)
+      .select(col("doc_id"), col("pos").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("pb") >= col("pa") + 1 && col("pb") <= col("pa") + lit(slop))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("pb") === col("pa") + 1, 1L).otherwise(0L))
+          .cast("long").as("phrase_tf"),
+        count(lit(1)).as("near_tf"))
+      .orderBy(col("phrase_tf").desc, col("near_tf").desc, col("doc_id"))
+  }
+
   /** BM25 over an existing postings table (see [[postings]]). All
     * corpus statistics derive from the rows themselves.
     *

@@ -1191,6 +1191,43 @@ object CorpusQueries {
                CAST(min(n) AS BIGINT) AS min_len,
                CAST(max(n) AS BIGINT) AS max_len,
                CAST(sum(n) AS BIGINT) AS token_sum
-        FROM A GROUP BY bin ORDER BY bin"""))
+        FROM A GROUP BY bin ORDER BY bin""")),
+
+    GraftQuery(
+      "q248_phrase_search",
+      "Phrase + proximity search from POSITIONAL postings — documents " +
+        "where 'hash' follows 'table' within 3 positions: phrase_tf " +
+        "counts exact adjacency (the quoted-phrase \"table hash\" hit " +
+        "count), near_tf all in-window pairs (the slop relaxation a " +
+        "retrieval stack serves as 'A near B'). The (doc_id, pos, " +
+        "term) postings are the stored row format (q102's postings " +
+        "plus position); both term branches filter BEFORE the join, " +
+        "so at 100 TB this is two selective posting-list lookups " +
+        "merged on doc_id with the position window as residual — " +
+        "never an all-positions self-join. Integer positions and " +
+        "counts; (phrase_tf, near_tf, doc_id) totals the order.",
+      (spark, dir) => {
+        import graft.corpus.TextRetrieval
+        val d = Tables.table(spark, dir, "documents")
+        TextRetrieval.phraseFromPostings(
+          TextRetrieval.positionalPostings(d, "doc_id", "text"),
+          first = "table", second = "hash", slop = 3)
+      },
+      Some(raw"""
+        WITH W AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                   FROM documents),
+        T AS (SELECT doc_id, t.pos AS pos, w[CAST(t.pos AS INTEGER)] AS term
+              FROM W, unnest(range(1, len(w)+1)) AS t(pos)),
+        A AS (SELECT doc_id, pos AS pa FROM T WHERE term = 'table'),
+        B AS (SELECT doc_id, pos AS pb FROM T WHERE term = 'hash'),
+        M AS (SELECT a.doc_id,
+                     CAST(SUM(CASE WHEN b.pb = a.pa + 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS phrase_tf,
+                     count(*) AS near_tf
+              FROM A a JOIN B b ON a.doc_id = b.doc_id
+              WHERE b.pb BETWEEN a.pa + 1 AND a.pa + 3
+              GROUP BY a.doc_id)
+        SELECT doc_id, phrase_tf, near_tf FROM M
+        ORDER BY phrase_tf DESC, near_tf DESC, doc_id"""))
   )
 }
