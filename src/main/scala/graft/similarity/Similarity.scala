@@ -645,9 +645,18 @@ object Similarity {
     * [[ivfMultiProbeTopK]] with the same parameters: stored vectors
     * are exact floats and the assignment recomputes the same argmin
     * over the same stored centroids. */
+  /** `excludeIds`: optional single-column frame of ids to EXCLUDE
+    * from the candidates before ranking — the tombstone subtraction
+    * path ([[graft.streaming.VectorIndexStream.liveTombstones]]):
+    * a deleted top hit is replaced by the next-best live vector, the
+    * top-k never silently shortens. The set is broadcast (tombstones
+    * stay small by contract: compaction folds history, retention
+    * drops expired delete batches) and the anti-join rides the
+    * already-pruned cell scan. */
   def ivfFlatTopKFromIndex(
       spark: SparkSession, indexPath: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int = 1): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     graft.streaming.StoreLayout.check(
       spark.read.parquet(s"$indexPath/meta"), s"IVF-Flat index at $indexPath")
     val cent = spark.read.parquet(s"$indexPath/centroids")
@@ -660,10 +669,14 @@ object Similarity {
     val cellFilter =
       if (probedCells.isEmpty) lit(false)
       else expr(s"cell IN (${probedCells.mkString(",")})")
-    val cc = spark.read.parquet(s"$indexPath/cells")
+    val ccAll = spark.read.parquet(s"$indexPath/cells")
       .filter(cellFilter)
       .select(col(idCol).as("neighbor_id"), col("cell").cast("long").as("cell"),
         col(vecCol).as("c_vec"))
+    val cc = excludeIds.fold(ccAll) { t =>
+      val ex = t.select(col(t.columns.head).as("neighbor_id")).distinct()
+      ccAll.join(broadcast(ex), Seq("neighbor_id"), "left_anti")
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cc.join(broadcast(qc.select(col("query_id"), col("q_vec"), col("cell"))),

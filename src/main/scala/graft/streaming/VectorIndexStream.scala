@@ -291,6 +291,54 @@ object VectorIndexStream {
     if (name.startsWith("batch=")) name.stripPrefix("batch=").toLongOption
     else None
 
+  /** Tombstone one batch of DELETIONS — ids whose vectors must stop
+    * appearing in probe results (user deletion requests, revoked
+    * licenses, recalled documents: the delete half of the CDC story
+    * q229 materializes relationally). The tombstone store mirrors the
+    * cell store's `batch=N` layout and stamps admission the same way,
+    * so retention and as-of fences compose unchanged — a probe pinned
+    * before the delete batch still sees the vector, the live probe
+    * does not. Serving subtracts [[liveTombstones]] BEFORE ranking
+    * (the `excludeIds` hook on
+    * [[graft.similarity.Similarity.ivfFlatTopKFromIndex]]), so a
+    * deleted top hit is replaced by the next-best live vector, never
+    * silently shortening the top-k. Physical removal rides the
+    * existing maintenance ops: compaction folds history and retention
+    * drops expired delete batches with their cell batches. */
+  def deleteBatch(
+      spark: SparkSession, indexDir: String, ids: DataFrame,
+      idCol: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId")
+    ids.select(col(idCol)).distinct().coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/tombstones/batch=$batchId")
+    BatchIndex.stampBatch(spark, s"$indexDir/tombstones", batchId)
+  }
+
+  /** The live tombstoned-id set — distinct ids over every delete
+    * batch; an empty (idCol: long) frame when the store has never
+    * seen a delete. `beforeBatch` pins the set as of a replay fence
+    * (only delete batches strictly below it count), the same
+    * time-travel contract every other batch=N store serves. */
+  def liveTombstones(
+      spark: SparkSession, indexDir: String, idCol: String,
+      beforeBatch: Option[Long] = None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            idCol, org.apache.spark.sql.types.LongType))))
+    else {
+      val all = spark.read.option("basePath", s"$indexDir/tombstones")
+        .parquet(s"$indexDir/tombstones")
+      beforeBatch.fold(all)(b => all.filter(col("batch") < b))
+        .select(col(idCol)).distinct()
+    }
+  }
+
   /** Retention: drop batch partitions admitted before `keepFromBatch`
     * (the seed too when `dropSeed`) — bounds total store size for
     * bounded-window deployments, exactly as the dedup stores' expire.

@@ -793,4 +793,52 @@ class VectorIndexStreamSpec extends SparkSpec {
       "vec_id", "embedding", k = 3)
     assert(none.count() == 0)
   }
+
+  test("delete tombstones: subtracted before ranking, accumulated, fenced, empty on fresh stores") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_del").toString
+    VectorIndexStream.seedIndex(e, "vec_id", "embedding", s"$dir/index", nLists = 8)
+
+    // fresh store: no tombstone dir, empty live set, probe unchanged
+    val emptyTs = VectorIndexStream.liveTombstones(spark, s"$dir/index", "vec_id")
+    assert(emptyTs.count() == 0)
+    val before = topk(Similarity.ivfFlatTopKFromIndex(
+      spark, s"$dir/index", q, "vec_id", "embedding", k = 3,
+      excludeIds = Some(emptyTs)))
+    assert(before == topk(Similarity.ivfFlatTopKFromIndex(
+      spark, s"$dir/index", q, "vec_id", "embedding", k = 3)))
+
+    // delete every id that appears in the current top-3: each must be
+    // REPLACED by the next live vector, never a shortened top-k
+    val hitIds = before.map(_._3).toSeq
+    val spark2 = spark
+    import spark2.implicits._
+    VectorIndexStream.deleteBatch(spark, s"$dir/index",
+      hitIds.toDF("vec_id"), "vec_id", batchId = 0L)
+    val after = Similarity.ivfFlatTopKFromIndex(
+      spark, s"$dir/index", q, "vec_id", "embedding", k = 3,
+      excludeIds = Some(
+        VectorIndexStream.liveTombstones(spark, s"$dir/index", "vec_id")))
+    val afterRows = after.collect()
+    val deleted = hitIds.toSet
+    assert(afterRows.forall(r => !deleted(r.getLong(2))))
+    // every query still gets a full top-3 (cells hold plenty of live rows)
+    val perQuery = afterRows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 3), perQuery.toMap.toString)
+
+    // second delete batch ACCUMULATES with the first
+    val more = afterRows.map(_.getLong(2)).distinct.take(2).toSeq
+    VectorIndexStream.deleteBatch(spark, s"$dir/index",
+      more.toDF("vec_id"), "vec_id", batchId = 1L)
+    val live = VectorIndexStream.liveTombstones(spark, s"$dir/index", "vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(live == deleted ++ more)
+
+    // as-of fence: pinned BELOW batch 1, only batch 0's deletes count
+    val fenced = VectorIndexStream.liveTombstones(
+      spark, s"$dir/index", "vec_id", beforeBatch = Some(1L))
+      .collect().map(_.getLong(0)).toSet
+    assert(fenced == deleted)
+  }
 }
