@@ -1877,6 +1877,86 @@ object SimilarityQueries {
                    ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
           FROM CAND)
         SELECT query_id, rank, neighbor_id FROM R
-        WHERE rank <= 3 ORDER BY query_id, rank"""))
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q250_filtered_ann_recall",
+      "The filtered-ANN recall report — q247's shared-index post-" +
+        "filter ranking measured per query against q246's exact pre-" +
+        "filter baseline, the number an operator watches when " +
+        "deciding whether nProbe holds under a new predicate (the " +
+        "q109 tuning loop, for the filtered family). Both rankings " +
+        "and the hit-join are exactly the q246/q247 oracle SQL " +
+        "composed, so recall is a deterministic integer ratio — " +
+        "n_hit/3 in halves — not a float comparison.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val pred = col("label").isin(2, 4, 6)
+        Similarity.recallReport(
+            Similarity.filteredTopK(e, q, "vec_id", "embedding", pred, k = 3),
+            Similarity.ivfFilteredTopK(e, q, "vec_id", "embedding",
+              pred, k = 3, nLists = 8, nProbe = 2))
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT d.vec_id, d.cent_id AS cell FROM D d
+          JOIN embeddings e ON e.vec_id = d.vec_id AND e.label IN (2, 4, 6)
+          QUALIFY row_number() OVER (PARTITION BY d.vec_id ORDER BY d.l2, d.cent_id) = 1),
+        PROBE AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          WHERE vec_id % 50 = 0
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) <= 2),
+        EXC AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q
+          JOIN embeddings c ON c.vec_id <> q.vec_id AND c.label IN (2, 4, 6)
+          CROSS JOIN range(1, 65) i(i)
+          WHERE q.vec_id % 50 = 0
+          GROUP BY 1, 2),
+        EXACT AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+            FROM EXC) WHERE rank <= 3),
+        APC AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q
+          JOIN PROBE pq ON pq.vec_id = q.vec_id
+          JOIN CELL cc ON cc.cell = pq.cell
+          JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+          CROSS JOIN range(1, 65) i(i)
+          GROUP BY 1, 2),
+        APPROX AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+            FROM APC) WHERE rank <= 3)
+        SELECT e.query_id, count(*) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        FROM EXACT e LEFT JOIN APPROX a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id"""))
   )
 }
