@@ -935,7 +935,7 @@ object CoreQueries {
     GraftQuery(
       "q231_binational_volume",
       "TPC-H Q7 shape: the nation-PAIR disjunction over a five-table " +
-        "join — shipping volume between NATION_1 and NATION_2 in " +
+        "join — shipping volume between NATION_18 and NATION_19 in " +
         "both directions, by year. The OR references columns from " +
         "two different dimension branches, so it cannot ride either " +
         "scan; the plan that survives 100 TB keeps every join an " +
@@ -965,8 +965,8 @@ object CoreQueries {
             JOIN customer_q231 c ON c.c_custkey = o.o_custkey
             JOIN nation_q231 n1 ON s.s_nationkey = n1.n_nationkey
             JOIN nation_q231 n2 ON c.c_nationkey = n2.n_nationkey
-            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+               OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
           ) shipping
           GROUP BY supp_nation, cust_nation, l_year
           ORDER BY supp_nation, cust_nation, l_year""")
@@ -986,8 +986,8 @@ object CoreQueries {
           JOIN customer c ON c.c_custkey = o.o_custkey
           JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
           JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+          WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+             OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
         ) shipping
         GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year""")),
