@@ -339,6 +339,78 @@ object VectorIndexStream {
     }
   }
 
+  /** Streaming DELETES: every micro-batch of ids becomes one
+    * tombstone batch ([[deleteBatch]]) under the stream's own batch
+    * ids — the takedown-feed consumer, exactly-once by the same
+    * overwrite-idempotent batch layout the vector appenders use (a
+    * replayed micro-batch rewrites its own tombstone partition).
+    * Start with `.start()`. */
+  def deleteStreamTo(
+      ids: DataFrame, indexDir: String, checkpointDir: String,
+      idCol: String): DataStreamWriter[Row] =
+    streamTo(ids, checkpointDir,
+      (batch, bid) =>
+        deleteBatch(batch.sparkSession, indexDir, batch, idCol, bid),
+      (_, _) => ())
+
+  /** PHYSICALLY remove tombstoned vectors — the completion of the
+    * delete path (a takedown is not done while the bytes remain on
+    * disk): fold EVERY cell batch partition into the seed, resolving
+    * id reuse latest-batch-wins BEFORE the batch column is destroyed,
+    * subtract the tombstone set, then drop the tombstone store
+    * entirely. Collapses batch fences by design — physical deletion
+    * must destroy fenced history too, the same posture as
+    * `expireIndex(dropSeed = true)`; after a purge, probes need no
+    * `excludeIds` and as-of reads see only the purged seed.
+    * Crash-safe via [[compactIndex]]'s exact staging+journal
+    * protocol: a crash before the journal rename leaves the old
+    * layout intact (staging is debris), a crash after it is completed
+    * by `recoverPendingCompaction` on the next maintenance call, and
+    * reads refuse a journaled store loudly in between. Requires the
+    * writing stream stopped or between batches. Payload-agnostic
+    * (flat vectors, SQ8 codes, and PQ codes purge identically). */
+  def purgeTombstones(
+      spark: SparkSession, indexDir: String, idCol: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverPendingCompaction(fs, root)
+    val tsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    if (!fs.exists(tsRoot)) return
+    val dead = liveTombstones(spark, indexDir, idCol)
+    if (dead.isEmpty) { fs.delete(tsRoot, true); return }
+    val batchDirs = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => batchIdOf(s.getPath.getName))
+    if (batchDirs.isEmpty) { fs.delete(tsRoot, true); return }
+    val foldNames = batchDirs.sorted.map(b => s"batch=$b")
+    val all = spark.read.option("basePath", s"$indexDir/cells")
+      .parquet(foldNames.map(n => s"$indexDir/cells/$n"): _*)
+    val payload = all.columns.toSeq.filterNot(c => c == idCol || c == "batch")
+    val survivors = latestPerId(all, idCol, payload)
+      .join(broadcast(dead.select(col(idCol))), Seq(idCol), "left_anti")
+    val stagingName =
+      StagingPrefix + java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(root, stagingName)
+    survivors.repartition(col("cell"))
+      .sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(staging.toString)
+    val tmp = new org.apache.hadoop.fs.Path(root, JournalTmp)
+    val out = fs.create(tmp, true)
+    try out.write(
+      ((s"S $stagingName" +: foldNames.map(n => s"D $n"))
+        .mkString("", "\n", "\n")).getBytes("UTF-8"))
+    finally out.close()
+    renamed(fs, tmp, new org.apache.hadoop.fs.Path(root, Journal))
+    foldNames.foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, n), true)
+    }
+    renamed(fs, staging, new org.apache.hadoop.fs.Path(root, "batch=-1"))
+    fs.delete(new org.apache.hadoop.fs.Path(root, Journal), false)
+    BatchIndex.pruneStamps(spark, s"$indexDir/cells")
+    fs.delete(tsRoot, true)
+  }
+
   /** Retention: drop batch partitions admitted before `keepFromBatch`
     * (the seed too when `dropSeed`) — bounds total store size for
     * bounded-window deployments, exactly as the dedup stores' expire.

@@ -841,4 +841,97 @@ class VectorIndexStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(fenced == deleted)
   }
+
+  test("purgeTombstones: bytes gone, latest-batch-wins preserved, store serves clean") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_purge").toString
+    val idx = s"$dir/index"
+    VectorIndexStream.seedIndex(e, "vec_id", "embedding", idx, nLists = 8)
+    // batch 0 REUSES an id with a different vector (the latest-wins case)
+    val spark2 = spark
+    import spark2.implicits._
+    val reusedId = 7L
+    val newVec = Array.fill(64)(0.5f)
+    VectorIndexStream.appendBatch(
+      Seq((reusedId, newVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, batchId = 0L)
+    // materialize BEFORE purging — the frame is lazy and its input
+    // files are about to be rewritten
+    val before = topk(VectorIndexStream.topKFromIndex(
+      spark, idx, q, "vec_id", "embedding", k = 3))
+    // tombstone ids that are NOT in any current top-3 (removing
+    // non-winning candidates provably leaves every top-3 unchanged),
+    // not queries, and not the reused id — so post-purge serving must
+    // equal `before` exactly
+    val winners = before.map(_._3)
+    val queryIds = q.select("vec_id").collect().map(_.getLong(0)).toSet
+    val dead = e.select("vec_id").collect().map(_.getLong(0))
+      .filter(id => !winners(id) && !queryIds(id) && id != reusedId)
+      .take(3).toSeq
+    assert(dead.size == 3)
+    VectorIndexStream.deleteBatch(spark, idx,
+      dead.toDF("vec_id"), "vec_id", batchId = 1L)
+    VectorIndexStream.purgeTombstones(spark, idx, "vec_id")
+
+    // tombstone store is gone and the cells hold ONLY the seed partition
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/cells"))
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.startsWith("batch="))
+    assert(parts.toSeq == Seq("batch=-1"), parts.toSeq.toString)
+
+    // the deleted ids' BYTES are gone from the store files
+    val stored = spark.read.option("basePath", s"$idx/cells")
+      .parquet(s"$idx/cells").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(dead.forall(id => !stored(id)))
+    // the reused id survived as exactly ONE row (latest-batch-wins
+    // resolved during the fold, before the batch column was destroyed)
+    val reusedRows = spark.read.option("basePath", s"$idx/cells")
+      .parquet(s"$idx/cells").filter(col("vec_id") === reusedId)
+      .select("embedding").collect()
+    assert(reusedRows.length == 1)
+    assert(reusedRows(0).getSeq[Float](0).forall(_ == 0.5f))
+
+    // serving needs no exclude list and equals the pre-purge ranking
+    val after = topk(VectorIndexStream.topKFromIndex(
+      spark, idx, q, "vec_id", "embedding", k = 3))
+    assert(after == before)
+    // purge with no tombstones is a no-op that doesn't disturb the store
+    VectorIndexStream.purgeTombstones(spark, idx, "vec_id")
+    assert(topk(VectorIndexStream.topKFromIndex(
+      spark, idx, q, "vec_id", "embedding", k = 3)) == before)
+  }
+
+  test("deleteStreamTo: each micro-batch tombstones under its own batch id") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_delstream").toString
+    val idx = s"$dir/index"
+    VectorIndexStream.seedIndex(e, "vec_id", "embedding", idx, nLists = 8)
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val q = VectorIndexStream.deleteStreamTo(
+      in.toDF().toDF("vec_id"), idx, s"$dir/cp", "vec_id").start()
+    try {
+      in.addData(3L, 5L)
+      q.processAllAvailable()
+      in.addData(5L, 9L) // overlap dedups in the live set
+      q.processAllAvailable()
+      val live = VectorIndexStream.liveTombstones(spark, idx, "vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(live == Set(3L, 5L, 9L))
+      // two tombstone batch partitions on disk, one per micro-batch
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val parts = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$idx/tombstones"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).sorted
+      assert(parts.toSeq == Seq("batch=0", "batch=1"), parts.toSeq.toString)
+    } finally q.stop()
+  }
 }
