@@ -1957,6 +1957,64 @@ object SimilarityQueries {
         FROM EXACT e LEFT JOIN APPROX a
           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
         GROUP BY e.query_id
-        ORDER BY e.query_id"""))
+        ORDER BY e.query_id""")),
+
+    GraftQuery(
+      "q251_ann_store_purge",
+      "The PHYSICAL half of q249's delete path: same store, same " +
+        "vec_id % 10 = 3 tombstone batch — but purged " +
+        "(purgeTombstones folds the cells into the seed minus the " +
+        "tombstone set under compactIndex's crash-safe journal and " +
+        "drops the tombstone store), then probed with NO exclude " +
+        "list. The ranking must equal q249's serving-side " +
+        "subtraction exactly (oracle SQL shared verbatim) while the " +
+        "deleted ids' bytes are no longer on disk — takedown " +
+        "complete, not merely masked.",
+      (spark, dir) => {
+        import graft.streaming.VectorIndexStream
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val idx = QueryScratch.dir("graft_q251_index")
+        VectorIndexStream.seedIndex(e, "vec_id", "embedding", idx, nLists = 8)
+        VectorIndexStream.deleteBatch(spark, idx,
+          e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+          "vec_id", batchId = 0L)
+        VectorIndexStream.purgeTombstones(spark, idx, "vec_id")
+        Similarity.ivfFlatTopKFromIndex(spark, idx, q, "vec_id", "embedding",
+            k = 3, nProbe = 1)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        CAND AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q
+          JOIN CELL ca ON ca.vec_id = q.vec_id
+          JOIN CELL cb ON cb.cell = ca.cell
+          JOIN embeddings c ON c.vec_id = cb.vec_id AND c.vec_id <> q.vec_id
+                           AND c.vec_id % 10 <> 3
+          CROSS JOIN range(1, 65) i(i)
+          WHERE q.vec_id % 50 = 0
+          GROUP BY 1, 2),
+        R AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+          FROM CAND)
+        SELECT query_id, rank, neighbor_id FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank"""))
   )
 }
