@@ -3299,5 +3299,122 @@ object ExtendedQueries {
                arg_min(o_orderstatus, o_orderkey) AS first_status,
                count(DISTINCT o_orderstatus) AS n_statuses
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    GraftQuery(
+      "q252_array_setops_battery",
+      "Array SET-operation battery — array_distinct / array_intersect " +
+        "/ array_except / array_union against a literal stop-list, " +
+        "per document (q213 covered the lambda half of the array " +
+        "surface; this is the set-algebra half, the shape stopword " +
+        "and allowlist filters take when token arrays stay nested " +
+        "instead of exploding). All outputs are order-insensitive " +
+        "(sizes + a sorted join), so Spark's first-array element " +
+        "order and DuckDB's list order can never diverge the hash. " +
+        "Map-only — no shuffle before the output sort.",
+      (spark, dir) => {
+        import graft.functions.TextFunctions
+        val stop = array(Seq("the", "a", "data", "table", "value").map(lit): _*)
+        Tables.table(spark, dir, "documents")
+          .select(col("doc_id"),
+            array_distinct(TextFunctions.words(col("text"))).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_distinct"),
+            size(array_intersect(col("toks"), stop)).cast("long").as("n_stop"),
+            size(array_except(col("toks"), stop)).cast("long").as("n_content"),
+            size(array_union(col("toks"), stop)).cast("long").as("n_union"),
+            array_join(array_sort(array_intersect(col("toks"), stop)), ",")
+              .as("stop_terms"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH T AS (SELECT doc_id,
+                          list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+                   FROM documents),
+        S AS (SELECT ['the','a','data','table','value'] AS stop),
+        M AS (SELECT doc_id,
+                     len(toks) AS n_distinct,
+                     len(list_intersect(toks, stop)) AS n_stop,
+                     len(list_filter(toks, x -> NOT list_contains(stop, x))) AS n_content,
+                     len(list_distinct(list_concat(toks, stop))) AS n_union,
+                     list_aggregate(list_sort(list_intersect(toks, stop)),
+                                    'string_agg', ',') AS stop_terms
+              FROM T, S)
+        SELECT doc_id, CAST(n_distinct AS BIGINT) AS n_distinct,
+               CAST(n_stop AS BIGINT) AS n_stop,
+               CAST(n_content AS BIGINT) AS n_content,
+               CAST(n_union AS BIGINT) AS n_union,
+               coalesce(stop_terms, '') AS stop_terms
+        FROM M ORDER BY doc_id""")),
+
+    GraftQuery(
+      "q253_sessionized_funnel",
+      "Gaps-and-islands sessionization + in-session funnel — the " +
+        "row-level session-id spelling (brk = gap > 6h via lag, " +
+        "session = running sum of breaks) that q34's session_window " +
+        "aggregate cannot give: every event TAGGED with its session, " +
+        "then per-session view-then-purchase conversion rolled up " +
+        "per user. Two window passes and the final aggregate all " +
+        "partition by user_id — one shuffle at 100 TB. The total " +
+        "(ts, event_id) window order removes tie-arbitrariness; " +
+        "conversion compares stored timestamps only.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "events").createOrReplaceTempView("events_q253")
+        spark.sql("""
+          WITH L AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                        THEN 1 ELSE 0 END AS brk
+            FROM events_q253
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          S AS (
+            SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+            FROM L),
+          F AS (
+            SELECT user_id, sess, count(*) AS n_events,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                   max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+            FROM S GROUP BY 1, 2)
+          SELECT user_id,
+                 count(*) AS n_sessions,
+                 CAST(SUM(CASE WHEN first_view IS NOT NULL
+                                AND last_purchase IS NOT NULL
+                                AND first_view < last_purchase
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS converted_sessions,
+                 CAST(max(n_events) AS BIGINT) AS max_session_events
+          FROM F GROUP BY user_id
+          ORDER BY user_id""")
+      },
+      Some("""
+        WITH L AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        S AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess
+          FROM L),
+        F AS (
+          SELECT user_id, sess, count(*) AS n_events,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                 max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+          FROM S GROUP BY 1, 2)
+        SELECT user_id,
+               count(*) AS n_sessions,
+               CAST(SUM(CASE WHEN first_view IS NOT NULL
+                              AND last_purchase IS NOT NULL
+                              AND first_view < last_purchase
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS converted_sessions,
+               CAST(max(n_events) AS BIGINT) AS max_session_events
+        FROM F GROUP BY user_id
+        ORDER BY user_id""")),
   )
 }
