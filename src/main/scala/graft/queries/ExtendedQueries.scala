@@ -3416,5 +3416,42 @@ object ExtendedQueries {
                CAST(max(n_events) AS BIGINT) AS max_session_events
         FROM F GROUP BY user_id
         ORDER BY user_id""")),
+
+    GraftQuery(
+      "q254_hopping_windows",
+      "HOPPING (sliding) window aggregation — window(ts, '6 hours', " +
+        "'2 hours') assigns every event to its THREE overlapping " +
+        "windows before the per-(window, type) rollup, the smoothing " +
+        "shape dashboards use where tumbling windows jitter (q34 " +
+        "covered session windows; this is the other non-tumbling " +
+        "member of the window-assignment family, and the batch face " +
+        "of the streaming hop). Spark's epoch-aligned window starts " +
+        "are reproduced in the oracle with exact integer-second " +
+        "arithmetic (floor to the 2h grid minus k hops), and values " +
+        "aggregate as exact cents. The 3x row expansion happens " +
+        "map-side before one hash aggregate — at 100 TB the cost is " +
+        "windows-per-event, never a self-join.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "events")
+          .groupBy(window(col("ts"), "6 hours", "2 hours"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).cast("long")
+              .as("value_cents"))
+          .select(col("window.start").as("win_start"), col("event_type"),
+            col("n"), col("value_cents"))
+          .orderBy(col("win_start"), col("event_type"))
+      },
+      Some("""
+        WITH E AS (SELECT event_type, value,
+                          CAST(floor(epoch(ts) / 7200) AS BIGINT) * 7200 AS g
+                   FROM events),
+        W AS (SELECT event_type, value,
+                     make_timestamp((g - k.k * 7200) * 1000000) AS win_start
+              FROM E, range(0, 3) k(k))
+        SELECT win_start, event_type, count(*) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM W GROUP BY 1, 2 ORDER BY win_start, event_type""")),
   )
 }
