@@ -3453,5 +3453,78 @@ object ExtendedQueries {
                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                  AS value_cents
         FROM W GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
+    GraftQuery(
+      "q255_ab_test_readout",
+      "A/B experiment readout — per-variant (deterministic user_id " +
+        "parity split) user counts, high-value-purchase converters, " +
+        "conversion rates, and the pooled two-proportion z-statistic, " +
+        "in one row. The z is double arithmetic over EXACT integer " +
+        "counts with a fixed operation order, so both engines emit " +
+        "the identical byte pattern — the experimentation-analytics " +
+        "shape every event pipeline serves, reduced to two hash " +
+        "aggregates (per-user fold, then per-variant fold) and a " +
+        "1-row combine.",
+      (spark, dir) => {
+        Tables.table(spark, dir, "events").createOrReplaceTempView("events_q255")
+        spark.sql("""
+          WITH U AS (
+            SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+                   CAST(max(CASE WHEN event_type = 'purchase'
+                                  AND value > 95 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS converted
+            FROM events_q255 GROUP BY 1, 2),
+          V AS (
+            SELECT variant, count(*) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS converters
+            FROM U GROUP BY variant),
+          W AS (
+            SELECT
+              max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+              max(CASE WHEN variant = 0 THEN converters END) AS c0,
+              max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+              max(CASE WHEN variant = 1 THEN converters END) AS c1
+            FROM V)
+          SELECT n0, c0, n1, c1,
+                 CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+                 CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+                 (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                                 / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / CAST(n0 AS DOUBLE)
+                           + 1.0 / CAST(n1 AS DOUBLE))) AS z_score
+          FROM W""")
+      },
+      Some("""
+        WITH U AS (
+          SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+                 CAST(max(CASE WHEN event_type = 'purchase'
+                                AND value > 95 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS converted
+          FROM events GROUP BY 1, 2),
+        V AS (
+          SELECT variant, count(*) AS n_users,
+                 CAST(SUM(converted) AS BIGINT) AS converters
+          FROM U GROUP BY variant),
+        W AS (
+          SELECT
+            max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+            max(CASE WHEN variant = 0 THEN converters END) AS c0,
+            max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+            max(CASE WHEN variant = 1 THEN converters END) AS c1
+          FROM V)
+        SELECT n0, c0, n1, c1,
+               CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+               CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+               (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                               / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 / CAST(n0 AS DOUBLE)
+                         + 1.0 / CAST(n1 AS DOUBLE))) AS z_score
+        FROM W""")),
   )
 }
