@@ -905,6 +905,68 @@ class VectorIndexStreamSpec extends SparkSpec {
       spark, idx, q, "vec_id", "embedding", k = 3)) == before)
   }
 
+  test("purgeTombstones resumes a crashed purge through the journal; tombstone redelivery is idempotent") {
+    import spark.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val dead = Seq(11L, 23L, 42L)
+    def build(idx: String): Unit = {
+      VectorIndexStream.seedIndex(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
+      VectorIndexStream.appendBatch(
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, 0L)
+      VectorIndexStream.deleteBatch(spark, idx,
+        dead.toDF("vec_id"), "vec_id", batchId = 0L)
+    }
+    // store A: the clean purge — the expected end state
+    val a = java.nio.file.Files.createTempDirectory("vec_purge_a").toString + "/index"
+    build(a)
+    VectorIndexStream.purgeTombstones(spark, a, "vec_id")
+    val expected = topk(VectorIndexStream.topKFromIndex(
+      spark, a, q, "vec_id", "embedding", k = 3))
+
+    // store B: identical inputs, crashed at the WORST window — staging
+    // complete, journal committed, fold-dir deletes not yet performed
+    val b = java.nio.file.Files.createTempDirectory("vec_purge_b").toString + "/index"
+    build(b)
+    val cells = new java.io.File(s"$b/cells")
+    val staged = spark.read.option("basePath", cells.toString)
+      .parquet(s"$cells/batch=-1", s"$cells/batch=0")
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("cell")), col("batch")).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cell").as("cell"))
+      .join(dead.toDF("vec_id"), Seq("vec_id"), "left_anti")
+    staged.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(new java.io.File(cells, "_compact_purge-t1").toString)
+    java.nio.file.Files.writeString(
+      new java.io.File(cells, "_compact_journal").toPath,
+      "S _compact_purge-t1\nD batch=-1\nD batch=0\n")
+    // reads refuse the journaled store; the next purge call recovers
+    // the swap, then completes its OWN fold and drops the tombstones
+    intercept[IllegalStateException] {
+      VectorIndexStream.topKFromIndex(
+        spark, b, q, "vec_id", "embedding", k = 3)
+    }
+    VectorIndexStream.purgeTombstones(spark, b, "vec_id")
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$b/tombstones")))
+    assert(topk(VectorIndexStream.topKFromIndex(
+      spark, b, q, "vec_id", "embedding", k = 3)) == expected)
+
+    // redelivery: the crash window AFTER the swap but BEFORE the
+    // tombstone-dir delete leaves tombstones naming already-purged
+    // ids — re-running purge folds them as a no-op and clears the dir
+    VectorIndexStream.deleteBatch(spark, a,
+      dead.toDF("vec_id"), "vec_id", batchId = 0L)
+    VectorIndexStream.purgeTombstones(spark, a, "vec_id")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$a/tombstones")))
+    assert(topk(VectorIndexStream.topKFromIndex(
+      spark, a, q, "vec_id", "embedding", k = 3)) == expected)
+  }
+
   test("deleteStreamTo: each micro-batch tombstones under its own batch id") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("vec_index_delstream").toString
