@@ -18,8 +18,23 @@ object RecursionGuard {
 
   val LimitConf = "spark.sql.cteRecursionLevelLimit"
 
+  /** The session's recursion budget. A malformed session value (a
+    * typo'd `spark.conf.set`) refuses LOUDLY, naming the conf and the
+    * value — the guard exists to turn mid-query deaths into named
+    * pre-flight refusals, so its own parse must not throw a bare
+    * NumberFormatException from inside that promise. */
   def cteLevelLimit(spark: SparkSession): Int =
-    spark.conf.get(LimitConf, "100").toInt
+    parseLimit(spark.conf.get(LimitConf, "100"))
+
+  /** The parse itself — a seam, because a session `conf.set` on this
+    * REGISTERED int conf already validates at set time; the malformed
+    * value this defends against arrives through paths the typed
+    * registry never sees (a string-only `--conf` on a build where the
+    * entry is not registered, a doctored properties file). */
+  private[operators] def parseLimit(raw: String): Int =
+    raw.trim.toIntOption.getOrElse(throw new IllegalStateException(
+      s"$LimitConf is set to '$raw', which is not an integer — fix the " +
+        "session conf before running a depth-guarded recursive query"))
 
   /** Refuse loudly if `expectedLevels` recursion rounds would not fit
     * the session's CTE recursion budget. `expectedLevels` should

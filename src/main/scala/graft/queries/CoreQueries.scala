@@ -256,20 +256,31 @@ object CoreQueries {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         FROM orders ORDER BY o_custkey, o_orderkey""")),
 
-    // ---- anti join (customers without orders) ----
+    // ---- anti join (customers without orders in a window) ----
     GraftQuery(
       "q13_customers_without_orders",
-      "left_anti join; broadcast the distinct key set at scale when small.",
+      "left_anti join; broadcast the distinct key set at scale when " +
+        "small. The orders side is restricted to the 1995 window so " +
+        "genuine survivors exist at EVERY scale factor (the testdata " +
+        "is referentially complete: unrestricted, no customer lacks " +
+        "orders and the gate compared 0 == 0 forever — a broken " +
+        "anti-join could never trip it).",
       (spark, dir) => {
         val c = Tables.table(spark, dir, "customer")
         val o = Tables.table(spark, dir, "orders")
+          .filter(col("o_orderdate") >=
+              lit("1995-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
         c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
           .orderBy(col("c_custkey"))
       },
       Some("""
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                            AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
         ORDER BY c_custkey""")),
 
     // ---- semi join (suppliers with any lineitem) ----

@@ -1824,8 +1824,10 @@ object SimilarityQueries {
         "index lifecycle: seed the IVF-Flat store, tombstone the " +
         "vec_id % 10 = 3 ids as a delete batch (stored under the " +
         "same batch=N layout as the cells, stamped, so retention " +
-        "and as-of fences compose), then probe with the live " +
-        "tombstone set subtracted BEFORE ranking — a deleted top " +
+        "and as-of fences compose), then probe with the resolved " +
+        "dead-id set (re-appends revive latest-batch-wins; here " +
+        "none, so it equals the raw set) subtracted BEFORE ranking " +
+        "— a deleted top " +
         "hit is replaced by the next-best live vector, the top-3 " +
         "never silently shortens. The oracle is q51's cell-" +
         "restricted exact ranking over the surviving ids. Margins: " +
@@ -1843,7 +1845,7 @@ object SimilarityQueries {
         Similarity.ivfFlatTopKFromIndex(spark, idx, q, "vec_id", "embedding",
             k = 3, nProbe = 1,
             excludeIds = Some(
-              VectorIndexStream.liveTombstones(spark, idx, "vec_id")))
+              VectorIndexStream.deadIds(spark, idx, "vec_id")))
           .orderBy(col("query_id"), col("rank"))
       },
       Some("""

@@ -647,17 +647,20 @@ object Similarity {
     * over the same stored centroids. */
   /** `excludeIds`: optional single-column frame of ids to EXCLUDE
     * from the candidates before ranking — the tombstone subtraction
-    * path ([[graft.streaming.VectorIndexStream.liveTombstones]]):
-    * a deleted top hit is replaced by the next-best live vector, the
-    * top-k never silently shortens. The set is broadcast (tombstones
-    * stay small by contract: compaction folds history, retention
-    * drops expired delete batches) and the anti-join rides the
-    * already-pruned cell scan. */
+    * path ([[graft.streaming.VectorIndexStream.deadIds]], which
+    * resolves re-appends latest-batch-wins;
+    * [[graft.streaming.VectorIndexStream.liveTombstones]] is the raw
+    * terminal set): a deleted top hit is replaced by the next-best
+    * live vector, the top-k never silently shortens. The set is
+    * broadcast (tombstones stay small by contract: compaction folds
+    * history, retention drops expired delete batches) and the
+    * anti-join rides the already-pruned cell scan. */
   def ivfFlatTopKFromIndex(
       spark: SparkSession, indexPath: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
       excludeIds: Option[DataFrame] = None): DataFrame = {
-    graft.streaming.StoreLayout.check(
+    // validate-only meta open: migrated() so shimmed generations open
+    graft.streaming.StoreLayout.migrated(
       spark.read.parquet(s"$indexPath/meta"), s"IVF-Flat index at $indexPath")
     val cent = spark.read.parquet(s"$indexPath/centroids")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))

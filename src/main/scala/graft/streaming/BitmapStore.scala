@@ -35,7 +35,8 @@ object BitmapStore {
     val vs = VersionedStore.committedVersions(spark, storeDir)
     require(vs.nonEmpty,
       s"$storeDir holds no committed bitmaps — seed() the store first")
-    StoreLayout.check(spark.read.parquet(s"$storeDir/v=${vs.max}/meta"),
+    // validate-only meta open: migrated() so a shimmed generation opens
+    StoreLayout.migrated(spark.read.parquet(s"$storeDir/v=${vs.max}/meta"),
       s"bitmap store at $storeDir")
     spark.read.parquet(s"$storeDir/v=${vs.max}/masks")
   }

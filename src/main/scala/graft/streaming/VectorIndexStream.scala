@@ -140,7 +140,10 @@ object VectorIndexStream {
       vectors: DataFrame, idCol: String, vecCol: String,
       indexDir: String, checkpointDir: String)(
       emit: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
-    StoreLayout.check(
+    // migrated(), not check(): this open only validates the meta (the
+    // artifacts are read from their own files), so a known older
+    // generation with a shipped shim opens here like everywhere else
+    StoreLayout.migrated(
       vectors.sparkSession.read.parquet(s"$indexDir/meta"),
       s"vector store at $indexDir")
     val cent = localized(
@@ -298,9 +301,10 @@ object VectorIndexStream {
     * cell store's `batch=N` layout and stamps admission the same way,
     * so retention and as-of fences compose unchanged — a probe pinned
     * before the delete batch still sees the vector, the live probe
-    * does not. Serving subtracts [[liveTombstones]] BEFORE ranking
-    * (the `excludeIds` hook on
-    * [[graft.similarity.Similarity.ivfFlatTopKFromIndex]]), so a
+    * does not. Serving subtracts [[deadIds]] (re-appends resolved
+    * latest-batch-wins; [[liveTombstones]] is the raw terminal set)
+    * BEFORE ranking via the `excludeIds` hook on
+    * [[graft.similarity.Similarity.ivfFlatTopKFromIndex]], so a
     * deleted top hit is replaced by the next-best live vector, never
     * silently shortening the top-k. Physical removal rides the
     * existing maintenance ops: compaction folds history and retention
@@ -315,22 +319,35 @@ object VectorIndexStream {
     BatchIndex.stampBatch(spark, s"$indexDir/tombstones", batchId)
   }
 
-  /** The live tombstoned-id set — distinct ids over every delete
-    * batch; an empty (idCol: long) frame when the store has never
+  /** The RAW tombstoned-id set — distinct ids over every delete
+    * batch; an empty (idCol: idType) frame when the store has never
     * seen a delete. `beforeBatch` pins the set as of a replay fence
     * (only delete batches strictly below it count), the same
-    * time-travel contract every other batch=N store serves. */
+    * time-travel contract every other batch=N store serves.
+    *
+    * This set reads a tombstone as TERMINAL: an id stays in it even
+    * if a later batch re-appended the vector. When appends and
+    * deletes share one batch clock (a single CDC feed, or manually
+    * coordinated batch ids), [[deadIds]] instead resolves each id
+    * latest-batch-wins against the cell store — the exclude set the
+    * serving probes should subtract.
+    *
+    * `idType` names the id column's type for the never-deleted empty
+    * frame (the stored tombstones carry their own schema) — a store
+    * keyed by strings must not get a long-typed empty set whose
+    * anti-join casts differently between the two branches. */
   def liveTombstones(
       spark: SparkSession, indexDir: String, idCol: String,
-      beforeBatch: Option[Long] = None): DataFrame = {
+      beforeBatch: Option[Long] = None,
+      idType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(
-            idCol, org.apache.spark.sql.types.LongType))))
+          org.apache.spark.sql.types.StructField(idCol, idType))))
     else {
       val all = spark.read.option("basePath", s"$indexDir/tombstones")
         .parquet(s"$indexDir/tombstones")
@@ -338,6 +355,70 @@ object VectorIndexStream {
         .select(col(idCol)).distinct()
     }
   }
+
+  /** Per-id MAX delete batch under an optional fence — None when the
+    * store has never seen a delete. The batch-ordered face of the
+    * tombstone store ([[deadIds]] and [[purgeTombstones]] resolve
+    * against it). */
+  private def tombstoneMaxBatch(
+      spark: SparkSession, indexDir: String, idCol: String,
+      beforeBatch: Option[Long]): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) None
+    else {
+      val all = spark.read.option("basePath", s"$indexDir/tombstones")
+        .parquet(s"$indexDir/tombstones")
+      Some(beforeBatch.fold(all)(b => all.filter(col("batch") < b))
+        .groupBy(col(idCol))
+        .agg(max(col("batch")).as("del_batch")))
+    }
+  }
+
+  /** The ids a probe must exclude, resolved LATEST-BATCH-WINS against
+    * the cell store: an id is dead iff its newest delete batch is at
+    * or above its newest append batch — a re-append AFTER the delete
+    * revives it, exactly the upsert semantics [[latestPerId]] gives
+    * reused ids (the seed partition's batch -1 is always below any
+    * delete batch, so a deleted seed vector stays dead until
+    * re-appended). A tombstone for an id the store never held is kept
+    * in the set (a harmless no-op for the anti-join, and correct if
+    * the append is still in flight: once it lands at a higher batch
+    * the id revives on the next read).
+    *
+    * CONTRACT: the comparison is only meaningful when appends and
+    * deletes share one batch clock — one CDC feed fanned to both
+    * writers, or manually coordinated batch ids. Deletes arriving on
+    * an UNRELATED stream's counter should use [[liveTombstones]]'s
+    * terminal reading instead. On a shared clock, a batch carrying
+    * both an append and a delete for one id resolves to DELETED
+    * (`del_batch >= app_batch`) — a takedown is never lost to a tie.
+    *
+    * `beforeBatch` fences BOTH stores to the same admitted history,
+    * so an as-of read excludes exactly what a live read at that fence
+    * would have. */
+  def deadIds(
+      spark: SparkSession, indexDir: String, idCol: String,
+      beforeBatch: Option[Long] = None): DataFrame =
+    tombstoneMaxBatch(spark, indexDir, idCol, beforeBatch) match {
+      case None =>
+        // never-deleted: an empty set in the CELL store's own id type
+        readCells(spark, indexDir, beforeBatch.getOrElse(Long.MaxValue))
+          .select(col(idCol)).limit(0)
+      case Some(del) =>
+        // append batches are only needed for TOMBSTONED ids: the
+        // broadcast semi-join prunes the aggregate's exchange to the
+        // tombstone set (small by contract) instead of every stored id
+        val app = readCells(
+            spark, indexDir, beforeBatch.getOrElse(Long.MaxValue))
+          .join(broadcast(del.select(col(idCol))), Seq(idCol), "left_semi")
+          .groupBy(col(idCol))
+          .agg(max(col("batch")).as("app_batch"))
+        del.join(app, Seq(idCol), "left")
+          .filter(col("app_batch").isNull ||
+            col("del_batch") >= col("app_batch"))
+          .select(col(idCol))
+    }
 
   /** Streaming DELETES: every micro-batch of ids becomes one
     * tombstone batch ([[deleteBatch]]) under the stream's own batch
@@ -357,12 +438,20 @@ object VectorIndexStream {
     * delete path (a takedown is not done while the bytes remain on
     * disk): fold EVERY cell batch partition into the seed, resolving
     * id reuse latest-batch-wins BEFORE the batch column is destroyed,
-    * subtract the tombstone set, then drop the tombstone store
-    * entirely. Collapses batch fences by design — physical deletion
-    * must destroy fenced history too, the same posture as
-    * `expireIndex(dropSeed = true)`; after a purge, probes need no
-    * `excludeIds` and as-of reads see only the purged seed.
-    * Crash-safe via [[compactIndex]]'s exact staging+journal
+    * subtract the tombstones BATCH-ORDERED (a row survives iff its
+    * latest append batch is ABOVE the id's latest delete batch — a
+    * re-append after the delete revives the id, [[deadIds]]'s exact
+    * shared-clock contract; ties resolve to deleted), then drop the
+    * tombstone store entirely (a kept tombstone is either executed or
+    * superseded by the re-append that outlived it). Collapses batch
+    * fences by design — physical deletion must destroy fenced history
+    * too, the same posture as `expireIndex(dropSeed = true)`; after a
+    * purge, probes need no `excludeIds` and as-of reads see only the
+    * purged seed. REFUSES a purge that would empty the store (every
+    * id dead): the staged seed would carry no parquet files and every
+    * later probe would crash on schema inference — mirror of
+    * [[expireIndex]]'s keep-at-least-one rule; re-seed a fresh dir
+    * instead. Crash-safe via [[compactIndex]]'s exact staging+journal
     * protocol: a crash before the journal rename leaves the old
     * layout intact (staging is debris), a crash after it is completed
     * by `recoverPendingCompaction` on the next maintenance call, and
@@ -375,9 +464,10 @@ object VectorIndexStream {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     recoverPendingCompaction(fs, root)
     val tsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    if (!fs.exists(tsRoot)) return
-    val dead = liveTombstones(spark, indexDir, idCol)
-    if (dead.isEmpty) { fs.delete(tsRoot, true); return }
+    val delOpt = tombstoneMaxBatch(spark, indexDir, idCol, None)
+    if (delOpt.isEmpty) return
+    val del = delOpt.get
+    if (del.isEmpty) { fs.delete(tsRoot, true); return }
     val batchDirs = fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .flatMap(s => batchIdOf(s.getPath.getName))
@@ -386,8 +476,15 @@ object VectorIndexStream {
     val all = spark.read.option("basePath", s"$indexDir/cells")
       .parquet(foldNames.map(n => s"$indexDir/cells/$n"): _*)
     val payload = all.columns.toSeq.filterNot(c => c == idCol || c == "batch")
-    val survivors = latestPerId(all, idCol, payload)
-      .join(broadcast(dead.select(col(idCol))), Seq(idCol), "left_anti")
+    val survivors = latestPerId(all, idCol, payload :+ "batch")
+      .join(broadcast(del), Seq(idCol), "left")
+      .filter(col("del_batch").isNull || col("batch") > col("del_batch"))
+      .select((idCol +: payload).map(col): _*)
+    if (survivors.isEmpty) throw new IllegalStateException(
+      s"purgeTombstones at $indexDir would remove every row of the " +
+        "store, leaving a seed whose probes crash on parquet schema " +
+        "inference instead of answering empty — re-seed a fresh index " +
+        "dir (and drop this one whole) instead of purging to nothing")
     val stagingName =
       StagingPrefix + java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(root, stagingName)
@@ -519,7 +616,9 @@ object VectorIndexStream {
 
   private def loadSq8Artifacts(
       spark: SparkSession, indexDir: String): Sq8Artifacts = {
-    StoreLayout.check(spark.read.parquet(s"$indexDir/meta"),
+    // validate-only open (ranges/centroids live in their own files):
+    // migrated() so shimmed generations open like checkedMetaRow's
+    StoreLayout.migrated(spark.read.parquet(s"$indexDir/meta"),
       s"SQ8 vector store at $indexDir")
     val (mns, mxs) = storedRanges(spark, indexDir)
     Sq8Artifacts(
@@ -887,7 +986,7 @@ object VectorIndexStream {
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
       beforeBatch: Long = Long.MaxValue): DataFrame = {
-    StoreLayout.check(spark.read.parquet(s"$indexDir/meta"),
+    StoreLayout.migrated(spark.read.parquet(s"$indexDir/meta"),
       s"vector store at $indexDir")
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))

@@ -17,7 +17,6 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every registered query executes and returns rows at sf0.001") {
-    val empties = Set("q13_customers_without_orders") // legitimately 0 rows at tiny SF
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf001)
       // driver-compare lint: duplicate/empty column names would break
@@ -27,7 +26,7 @@ class EntrySpec extends SparkSpec {
         cols.distinct.size == cols.size,
         s"$name has duplicate/empty output columns: $cols")
       val n = df.count()
-      assert(empties.contains(name) || n > 0, s"$name returned 0 rows")
+      assert(n > 0, s"$name returned 0 rows")
     }
   }
 }

@@ -19,6 +19,20 @@ class RecursionGuardSpec extends SparkSpec {
     assert(RecursionGuard.doublingTreeLevels(Long.MaxValue) == 64L)
   }
 
+  test("a malformed (non-integer) limit value refuses naming the conf and the value") {
+    // a session conf.set on the registered int conf validates at set
+    // time, so the malformed value is fed to the parse seam directly —
+    // the path a string-only --conf or properties file would take
+    val e = intercept[IllegalStateException] {
+      RecursionGuard.parseLimit("10O") // the typo'd-set case
+    }
+    // the guard's own parse must keep the guard's promise: a named
+    // refusal, never a bare NumberFormatException from inside it
+    assert(e.getMessage.contains(RecursionGuard.LimitConf), e.getMessage)
+    assert(e.getMessage.contains("'10O'"), e.getMessage)
+    assert(RecursionGuard.parseLimit(" 42 ") == 42)
+  }
+
   test("q209 refuses at an insufficient limit, naming the conf, before any round") {
     val s = spark.newSession() // isolated SQLConf
     s.conf.set(RecursionGuard.LimitConf, "5") // sf0.001's tree is deeper

@@ -144,6 +144,38 @@ class StoreLayoutSpec extends SparkSpec {
     assert(eO == eN)
   }
 
+  test("validate-only opens (flat probe) route through the shim: a layout-0 meta with the marker opens") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vs = tmp("layout-vs-shim")
+    val corpus = (0L until 32L).map(i =>
+      (i, Array.fill(4)(((i % 7) + 1).toFloat))).toDF("id", "vec")
+    VectorIndexStream.seedIndex(corpus, "id", "vec", vs, nLists = 2)
+    val native = VectorIndexStream.topKFromIndex(
+        spark, vs, corpus.limit(2), "id", "vec", k = 3)
+      .collect().map(_.toSeq).toSet
+    // doctor the meta to the layout-0 generation (marker column +
+    // version 0): the probe only VALIDATES the meta, so it must open
+    // through the migration shim like checkedMetaRow consumers do —
+    // before the routing fix, check() refused every layout-0 meta here
+    Seq((2L, 7L)).toDF("nLists", "sketch_seed")
+      .withColumn("layout_version", lit(0L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$vs/meta")
+    val shimmed = VectorIndexStream.topKFromIndex(
+        spark, vs, corpus.limit(2), "id", "vec", k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(shimmed == native)
+    // and a layout-0 meta WITHOUT the marker still refuses here too
+    Seq(Tuple1(2L)).toDF("nLists")
+      .withColumn("layout_version", lit(0L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$vs/meta")
+    val e = intercept[IllegalStateException] {
+      VectorIndexStream.topKFromIndex(
+        spark, vs, corpus.limit(2), "id", "vec", k = 3)
+    }
+    assert(e.getMessage.contains("store-layout version 0"), e.getMessage)
+  }
+
   test("a version-0 meta WITHOUT the layout-0 marker column refuses, never guesses") {
     val spark0 = spark
     import spark0.implicits._

@@ -967,6 +967,90 @@ class VectorIndexStreamSpec extends SparkSpec {
       spark, a, q, "vec_id", "embedding", k = 3)) == expected)
   }
 
+  test("tombstones order against re-appends: deadIds revives latest-batch-wins, purge keeps the revived payload") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_revive").toString
+    val idx = s"$dir/index"
+    def vec(seed: Int) = Array.tabulate(8)(i => ((seed + i) % 5 + 1).toFloat)
+    // seed ids 0-15, append ids 16-19 at batch 0
+    VectorIndexStream.seedIndex(
+      (0L until 16L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, nLists = 2)
+    VectorIndexStream.appendBatch(
+      (16L until 20L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, batchId = 0L)
+    // delete batch 1 tombstones {3 (seed), 17 (batch 0)}
+    VectorIndexStream.deleteBatch(spark, idx,
+      Seq(3L, 17L).toDF("vec_id"), "vec_id", batchId = 1L)
+    // batch 2 RE-APPENDS 17 with a new payload: the delete is superseded
+    val revived = Array.fill(8)(0.25f)
+    VectorIndexStream.appendBatch(
+      Seq((17L, revived)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, batchId = 2L)
+
+    // the raw set keeps both; the resolved set revives 17
+    val raw = VectorIndexStream.liveTombstones(spark, idx, "vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(raw == Set(3L, 17L))
+    val dead = VectorIndexStream.deadIds(spark, idx, "vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(dead == Set(3L))
+    // fenced BELOW the re-append batch, 17 was still dead
+    val deadAsOf = VectorIndexStream.deadIds(
+        spark, idx, "vec_id", beforeBatch = Some(2L))
+      .collect().map(_.getLong(0)).toSet
+    assert(deadAsOf == Set(3L, 17L))
+
+    // purge executes the same resolution: 3's bytes gone, 17 survives
+    // with the batch-2 payload, tombstone store dropped
+    VectorIndexStream.purgeTombstones(spark, idx, "vec_id")
+    val stored = spark.read.option("basePath", s"$idx/cells")
+      .parquet(s"$idx/cells")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(!stored.contains(3L))
+    assert(stored(17L).forall(_ == 0.25f))
+    assert(stored.keySet == ((0L until 20L).toSet - 3L))
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+  }
+
+  test("purgeTombstones refuses to purge the store to nothing; liveTombstones honors idType") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_purgeall").toString
+    val idx = s"$dir/index"
+    val rows = (0L until 6L).map(i =>
+      (i, Array.fill(8)((i % 3 + 1).toFloat))).toDF("vec_id", "embedding")
+    VectorIndexStream.seedIndex(rows, "vec_id", "embedding", idx, nLists = 2)
+    VectorIndexStream.deleteBatch(spark, idx,
+      (0L until 6L).toDF("vec_id"), "vec_id", batchId = 0L)
+    // every id dead -> the staged seed would hold no parquet files and
+    // every later probe would crash on schema inference: refuse, and
+    // leave the store (and its tombstones) exactly as they were
+    val e = intercept[IllegalStateException] {
+      VectorIndexStream.purgeTombstones(spark, idx, "vec_id")
+    }
+    assert(e.getMessage.contains("every row"), e.getMessage)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    assert(spark.read.option("basePath", s"$idx/cells")
+      .parquet(s"$idx/cells").count() == 6L)
+
+    // never-deleted empty set carries the REQUESTED id type, so the
+    // anti-join casts identically between the empty and stored branches
+    val fresh = java.nio.file.Files.createTempDirectory("vec_index_idtype").toString
+    val stringIds = VectorIndexStream.liveTombstones(
+      spark, s"$fresh/index", "doc", idType =
+        org.apache.spark.sql.types.StringType)
+    assert(stringIds.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("doc", org.apache.spark.sql.types.StringType)))
+    assert(stringIds.count() == 0)
+  }
+
   test("deleteStreamTo: each micro-batch tombstones under its own batch id") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("vec_index_delstream").toString
