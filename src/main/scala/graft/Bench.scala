@@ -55,12 +55,60 @@ object Bench {
     * `ReusedExchangeExec` is NOT re-entered, so a reused shuffle's
     * rows count once. Only the RETURNED frame's plan is measured —
     * side jobs a query runs internally (store seeds) are out of
-    * frame by design, deterministically. */
+    * frame by design, deterministically — [[JobStats]] covers them. */
   private[graft] final case class PlanStats(
       exchanges: Long, broadcasts: Long, shuffleRows: Long, scanRows: Long) {
     def json: String =
       s"""{"exchanges":$exchanges,"broadcasts":$broadcasts,""" +
         s""""shuffle_rows":$shuffleRows,"scan_rows":$scanRows}"""
+  }
+
+  /** Deterministic per-query JOB totals — the plan map's complement.
+    * [[PlanStats]] walks only the RETURNED frame's executed plan, so
+    * a query's side jobs are invisible to it BY DESIGN: store seeds
+    * and appends (every durable-store query), iterative rounds behind
+    * `localCheckpoint` (q139's PageRank reads `exchanges:0` there),
+    * driver-side probe-set collects. These totals instead aggregate
+    * EVERY job the query runs between its start and its last posted
+    * event: job count, stage count, and task-level shuffle-write
+    * records/bytes summed over all stages. A regression that adds a
+    * shuffle inside an iterative round or doubles a store seed's
+    * volume moves `task_shuffle_records` here even when the returned
+    * frame's plan is unchanged. Records are (code, data)-
+    * deterministic like the plan metrics; bytes ride along unGATED
+    * (codec framing is stable today but is an implementation detail).
+    * Collected on pass 1 only, via a listener registered around the
+    * run and read after [[org.apache.spark.GraftListenerBridge]]
+    * drains the bus — all off the clock. */
+  private[graft] final case class JobStats(
+      jobs: Long, stages: Long, shuffleRecords: Long, shuffleBytes: Long) {
+    def json: String =
+      s"""{"jobs":$jobs,"stages":$stages,""" +
+        s""""task_shuffle_records":$shuffleRecords,""" +
+        s""""task_shuffle_bytes":$shuffleBytes}"""
+  }
+
+  private final class JobTotalsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val jobs = new AtomicLong(0L)
+    val stages = new AtomicLong(0L)
+    val shuffleRecords = new AtomicLong(0L)
+    val shuffleBytes = new AtomicLong(0L)
+    override def onJobStart(
+        e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      val m = e.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def stats: JobStats =
+      JobStats(jobs.get(), stages.get(), shuffleRecords.get(), shuffleBytes.get())
   }
 
   private[graft] def planStats(
@@ -102,7 +150,20 @@ object Bench {
     warmup(spark, sfDir)
 
     val planByQuery = scala.collection.mutable.Map.empty[String, PlanStats]
+    val jobsByQuery = scala.collection.mutable.Map.empty[String, JobStats]
     def timeOnce(q: graft.queries.GraftQuery, collectPlan: Boolean): Sample = {
+      // job-totals listener brackets the WHOLE query (construction side
+      // jobs included); the bus is drained before registration so the
+      // previous query's async events can't land in this window, and
+      // drained again before reading — both off the clock (the drain
+      // happens after the timer stops; registration is O(1))
+      val listener = if (collectPlan) {
+        org.apache.spark.GraftListenerBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+        val l = new JobTotalsListener
+        spark.sparkContext.addSparkListener(l)
+        Some(l)
+      } else None
       val startMs = System.currentTimeMillis()
       val t0 = System.nanoTime()
       try {
@@ -112,11 +173,16 @@ object Bench {
         // plan-walk AFTER stopping the clock — driver-side tree walk,
         // never billed to the query
         if (collectPlan) planByQuery(q.name) = planStats(qe)
+        listener.foreach { l =>
+          org.apache.spark.GraftListenerBridge
+            .waitUntilListenerBusEmpty(spark.sparkContext)
+          jobsByQuery(q.name) = l.stats
+        }
         Sample(sec, startMs, ok = true)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         Sample(-1.0, startMs, ok = false)
-      }
+      } finally listener.foreach(spark.sparkContext.removeSparkListener)
     }
 
     // SPARK_GRAFT_BENCH_ONLY=q94,q107 (full or qNN-prefix names) narrows
@@ -185,6 +251,8 @@ object Bench {
     // line, and the line on stderr is a short fixed-size pointer.
     val planMap = registry.flatMap(q => planByQuery.get(q.name).map(s =>
       "\"" + q.name + "\":" + s.json)).mkString("{", ",", "}")
+    val jobMap = registry.flatMap(q => jobsByQuery.get(q.name).map(s =>
+      "\"" + q.name + "\":" + s.json)).mkString("{", ",", "}")
     // PLAN DRIFT GATE (drift-immune regression signal): compare this
     // run's exchange counts and shuffle row counts against the
     // previously COMMITTED full map — wall-time regressions hide in
@@ -193,6 +261,14 @@ object Bench {
     // data changed. Same-sf comparisons only (row counts scale with
     // the input); scan_rows is recorded but not gated (it moves with
     // legitimate pruning changes the exchange gate already catches).
+    // The JOB totals close the plan gate's blind spot: the returned
+    // frame's plan misses side jobs (store seeds, iterative rounds),
+    // so `task_shuffle_records` over ALL of a query's jobs is gated
+    // too — a shuffle added inside q139's rounds or a doubled seed
+    // volume trips here even with an identical returned plan. Jobs/
+    // stages/bytes are recorded unGATED (bytes hang on codec framing;
+    // job and stage counts can move with benign AQE re-staging —
+    // records are the semantic signal).
     val planDrift: Seq[String] = {
       val prev = java.nio.file.Paths.get("BENCH_LOCAL.json")
       if (!java.nio.file.Files.exists(prev)) Nil
@@ -202,13 +278,21 @@ object Bench {
         if (root.path("sf").asText() != sfDir || !root.has("plan")) Nil
         else {
           val old = root.path("plan")
+          val oldJob = root.path("job") // may be missing on older maps
           registry.map(_.name).filter(old.has).flatMap { name =>
             planByQuery.get(name).flatMap { now =>
               val o = old.path(name)
-              val msgs = Seq(
+              val jobMsgs = jobsByQuery.get(name).toSeq.flatMap { j =>
+                val oj = oldJob.path(name)
+                Seq(("job_shuffle_records",
+                  oj.path("task_shuffle_records").asLong(-1L),
+                  j.shuffleRecords))
+              }
+              val msgs = (Seq(
                 ("exchanges", o.path("exchanges").asLong(-1L), now.exchanges),
                 ("shuffle_rows", o.path("shuffle_rows").asLong(-1L), now.shuffleRows)
-              ).collect { case (m, a, b) if a >= 0 && a != b => s"$m $a->$b" }
+              ) ++ jobMsgs)
+                .collect { case (m, a, b) if a >= 0 && a != b => s"$m $a->$b" }
               if (msgs.isEmpty) None
               else Some(s"$name: ${msgs.mkString(", ")}")
             }
@@ -225,7 +309,7 @@ object Bench {
     java.nio.file.Files.writeString(diagPath,
       s"""{"full_names":$qsFull,""" +
         s""""median_total":$medTotal,"medians":$medMap,""" +
-        s""""npass":$nPass,"plan":$planMap,""" +
+        s""""npass":$nPass,"plan":$planMap,"job":$jobMap,""" +
         s""""plan_drift":${planDrift.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""passes":$passes,"starts":$starts}""" + "\n")
     System.err.println(s"""{"diag":"bench_diag_file","path":"$diagPath"}""")
@@ -263,7 +347,8 @@ object Bench {
           s""""total":$total,"median_total":$medTotal,""" +
           s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""plan_drift":${planDrift.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-          s""""queries":$qsFull,"medians":$medMap,"plan":$planMap}""" + "\n")
+          s""""queries":$qsFull,"medians":$medMap,"plan":$planMap,""" +
+          s""""job":$jobMap}""" + "\n")
     }
     // plan_drift rides the contract line as a COUNT (fixed-size): a
     // nonzero value tells the round reader to open BENCH_LOCAL.json's
