@@ -87,6 +87,25 @@ object CorpusQueries {
         WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** q102's oracle over the corpus MINUS the tombstoned ids — the
+    * truth both the masked serve (q256) and the purged store (q257)
+    * must reproduce, shared verbatim between them exactly as
+    * q249/q251 share theirs. Derived from [[bm25Ctes]] by filtering
+    * the corpus CTE, so the scoring text stays shared with
+    * q102/q103/q163/q222. Query ids (% 100 = 0) are never % 10 = 3,
+    * so every query doc survives; min rank-5/6 score gap 1.3e-4 at
+    * sf0.1 (4.7e-3/3.1e-3 at the smaller SFs), orders above double
+    * summation noise. */
+  private val bm25DeletedOracle: String = {
+    val masked = bm25Ctes.replace(
+      "FROM documents)", "FROM documents WHERE doc_id % 10 <> 3)")
+    require(masked != bm25Ctes, "bm25Ctes corpus clause moved; fix the delete filter")
+    s"""
+        WITH $masked
+        SELECT query_id, rank, doc_id FROM R
+        WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -789,6 +808,72 @@ object CorpusQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       Some(bm25SeedOracle)),
+
+    GraftQuery(
+      "q256_bm25_store_deletes",
+      "Postings-store DELETE path — the takedown half of the lexical " +
+        "index's lifecycle, mirroring the vector store's q249: q103's " +
+        "build (even half seeded, odd half appended as batch 0), then " +
+        "the doc_id % 10 = 3 ids tombstoned as a delete batch (stored " +
+        "batch=N under _tombstones/, stamped, fence-composable) and " +
+        "served with the tombstone set subtracted BEFORE the BM25 " +
+        "statistics derive. Because every statistic is an associative " +
+        "integer aggregate of postings rows, deletion is exactly " +
+        "decrementable: the served ranking must equal BM25 over a " +
+        "corpus that never held the deleted docs — N, avgdl, and df " +
+        "all shrink, so even surviving docs' scores move. The oracle " +
+        "is q102's SQL with the corpus CTE filtered, scoring text " +
+        "shared verbatim.",
+      (spark, dir) => {
+        import graft.streaming.PostingsStream
+        val d = Tables.table(spark, dir, "documents")
+        val idx = QueryScratch.dir("graft_q256_index")
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+        PostingsStream.backfillIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        PostingsStream.appendBatch(
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx, 0L)
+        PostingsStream.deleteBatch(spark, idx,
+          d.filter(col("doc_id") % 10 === 3).select(col("doc_id")),
+          "doc_id", batchId = 1L)
+        PostingsStream.bm25TopK(
+            spark, idx, d.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+            k = 5, excludeSelf = true)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(bm25DeletedOracle)),
+
+    GraftQuery(
+      "q257_bm25_store_purge",
+      "The PHYSICAL half of q256's delete path (q251's posture for " +
+        "the lexical store): same build, same doc_id % 10 = 3 " +
+        "tombstone batch — but purged. purgeTombstones rewrites the " +
+        "WHOLE store (seed + batches) into fresh seed files minus the " +
+        "tombstoned ids under compactIndex's crash-safe staging+" +
+        "journal protocol and drops the tombstone store; the probe " +
+        "then runs with NO masked read. The ranking must equal q256's " +
+        "serving-side subtraction exactly (oracle shared verbatim) " +
+        "while the deleted postings' bytes are no longer on disk — " +
+        "takedown complete, not merely masked.",
+      (spark, dir) => {
+        import graft.streaming.PostingsStream
+        val d = Tables.table(spark, dir, "documents")
+        val idx = QueryScratch.dir("graft_q257_index")
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+        PostingsStream.backfillIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        PostingsStream.appendBatch(
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx, 0L)
+        PostingsStream.deleteBatch(spark, idx,
+          d.filter(col("doc_id") % 10 === 3).select(col("doc_id")),
+          "doc_id", batchId = 1L)
+        PostingsStream.purgeTombstones(spark, idx)
+        PostingsStream.bm25TopK(
+            spark, idx, d.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+            k = 5, excludeSelf = true)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(bm25DeletedOracle)),
 
     GraftQuery(
       "q225_dsir_importance",

@@ -194,6 +194,58 @@ private[graft] object BatchIndex {
     pruneStamps(spark, dir)
   }
 
+  /** Rewrite the ENTIRE store — seed files AND every batch partition,
+    * the newest included — into fresh root seed files holding
+    * `transform(allRows)`: the physical-delete primitive
+    * ([[graft.streaming.PostingsStream.purgeTombstones]] passes the
+    * tombstone anti-join). Collapses batch fences BY DESIGN — physical
+    * deletion must destroy fenced history too, so this is the posture
+    * of the vector store's purge, not of [[compact]] (whose
+    * newest-batch rule exists to keep fences exact; a purged store's
+    * as-of reads see only the purged seed). `transform` receives the
+    * rows WITH their `batch` column and its result is projected back
+    * to `dataSchema`'s columns. Crash-safe via the SAME staging+
+    * journal protocol as [[compact]]: stage to `_compact_tmp`
+    * (invisible to [[read]]), commit the journal naming every delete
+    * and promotion, execute, clear — a crash before the journal
+    * leaves the store untouched, one after it is completed by the
+    * next maintenance call, and reads refuse loudly in between.
+    * Requires the writing stream stopped or between batches. */
+  private[graft] def rewriteAll(
+      spark: SparkSession, dir: String, dataSchema: StructType)(
+      transform: DataFrame => DataFrame): Unit = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return
+    val marker = new Path(root, Marker)
+    if (fs.exists(marker)) finishCompact(fs, root, marker)
+    val entries = fs.listStatus(root)
+    val batchDirs = entries.filter(e =>
+      e.isDirectory && e.getPath.getName.startsWith("batch="))
+    val seedFiles = entries.filter(e =>
+      e.isFile && e.getPath.getName.endsWith(".parquet"))
+    if (batchDirs.isEmpty && seedFiles.isEmpty) return
+    val tmp = new Path(root, TmpDir)
+    transform(read(spark, dir, dataSchema))
+      .select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val staged = fs.listStatus(tmp).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val moves = staged.map(f =>
+      f.getPath.getName -> s"seed-$nonce-${f.getPath.getName}")
+    val deletes = (seedFiles.map(_.getPath.getName) ++
+      batchDirs.map(_.getPath.getName)).toSeq
+    val out = fs.create(marker, false)
+    try {
+      val text = (deletes.map(d => s"D $d") ++
+        moves.map { case (t, d) => s"M $t $d" }).mkString("", "\n", "\n")
+      out.write(text.getBytes("UTF-8"))
+    } finally out.close()
+    finishCompact(fs, root, marker)
+    pruneStamps(spark, dir)
+  }
+
   /** Replay the journal: delete superseded entries, promote staged
     * files, clear the journal. Every step tolerates having already
     * happened, so crashed compactions complete on the next call. */

@@ -118,6 +118,110 @@ object PostingsStream {
       dropSeed: Boolean = false): Unit =
     BatchIndex.expireOlderThan(spark, indexDir, cutoffMillis, dropSeed)
 
+  // ---- document deletes (the takedown path, mirroring the vector
+  // store's q249/q251 lifecycle): tombstone doc ids under the
+  // `_`-prefixed sibling store (invisible to the postings listing and
+  // to [[BatchIndex.read]]'s stray check), subtract them from every
+  // serve, then physically purge. BM25's statistics are associative
+  // integer aggregates of postings rows (the q103 design point), so
+  // removing a doc's rows re-derives N/avgdl/df/tf EXACTLY as if the
+  // doc had never been ingested — deletion is decrementable by
+  // construction, no special-casing in the scorer. Unlike the vector
+  // store there is no re-append resolution: this store's id contract
+  // FORBIDS re-ingesting a doc id (it would double its postings), so
+  // a tombstone here is terminal until purged.
+  private def tombstonesDir(indexDir: String) = s"$indexDir/_tombstones"
+
+  private val tombstoneSchema = StructType(Seq(StructField("doc_id", LongType)))
+
+  /** Tombstone one batch of doc-id DELETIONS (user deletion requests,
+    * revoked licenses, recalled documents). Stored as `batch=N` under
+    * `_tombstones/` with admission stamps, so retention fences and
+    * as-of reads compose: a read pinned before the delete batch still
+    * serves the document, the live read does not. */
+  def deleteBatch(
+      spark: SparkSession, indexDir: String, ids: DataFrame,
+      idCol: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId")
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct().coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${tombstonesDir(indexDir)}/batch=$batchId")
+    BatchIndex.stampBatch(spark, tombstonesDir(indexDir), batchId)
+  }
+
+  /** Streaming DELETES: each micro-batch of ids becomes one tombstone
+    * batch under the stream's own batch ids — exactly-once by the
+    * same overwrite-idempotent layout the postings appender uses.
+    * Start with `.start()`. */
+  def deleteStreamTo(
+      ids: DataFrame, indexDir: String, checkpointDir: String,
+      idCol: String): DataStreamWriter[Row] =
+    ids.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deleteBatch(batch.sparkSession, indexDir, batch, idCol, batchId)
+        ()
+      }
+
+  /** The tombstoned doc-id set — distinct over every delete batch
+    * strictly before `beforeBatch`; empty when the store has never
+    * seen a delete. Terminal semantics (see the id contract above).
+    * The fence assumes deletes and appends share one batch clock (one
+    * CDC feed, or coordinated manual ids) — the same contract as the
+    * vector store's fenced tombstones. */
+  def liveTombstones(
+      spark: SparkSession, indexDir: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame =
+    BatchIndex.read(spark, tombstonesDir(indexDir), tombstoneSchema,
+        beforeBatch)
+      .select(col("doc_id")).distinct()
+
+  private def hasTombstones(spark: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Postings minus the fenced tombstone set — what every serve
+    * scores from. The existence check keeps delete-free stores on
+    * their original plan (no empty-set anti-join on the hot path);
+    * the tombstone set is broadcast (small by contract: purge folds
+    * it away). */
+  private def livePostings(
+      spark: SparkSession, indexDir: String, beforeBatch: Long): DataFrame = {
+    val tf = readPostings(spark, indexDir, beforeBatch)
+      .select(col("doc_id"), col("term"), col("tf"))
+    if (!hasTombstones(spark, indexDir)) tf
+    else tf.join(broadcast(liveTombstones(spark, indexDir, beforeBatch)),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** PHYSICALLY remove tombstoned documents — the completion of the
+    * delete path (a takedown is not done while the postings remain on
+    * disk): rewrite the WHOLE store (seed + every batch) into fresh
+    * seed files minus the tombstoned ids via [[BatchIndex.rewriteAll]]
+    * (compaction's exact staging+journal protocol — a crash before
+    * the journal leaves the old layout, one after it is completed by
+    * the next maintenance call, reads refuse loudly in between), then
+    * drop the tombstone store. Collapses batch fences by design —
+    * physical deletion destroys fenced history too; after a purge,
+    * as-of reads see only the purged seed. Purging EVERY document is
+    * allowed (unlike the vector store, reads here carry an explicit
+    * schema, so an empty store serves empty results instead of
+    * crashing on inference). Requires the writing stream stopped or
+    * between batches. */
+  def purgeTombstones(spark: SparkSession, indexDir: String): Unit = {
+    if (!hasTombstones(spark, indexDir)) return
+    val dead = liveTombstones(spark, indexDir)
+    val tsPath = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
+    val fs = tsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!dead.isEmpty) {
+      BatchIndex.rewriteAll(spark, indexDir, postingsSchema)(all =>
+        all.join(broadcast(dead), Seq("doc_id"), "left_anti"))
+    }
+    fs.delete(tsPath, true)
+  }
+
   /** fsck: classify the store's partitions against the writing
     * stream's checkpoint ([[BatchIndex.verifyStore]]). An orphan
     * postings partition silently inflates df/corpus statistics for
@@ -135,7 +239,10 @@ object PostingsStream {
     BatchIndex.quarantineOrphans(spark, indexDir, checkpointDir)
 
   /** BM25 top-k served from the store at a fence — exact, see the
-    * object doc. */
+    * object doc. Tombstoned documents ([[deleteBatch]]) are
+    * subtracted BEFORE the statistics derive, so a deleted doc stops
+    * scoring AND stops counting toward N/avgdl/df — identical to a
+    * corpus that never held it. */
   def bm25TopK(
       spark: SparkSession, indexDir: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
@@ -143,8 +250,7 @@ object PostingsStream {
       excludeSelf: Boolean = false, maxPostings: Long = 100000L,
       beforeBatch: Long = Long.MaxValue): DataFrame =
     TextRetrieval.bm25TopKFromPostings(
-      readPostings(spark, indexDir, beforeBatch)
-        .select(col("doc_id"), col("term"), col("tf")),
+      livePostings(spark, indexDir, beforeBatch),
       queries, qIdCol, qTextCol, k, k1, b, excludeSelf, maxPostings)
 
   /** BM25 pinned to an AS-OF fence ([[BatchIndex.asOf]] semantics):
@@ -184,8 +290,9 @@ object PostingsStream {
       k1: Double = 1.2, b: Double = 0.75,
       maxPostings: Long = 100000L,
       beforeBatch: Long = Long.MaxValue): DataFrame = {
-    val tf = readPostings(spark, indexDir, beforeBatch)
-      .select(col("doc_id"), col("term"), col("tf"))
+    // tombstone-masked like bm25TopK: a deleted doc can neither be
+    // retrieved nor source query terms
+    val tf = livePostings(spark, indexDir, beforeBatch)
     val qTerms = tf
       .join(broadcast(queryIds.select(col(qIdCol).as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")

@@ -206,6 +206,170 @@ class PostingsStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("compaction journal"), ex.getMessage)
   }
 
+  test("document deletes: masked serve equals a corpus that never held the docs; fences compose") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("postings_del").toString
+    val idx = s"$dir/index"
+    PostingsStream.backfillIndex(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+    PostingsStream.appendBatch(
+      d.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx, 0L)
+    val queries = d.filter(col("doc_id") % 100 === 0)
+    val full = ranks(PostingsStream.bm25TopK(
+      spark, idx, queries, "doc_id", "text", k = 5, excludeSelf = true))
+
+    PostingsStream.deleteBatch(spark, idx,
+      d.filter(col("doc_id") % 10 === 3).select(col("doc_id")),
+      "doc_id", batchId = 1L)
+    // masked serve: statistics re-derive from surviving postings only,
+    // so the ranking equals BM25 over a corpus that never held the docs
+    val masked = ranks(PostingsStream.bm25TopK(
+      spark, idx, queries, "doc_id", "text", k = 5, excludeSelf = true))
+    val oracle = ranks(TextRetrieval.bm25TopK(
+      d.filter(col("doc_id") % 10 =!= 3), "doc_id", "text",
+      queries, "doc_id", "text", k = 5, excludeSelf = true))
+    assert(masked == oracle)
+    assert(masked != full, "the delete set must actually move the ranking")
+    // fenced BELOW the delete batch, the tombstones don't count yet
+    assert(ranks(PostingsStream.bm25TopK(
+      spark, idx, queries, "doc_id", "text", k = 5, excludeSelf = true,
+      beforeBatch = 1L)) == full)
+    // moreLikeThis is masked the same way: no deleted doc retrieved,
+    // and a deleted query id sources no terms -> no rows
+    val mlt = PostingsStream.moreLikeThis(
+      spark, idx, queries.select(col("doc_id")), "doc_id", k = 3)
+    assert(mlt.filter(col("doc_id") % 10 === 3).count() == 0)
+    val deletedQuery = d.filter(col("doc_id") % 10 === 3).limit(1)
+      .select(col("doc_id"))
+    assert(PostingsStream.moreLikeThis(
+      spark, idx, deletedQuery, "doc_id", k = 3).count() == 0)
+
+    // streamed deletes: one tombstone batch per micro-batch, accumulated
+    val in = MemoryStream[Long]
+    val q = PostingsStream.deleteStreamTo(
+      in.toDF().toDF("doc_id"), idx, s"$dir/delckpt", "doc_id").start()
+    try {
+      in.addData(2L); q.processAllAvailable()
+      in.addData(4L, 2L); q.processAllAvailable()
+    } finally q.stop()
+    // stream batches 0,1 land beside the manual batch 1 (overwritten by
+    // the stream's own batch 1) — the live set is ids from live batches
+    val live = PostingsStream.liveTombstones(spark, idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(2L, 4L).subsetOf(live))
+  }
+
+  test("purgeTombstones: bytes gone, ranking equals the masked serve, crash windows resume, fsck composes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = graft.Tables.table(spark, sf001, "documents")
+    val queries = d.filter(col("doc_id") % 100 === 0)
+    val deadIds = d.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    def build(idx: String): Unit = {
+      PostingsStream.backfillIndex(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+      PostingsStream.appendBatch(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx, 0L)
+      PostingsStream.deleteBatch(spark, idx,
+        d.filter(col("doc_id") % 10 === 3).select(col("doc_id")),
+        "doc_id", batchId = 1L)
+    }
+
+    // store A: clean purge — the expected end state
+    val a = java.nio.file.Files.createTempDirectory("postings_purge_a").toString + "/index"
+    build(a)
+    val masked = ranks(PostingsStream.bm25TopK(
+      spark, a, queries, "doc_id", "text", k = 5, excludeSelf = true))
+    PostingsStream.purgeTombstones(spark, a)
+    // tombstone store gone; only root seed files remain (fences collapsed)
+    assert(!new java.io.File(s"$a/_tombstones").exists())
+    assert(!new java.io.File(a).listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("batch=")))
+    // the deleted ids' BYTES are gone from the stored postings
+    val storedIds = spark.read.parquet(a).select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(storedIds.intersect(deadIds).isEmpty)
+    // serving needs no mask and equals the masked ranking exactly
+    val purged = ranks(PostingsStream.bm25TopK(
+      spark, a, queries, "doc_id", "text", k = 5, excludeSelf = true))
+    assert(purged == masked)
+    // purge with no tombstones is a no-op
+    PostingsStream.purgeTombstones(spark, a)
+    assert(ranks(PostingsStream.bm25TopK(
+      spark, a, queries, "doc_id", "text", k = 5, excludeSelf = true)) == masked)
+
+    // store B: crashed at the WORST window — staging complete, journal
+    // committed, deletions/promotions not yet performed
+    val b = java.nio.file.Files.createTempDirectory("postings_purge_b").toString + "/index"
+    build(b)
+    val survivors = PostingsStream.readPostings(spark, b)
+      .filter(!col("doc_id").isin(deadIds.toSeq: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+      .collect().toSeq // materialize BEFORE the journal blocks reads
+    spark.createDataFrame(
+        java.util.Arrays.asList(survivors: _*),
+        PostingsStream.readPostings(spark, b).drop("batch").schema)
+      .write.parquet(s"$b/_compact_tmp")
+    val stagedNames = new java.io.File(s"$b/_compact_tmp").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    val rootEntries = new java.io.File(b).listFiles().map(_.getName)
+    val dLines = rootEntries.filter(n =>
+      n.startsWith("batch=") || n.endsWith(".parquet")).map("D " + _)
+    val mLines = stagedNames.map(n => s"M $n seed-t1-$n")
+    java.nio.file.Files.writeString(
+      new java.io.File(b, "_compact_journal").toPath,
+      (dLines ++ mLines).mkString("", "\n", "\n"))
+    // reads refuse the journaled store; the next purge completes the
+    // crashed swap, then executes its own (now no-op) fold and drops
+    // the tombstones
+    intercept[IllegalStateException] {
+      PostingsStream.readPostings(spark, b).count()
+    }
+    PostingsStream.purgeTombstones(spark, b)
+    assert(!new java.io.File(s"$b/_tombstones").exists())
+    assert(ranks(PostingsStream.bm25TopK(
+      spark, b, queries, "doc_id", "text", k = 5, excludeSelf = true)) == masked)
+
+    // tombstone redelivery after a completed purge: re-delivered delete
+    // batch names already-purged ids — purge again is a no-op
+    PostingsStream.deleteBatch(spark, a,
+      deadIds.toSeq.toDF("doc_id"), "doc_id", batchId = 1L)
+    PostingsStream.purgeTombstones(spark, a)
+    assert(ranks(PostingsStream.bm25TopK(
+      spark, a, queries, "doc_id", "text", k = 5, excludeSelf = true)) == masked)
+
+    // fsck composes with purge: a purged store holds no numbered
+    // partitions, so verifyIndex classifies nothing and quarantine
+    // moves nothing — the two maintenance paths never fight
+    val dir2 = java.nio.file.Files.createTempDirectory("postings_purge_fsck").toString
+    val c = s"$dir2/index"
+    PostingsStream.backfillIndex(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", c)
+    implicit val sqlCtx = spark.sqlContext
+    val docsIn = MemoryStream[(Long, String)]
+    val sq = PostingsStream.postingsStreamTo(
+      docsIn.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", c, s"$dir2/ckpt")().start()
+    try {
+      val odd = d.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text").as[(Long, String)]
+        .collect().toSeq
+      docsIn.addData(odd: _*); sq.processAllAvailable()
+    } finally sq.stop()
+    PostingsStream.deleteBatch(spark, c,
+      deadIds.toSeq.toDF("doc_id"), "doc_id", batchId = 1L)
+    PostingsStream.purgeTombstones(spark, c)
+    val check = PostingsStream.verifyIndex(spark, c, s"$dir2/ckpt")
+    assert(check.committed.isEmpty && check.pending.isEmpty &&
+      check.orphans.isEmpty, check.toString)
+    assert(PostingsStream.quarantineIndexOrphans(spark, c, s"$dir2/ckpt").isEmpty)
+    assert(ranks(PostingsStream.bm25TopK(
+      spark, c, queries, "doc_id", "text", k = 5, excludeSelf = true)) == masked)
+  }
+
   test("batch redelivery is idempotent: the q163 exactly-once contract") {
     val spark0 = spark
     import spark0.implicits._

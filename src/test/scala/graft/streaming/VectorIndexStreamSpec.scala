@@ -1051,6 +1051,48 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(stringIds.count() == 0)
   }
 
+  test("fsck composes with purge: a purged store classifies clean and quarantines nothing") {
+    // verifyIndex classifies against a WRITING STREAM's checkpoint;
+    // purgeTombstones rewrites history OUTSIDE any stream (everything
+    // folds into batch=-1, which fsck treats as backfill domain and
+    // never flags) — composed, the purged store must read as healthy:
+    // nothing committed/pending/orphaned, nothing quarantined, serving
+    // unchanged. The two maintenance paths had never been composed.
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("vec_purge_fsck").toString
+    val idx = s"$dir/index"
+    VectorIndexStream.seedIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val sq = VectorIndexStream.indexStreamTo(
+      in.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, s"$dir/ckpt")().start()
+    try {
+      val odd = e.filter(col("vec_id") % 2 === 1)
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+        .collect().toSeq
+      in.addData(odd: _*); sq.processAllAvailable()
+    } finally sq.stop()
+    // sanity: before purge the streamed batch classifies as committed
+    val pre = VectorIndexStream.verifyIndex(spark, idx, s"$dir/ckpt")
+    assert(pre.committed == Seq(0L), pre.toString)
+    VectorIndexStream.deleteBatch(spark, idx,
+      Seq(11L, 23L, 42L).toDF("vec_id"), "vec_id", batchId = 1L)
+    VectorIndexStream.purgeTombstones(spark, idx, "vec_id")
+    val post = VectorIndexStream.verifyIndex(spark, idx, s"$dir/ckpt")
+    assert(post.committed.isEmpty && post.pending.isEmpty &&
+      post.orphans.isEmpty, post.toString)
+    assert(VectorIndexStream.quarantineIndexOrphans(spark, idx, s"$dir/ckpt").isEmpty)
+    val served = topk(VectorIndexStream.topKFromIndex(
+      spark, idx, q, "vec_id", "embedding", k = 3))
+    assert(served.nonEmpty)
+    assert(Seq(11L, 23L, 42L).forall(id => !served.exists(_._3 == id)))
+  }
+
   test("deleteStreamTo: each micro-batch tombstones under its own batch id") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("vec_index_delstream").toString
