@@ -25,6 +25,37 @@ object SimilarityQueries {
   /** `artifactFilter` restricts the GRID and CODEBOOK sources (MM,
     * CENTS) — q107 pins both to the seed half while QV still encodes
     * the full corpus, mirroring the pinned-artifact streamed store. */
+  /** Shared DuckDB CTE block for the auto-nProbe pair (q258/q259):
+    * centroids -> all-pairs cell distances -> filtered (label=4)
+    * corpus cells + per-cell counts -> each query's distance-ranked
+    * cell list -> running prefix-before total -> the probed prefix
+    * (cells kept while the 20-candidate floor is unmet). One
+    * definition so the ranking query and its plan report can never
+    * disagree on the probe sets. */
+  private val autoProbeCtes: String = raw"""CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELLF AS (
+          SELECT d.vec_id, d.cent_id AS cell FROM D d
+          JOIN embeddings e ON e.vec_id = d.vec_id AND e.label = 4
+          QUALIFY row_number() OVER (PARTITION BY d.vec_id ORDER BY d.l2, d.cent_id) = 1),
+        CNT AS (SELECT cell, count(*) AS cell_n FROM CELLF GROUP BY 1),
+        PR AS (
+          SELECT vec_id, cent_id AS cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) AS r
+          FROM D WHERE vec_id % 50 = 0),
+        CUM AS (
+          SELECT pr.vec_id, pr.cell, pr.r, COALESCE(c.cell_n, 0) AS cell_n,
+                 COALESCE(SUM(COALESCE(c.cell_n, 0)) OVER (PARTITION BY pr.vec_id ORDER BY pr.r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+          FROM PR pr LEFT JOIN CNT c ON c.cell = pr.cell),
+        PROBE AS (SELECT vec_id, cell, r, cell_n FROM CUM WHERE prev_cum < 20)"""
+
   private def pqCte(artifactFilter: String = ""): String = s"""MM AS (
           SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
           FROM (SELECT unnest(embedding) AS x,
@@ -1960,6 +1991,71 @@ object SimilarityQueries {
           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
         GROUP BY e.query_id
         ORDER BY e.query_id""")),
+
+    GraftQuery(
+      "q258_ann_auto_nprobe",
+      "Filtered ANN with the nProbe CHOSEN PER QUERY — the close of " +
+        "q250's recall-degradation loop, the skew toolkit's measure->" +
+        "plan->apply shape applied to vector serving: each query " +
+        "takes the shortest prefix of its distance-ranked cell list " +
+        "whose EXACT label=4 candidate count reaches 20 (broadcast-" +
+        "side running sum over the 8-row filtered cell-count table; " +
+        "deterministic integers, no recall oracle at serve time), " +
+        "then re-ranks exactly inside the probed cells. A sharp " +
+        "predicate probes deep (nProbe up to 5 at small SFs) while " +
+        "rich cells stay at 1-2 — cost follows selectivity per " +
+        "query. Margins: min adjacent top-4 cosine gap 6.8e-4, min " +
+        "adjacent cell-l2 gap 1.6e-4 at every SF.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfFilteredTopKAutoProbe(e, q, "vec_id", "embedding",
+            col("label") === 4, k = 3, nLists = 8, minCandidates = 20L)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""
+        WITH $autoProbeCtes,
+        CAND AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q
+          JOIN PROBE pq ON pq.vec_id = q.vec_id
+          JOIN CELLF cc ON cc.cell = pq.cell
+          JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+          CROSS JOIN range(1, 65) i(i)
+          GROUP BY 1, 2),
+        R AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+          FROM CAND)
+        SELECT query_id, rank, neighbor_id FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q259_auto_nprobe_report",
+      "The PLAN q258 executes, as an artifact: per query, the chosen " +
+        "probe depth and the exact filtered-candidate total its " +
+        "prefix holds — the integer-exact face of the auto-nProbe " +
+        "choice (what an operator audits when a predicate sharpens: " +
+        "n_probe rises, n_candidates stays at/above the floor " +
+        "whenever the corpus can supply it). Pure integers, so the " +
+        "gate is exact at every SF.",
+      (spark, dir) => {
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.autoProbeReport(e, q, "vec_id", "embedding",
+            col("label") === 4, nLists = 8, minCandidates = 20L)
+          .orderBy(col("query_id"))
+      },
+      Some(s"""
+        WITH $autoProbeCtes
+        SELECT vec_id AS query_id,
+               CAST(max(r) AS BIGINT) AS n_probe,
+               CAST(sum(cell_n) AS BIGINT) AS n_candidates
+        FROM PROBE GROUP BY 1 ORDER BY 1""")),
 
     GraftQuery(
       "q251_ann_store_purge",

@@ -293,6 +293,102 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Per-query probe sets sized by EXACT candidate counts: each query
+    * takes the shortest prefix of its distance-ranked cell list whose
+    * filtered-candidate total reaches `minCandidates` (all `nLists`
+    * cells when the floor is unreachable; always at least the argmin
+    * cell). Everything is broadcast-side: |Q| x nLists ranked pairs
+    * joined to the nLists-row filtered cell-count table, one running
+    * sum — no recall oracle at serve time, and the choice is a
+    * deterministic integer function of (query, predicate, corpus).
+    * Returns (query_id, q_vec, cell, cell_rank). */
+  private def autoProbeSets(
+      cent: DataFrame, cellCounts: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, minCandidates: Long): DataFrame = {
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2"), col("cent_id"))
+    val ranked = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .join(broadcast(cent))
+      .withColumn("l2", VectorFunctions.l2Sq(col("q_vec"), col("cent_vec")))
+      .withColumn("cell_rank", row_number().over(probeW))
+      .select(col("query_id"), col("q_vec"),
+        col("cent_id").as("cell"), col("cell_rank"))
+    // running total of candidates over the prefix BEFORE this cell: a
+    // cell is probed while the floor is still unmet (rank 1 always is:
+    // its prefix-before is 0)
+    val cumW = Window.partitionBy(col("query_id")).orderBy(col("cell_rank"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranked
+      .join(broadcast(cellCounts), Seq("cell"), "left")
+      .withColumn("prev_cum",
+        coalesce(sum(coalesce(col("cell_n"), lit(0L))).over(cumW), lit(0L)))
+      .filter(col("prev_cum") < minCandidates)
+      .select(col("query_id"), col("q_vec"), col("cell"), col("cell_rank"))
+  }
+
+  /** [[ivfFilteredTopK]] with the nProbe CHOSEN PER QUERY instead of
+    * fixed — the close of q250's measured recall-degradation loop, the
+    * same measure -> plan -> apply shape as the skew toolkit: q250
+    * showed recall falling as the predicate sharpens; this widens each
+    * query's probe prefix until its EXACT filtered-candidate count
+    * clears `minCandidates`, so a sharp predicate probes deep while an
+    * unselective one stays at nProbe=1 — cost follows selectivity per
+    * query instead of being provisioned for the worst one. The count
+    * floor is cheap (an nLists-row aggregate of the filtered corpus;
+    * a WRITTEN store serves it from stats without a scan) and exact,
+    * so the choice is deterministic — no recall oracle needed at
+    * serve time. Recall still isn't guaranteed (candidates close to
+    * the floor can sit in unprobed cells), but the failure mode q250
+    * measures — a probed prefix with too few matching rows to even
+    * fill top-k — is structurally gone for minCandidates >= k. */
+  def ivfFilteredTopKAutoProbe(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      predicate: org.apache.spark.sql.Column, k: Int, nLists: Int,
+      minCandidates: Long): DataFrame = {
+    require(minCandidates >= 1, s"minCandidates must be >= 1, got $minCandidates")
+    val cent = ivfCentroids(corpus, idCol, vecCol, nLists)
+    val cc = assignWith(cent,
+      corpus.filter(predicate)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      "neighbor_id", "c_vec")
+    val cellCounts = cc.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val qProbes = autoProbeSets(cent, cellCounts, queries, idCol, vecCol,
+        minCandidates)
+      .select(col("query_id"), col("q_vec"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cc.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** The PLAN [[ivfFilteredTopKAutoProbe]] executes, as a frame: per
+    * query, the chosen probe depth and the exact filtered-candidate
+    * total its prefix holds (self-matches included — the count is a
+    * sizing statistic, not a result count). Integer-exact, so the
+    * tuning loop's artifact is oracle-comparable. */
+  def autoProbeReport(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      predicate: org.apache.spark.sql.Column, nLists: Int,
+      minCandidates: Long): DataFrame = {
+    require(minCandidates >= 1, s"minCandidates must be >= 1, got $minCandidates")
+    val cent = ivfCentroids(corpus, idCol, vecCol, nLists)
+    val cellCounts = assignWith(cent,
+        corpus.filter(predicate)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        "neighbor_id", "c_vec")
+      .groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    autoProbeSets(cent, cellCounts, queries, idCol, vecCol, minCandidates)
+      .join(broadcast(cellCounts), Seq("cell"), "left")
+      .groupBy(col("query_id"))
+      .agg(max(col("cell_rank")).cast("long").as("n_probe"),
+        sum(coalesce(col("cell_n"), lit(0L))).cast("long").as("n_candidates"))
+  }
+
   def ivfMultiProbeTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nLists: Int, nProbe: Int = 2): DataFrame = {

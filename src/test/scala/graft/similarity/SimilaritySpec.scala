@@ -334,6 +334,57 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 <= r2 + 1e-12, s"nProbe=1 recall $r1 above nProbe=2 $r2")
   }
 
+  test("auto-nProbe: a sharpened filter widens the probe prefix, an unselective one keeps nProbe=1") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    def probes(pred: org.apache.spark.sql.Column): Map[Long, (Long, Long)] =
+      Similarity.autoProbeReport(e, q, "vec_id", "embedding", pred,
+          nLists = 8, minCandidates = 20L)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // unfiltered: every cell holds >> 20 rows, so every query stays at
+    // the argmin cell — the fixed-nProbe cost profile when the
+    // predicate doesn't bite
+    val open = probes(lit(true))
+    assert(open.nonEmpty)
+    assert(open.values.forall(_._1 == 1L), open.toString)
+    // sharp (label = 4, ~1/10 selectivity): the prefix widens per query
+    // until the exact candidate count clears the floor
+    val sharp = probes(col("label") === 4)
+    assert(sharp.keySet == open.keySet)
+    assert(sharp.values.forall { case (np, nc) => np > 1L && nc >= 20L },
+      sharp.toString)
+    // per query never narrower than the open predicate's choice
+    assert(open.forall { case (qid, (np, _)) => sharp(qid)._1 >= np })
+    // an unreachable floor degrades to probing ALL cells, and the
+    // candidate total is then exactly the filtered corpus size
+    val total = e.filter(col("label") === 4).count()
+    val all = probes(col("label") === 4) // floor 20 reachable; now force:
+    val starved = Similarity.autoProbeReport(e, q, "vec_id", "embedding",
+        col("label") === 4, nLists = 8, minCandidates = total + 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(starved.forall { case (np, nc) => np == 8L && nc == total })
+    assert(all.values.forall(_._2 >= 20L))
+
+    // the ranking itself: every neighbor satisfies the predicate, and
+    // recall vs the exact pre-filter baseline is never below the
+    // fixed nProbe=1 post-filter's (the loop q250 measures, closed)
+    val allowed = e.filter(col("label") === 4).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val auto = Similarity.ivfFilteredTopKAutoProbe(e, q, "vec_id", "embedding",
+      col("label") === 4, k = 3, nLists = 8, minCandidates = 20L)
+    assert(auto.collect().forall(r => allowed(r.getLong(2))))
+    val exact = Similarity.filteredTopK(e, q, "vec_id", "embedding",
+      col("label") === 4, k = 3)
+    def mean(df: org.apache.spark.sql.DataFrame) = {
+      val rs = Similarity.recallReport(exact, df).collect().map(_.getDouble(3))
+      rs.sum / rs.length
+    }
+    val fixed1 = mean(Similarity.ivfFilteredTopK(e, q, "vec_id", "embedding",
+      col("label") === 4, k = 3, nLists = 8, nProbe = 1))
+    val autoR = mean(auto)
+    assert(fixed1 <= autoR + 1e-12, s"auto recall $autoR below nProbe=1 $fixed1")
+  }
+
   test("pqTopK recall overlaps brute force on real embeddings") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)
