@@ -1485,6 +1485,55 @@ object ExtendedQueries {
         FROM S ORDER BY event_type""")),
 
     GraftQuery(
+      "q260_regression_asof_version",
+      "AS-OF read of a VERSIONED (v=N swap) store — q222's time-" +
+        "travel contract extended from the batch=N layouts to the " +
+        "version-swap family (MomentStore here; CountMinStream, " +
+        "HeavyHittersStream, and BitmapStore share the same " +
+        "readVersion): q158's build (seed = v0, even-id batch = v1, " +
+        "odd-id batch = v2; the store retains the current version " +
+        "plus one committed grace predecessor), then slopesAsOf " +
+        "PINNED at version 1 — exactly what a reader between the two " +
+        "merges served. Because the store's whole state is the " +
+        "moment sums, the pinned fit is bit-identical to aggregating " +
+        "the even-id slice alone: the oracle is q158's SQL with the " +
+        "events CTE filtered, scoring text shared verbatim. The v2 " +
+        "rows are ON DISK and must be invisible to the pin — any " +
+        "leak moves every moment and hash-mismatches.",
+      (spark, dir) => {
+        val store = QueryScratch.dir("graft_q260_moments")
+        val pth = new org.apache.hadoop.fs.Path(store)
+        val fs = pth.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(pth)) fs.delete(pth, true)
+        val e = Tables.table(spark, dir, "events")
+        graft.streaming.MomentStore.seed(spark, store, "2024-01-01 00:00:00")
+        graft.streaming.MomentStore.mergeBatch(
+          e.filter(col("event_id") % 2 === 0), "event_type", "ts", "value", store)
+        graft.streaming.MomentStore.mergeBatch(
+          e.filter(col("event_id") % 2 === 1), "event_type", "ts", "value", store)
+        graft.streaming.MomentStore.slopesAsOf(spark, store, v = 1L)
+          .withColumnRenamed("grp", "event_type")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH E AS (SELECT event_type,
+                          (epoch_ms(ts) // 1000
+                           - epoch_ms(TIMESTAMP '2024-01-01 00:00:00') // 1000)
+                            // 3600 AS x,
+                          CAST(floor(value * 1000.0) AS BIGINT) AS y
+                   FROM events WHERE event_id % 2 = 0),
+        S AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*y) AS sxy, sum(x*x) AS sxx
+              FROM E GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+               CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+               CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+               CAST(n*sxx - sx*sx AS BIGINT) AS slope_den,
+               CAST(CAST(n*sxy - sx*sy AS BIGINT) AS DOUBLE) /
+                 CAST(CAST(n*sxx - sx*sx AS BIGINT) AS DOUBLE) AS slope
+        FROM S ORDER BY event_type""")),
+
+    GraftQuery(
       "q159_bloom_pruned_join",
       "Bloom-pruned fact⋈dim join (ScaleJoins.bloomPrunedJoin) — the " +
         "explicit runtime-filter pattern: a Bloom filter built over " +

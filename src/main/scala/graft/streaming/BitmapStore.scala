@@ -30,15 +30,23 @@ object BitmapStore {
     writeVersion(spark, storeDir, 0L, empty)
   }
 
-  /** The stored per-group masks. */
+  /** The stored per-group masks (latest committed version). */
   def read(spark: SparkSession, storeDir: String): DataFrame = {
     val vs = VersionedStore.committedVersions(spark, storeDir)
     require(vs.nonEmpty,
       s"$storeDir holds no committed bitmaps — seed() the store first")
+    readVersion(spark, storeDir, vs.max)
+  }
+
+  /** Pinned AS-OF read ([[VersionedStore.pinnedVersionDir]]'s
+    * contract — refuses a retired or unknown version loudly): the
+    * masks exactly as version `v` served them. */
+  def readVersion(spark: SparkSession, storeDir: String, v: Long): DataFrame = {
+    val dir = VersionedStore.pinnedVersionDir(spark, storeDir, v)
     // validate-only meta open: migrated() so a shimmed generation opens
-    StoreLayout.migrated(spark.read.parquet(s"$storeDir/v=${vs.max}/meta"),
+    StoreLayout.migrated(spark.read.parquet(s"$dir/meta"),
       s"bitmap store at $storeDir")
-    spark.read.parquet(s"$storeDir/v=${vs.max}/masks")
+    spark.read.parquet(s"$dir/masks")
   }
 
   private def writeVersion(

@@ -49,16 +49,26 @@ object CountMinStream {
       eps, confidence, sketchSeed)
   }
 
-  /** The stored sketch plus its pinned parameters. */
+  /** The stored sketch plus its pinned parameters (latest committed
+    * version). */
   def read(spark: SparkSession, storeDir: String)
       : (CountMinSketch, Double, Double, Int) = {
     val vs = VersionedStore.committedVersions(spark, storeDir)
     require(vs.nonEmpty,
       s"$storeDir holds no committed sketch — seed() the store first")
-    val v = vs.max
+    readVersion(spark, storeDir, vs.max)
+  }
+
+  /** Pinned AS-OF read ([[VersionedStore.pinnedVersionDir]]'s
+    * contract — refuses a retired or unknown version loudly): the
+    * sketch exactly as version `v` served it; later merges never
+    * leak into the pin. */
+  def readVersion(spark: SparkSession, storeDir: String, v: Long)
+      : (CountMinSketch, Double, Double, Int) = {
+    val dir = VersionedStore.pinnedVersionDir(spark, storeDir, v)
     val meta = StoreLayout.checkedMetaRow(
-      spark, s"$storeDir/v=$v/meta", s"Count-Min store at $storeDir")
-    val bytes = spark.read.parquet(s"$storeDir/v=$v/sketch")
+      spark, s"$dir/meta", s"Count-Min store at $storeDir")
+    val bytes = spark.read.parquet(s"$dir/sketch")
       .collect()(0).getAs[Array[Byte]](0)
     (CountMinSketch.readFrom(bytes),
       meta.getDouble(0), meta.getDouble(1), meta.getLong(2).toInt)

@@ -46,15 +46,24 @@ object HeavyHittersStream {
     writeVersion(spark, storeDir, 0L, Map.empty, 0L, capacity)
   }
 
-  /** The stored summary: (term -> est, admitted token count, capacity). */
+  /** The stored summary: (term -> est, admitted token count, capacity)
+    * at the latest committed version. */
   def read(spark: SparkSession, storeDir: String): (Map[String, Long], Long, Int) = {
     val vs = committedVersions(spark, storeDir)
     require(vs.nonEmpty,
       s"$storeDir holds no committed summary — seed() the store first")
-    val v = vs.max
+    readVersion(spark, storeDir, vs.max)
+  }
+
+  /** Pinned AS-OF read ([[VersionedStore.pinnedVersionDir]]'s
+    * contract — refuses a retired or unknown version loudly): the
+    * summary exactly as version `v` served it. */
+  def readVersion(spark: SparkSession, storeDir: String, v: Long)
+      : (Map[String, Long], Long, Int) = {
+    val dir = VersionedStore.pinnedVersionDir(spark, storeDir, v)
     val meta = StoreLayout.checkedMetaRow(
-      spark, s"$storeDir/v=$v/meta", s"heavy-hitters store at $storeDir")
-    val items = spark.read.parquet(s"$storeDir/v=$v/items").collect()
+      spark, s"$dir/meta", s"heavy-hitters store at $storeDir")
+    val items = spark.read.parquet(s"$dir/items").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     (items, meta.getLong(0), meta.getLong(1).toInt)
   }

@@ -43,15 +43,25 @@ object MomentStore {
     writeVersion(spark, storeDir, 0L, empty, epochIso)
   }
 
-  /** The stored moments plus the pinned epoch. */
+  /** The stored moments plus the pinned epoch (latest committed
+    * version). */
   def read(spark: SparkSession, storeDir: String): (DataFrame, String) = {
     val vs = VersionedStore.committedVersions(spark, storeDir)
     require(vs.nonEmpty,
       s"$storeDir holds no committed moments — seed() the store first")
-    val v = vs.max
+    readVersion(spark, storeDir, vs.max)
+  }
+
+  /** Pinned AS-OF read ([[VersionedStore.pinnedVersionDir]]'s
+    * contract — refuses a retired or unknown version loudly): the
+    * moments and epoch EXACTLY as version `v` served them; a merge
+    * committed after `v` never leaks into the pin. */
+  def readVersion(
+      spark: SparkSession, storeDir: String, v: Long): (DataFrame, String) = {
+    val dir = VersionedStore.pinnedVersionDir(spark, storeDir, v)
     val epoch = StoreLayout.checkedMetaRow(
-      spark, s"$storeDir/v=$v/meta", s"moment store at $storeDir").getString(0)
-    (spark.read.parquet(s"$storeDir/v=$v/moments"), epoch)
+      spark, s"$dir/meta", s"moment store at $storeDir").getString(0)
+    (spark.read.parquet(s"$dir/moments"), epoch)
   }
 
   private def writeVersion(spark: SparkSession, storeDir: String, v: Long,
@@ -102,6 +112,13 @@ object MomentStore {
     * output shape, `grp` renamed by the caller). */
   def slopes(spark: SparkSession, storeDir: String): DataFrame =
     Regression.slopesFromMoments(read(spark, storeDir)._1, "grp")
+
+  /** [[slopes]] pinned to version `v` ([[readVersion]]): the fit the
+    * store served at that point in its history — because the whole
+    * state IS the moment sums, the pinned slopes are bit-identical to
+    * a fresh aggregation of exactly the batches merged through `v`. */
+  def slopesAsOf(spark: SparkSession, storeDir: String, v: Long): DataFrame =
+    Regression.slopesFromMoments(readVersion(spark, storeDir, v)._1, "grp")
 
   /** Streaming writer: one [[mergeBatch]] per micro-batch. */
   def streamTo(rows: DataFrame, groupCol: String, tsCol: String,

@@ -31,6 +31,29 @@ private[streaming] object VersionedStore {
         .filter(_ => fs.exists(new Path(e.getPath, "meta/_SUCCESS"))))
   }
 
+  /** The root of a PINNED committed version — the as-of read for v=N
+    * swap stores, answering "what did the reader that resolved
+    * version v serve?" with the same contract the batch=N stores'
+    * fences give ([[BatchIndex.asOf]]): a pin never sees a later
+    * version. These stores retain the current version plus ONE
+    * committed grace predecessor ([[retireOldVersions]]), so deeper
+    * history is gone BY DESIGN: a pin outside the retained set
+    * refuses loudly naming what IS retained, never silently serving
+    * a different version. */
+  def pinnedVersionDir(
+      spark: SparkSession, storeDir: String, v: Long): String = {
+    val vs = committedVersions(spark, storeDir)
+    require(vs.nonEmpty,
+      s"$storeDir holds no committed versions — seed the store first")
+    if (!vs.contains(v)) throw new IllegalStateException(
+      s"$storeDir does not retain version $v " +
+        s"(retained: ${vs.sorted.mkString(", ")}) — versioned stores keep " +
+        "the current version plus one committed predecessor and retire " +
+        "older generations at write time; re-derive older states from " +
+        "the source data instead of pinning past the grace window")
+    s"$storeDir/v=$v"
+  }
+
   /** After committing `v`: delete uncommitted debris immediately and
     * committed predecessors beyond the single grace generation. */
   def retireOldVersions(

@@ -49,6 +49,73 @@ class MomentStoreSpec extends SparkSpec {
       "streamed moment merge diverged from the single-pass fit")
   }
 
+  test("pinned version reads never see a later version; retired pins refuse loudly — all four versioned stores") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mom_asof").toString
+
+    // MomentStore: v0 seed, v1 first merge, v2 second merge
+    MomentStore.seed(spark, s"$dir/mom", epoch)
+    MomentStore.mergeBatch(
+      Seq(("a", ts(1), 1.5), ("a", ts(2), 2.5), ("b", ts(1), 3.0))
+        .toDF("grp", "ts", "v"), "grp", "ts", "v", s"$dir/mom")
+    val atV1 = MomentStore.slopesAsOf(spark, s"$dir/mom", 1L)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    MomentStore.mergeBatch(
+      Seq(("a", ts(3), 9.0), ("b", ts(4), 0.5)).toDF("grp", "ts", "v"),
+      "grp", "ts", "v", s"$dir/mom")
+    // the pin is UNCHANGED after the later merge (redelivery posture:
+    // whatever arrives later, version 1's serving is immutable) ...
+    assert(MomentStore.slopesAsOf(spark, s"$dir/mom", 1L)
+      .orderBy("grp").collect().map(_.toSeq).toSeq == atV1)
+    // ... and differs from the live read, which sees v2
+    assert(MomentStore.slopes(spark, s"$dir/mom")
+      .orderBy("grp").collect().map(_.toSeq).toSeq != atV1)
+    // v0 fell off the grace window at v2's commit: loud refusal naming
+    // the retained set, never a silent different version
+    val gone = intercept[IllegalStateException] {
+      MomentStore.readVersion(spark, s"$dir/mom", 0L)
+    }
+    assert(gone.getMessage.contains("does not retain version 0"), gone.getMessage)
+    assert(gone.getMessage.contains("retained: 1, 2"), gone.getMessage)
+    intercept[IllegalStateException] {
+      MomentStore.readVersion(spark, s"$dir/mom", 99L)
+    }
+
+    // CountMinStream: the pinned sketch keeps v1's counts
+    CountMinStream.seed(spark, s"$dir/cm", eps = 0.01, confidence = 0.9,
+      sketchSeed = 7)
+    CountMinStream.mergeBatch(
+      Seq.fill(5)("hot").toDF("term"), "term", s"$dir/cm")
+    CountMinStream.mergeBatch(
+      Seq.fill(9)("hot").toDF("term"), "term", s"$dir/cm")
+    val (skPin, _, _, _) = CountMinStream.readVersion(spark, s"$dir/cm", 1L)
+    assert(skPin.estimateCount("hot") == 5L)
+    assert(CountMinStream.read(spark, s"$dir/cm")._1.estimateCount("hot") == 14L)
+
+    // HeavyHittersStream: the pinned summary is v1's
+    HeavyHittersStream.seed(spark, s"$dir/hh", capacity = 4)
+    HeavyHittersStream.mergeBatch(
+      Seq("x", "x", "y").toDF("term"), "term", s"$dir/hh")
+    HeavyHittersStream.mergeBatch(
+      Seq.fill(6)("z").toDF("term"), "term", s"$dir/hh")
+    val (pinItems, pinN, _) = HeavyHittersStream.readVersion(spark, s"$dir/hh", 1L)
+    assert(pinN == 3L && !pinItems.contains("z"), pinItems.toString)
+    assert(HeavyHittersStream.read(spark, s"$dir/hh")._2 == 9L)
+
+    // BitmapStore: the pinned masks are v1's
+    BitmapStore.seed(spark, s"$dir/bm")
+    BitmapStore.mergeBatch(
+      Seq(("g", 1L), ("g", 3L)).toDF("grp", "bucket"), "grp", "bucket", s"$dir/bm")
+    BitmapStore.mergeBatch(
+      Seq(("g", 5L)).toDF("grp", "bucket"), "grp", "bucket", s"$dir/bm")
+    def mask(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("grp") === "g").select("mask").collect()(0).getLong(0)
+    assert(mask(BitmapStore.readVersion(spark, s"$dir/bm", 1L)) == ((1L << 1) | (1L << 3)))
+    assert(mask(BitmapStore.read(spark, s"$dir/bm")) ==
+      ((1L << 1) | (1L << 3) | (1L << 5)))
+  }
+
   test("uncommitted versions are skipped; next commit cleans the debris") {
     val spark0 = spark
     import spark0.implicits._
