@@ -92,7 +92,113 @@ object SpillProbe {
       .collect()(0).getLong(0)
   }
 
+  // ---- durable-store build under pressure: the foreachBatch append
+  // path had only ever run in roomy spec heaps. The heaviest store
+  // write is NearDedupStream's batch core (minhash aggregation over
+  // the exploded shingle table + the band join against the whole
+  // accumulated history), so THAT is the build the gate forks: seed
+  // half the corpus as backfill, push the other half through the
+  // exact batch body the stream writer runs, land its partitions,
+  // and checksum what the store then serves. All fixture content is
+  // a pure function of (n) via md5, so the constrained and roomy
+  // JVMs build byte-identical corpora.
+
+  /** Deterministic 10-word documents (word = 6 hex chars of an
+    * id+position digest); ids [0, n). */
+  def dedupSeedCorpus(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id"),
+      expr("""concat_ws(' ', transform(sequence(1, 10),
+              i -> substr(md5(concat(cast(id AS string), '-', cast(i AS string))), 1, 6)))""")
+        .as("text"))
+
+  /** The streamed batch: ids [n, 2n); every 20th doc is a NEAR-DUP of
+    * a seed doc (its text plus one trailing word — shingle Jaccard
+    * 8/9, well over the 1/2 verify threshold), so the cross-batch
+    * band join and the shingle verify both do real work. */
+  def dedupBatchCorpus(spark: SparkSession, n: Long): DataFrame =
+    dedupSeedCorpus(spark, n).select(
+      (col("id") + n).as("id"),
+      when((col("id") + n) % 20 === 0, concat(col("text"), lit(" zz")))
+        .otherwise(
+          expr("""concat_ws(' ', transform(sequence(1, 10),
+                  i -> substr(md5(concat('b', cast(id AS string), '-', cast(i AS string))), 1, 6)))"""))
+        .as("text"))
+
+  /** Build the near-dedup store exactly like the stream writer: seed
+    * backfill, one batch through [[NearDedupStream.dedupBatchWithBands]],
+    * survivors' docs+bands landed as `batch=0`. Returns order-
+    * insensitive content checksums of (survivors, served docs, served
+    * bands) — partition-count-independent, so constrained and roomy
+    * runs compare across different shuffle.partitions. */
+  def dedupStoreBuild(
+      spark: SparkSession, n: Long, indexDir: String): (Long, Long, Long) = {
+    import graft.streaming.NearDedupStream
+    NearDedupStream.backfillIndex(
+      dedupSeedCorpus(spark, n), "id", "text", indexDir)
+    val core = NearDedupStream.dedupBatchWithBands(
+      dedupBatchCorpus(spark, n), indexDir, "id", "text",
+      beforeBatch = 0L, p = 1, q = 2, shingleN = 3,
+      nHashes = 8, rowsPerBand = 2, maxBucket = 100000)
+    val fresh = core.survivors
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      fresh.select(col("id"), col("text"))
+        .write.mode("overwrite").parquet(s"$indexDir/docs/batch=0")
+      core.bands.join(fresh.select(col("id").cast("long").as("id")),
+          Seq("id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$indexDir/bands/batch=0")
+      val survivorsSum = fresh
+        .agg(sum(shiftright(xxhash64(col("id"), col("text")), 12)))
+        .collect()(0).getLong(0)
+      val docsSum = NearDedupStream.readDocs(spark, indexDir)
+        .agg(sum(shiftright(xxhash64(col("id"), col("text"), col("batch")), 12)))
+        .collect()(0).getLong(0)
+      val bandsSum = NearDedupStream.readBands(spark, indexDir)
+        .agg(sum(shiftright(
+          xxhash64(col("id"), col("band"), col("bv"), col("batch")), 12)))
+        .collect()(0).getLong(0)
+      (survivorsSum, docsSum, bandsSum)
+    } finally {
+      fresh.unpersist()
+      core.cleanup()
+    }
+  }
+
+  private def storeMain(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(400000L)
+    val spark = SparkSession.builder()
+      // local[2], not [4]: the minhash object aggregate holds per-task
+      // sort buffers that 4 concurrent tasks cannot fit under the
+      // 512 MB floor even WITH spilling (the spill reader's own buffer
+      // allocation OOMs) — two tasks spill and survive
+      .master("local[2]")
+      .appName("graft-spill-store-probe")
+      .config("spark.sql.shuffle.partitions", "3")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val spilled = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    })
+    val dir = java.nio.file.Files
+      .createTempDirectory("spill_store_probe").toString + "/index"
+    val (survivorsSum, docsSum, bandsSum) = dedupStoreBuild(spark, n, dir)
+    org.apache.spark.GraftListenerBridge
+      .waitUntilListenerBusEmpty(spark.sparkContext)
+    println(s"""{"n":$n,"survivors_sum":$survivorsSum,""" +
+      s""""docs_sum":$docsSum,"bands_sum":$bandsSum,""" +
+      s""""spilled_bytes":${spilled.get()},""" +
+      s""""heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("store")) { storeMain(args.drop(1)); return }
     val n = args.headOption.map(_.toLong).getOrElse(3000000L)
     val spark = SparkSession.builder()
       .master("local[4]")
