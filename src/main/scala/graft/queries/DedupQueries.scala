@@ -63,6 +63,84 @@ object DedupQueries {
           FROM SYM sy JOIN REACH ON REACH.id = sy.src)"""
 
 
+  /** q93's two-set incremental near-dedup oracle with the INDEX side
+    * of the cross-batch candidate join restrictable: q93 passes no
+    * filter, the delete-lifecycle pair (q263/q264) passes the
+    * tombstone exclusion — one definition, so the banding scheme and
+    * the 1:2 threshold can never drift between the three. */
+  private def incNearDedupOracle(indexFilter: String): String =
+    shingleCte + raw""",
+        H AS (SELECT doc_id, md5(g) AS hg FROM S),
+        SIG AS (
+          SELECT doc_id,
+                 min(substr(hg, 1, 4)) AS h0, min(substr(hg, 5, 4)) AS h1,
+                 min(substr(hg, 9, 4)) AS h2, min(substr(hg, 13, 4)) AS h3,
+                 min(substr(hg, 17, 4)) AS h4, min(substr(hg, 21, 4)) AS h5,
+                 min(substr(hg, 25, 4)) AS h6, min(substr(hg, 29, 4)) AS h7
+          FROM H GROUP BY doc_id),
+        B AS (
+          SELECT doc_id, t.b AS band,
+                 CASE t.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                          WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS bv
+          FROM SIG, unnest([0, 1, 2, 3]) AS t(b)),
+        N AS (SELECT doc_id, count(*) AS n FROM S GROUP BY doc_id),
+        CW AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM B x JOIN B y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+          WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 1),
+        PW AS (SELECT c.id_a, c.id_b, count(*) AS common
+               FROM CW c
+               JOIN S x ON x.doc_id = c.id_a
+               JOIN S y ON y.doc_id = c.id_b AND y.g = x.g
+               GROUP BY 1, 2),
+        WD AS (SELECT DISTINCT p.id_b
+               FROM PW p JOIN N na ON p.id_a = na.doc_id
+               JOIN N nb ON p.id_b = nb.doc_id
+               WHERE p.common * 2 >= (na.n + nb.n - p.common) * 1),
+        SURV1 AS (SELECT doc_id FROM documents
+                  WHERE doc_id % 2 = 1
+                    AND doc_id NOT IN (SELECT id_b FROM WD)),
+        CC AS (
+          SELECT DISTINCT o.doc_id AS id_a, sv.doc_id AS id_b
+          FROM B o JOIN B nn ON o.band = nn.band AND o.bv = nn.bv
+          JOIN SURV1 sv ON sv.doc_id = nn.doc_id
+          WHERE o.doc_id % 2 = 0$indexFilter),
+        PC AS (SELECT c.id_a, c.id_b, count(*) AS common
+               FROM CC c
+               JOIN S x ON x.doc_id = c.id_a
+               JOIN S y ON y.doc_id = c.id_b AND y.g = x.g
+               GROUP BY 1, 2),
+        CD AS (SELECT DISTINCT p.id_b
+               FROM PC p JOIN N na ON p.id_a = na.doc_id
+               JOIN N nb ON p.id_b = nb.doc_id
+               WHERE p.common * 2 >= (na.n + nb.n - p.common) * 1)
+        SELECT doc_id FROM SURV1
+        WHERE doc_id NOT IN (SELECT id_b FROM CD)
+        ORDER BY doc_id"""
+
+  /** Shared by the exact-dedup delete pair (q261 masked / q262
+    * purged): the batch is the odd half PLUS exact copies (new ids)
+    * of the % 10 = 4 even docs; the % 20 = 4 evens' fingerprints are
+    * tombstoned, so THEIR copies re-admit while the % 20 = 14 copies
+    * still drop — the takedown-then-repost flow, non-vacuous at
+    * every SF by construction (the testdata itself has no exact
+    * cross-half duplicates below sf0.1). */
+  private val exactDeleteOracle: String = raw"""
+        WITH FP AS (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+                    FROM documents),
+        IDX AS (SELECT DISTINCT fp FROM FP WHERE doc_id % 2 = 0),
+        DEL AS (SELECT DISTINCT fp FROM FP WHERE doc_id % 2 = 0 AND doc_id % 20 = 4),
+        LIVEIDX AS (SELECT fp FROM IDX WHERE fp NOT IN (SELECT fp FROM DEL)),
+        NEW AS (SELECT doc_id, fp FROM FP WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 1000000, fp FROM FP
+                WHERE doc_id % 2 = 0 AND doc_id % 10 = 4),
+        SV AS (SELECT doc_id, fp FROM NEW n
+               WHERE NOT EXISTS (SELECT 1 FROM LIVEIDX i WHERE i.fp = n.fp))
+        SELECT doc_id FROM SV
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+        ORDER BY doc_id"""
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -237,54 +315,130 @@ object DedupQueries {
           .nearDedupBatch(fresh, idx, "doc_id", "text")
           .select(col("doc_id")).orderBy(col("doc_id"))
       },
-      Some(shingleCte + raw""",
-        H AS (SELECT doc_id, md5(g) AS hg FROM S),
-        SIG AS (
-          SELECT doc_id,
-                 min(substr(hg, 1, 4)) AS h0, min(substr(hg, 5, 4)) AS h1,
-                 min(substr(hg, 9, 4)) AS h2, min(substr(hg, 13, 4)) AS h3,
-                 min(substr(hg, 17, 4)) AS h4, min(substr(hg, 21, 4)) AS h5,
-                 min(substr(hg, 25, 4)) AS h6, min(substr(hg, 29, 4)) AS h7
-          FROM H GROUP BY doc_id),
-        B AS (
-          SELECT doc_id, t.b AS band,
-                 CASE t.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
-                          WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS bv
-          FROM SIG, unnest([0, 1, 2, 3]) AS t(b)),
-        N AS (SELECT doc_id, count(*) AS n FROM S GROUP BY doc_id),
-        CW AS (
-          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-          FROM B x JOIN B y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
-          WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 1),
-        PW AS (SELECT c.id_a, c.id_b, count(*) AS common
-               FROM CW c
-               JOIN S x ON x.doc_id = c.id_a
-               JOIN S y ON y.doc_id = c.id_b AND y.g = x.g
-               GROUP BY 1, 2),
-        WD AS (SELECT DISTINCT p.id_b
-               FROM PW p JOIN N na ON p.id_a = na.doc_id
-               JOIN N nb ON p.id_b = nb.doc_id
-               WHERE p.common * 2 >= (na.n + nb.n - p.common) * 1),
-        SURV1 AS (SELECT doc_id FROM documents
-                  WHERE doc_id % 2 = 1
-                    AND doc_id NOT IN (SELECT id_b FROM WD)),
-        CC AS (
-          SELECT DISTINCT o.doc_id AS id_a, sv.doc_id AS id_b
-          FROM B o JOIN B nn ON o.band = nn.band AND o.bv = nn.bv
-          JOIN SURV1 sv ON sv.doc_id = nn.doc_id
-          WHERE o.doc_id % 2 = 0),
-        PC AS (SELECT c.id_a, c.id_b, count(*) AS common
-               FROM CC c
-               JOIN S x ON x.doc_id = c.id_a
-               JOIN S y ON y.doc_id = c.id_b AND y.g = x.g
-               GROUP BY 1, 2),
-        CD AS (SELECT DISTINCT p.id_b
-               FROM PC p JOIN N na ON p.id_a = na.doc_id
-               JOIN N nb ON p.id_b = nb.doc_id
-               WHERE p.common * 2 >= (na.n + nb.n - p.common) * 1)
-        SELECT doc_id FROM SURV1
-        WHERE doc_id NOT IN (SELECT id_b FROM CD)
-        ORDER BY doc_id""")),
+      Some(incNearDedupOracle(""))),
+
+    GraftQuery(
+      "q261_dedup_store_deletes",
+      "Fingerprint-store DELETE path — the takedown half of the " +
+        "exact-dedup history's lifecycle (the dedup face of " +
+        "q249/q256): the even half's fingerprints seed the durable " +
+        "index, the % 20 = 4 evens' fingerprints are tombstoned as a " +
+        "delete batch, and the next batch (odd half PLUS exact " +
+        "copies, under fresh ids, of every % 10 = 4 even doc) dedups " +
+        "against the MASKED index — copies of deleted docs RE-ADMIT " +
+        "(the store no longer remembers them: takedown-then-repost), " +
+        "copies of the % 20 = 14 docs still drop. Masking is batch-" +
+        "ordered (a fingerprint re-written after its delete would " +
+        "count as history again), shared Tombstones layout, stamped " +
+        "and fence-composable.",
+      (spark, dir) => {
+        import graft.streaming.IncrementalDedup
+        val d = Tables.table(spark, dir, "documents")
+        val evens = d.filter(col("doc_id") % 2 === 0)
+        val idx = QueryScratch.dir("graft_q261_index")
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+        Dedup.exactGroups(evens, "doc_id", "text").select(col("fp"))
+          .write.mode("overwrite").parquet(idx)
+        IncrementalDedup.deleteBatch(spark, idx,
+          Dedup.exactGroups(evens.filter(col("doc_id") % 20 === 4),
+            "doc_id", "text").select(col("fp")),
+          "fp", batchId = 0L)
+        val copies = evens.filter(col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val batch = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text")).unionByName(copies)
+        IncrementalDedup.dedupBatch(batch, idx, "doc_id", "text")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(exactDeleteOracle)),
+
+    GraftQuery(
+      "q262_dedup_store_purge",
+      "The PHYSICAL half of q261's delete path: same store, same " +
+        "% 20 = 4 tombstone batch — but purged (BatchIndex.rewriteAll " +
+        "folds every partition into fresh seed files minus the " +
+        "tombstoned fingerprints under compaction's crash-safe " +
+        "staging+journal protocol, then the tombstone store drops), " +
+        "then the batch dedups with NO mask. Survivors must equal " +
+        "q261's masked run exactly (oracle shared verbatim) while " +
+        "the deleted fingerprints' bytes are no longer on disk.",
+      (spark, dir) => {
+        import graft.streaming.IncrementalDedup
+        val d = Tables.table(spark, dir, "documents")
+        val evens = d.filter(col("doc_id") % 2 === 0)
+        val idx = QueryScratch.dir("graft_q262_index")
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+        Dedup.exactGroups(evens, "doc_id", "text").select(col("fp"))
+          .write.mode("overwrite").parquet(idx)
+        IncrementalDedup.deleteBatch(spark, idx,
+          Dedup.exactGroups(evens.filter(col("doc_id") % 20 === 4),
+            "doc_id", "text").select(col("fp")),
+          "fp", batchId = 0L)
+        IncrementalDedup.purgeTombstones(spark, idx)
+        val copies = evens.filter(col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val batch = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text")).unionByName(copies)
+        IncrementalDedup.dedupBatch(batch, idx, "doc_id", "text")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(exactDeleteOracle)),
+
+    GraftQuery(
+      "q263_neardedup_store_deletes",
+      "Near-dedup index DELETE path — q261's takedown contract for " +
+        "the LSH band/doc store pair: q93's build (even half " +
+        "backfilled), then the % 8 = 0 even ids tombstoned (ONE " +
+        "tombstone set at the index root covers both stores), then " +
+        "the odd half dedups against the MASKED index — a deleted " +
+        "doc's bands stop generating candidates and its text stops " +
+        "being fetched for verification, so its near-duplicates " +
+        "RE-ADMIT. The oracle is q93's SQL with the tombstoned ids " +
+        "excluded from the cross-batch candidate join, banding and " +
+        "threshold text shared verbatim.",
+      (spark, dir) => {
+        import graft.streaming.NearDedupStream
+        val d = Tables.table(spark, dir, "documents")
+        val idx = QueryScratch.dir("graft_q263_index")
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+        NearDedupStream.backfillIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        NearDedupStream.deleteBatch(spark, idx,
+          d.filter(col("doc_id") % 2 === 0 && col("doc_id") % 8 === 0)
+            .select(col("doc_id")),
+          "doc_id", batchId = 0L)
+        NearDedupStream.nearDedupBatch(
+            d.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(incNearDedupOracle(" AND o.doc_id % 8 <> 0"))),
+
+    GraftQuery(
+      "q264_neardedup_store_purge",
+      "The PHYSICAL half of q263: same tombstone batch, but purged — " +
+        "docs rewrite FIRST (the text is the sensitive payload), then " +
+        "bands, each under the crash-safe staging+journal protocol, " +
+        "tombstones dropped last — and the odd half dedups with NO " +
+        "mask. Survivors equal q263's masked run exactly (oracle " +
+        "shared verbatim) while the deleted docs' text and band " +
+        "bytes are no longer on disk.",
+      (spark, dir) => {
+        import graft.streaming.NearDedupStream
+        val d = Tables.table(spark, dir, "documents")
+        val idx = QueryScratch.dir("graft_q264_index")
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+        NearDedupStream.backfillIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        NearDedupStream.deleteBatch(spark, idx,
+          d.filter(col("doc_id") % 2 === 0 && col("doc_id") % 8 === 0)
+            .select(col("doc_id")),
+          "doc_id", batchId = 0L)
+        NearDedupStream.purgeTombstones(spark, idx)
+        NearDedupStream.nearDedupBatch(
+            d.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(incNearDedupOracle(" AND o.doc_id % 8 <> 0"))),
 
     GraftQuery(
       "q33_simhash_near_dups",

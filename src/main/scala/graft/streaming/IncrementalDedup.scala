@@ -53,8 +53,57 @@ object IncrementalDedup {
     * for). */
   def readIndex(
       spark: SparkSession, indexDir: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val rows = BatchIndex.read(spark, indexDir, seedSchema, beforeBatch)
+    // tombstone-masked, batch-ordered ([[Tombstones.maskLatest]]): a
+    // deleted fingerprint stops suppressing future copies of its
+    // document — the takedown-then-repost flow — but a fingerprint
+    // RE-ADMITTED by a batch after the delete counts as history again
+    // (else every later copy of the re-admitted doc would survive).
+    // Delete-free stores keep their original plan (existence check).
+    if (!Tombstones.exists(spark, indexDir)) rows
+    else Tombstones.maskLatest(rows,
+      Tombstones.maxBatchPerKey(spark, indexDir, seedSchema, beforeBatch),
+      Seq("fp"))
+  }
+
+  /** Tombstone one batch of fingerprint DELETIONS — the takedown path
+    * for the exact-dedup history: after the delete, new exact copies
+    * of the document RE-ADMIT (the store no longer remembers it), and
+    * [[purgeTombstones]] destroys the fingerprint bytes. `fps` is a
+    * frame of fingerprint strings ([[graft.functions.TextFunctions.fingerprint]]
+    * of the doc text — deletions usually arrive as documents, so
+    * fingerprint the text to build this frame). Stored under the
+    * shared [[Tombstones]] layout: stamped batch=N, fence-composable
+    * under the store's batch clock. */
+  def deleteBatch(
+      spark: SparkSession, indexDir: String, fps: DataFrame,
+      fpCol: String, batchId: Long): Unit =
+    Tombstones.writeBatch(spark, indexDir,
+      fps.select(col(fpCol).cast("string").as("fp")), batchId)
+
+  /** The raw tombstoned-fingerprint set (terminal reading; the masked
+    * [[readIndex]] applies the batch-ordered one). */
+  def liveTombstones(
+      spark: SparkSession, indexDir: String,
       beforeBatch: Long = Long.MaxValue): DataFrame =
-    BatchIndex.read(spark, indexDir, seedSchema, beforeBatch)
+    Tombstones.liveKeys(spark, indexDir, seedSchema, beforeBatch)
+
+  /** PHYSICALLY remove tombstoned fingerprints — batch-ordered like
+    * the masked read (a fingerprint re-admitted after its delete
+    * keeps its later rows), via [[BatchIndex.rewriteAll]]'s staging+
+    * journal protocol (crash-safe; reads refuse mid-swap), then drop
+    * the tombstone store. Collapses batch fences by design. Requires
+    * the writing stream stopped or between batches. */
+  def purgeTombstones(spark: SparkSession, indexDir: String): Unit = {
+    if (!Tombstones.exists(spark, indexDir)) return
+    val dead = Tombstones.maxBatchPerKey(spark, indexDir, seedSchema)
+    if (!dead.isEmpty) {
+      BatchIndex.rewriteAll(spark, indexDir, seedSchema)(all =>
+        Tombstones.maskLatest(all, dead, Seq("fp")))
+    }
+    Tombstones.drop(spark, indexDir)
+  }
 
   /** Fold fingerprint partitions `<= throughBatch` into root-level
     * seed files ([[BatchIndex.compact]]): months of 5-minute batches

@@ -60,16 +60,79 @@ object NearDedupStream {
   /** Band rows admitted by batches strictly before `beforeBatch`.
     * Root-level seed files (a backfill's [[Dedup.bandTable]] dump)
     * read as oldest history, exactly like [[IncrementalDedup]]. */
+  private val idSchema = StructType(Seq(StructField("id", LongType)))
+
+  /** Tombstone-masked, batch-ordered read of one of the pair's two
+    * stores ([[Tombstones.maskLatest]] over the SHARED tombstone set
+    * at the index root): a deleted doc's bands stop generating
+    * candidates and its text stops being fetched for verification —
+    * its near-duplicates RE-ADMIT, the takedown contract — while a
+    * doc re-ingested after its delete (the id-reuse guard permits it
+    * precisely because the masked bands no longer admit the id)
+    * counts as history again. Delete-free stores keep their original
+    * plan. */
+  private def maskedRead(
+      spark: SparkSession, indexDir: String, sub: String,
+      schema: StructType, beforeBatch: Long): DataFrame = {
+    val rows = BatchIndex.read(spark, s"$indexDir/$sub", schema, beforeBatch)
+    if (!Tombstones.exists(spark, indexDir)) rows
+    else Tombstones.maskLatest(rows,
+      Tombstones.maxBatchPerKey(spark, indexDir, idSchema, beforeBatch),
+      Seq("id"))
+  }
+
   def readBands(
       spark: SparkSession, indexDir: String,
       beforeBatch: Long = Long.MaxValue): DataFrame =
-    BatchIndex.read(spark, s"$indexDir/bands", bandsSchema, beforeBatch)
+    maskedRead(spark, indexDir, "bands", bandsSchema, beforeBatch)
 
   /** Admitted (id, text) rows, same fence/seed semantics. */
   def readDocs(
       spark: SparkSession, indexDir: String,
       beforeBatch: Long = Long.MaxValue): DataFrame =
-    BatchIndex.read(spark, s"$indexDir/docs", docsSchema, beforeBatch)
+    maskedRead(spark, indexDir, "docs", docsSchema, beforeBatch)
+
+  /** Tombstone one batch of doc-id DELETIONS — the takedown path for
+    * the near-dedup history: the deleted docs' bands and text leave
+    * every read ([[readBands]]/[[readDocs]] mask batch-ordered), so
+    * their near-duplicates re-admit and the id becomes re-ingestable;
+    * [[purgeTombstones]] then destroys the bytes. One tombstone set
+    * at the index root covers BOTH stores. */
+  def deleteBatch(
+      spark: SparkSession, indexDir: String, ids: DataFrame,
+      idCol: String, batchId: Long): Unit =
+    Tombstones.writeBatch(spark, indexDir,
+      ids.select(col(idCol).cast("long").as("id")), batchId)
+
+  /** The raw tombstoned-id set (terminal reading; the masked reads
+    * apply the batch-ordered one). */
+  def liveTombstones(
+      spark: SparkSession, indexDir: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame =
+    Tombstones.liveKeys(spark, indexDir, idSchema, beforeBatch)
+
+  /** PHYSICALLY remove tombstoned docs from BOTH stores — batch-
+    * ordered like the masked reads, each rewrite under
+    * [[BatchIndex.rewriteAll]]'s staging+journal protocol. Docs purge
+    * FIRST (the text is the sensitive payload; a crash between the
+    * two rewrites leaves only 16-byte band values, and re-running
+    * purge completes — the tombstone store is dropped LAST, only
+    * after both rewrites land). A deleted-doc band surviving such a
+    * crash window is also semantically harmless: its candidates
+    * verify against missing text and fail, which is the purged
+    * outcome. Collapses batch fences by design; requires the writing
+    * stream stopped or between batches. */
+  def purgeTombstones(spark: SparkSession, indexDir: String): Unit = {
+    if (!Tombstones.exists(spark, indexDir)) return
+    val dead = Tombstones.maxBatchPerKey(spark, indexDir, idSchema)
+    if (!dead.isEmpty) {
+      BatchIndex.rewriteAll(spark, s"$indexDir/docs", docsSchema)(all =>
+        Tombstones.maskLatest(all, dead, Seq("id")))
+      BatchIndex.rewriteAll(spark, s"$indexDir/bands", bandsSchema)(all =>
+        Tombstones.maskLatest(all, dead, Seq("id")))
+    }
+    Tombstones.drop(spark, indexDir)
+  }
 
   /** Seed the durable index from an already-admitted corpus — the
     * batch-backfill entry a deployment runs ONCE before switching to

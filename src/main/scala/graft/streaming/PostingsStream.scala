@@ -119,19 +119,15 @@ object PostingsStream {
     BatchIndex.expireOlderThan(spark, indexDir, cutoffMillis, dropSeed)
 
   // ---- document deletes (the takedown path, mirroring the vector
-  // store's q249/q251 lifecycle): tombstone doc ids under the
-  // `_`-prefixed sibling store (invisible to the postings listing and
-  // to [[BatchIndex.read]]'s stray check), subtract them from every
-  // serve, then physically purge. BM25's statistics are associative
-  // integer aggregates of postings rows (the q103 design point), so
-  // removing a doc's rows re-derives N/avgdl/df/tf EXACTLY as if the
-  // doc had never been ingested — deletion is decrementable by
-  // construction, no special-casing in the scorer. Unlike the vector
-  // store there is no re-append resolution: this store's id contract
-  // FORBIDS re-ingesting a doc id (it would double its postings), so
-  // a tombstone here is terminal until purged.
-  private def tombstonesDir(indexDir: String) = s"$indexDir/_tombstones"
-
+  // store's q249/q251 lifecycle, on the shared [[Tombstones]]
+  // sub-store): tombstone doc ids, subtract them from every serve,
+  // then physically purge. BM25's statistics are associative integer
+  // aggregates of postings rows (the q103 design point), so removing
+  // a doc's rows re-derives N/avgdl/df/tf EXACTLY as if the doc had
+  // never been ingested — deletion is decrementable by construction,
+  // no special-casing in the scorer. The TERMINAL tombstone reading
+  // applies: this store's id contract FORBIDS re-ingesting a doc id
+  // (it would double its postings), so a tombstone holds until purge.
   private val tombstoneSchema = StructType(Seq(StructField("doc_id", LongType)))
 
   /** Tombstone one batch of doc-id DELETIONS (user deletion requests,
@@ -141,13 +137,9 @@ object PostingsStream {
     * serves the document, the live read does not. */
   def deleteBatch(
       spark: SparkSession, indexDir: String, ids: DataFrame,
-      idCol: String, batchId: Long): Unit = {
-    require(batchId >= 0, s"batchId must be non-negative, got $batchId")
-    ids.select(col(idCol).cast("long").as("doc_id")).distinct().coalesce(1)
-      .write.mode("overwrite")
-      .parquet(s"${tombstonesDir(indexDir)}/batch=$batchId")
-    BatchIndex.stampBatch(spark, tombstonesDir(indexDir), batchId)
-  }
+      idCol: String, batchId: Long): Unit =
+    Tombstones.writeBatch(spark, indexDir,
+      ids.select(col(idCol).cast("long").as("doc_id")), batchId)
 
   /** Streaming DELETES: each micro-batch of ids becomes one tombstone
     * batch under the stream's own batch ids — exactly-once by the
@@ -173,14 +165,7 @@ object PostingsStream {
   def liveTombstones(
       spark: SparkSession, indexDir: String,
       beforeBatch: Long = Long.MaxValue): DataFrame =
-    BatchIndex.read(spark, tombstonesDir(indexDir), tombstoneSchema,
-        beforeBatch)
-      .select(col("doc_id")).distinct()
-
-  private def hasTombstones(spark: SparkSession, indexDir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
+    Tombstones.liveKeys(spark, indexDir, tombstoneSchema, beforeBatch)
 
   /** Postings minus the fenced tombstone set — what every serve
     * scores from. The existence check keeps delete-free stores on
@@ -191,7 +176,7 @@ object PostingsStream {
       spark: SparkSession, indexDir: String, beforeBatch: Long): DataFrame = {
     val tf = readPostings(spark, indexDir, beforeBatch)
       .select(col("doc_id"), col("term"), col("tf"))
-    if (!hasTombstones(spark, indexDir)) tf
+    if (!Tombstones.exists(spark, indexDir)) tf
     else tf.join(broadcast(liveTombstones(spark, indexDir, beforeBatch)),
       Seq("doc_id"), "left_anti")
   }
@@ -211,15 +196,13 @@ object PostingsStream {
     * crashing on inference). Requires the writing stream stopped or
     * between batches. */
   def purgeTombstones(spark: SparkSession, indexDir: String): Unit = {
-    if (!hasTombstones(spark, indexDir)) return
+    if (!Tombstones.exists(spark, indexDir)) return
     val dead = liveTombstones(spark, indexDir)
-    val tsPath = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
-    val fs = tsPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!dead.isEmpty) {
       BatchIndex.rewriteAll(spark, indexDir, postingsSchema)(all =>
         all.join(broadcast(dead), Seq("doc_id"), "left_anti"))
     }
-    fs.delete(tsPath, true)
+    Tombstones.drop(spark, indexDir)
   }
 
   /** fsck: classify the store's partitions against the writing

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The ONE tombstone sub-store every batch=N-layout delete path
+  * shares ([[PostingsStream]]'s doc deletes, [[IncrementalDedup]]'s
+  * fingerprint deletes, [[NearDedupStream]]'s doc deletes; the vector
+  * store predates this helper and carries the same layout inline).
+  * Tombstoned keys live under `storeDir/_tombstones/batch=N` — the
+  * `_` prefix keeps the sub-store invisible to [[BatchIndex.read]]'s
+  * listing and stray-directory check AND to Spark partition
+  * discovery — with admission stamps, so retention fences and as-of
+  * reads compose with the host store's own batches under one shared
+  * batch clock (one CDC feed, or coordinated manual ids — the same
+  * contract the vector store documents).
+  *
+  * Two deletion readings, chosen by the host store's id contract:
+  * [[liveKeys]] is the TERMINAL set (a tombstone holds until purge —
+  * right when re-ingesting a key is forbidden, as for postings doc
+  * ids); [[maxBatchPerKey]] + [[maskLatest]] order each tombstone
+  * against the row's own batch (a row written AFTER the delete
+  * revives — right for upsert/re-admission stores; ties resolve to
+  * deleted, a takedown is never lost to a tie).
+  */
+private[graft] object Tombstones {
+
+  def dirOf(storeDir: String): String = s"$storeDir/_tombstones"
+
+  def exists(spark: SparkSession, storeDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dirOf(storeDir))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Land one batch of deletions (keys already projected to the
+    * tombstone schema's columns). Overwrite-idempotent per batch id —
+    * the exactly-once posture every appender here uses. */
+  def writeBatch(
+      spark: SparkSession, storeDir: String, keys: DataFrame,
+      batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId")
+    keys.distinct().coalesce(1)
+      .write.mode("overwrite").parquet(s"${dirOf(storeDir)}/batch=$batchId")
+    BatchIndex.stampBatch(spark, dirOf(storeDir), batchId)
+  }
+
+  /** Tombstone rows admitted strictly before `beforeBatch`, with
+    * their `batch` column; empty (with schema) when the store has
+    * never seen a delete. */
+  def read(
+      spark: SparkSession, storeDir: String, keySchema: StructType,
+      beforeBatch: Long = Long.MaxValue): DataFrame =
+    BatchIndex.read(spark, dirOf(storeDir), keySchema, beforeBatch)
+
+  /** The TERMINAL tombstoned-key set (distinct, fenced). */
+  def liveKeys(
+      spark: SparkSession, storeDir: String, keySchema: StructType,
+      beforeBatch: Long = Long.MaxValue): DataFrame =
+    read(spark, storeDir, keySchema, beforeBatch)
+      .select(keySchema.fieldNames.map(col).toIndexedSeq: _*).distinct()
+
+  /** Per-key MAX delete batch (fenced) — the batch-ordered face. */
+  def maxBatchPerKey(
+      spark: SparkSession, storeDir: String, keySchema: StructType,
+      beforeBatch: Long = Long.MaxValue): DataFrame =
+    read(spark, storeDir, keySchema, beforeBatch)
+      .groupBy(keySchema.fieldNames.map(col).toIndexedSeq: _*)
+      .agg(max(col("batch")).as("del_batch"))
+
+  /** Batch-ordered subtraction: keep a store row iff it was never
+    * tombstoned OR it was written AFTER its key's newest delete
+    * (`batch > del_batch`; the seed's batch -1 is below any delete,
+    * so deleted seed rows stay dead until re-written). `rows` must
+    * carry the store's `batch` column; the tombstone side is
+    * broadcast (small by contract: purge folds it away). */
+  def maskLatest(
+      rows: DataFrame, deadMaxBatch: DataFrame, keyCols: Seq[String]): DataFrame =
+    rows.join(broadcast(deadMaxBatch), keyCols, "left")
+      .filter(col("del_batch").isNull || col("batch") > col("del_batch"))
+      .drop("del_batch")
+
+  /** Remove the tombstone sub-store (the last step of a completed
+    * purge: every kept tombstone is either executed or superseded). */
+  def drop(spark: SparkSession, storeDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dirOf(storeDir))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    ()
+  }
+}

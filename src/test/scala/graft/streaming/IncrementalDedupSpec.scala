@@ -155,6 +155,52 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(idx.filter(org.apache.spark.sql.functions.col("batch") === -1L).count() == 1)
   }
 
+  test("fingerprint deletes: copies re-admit, re-admission revives the history, purge destroys the bytes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_del").toString
+    val idx = s"$dir/index"
+    def fp(texts: (Long, String)*) =
+      texts.toDF("doc_id", "text")
+        .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    // seed two docs' fingerprints as root files
+    fp((0L, "taken down text"), (1L, "kept text here"))
+      .write.parquet(idx)
+    def survivors(beforeBatch: Long): Set[Long] =
+      IncrementalDedup.dedupBatch(
+          Seq((10L, "taken down text"), (11L, "kept text here"),
+            (12L, "fresh text now")).toDF("doc_id", "text"),
+          idx, "doc_id", "text", beforeBatch = beforeBatch)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors(Long.MaxValue) == Set(12L))
+    // takedown: delete the first doc's fingerprint at batch 0 — ITS
+    // copy re-admits, the other still drops
+    IncrementalDedup.deleteBatch(spark, idx,
+      fp((0L, "taken down text")), "fp", batchId = 0L)
+    assert(survivors(Long.MaxValue) == Set(10L, 12L))
+    // fenced BELOW the delete batch, the tombstone doesn't count yet
+    assert(survivors(0L) == Set(12L))
+    // the re-admitted copy's fingerprint lands at batch 1 (what the
+    // stream writer would do): batch-ordered masking revives the
+    // history — later copies drop again
+    fp((10L, "taken down text"))
+      .write.mode("overwrite").parquet(s"$idx/batch=1")
+    BatchIndex.stampBatch(spark, idx, 1L)
+    assert(survivors(Long.MaxValue) == Set(12L))
+    // purge: the deleted fingerprint's batch<=0 rows are gone from
+    // disk, the batch-1 re-admission survives, tombstones dropped
+    IncrementalDedup.purgeTombstones(spark, idx)
+    assert(!new java.io.File(s"$idx/_tombstones").exists())
+    val deadFp = fp((0L, "taken down text")).collect()(0).getString(0)
+    val stored = IncrementalDedup.readIndex(spark, idx)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(stored.count(_._1 == deadFp) == 1, stored.toSeq.toString)
+    assert(survivors(Long.MaxValue) == Set(12L))
+    // purge with no tombstones is a no-op
+    IncrementalDedup.purgeTombstones(spark, idx)
+    assert(survivors(Long.MaxValue) == Set(12L))
+  }
+
   test("a stray non-batch subdirectory fails loudly instead of reading as absent history") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("inc_dedup_stray").toString

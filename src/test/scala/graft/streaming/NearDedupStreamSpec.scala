@@ -198,6 +198,51 @@ class NearDedupStreamSpec extends SparkSpec {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(23L))
   }
 
+  test("doc deletes: near-dups re-admit, the deleted id becomes re-ingestable, purge destroys both stores' bytes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("near_dedup_del").toString
+    val idx = s"$dir/index"
+    val takenDown = "alpha beta gamma delta epsilon zeta eta theta"
+    val kept = "one two three four five six seven eight"
+    NearDedupStream.backfillIndex(
+      Seq((0L, takenDown), (1L, kept)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    // near-copies of both seed docs (one word appended: Jaccard 6/7)
+    def batch = Seq(
+      (10L, takenDown + " tail"), (11L, kept + " tail"),
+      (12L, "totally different words here nothing shared at all")
+    ).toDF("doc_id", "text")
+    def survivors(): Set[Long] =
+      NearDedupStream.nearDedupBatch(batch, idx, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors() == Set(12L))
+    // takedown of doc 0: its near-copy re-admits, the other still drops
+    NearDedupStream.deleteBatch(spark, idx,
+      Seq(0L).toDF("doc_id"), "doc_id", batchId = 0L)
+    assert(survivors() == Set(10L, 12L))
+    // the deleted id is re-INGESTABLE: the id-reuse guard reads the
+    // masked bands, so re-admitting id 0 in a later batch no longer
+    // raises (takedown-then-repost under the same id)
+    val reposted = NearDedupStream.nearDedupBatch(
+        Seq((0L, "a brand new reposted document body")).toDF("doc_id", "text"),
+        idx, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reposted == Set(0L))
+
+    // purge: doc 0's text gone from the docs store, its bands gone
+    // from the band store, tombstones dropped; serving unchanged
+    NearDedupStream.purgeTombstones(spark, idx)
+    assert(!new java.io.File(s"$idx/_tombstones").exists())
+    val docsRaw = spark.read.parquet(s"$idx/docs")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val bandsRaw = spark.read.parquet(s"$idx/bands")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(docsRaw == Set(1L) && bandsRaw == Set(1L),
+      s"docs=$docsRaw bands=$bandsRaw")
+    assert(survivors() == Set(10L, 12L))
+  }
+
   test("compactIndex folds both stores — near-dedup behavior unchanged at every future fence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
