@@ -56,6 +56,56 @@ object SimilarityQueries {
           FROM PR pr LEFT JOIN CNT c ON c.cell = pr.cell),
         PROBE AS (SELECT vec_id, cell, r, cell_n FROM CUM WHERE prev_cum < 20)"""
 
+  /** Shared DuckDB CTE block for the STORE-served filtered pair
+    * (q265/q266): centroids trained on the SEED half (vec_id even —
+    * what seedIndex pinned), distances over the full admitted corpus,
+    * the predicate-filtered cells + counts, each query's ranked cell
+    * list, and the probed prefix under `probeCond` (a fixed rank cut
+    * for q265, the 20-candidate floor for q266). */
+  private def storeFilteredCtes(pred: String, probeCond: String): String =
+    raw"""CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELLF AS (
+          SELECT d.vec_id, d.cent_id AS cell FROM D d
+          JOIN embeddings e ON e.vec_id = d.vec_id AND $pred
+          QUALIFY row_number() OVER (PARTITION BY d.vec_id ORDER BY d.l2, d.cent_id) = 1),
+        CNT AS (SELECT cell, count(*) AS cell_n FROM CELLF GROUP BY 1),
+        PR AS (
+          SELECT vec_id, cent_id AS cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) AS r
+          FROM D WHERE vec_id % 50 = 0),
+        CUM AS (
+          SELECT pr.vec_id, pr.cell, pr.r, COALESCE(c.cell_n, 0) AS cell_n,
+                 COALESCE(SUM(COALESCE(c.cell_n, 0)) OVER (PARTITION BY pr.vec_id ORDER BY pr.r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+          FROM PR pr LEFT JOIN CNT c ON c.cell = pr.cell),
+        PROBE AS (SELECT vec_id, cell, r, cell_n FROM CUM WHERE $probeCond),
+        CAND AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q
+          JOIN PROBE pq ON pq.vec_id = q.vec_id
+          JOIN CELLF cc ON cc.cell = pq.cell
+          JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+          CROSS JOIN range(1, 65) i(i)
+          GROUP BY 1, 2),
+        R AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+          FROM CAND)
+        SELECT query_id, rank, neighbor_id FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank"""
+
   private def pqCte(artifactFilter: String = ""): String = s"""MM AS (
           SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
           FROM (SELECT unnest(embedding) AS x,
@@ -2056,6 +2106,70 @@ object SimilarityQueries {
                CAST(max(r) AS BIGINT) AS n_probe,
                CAST(sum(cell_n) AS BIGINT) AS n_candidates
         FROM PROBE GROUP BY 1 ORDER BY 1""")),
+
+    GraftQuery(
+      "q265_ann_store_filtered",
+      "Metadata-filtered vector search SERVED FROM THE STREAMED " +
+        "STORE — q247's shared-index post-filter strategy composed " +
+        "with the store lifecycle, the production serving shape (one " +
+        "written index, a label predicate per request): seed the " +
+        "even half (centroids pinned there), stream the odd half in " +
+        "as batch 0, then probe 2 cells per query with candidates " +
+        "restricted to label IN (2,4,6) ids AFTER latest-batch-wins " +
+        "resolution and BEFORE ranking. The allowed-id set arrives " +
+        "as a broadcast frame from the metadata dimension; the cell " +
+        "scan stays pruned to the probed directories. Margins: min " +
+        "adjacent top-4 cosine gap 9.0e-6, min adjacent cell-l2 gap " +
+        "1.6e-4, min 31 allowed candidates per probe set at every SF.",
+      (spark, dir) => {
+        import graft.streaming.VectorIndexStream
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val idx = QueryScratch.dir("graft_q265_index")
+        VectorIndexStream.seedIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8)
+        VectorIndexStream.appendBatch(
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, 0L)
+        VectorIndexStream.filteredTopKFromIndex(spark, idx, q,
+            "vec_id", "embedding",
+            allowedIds = e.filter(col("label").isin(2, 4, 6))
+              .select(col("vec_id")),
+            k = 3, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""
+        WITH ${storeFilteredCtes("e.label IN (2, 4, 6)", "r <= 2")}""")),
+
+    GraftQuery(
+      "q266_ann_store_filtered_auto",
+      "q265 with the probe width CHOSEN PER QUERY from the STORE's " +
+        "own cell statistics (q258's auto-nProbe, served): under the " +
+        "sharp label = 4 predicate each query widens its ranked-cell " +
+        "prefix until the exact allowed-candidate count in the " +
+        "admitted store clears 20 — the count pass reads only the " +
+        "store's (id, cell) columns (a deployment keeps these as " +
+        "store stats). Deep probes at small SFs (nProbe 3-4), shallow " +
+        "at sf0.1 where cells are rich — cost follows selectivity " +
+        "per query against one shared index.",
+      (spark, dir) => {
+        import graft.streaming.VectorIndexStream
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val idx = QueryScratch.dir("graft_q266_index")
+        VectorIndexStream.seedIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8)
+        VectorIndexStream.appendBatch(
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, 0L)
+        VectorIndexStream.filteredTopKFromIndex(spark, idx, q,
+            "vec_id", "embedding",
+            allowedIds = e.filter(col("label") === 4).select(col("vec_id")),
+            k = 3, minCandidates = 20L)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""
+        WITH ${storeFilteredCtes("e.label = 4", "prev_cum < 20")}""")),
 
     GraftQuery(
       "q251_ann_store_purge",

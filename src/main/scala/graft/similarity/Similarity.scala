@@ -302,7 +302,7 @@ object Similarity {
     * sum — no recall oracle at serve time, and the choice is a
     * deterministic integer function of (query, predicate, corpus).
     * Returns (query_id, q_vec, cell, cell_rank). */
-  private def autoProbeSets(
+  private[graft] def autoProbeSets(
       cent: DataFrame, cellCounts: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, minCandidates: Long): DataFrame = {
     val probeW = Window.partitionBy(col("query_id"))

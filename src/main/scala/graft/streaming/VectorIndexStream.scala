@@ -975,6 +975,75 @@ object VectorIndexStream {
       .filter(col("batch") < beforeBatch && cellFilter)
   }
 
+  /** Metadata-FILTERED top-k served from the STREAMED store — the
+    * production vector-serving shape (ONE shared index, a
+    * label/language/license predicate on every request) composed with
+    * the store's whole lifecycle (fences, appends, compaction):
+    * candidates are restricted to `allowedIds` (a single-column id
+    * frame, broadcast — compute it from the metadata dimension with
+    * the request's predicate) AFTER latest-batch-wins resolution and
+    * BEFORE ranking, so a filtered-out top hit is replaced by the
+    * next-best allowed vector, never a shortened top-k.
+    *
+    * Probe width: fixed `nProbe` by default; `minCandidates > 0`
+    * switches to the per-query AUTO choice
+    * ([[graft.similarity.Similarity.autoProbeSets]] — the shortest
+    * ranked-cell prefix whose exact allowed-candidate count clears
+    * the floor). The count pass scans only the store's (id, cell)
+    * columns — a deployment maintaining per-cell metadata counts as
+    * store stats serves it without any scan. */
+  def filteredTopKFromIndex(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, allowedIds: DataFrame, k: Int,
+      nProbe: Int = 1, minCandidates: Long = 0L,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    StoreLayout.migrated(spark.read.parquet(s"$indexDir/meta"),
+      s"vector store at $indexDir")
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val allowed = allowedIds
+      .select(col(allowedIds.columns.head).as("__allowed_id")).distinct()
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qc =
+      if (minCandidates > 0L) {
+        val cellCounts = latestPerId(
+            readCells(spark, indexDir, beforeBatch)
+              .select(col(idCol), col("cell").cast("long").as("cell"),
+                col("batch")),
+            idCol, Seq("cell"))
+          .join(broadcast(allowed), col(idCol) === col("__allowed_id"),
+            "left_semi")
+          .groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+        Similarity.autoProbeSets(cent, cellCounts, queries, idCol, vecCol,
+            minCandidates)
+          .select(col("query_id"), col("q_vec"), col("cell"))
+      }
+      else if (nProbe <= 1) Similarity.assignWith(cent, q, "query_id", "q_vec")
+      else Similarity.probeCells(cent, q, "query_id", "q_vec", nProbe)
+    val probedCells = qc.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cellFilter =
+      if (probedCells.isEmpty) lit(false)
+      else expr(s"cell IN (${probedCells.mkString(",")})")
+    val cc = latestPerId(
+        readCells(spark, indexDir, beforeBatch, cellFilter)
+          .select(col(idCol).as("neighbor_id"),
+            col("cell").cast("long").as("cell"),
+            col(vecCol).as("c_vec"), col("batch")),
+        "neighbor_id", Seq("cell", "c_vec"))
+      .join(broadcast(allowed), col("neighbor_id") === col("__allowed_id"),
+        "left_semi")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cc.join(broadcast(qc.select(col("query_id"), col("q_vec"), col("cell"))),
+        Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineSim(
+        col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Top-k over everything admitted before `beforeBatch` (default: all
     * history), served from the stored artifacts alone: queries assign
     * against the stored centroids, the probe set becomes a literal IN

@@ -1051,6 +1051,52 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(stringIds.count() == 0)
   }
 
+  test("filteredTopKFromIndex: predicate respected, all-cells = exact pre-filter, fences compose, auto-probe serves") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_filtered").toString
+    val idx = s"$dir/index"
+    VectorIndexStream.seedIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
+    VectorIndexStream.appendBatch(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, 0L)
+    val pred = col("label").isin(2, 4, 6)
+    val allowedIds = e.filter(pred).select(col("vec_id"))
+    val allowed = allowedIds.collect().map(_.getLong(0)).toSet
+
+    // every served neighbor satisfies the predicate
+    val served = VectorIndexStream.filteredTopKFromIndex(
+      spark, idx, q, "vec_id", "embedding", allowedIds, k = 3, nProbe = 2)
+    assert(served.collect().forall(r => allowed(r.getLong(2))))
+    // probing every cell makes the served post-filter EXACT: equal to
+    // the inline pre-filter over the same corpus (store holds all ids)
+    val all8 = topk(VectorIndexStream.filteredTopKFromIndex(
+      spark, idx, q, "vec_id", "embedding", allowedIds, k = 3, nProbe = 8))
+    val exact = topk(Similarity.filteredTopK(
+      e, q, "vec_id", "embedding", pred, k = 3))
+    assert(all8 == exact)
+    // fenced at the seed: equal to the inline pre-filter over evens
+    val fenced = topk(VectorIndexStream.filteredTopKFromIndex(
+      spark, idx, q, "vec_id", "embedding", allowedIds, k = 3, nProbe = 8,
+      beforeBatch = 0L))
+    val exactSeed = topk(Similarity.filteredTopK(
+      e.filter(col("vec_id") % 2 === 0), q, "vec_id", "embedding", pred, k = 3))
+    assert(fenced == exactSeed)
+    assert(fenced != all8)
+    // auto-probe: sharp predicate, candidates floor met, all allowed
+    val sharpIds = e.filter(col("label") === 4).select(col("vec_id"))
+    val sharpAllowed = sharpIds.collect().map(_.getLong(0)).toSet
+    val auto = VectorIndexStream.filteredTopKFromIndex(
+      spark, idx, q, "vec_id", "embedding", sharpIds, k = 3,
+      minCandidates = 20L)
+    val autoRows = auto.collect()
+    assert(autoRows.forall(r => sharpAllowed(r.getLong(2))))
+    // every query still gets a full top-3 (the floor guarantees >= 20
+    // allowed candidates per probe set, structurally more than k)
+    val perQuery = autoRows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 3), perQuery.toMap.toString)
+  }
+
   test("fsck composes with purge: a purged store classifies clean and quarantines nothing") {
     // verifyIndex classifies against a WRITING STREAM's checkpoint;
     // purgeTombstones rewrites history OUTSIDE any stream (everything
