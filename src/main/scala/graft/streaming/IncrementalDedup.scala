@@ -112,8 +112,20 @@ object IncrementalDedup {
     * Read-equivalent at every future fence; crash-safe via the
     * journal; requires the writing stream stopped or between batches. */
   def compactIndex(
-      spark: SparkSession, indexDir: String, throughBatch: Long): Unit =
+      spark: SparkSession, indexDir: String, throughBatch: Long): Unit = {
+    // masking is batch-ordered, and folding re-dates rows to the
+    // seed's batch -1 — below any delete batch: compacting with
+    // tombstones outstanding would silently flip a re-admitted
+    // fingerprint from alive back to dead. Purge first (purge
+    // resolves before the batch column is destroyed).
+    if (Tombstones.exists(spark, indexDir))
+      throw new IllegalStateException(
+        s"$indexDir holds tombstones — purgeTombstones before " +
+          "compactIndex: folding re-dates rows to the seed's batch -1, " +
+          "which would flip batch-ordered delete resolution for " +
+          "re-admitted fingerprints")
     BatchIndex.compact(spark, indexDir, seedSchema, throughBatch)
+  }
 
   /** Retention: drop fingerprints admitted before `keepFromBatch`
     * (seed rows too when `dropSeed`) — exact copies of documents older

@@ -192,6 +192,17 @@ object NearDedupStream {
     * the writing stream stopped or between batches. */
   def compactIndex(
       spark: SparkSession, indexDir: String, throughBatch: Long): Unit = {
+    // masking is batch-ordered over the shared tombstone set, and
+    // folding re-dates rows to the seed's batch -1 — below any delete
+    // batch: compacting with tombstones outstanding would silently
+    // flip a re-ingested id from alive back to dead in BOTH stores.
+    // Purge first (purge resolves before the batch column dies).
+    if (Tombstones.exists(spark, indexDir))
+      throw new IllegalStateException(
+        s"$indexDir holds tombstones — purgeTombstones before " +
+          "compactIndex: folding re-dates rows to the seed's batch -1, " +
+          "which would flip batch-ordered delete resolution for " +
+          "re-ingested ids")
     BatchIndex.compact(spark, s"$indexDir/docs", docsSchema, throughBatch)
     BatchIndex.compact(spark, s"$indexDir/bands", bandsSchema, throughBatch)
   }

@@ -99,7 +99,12 @@ object PostingsStream {
       }
 
   /** Fold `batch<=N` partitions into root seed files ([[BatchIndex.compact]]
-    * — journaled, crash-safe, read-equivalent at every later fence). */
+    * — journaled, crash-safe, read-equivalent at every later fence).
+    * Safe WITH tombstones outstanding, unlike the batch-ordered
+    * stores (vector/fingerprint/near-dedup compaction refuses then):
+    * this store's tombstones are a TERMINAL id set — membership does
+    * not depend on the postings rows' batch column — so folding
+    * re-dates nothing the mask reads. */
   def compactIndex(
       spark: SparkSession, indexDir: String, throughBatch: Long): Unit =
     BatchIndex.compact(spark, indexDir, postingsSchema, throughBatch)

@@ -238,6 +238,19 @@ object VectorIndexStream {
     require(throughBatch >= 0, "throughBatch must be non-negative")
     val root = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // tombstone resolution is BATCH-ORDERED (deadIds/purge compare an
+    // id's append batch against its delete batch), and folding
+    // re-dates every folded row to the seed's batch -1 — BELOW any
+    // delete batch. Compacting with tombstones outstanding would
+    // silently flip a re-appended id from alive to dead, so refuse:
+    // purge first (purge itself folds, resolving before the batch
+    // column is destroyed).
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")))
+      throw new IllegalStateException(
+        s"$indexDir holds tombstones — purgeTombstones before " +
+          "compactIndex: folding re-dates rows to the seed's batch -1, " +
+          "which would flip batch-ordered delete resolution for " +
+          "re-appended ids")
     recoverPendingCompaction(fs, root)
     val batchDirs = fs.listStatus(root).toSeq
       .filter(_.isDirectory)

@@ -187,6 +187,13 @@ class IncrementalDedupSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$idx/batch=1")
     BatchIndex.stampBatch(spark, idx, 1L)
     assert(survivors(Long.MaxValue) == Set(12L))
+    // compaction REFUSES while tombstones are outstanding: folding
+    // would re-date the batch-1 re-admission to the seed's batch -1
+    // and flip it back to dead
+    val cg = intercept[IllegalStateException] {
+      IncrementalDedup.compactIndex(spark, idx, throughBatch = 0L)
+    }
+    assert(cg.getMessage.contains("purgeTombstones before"), cg.getMessage)
     // purge: the deleted fingerprint's batch<=0 rows are gone from
     // disk, the batch-1 re-admission survives, tombstones dropped
     IncrementalDedup.purgeTombstones(spark, idx)

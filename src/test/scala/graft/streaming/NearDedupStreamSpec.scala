@@ -230,6 +230,13 @@ class NearDedupStreamSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(reposted == Set(0L))
 
+    // compaction REFUSES while tombstones are outstanding (the same
+    // re-dating hazard as the other batch-ordered stores)
+    val cg = intercept[IllegalStateException] {
+      NearDedupStream.compactIndex(spark, idx, throughBatch = 0L)
+    }
+    assert(cg.getMessage.contains("purgeTombstones before"), cg.getMessage)
+
     // purge: doc 0's text gone from the docs store, its bands gone
     // from the band store, tombstones dropped; serving unchanged
     NearDedupStream.purgeTombstones(spark, idx)

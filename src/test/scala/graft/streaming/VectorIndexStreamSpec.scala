@@ -1002,6 +1002,14 @@ class VectorIndexStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(deadAsOf == Set(3L, 17L))
 
+    // compaction REFUSES while tombstones are outstanding: folding
+    // re-dates rows to batch -1, which would flip 17 (re-appended at
+    // batch 2 > delete batch 1) back to dead
+    val cg = intercept[IllegalStateException] {
+      VectorIndexStream.compactIndex(spark, idx, throughBatch = 0L)
+    }
+    assert(cg.getMessage.contains("purgeTombstones before"), cg.getMessage)
+
     // purge executes the same resolution: 3's bytes gone, 17 survives
     // with the batch-2 payload, tombstone store dropped
     VectorIndexStream.purgeTombstones(spark, idx, "vec_id")
