@@ -2172,6 +2172,45 @@ object SimilarityQueries {
         WITH ${storeFilteredCtes("e.label = 4", "prev_cum < 20")}""")),
 
     GraftQuery(
+      "q267_ann_store_filtered_deletes",
+      "The FULL production serve in one plan — q265's store-served " +
+        "metadata filter composed with q249's delete path: seed the " +
+        "even half, stream the odd half as batch 0, tombstone the " +
+        "vec_id % 10 = 3 ids as delete batch 1, then probe with BOTH " +
+        "the label IN (2,4,6) allowed set AND the resolved dead-id " +
+        "set subtracted after latest-batch-wins resolution, before " +
+        "ranking. Every request a real deployment sends carries a " +
+        "predicate and rides a store with a takedown history; this " +
+        "gate pins that composition. Oracle: q265's SQL with the " +
+        "deleted ids excluded from the candidate cells, scoring text " +
+        "shared. Margins: min adjacent top-4 cosine gap 1.8e-5, min " +
+        "28 servable candidates per query at every SF.",
+      (spark, dir) => {
+        import graft.streaming.VectorIndexStream
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val idx = QueryScratch.dir("graft_q267_index")
+        VectorIndexStream.seedIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8)
+        VectorIndexStream.appendBatch(
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, 0L)
+        VectorIndexStream.deleteBatch(spark, idx,
+          e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+          "vec_id", batchId = 1L)
+        VectorIndexStream.filteredTopKFromIndex(spark, idx, q,
+            "vec_id", "embedding",
+            allowedIds = e.filter(col("label").isin(2, 4, 6))
+              .select(col("vec_id")),
+            k = 3, nProbe = 2,
+            excludeIds = Some(VectorIndexStream.deadIds(spark, idx, "vec_id")))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""
+        WITH ${storeFilteredCtes(
+          "e.label IN (2, 4, 6) AND e.vec_id % 10 <> 3", "r <= 2")}""")),
+
+    GraftQuery(
       "q251_ann_store_purge",
       "The PHYSICAL half of q249's delete path: same store, same " +
         "vec_id % 10 = 3 tombstone batch — but purged " +

@@ -82,6 +82,21 @@ object IncrementalDedup {
     Tombstones.writeBatch(spark, indexDir,
       fps.select(col(fpCol).cast("string").as("fp")), batchId)
 
+  /** Streaming DELETES: each micro-batch of fingerprints becomes one
+    * tombstone batch under the stream's own batch ids — exactly-once
+    * by the shared overwrite-idempotent layout. Start with
+    * `.start()`. */
+  def deleteStreamTo(
+      fps: DataFrame, indexDir: String, checkpointDir: String,
+      fpCol: String): DataStreamWriter[Row] =
+    fps.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deleteBatch(batch.sparkSession, indexDir, batch, fpCol, batchId)
+        ()
+      }
+
   /** The raw tombstoned-fingerprint set (terminal reading; the masked
     * [[readIndex]] applies the batch-ordered one). */
   def liveTombstones(

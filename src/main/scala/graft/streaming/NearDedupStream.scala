@@ -104,6 +104,20 @@ object NearDedupStream {
     Tombstones.writeBatch(spark, indexDir,
       ids.select(col(idCol).cast("long").as("id")), batchId)
 
+  /** Streaming DELETES: each micro-batch of ids becomes one tombstone
+    * batch under the stream's own batch ids — exactly-once by the
+    * shared overwrite-idempotent layout. Start with `.start()`. */
+  def deleteStreamTo(
+      ids: DataFrame, indexDir: String, checkpointDir: String,
+      idCol: String): DataStreamWriter[Row] =
+    ids.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deleteBatch(batch.sparkSession, indexDir, batch, idCol, batchId)
+        ()
+      }
+
   /** The raw tombstoned-id set (terminal reading; the masked reads
     * apply the batch-ordered one). */
   def liveTombstones(

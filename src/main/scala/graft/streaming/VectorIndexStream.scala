@@ -1004,27 +1004,41 @@ object VectorIndexStream {
     * ranked-cell prefix whose exact allowed-candidate count clears
     * the floor). The count pass scans only the store's (id, cell)
     * columns — a deployment maintaining per-cell metadata counts as
-    * store stats serves it without any scan. */
+    * store stats serves it without any scan.
+    *
+    * `excludeIds` composes the DELETE path into the same serve (pass
+    * [[deadIds]]): tombstoned ids are subtracted alongside the
+    * predicate, and the auto-probe counts see neither — the full
+    * production request shape (one shared store, a predicate and a
+    * takedown list per serve) in one plan. */
   def filteredTopKFromIndex(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, vecCol: String, allowedIds: DataFrame, k: Int,
       nProbe: Int = 1, minCandidates: Long = 0L,
-      beforeBatch: Long = Long.MaxValue): DataFrame = {
+      beforeBatch: Long = Long.MaxValue,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     StoreLayout.migrated(spark.read.parquet(s"$indexDir/meta"),
       s"vector store at $indexDir")
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val allowed = allowedIds
       .select(col(allowedIds.columns.head).as("__allowed_id")).distinct()
+    def served(rows: DataFrame, id: String): DataFrame = {
+      val kept = rows.join(broadcast(allowed),
+        col(id) === col("__allowed_id"), "left_semi")
+      excludeIds.fold(kept) { ex =>
+        kept.join(broadcast(
+            ex.select(col(ex.columns.head).as(id)).distinct()),
+          Seq(id), "left_anti")
+      }
+    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val qc =
       if (minCandidates > 0L) {
-        val cellCounts = latestPerId(
+        val cellCounts = served(latestPerId(
             readCells(spark, indexDir, beforeBatch)
               .select(col(idCol), col("cell").cast("long").as("cell"),
                 col("batch")),
-            idCol, Seq("cell"))
-          .join(broadcast(allowed), col(idCol) === col("__allowed_id"),
-            "left_semi")
+            idCol, Seq("cell")), idCol)
           .groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
         Similarity.autoProbeSets(cent, cellCounts, queries, idCol, vecCol,
             minCandidates)
@@ -1037,14 +1051,12 @@ object VectorIndexStream {
     val cellFilter =
       if (probedCells.isEmpty) lit(false)
       else expr(s"cell IN (${probedCells.mkString(",")})")
-    val cc = latestPerId(
+    val cc = served(latestPerId(
         readCells(spark, indexDir, beforeBatch, cellFilter)
           .select(col(idCol).as("neighbor_id"),
             col("cell").cast("long").as("cell"),
             col(vecCol).as("c_vec"), col("batch")),
-        "neighbor_id", Seq("cell", "c_vec"))
-      .join(broadcast(allowed), col("neighbor_id") === col("__allowed_id"),
-        "left_semi")
+        "neighbor_id", Seq("cell", "c_vec")), "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cc.join(broadcast(qc.select(col("query_id"), col("q_vec"), col("cell"))),

@@ -208,6 +208,30 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(survivors(Long.MaxValue) == Set(12L))
   }
 
+  test("deleteStreamTo: each micro-batch tombstones fingerprints under its own batch id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_delstream").toString
+    val idx = s"$dir/index"
+    Seq("seed text").toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+      .write.parquet(idx)
+    val in = MemoryStream[String]
+    val q = IncrementalDedup.deleteStreamTo(
+      in.toDF().toDF("fp"), idx, s"$dir/delckpt", "fp").start()
+    try {
+      in.addData("f1", "f2"); q.processAllAvailable()
+      in.addData("f2", "f3"); q.processAllAvailable()
+    } finally q.stop()
+    val live = IncrementalDedup.liveTombstones(spark, idx)
+      .collect().map(_.getString(0)).toSet
+    assert(live == Set("f1", "f2", "f3"))
+    val parts = new java.io.File(s"$idx/_tombstones").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(parts.toSeq == Seq("batch=0", "batch=1"), parts.toSeq.toString)
+  }
+
   test("a stray non-batch subdirectory fails loudly instead of reading as absent history") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("inc_dedup_stray").toString

@@ -250,6 +250,29 @@ class NearDedupStreamSpec extends SparkSpec {
     assert(survivors() == Set(10L, 12L))
   }
 
+  test("deleteStreamTo: each micro-batch tombstones ids under its own batch id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("near_dedup_delstream").toString
+    val idx = s"$dir/index"
+    NearDedupStream.backfillIndex(
+      Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val in = MemoryStream[Long]
+    val q = NearDedupStream.deleteStreamTo(
+      in.toDF().toDF("doc_id"), idx, s"$dir/delckpt", "doc_id").start()
+    try {
+      in.addData(0L); q.processAllAvailable()
+      in.addData(0L, 7L); q.processAllAvailable()
+    } finally q.stop()
+    val live = NearDedupStream.liveTombstones(spark, idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(live == Set(0L, 7L))
+    val parts = new java.io.File(s"$idx/_tombstones").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(parts.toSeq == Seq("batch=0", "batch=1"), parts.toSeq.toString)
+  }
+
   test("compactIndex folds both stores — near-dedup behavior unchanged at every future fence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
