@@ -273,6 +273,62 @@ class NearDedupStreamSpec extends SparkSpec {
     assert(parts.toSeq == Seq("batch=0", "batch=1"), parts.toSeq.toString)
   }
 
+  test("purge crash BETWEEN the two store rewrites: re-running completes, serving equals the clean purge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val takenDown = "alpha beta gamma delta epsilon zeta eta theta"
+    val kept = "one two three four five six seven eight"
+    def build(idx: String): Unit = {
+      NearDedupStream.backfillIndex(
+        Seq((0L, takenDown), (1L, kept)).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      NearDedupStream.deleteBatch(spark, idx,
+        Seq(0L).toDF("doc_id"), "doc_id", batchId = 0L)
+    }
+    def batch = Seq(
+      (10L, takenDown + " tail"), (11L, kept + " tail")).toDF("doc_id", "text")
+    def survivors(idx: String): Set[Long] =
+      NearDedupStream.nearDedupBatch(batch, idx, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // store A: the clean two-store purge — the expected end state
+    val a = java.nio.file.Files.createTempDirectory("near_purge_a").toString + "/index"
+    build(a)
+    NearDedupStream.purgeTombstones(spark, a)
+    val expected = survivors(a)
+    assert(expected == Set(10L))
+
+    // store B: crash AFTER the docs rewrite landed, BEFORE the bands
+    // rewrite started — docs purged, bands still hold doc 0, the
+    // tombstone store still present (it drops LAST). Re-running purge
+    // must finish the bands side and then drop the tombstones.
+    val b = java.nio.file.Files.createTempDirectory("near_purge_b").toString + "/index"
+    build(b)
+    BatchIndex.rewriteAll(spark, s"$b/docs",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))) { all =>
+      all.filter(col("id") =!= 0L)
+    }
+    // the crash window's observable state: docs gone, bands present
+    assert(spark.read.parquet(s"$b/docs").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(spark.read.parquet(s"$b/bands").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 1L))
+    assert(new java.io.File(s"$b/_tombstones").exists())
+    // the half-purged store already SERVES the purged semantics (a
+    // deleted-doc band verifies against missing text and fails) —
+    // masked reads make it exact even mid-window
+    assert(survivors(b) == expected)
+    NearDedupStream.purgeTombstones(spark, b)
+    assert(!new java.io.File(s"$b/_tombstones").exists())
+    assert(spark.read.parquet(s"$b/bands").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(survivors(b) == expected)
+  }
+
   test("compactIndex folds both stores — near-dedup behavior unchanged at every future fence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
