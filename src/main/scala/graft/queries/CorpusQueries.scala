@@ -876,6 +876,39 @@ object CorpusQueries {
       Some(bm25DeletedOracle)),
 
     GraftQuery(
+      "q268_bm25_asof_before_delete",
+      "The DELETE path under the AS-OF fence — q256's exact build " +
+        "(seed + batch 0 + the % 10 = 3 tombstone batch at delete " +
+        "batch 1) served PINNED AT BATCH 0, i.e. before the delete " +
+        "was admitted: the tombstones are ON DISK and must be " +
+        "invisible behind the fence, so the ranking equals q102's " +
+        "full-corpus BM25 verbatim (oracle shared with q102/q103/" +
+        "q163) while the live read (q256's gate) already serves the " +
+        "post-delete statistics. Time travel and takedown compose: " +
+        "a pinned debugging read reproduces what the store served " +
+        "THEN, not what it is allowed to serve NOW — and the purge " +
+        "(q257) is what destroys fenced history when the law needs " +
+        "it gone.",
+      (spark, dir) => {
+        import graft.streaming.PostingsStream
+        val d = Tables.table(spark, dir, "documents")
+        val idx = QueryScratch.dir("graft_q268_index")
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+        PostingsStream.backfillIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        PostingsStream.appendBatch(
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx, 0L)
+        PostingsStream.deleteBatch(spark, idx,
+          d.filter(col("doc_id") % 10 === 3).select(col("doc_id")),
+          "doc_id", batchId = 1L)
+        PostingsStream.bm25TopKAsOf(
+            spark, idx, d.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+            k = 5, asOfBatch = 0L, excludeSelf = true)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(bm25Oracle)),
+
+    GraftQuery(
       "q225_dsir_importance",
       "DSIR-style data selection (hashed-unigram importance " +
         "resampling weights, Xie et al.'s public recipe): every raw " +

@@ -125,12 +125,16 @@ object DedupQueries {
     * still drop — the takedown-then-repost flow, non-vacuous at
     * every SF by construction (the testdata itself has no exact
     * cross-half duplicates below sf0.1). */
-  private val exactDeleteOracle: String = raw"""
+  private def exactDedupCopiesOracle(excludeDeleted: Boolean): String = {
+    val liveIdx =
+      if (excludeDeleted) "SELECT fp FROM IDX WHERE fp NOT IN (SELECT fp FROM DEL)"
+      else "SELECT fp FROM IDX"
+    raw"""
         WITH FP AS (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
                     FROM documents),
         IDX AS (SELECT DISTINCT fp FROM FP WHERE doc_id % 2 = 0),
         DEL AS (SELECT DISTINCT fp FROM FP WHERE doc_id % 2 = 0 AND doc_id % 20 = 4),
-        LIVEIDX AS (SELECT fp FROM IDX WHERE fp NOT IN (SELECT fp FROM DEL)),
+        LIVEIDX AS ($liveIdx),
         NEW AS (SELECT doc_id, fp FROM FP WHERE doc_id % 2 = 1
                 UNION ALL
                 SELECT doc_id + 1000000, fp FROM FP
@@ -140,6 +144,9 @@ object DedupQueries {
         SELECT doc_id FROM SV
         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
         ORDER BY doc_id"""
+  }
+
+  private val exactDeleteOracle: String = exactDedupCopiesOracle(excludeDeleted = true)
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -412,6 +419,66 @@ object DedupQueries {
           .select(col("doc_id")).orderBy(col("doc_id"))
       },
       Some(incNearDedupOracle(" AND o.doc_id % 8 <> 0"))),
+
+    GraftQuery(
+      "q269_neardedup_asof_before_delete",
+      "q263's delete under the AS-OF fence: same build, same % 8 = 0 " +
+        "tombstone batch at delete batch 0 — but the odd half dedups " +
+        "PINNED BEFORE the delete (beforeBatch = 0), so the " +
+        "tombstones on disk are invisible, the masked reads serve " +
+        "the full history, and the survivors equal q93's verbatim " +
+        "(oracle shared). The fence contract composes across the " +
+        "whole lifecycle: what batch 0 saw is reproducible AFTER a " +
+        "takedown lands, until a purge destroys fenced history.",
+      (spark, dir) => {
+        import graft.streaming.NearDedupStream
+        val d = Tables.table(spark, dir, "documents")
+        val idx = QueryScratch.dir("graft_q269_index")
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+        NearDedupStream.backfillIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        NearDedupStream.deleteBatch(spark, idx,
+          d.filter(col("doc_id") % 2 === 0 && col("doc_id") % 8 === 0)
+            .select(col("doc_id")),
+          "doc_id", batchId = 0L)
+        NearDedupStream.nearDedupBatch(
+            d.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text",
+            beforeBatch = 0L)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(incNearDedupOracle(""))),
+
+    GraftQuery(
+      "q270_dedup_asof_before_delete",
+      "q261's delete under the AS-OF fence: same seed, same % 20 = 4 " +
+        "fingerprint tombstone batch at delete batch 0 — but the " +
+        "batch (odd half + copies of the % 10 = 4 evens) dedups " +
+        "PINNED BEFORE the delete (beforeBatch = 0): every copy " +
+        "drops, exactly as if the takedown never happened, while the " +
+        "live read (q261) re-admits the deleted docs' copies. Oracle " +
+        "is q261's SQL with the deletion exclusion removed — one " +
+        "definition, two fences.",
+      (spark, dir) => {
+        import graft.streaming.IncrementalDedup
+        val d = Tables.table(spark, dir, "documents")
+        val evens = d.filter(col("doc_id") % 2 === 0)
+        val idx = QueryScratch.dir("graft_q270_index")
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+        Dedup.exactGroups(evens, "doc_id", "text").select(col("fp"))
+          .write.mode("overwrite").parquet(idx)
+        IncrementalDedup.deleteBatch(spark, idx,
+          Dedup.exactGroups(evens.filter(col("doc_id") % 20 === 4),
+            "doc_id", "text").select(col("fp")),
+          "fp", batchId = 0L)
+        val copies = evens.filter(col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val batch = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text")).unionByName(copies)
+        IncrementalDedup.dedupBatch(batch, idx, "doc_id", "text",
+            beforeBatch = 0L)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(exactDedupCopiesOracle(excludeDeleted = false))),
 
     GraftQuery(
       "q264_neardedup_store_purge",
