@@ -208,6 +208,48 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(survivors(Long.MaxValue) == Set(12L))
   }
 
+  test("fingerprint purge resumes a crashed journal swap; reads refuse mid-window") {
+    import spark.implicits._
+    def build(idx: String): Unit = {
+      Seq("fa", "fb").toDF("fp").write.parquet(idx)
+      Seq("fc").toDF("fp").write.mode("overwrite").parquet(s"$idx/batch=0")
+      BatchIndex.stampBatch(spark, idx, 0L)
+      IncrementalDedup.deleteBatch(spark, idx,
+        Seq("fa").toDF("fp"), "fp", batchId = 1L)
+    }
+    def stored(idx: String): Set[String] =
+      IncrementalDedup.readIndex(spark, idx)
+        .select("fp").collect().map(_.getString(0)).toSet
+
+    // store A: the clean purge — expected end state
+    val a = java.nio.file.Files.createTempDirectory("fp_purge_a").toString + "/index"
+    build(a)
+    IncrementalDedup.purgeTombstones(spark, a)
+    assert(stored(a) == Set("fb", "fc"))
+    assert(!new java.io.File(s"$a/_tombstones").exists())
+
+    // store B: crashed at the WORST window — staging complete, journal
+    // committed, deletions/promotions not yet performed
+    val b = java.nio.file.Files.createTempDirectory("fp_purge_b").toString + "/index"
+    build(b)
+    Seq("fb", "fc").toDF("fp").write.parquet(s"$b/_compact_tmp")
+    val stagedNames = new java.io.File(s"$b/_compact_tmp").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    val rootEntries = new java.io.File(b).listFiles().map(_.getName)
+    val dLines = rootEntries.filter(n =>
+      n.startsWith("batch=") || n.endsWith(".parquet")).map("D " + _)
+    val mLines = stagedNames.map(n => s"M $n seed-t1-$n")
+    java.nio.file.Files.writeString(
+      new java.io.File(b, "_compact_journal").toPath,
+      (dLines ++ mLines).mkString("", "\n", "\n"))
+    intercept[IllegalStateException] {
+      IncrementalDedup.readIndex(spark, b).count()
+    }
+    IncrementalDedup.purgeTombstones(spark, b)
+    assert(stored(b) == Set("fb", "fc"))
+    assert(!new java.io.File(s"$b/_tombstones").exists())
+  }
+
   test("deleteStreamTo: each micro-batch tombstones fingerprints under its own batch id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1076,6 +1076,11 @@ class VectorIndexStreamSpec extends SparkSpec {
     val served = VectorIndexStream.filteredTopKFromIndex(
       spark, idx, q, "vec_id", "embedding", allowedIds, k = 3, nProbe = 2)
     assert(served.collect().forall(r => allowed(r.getLong(2))))
+    // the filter does NOT cost the probe its static pruning: the
+    // probed-cell literal IN still lands in PartitionFilters
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]* IN \\(".r
+      .findFirstIn(plan).isDefined, plan)
     // probing every cell makes the served post-filter EXACT: equal to
     // the inline pre-filter over the same corpus (store holds all ids)
     val all8 = topk(VectorIndexStream.filteredTopKFromIndex(
