@@ -1781,7 +1781,13 @@ object ExtendedQueries {
         val windows = daySketch
           .select(explode(sequence(lit(0), lit(6))).as("i"), col("day"), col("sk"))
           .select(date_add(col("day"), col("i")).as("wday"), col("sk"))
-        val est = d.select(col("day")).distinct()
+        // the distinct-days frame is runtime-sized near AQE's broadcast
+        // threshold, so without the explicit hint the join strategy —
+        // and the plan-drift gate's broadcast/exchange counts — flip
+        // with ambient block sizes (the round-16 false positive);
+        // broadcast() pins the strategy the data shape always wants
+        // (|days| is tiny by construction)
+        val est = broadcast(d.select(col("day")).distinct())
           .join(windows, col("wday") === col("day"))
           .groupBy(col("day"))
           .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
@@ -1789,7 +1795,8 @@ object ExtendedQueries {
           .select(explode(sequence(lit(0), lit(6))).as("i"), col("day"), col("user_id"))
           .select(date_add(col("day"), col("i")).as("wday"), col("user_id"))
           .distinct()
-          .join(d.select(col("day")).distinct(), col("wday") === col("day"))
+          .join(broadcast(d.select(col("day")).distinct()),
+            col("wday") === col("day"))
           .groupBy(col("day"))
           .agg(count(lit(1)).as("users_7d"))
         exact.join(est, Seq("day"))

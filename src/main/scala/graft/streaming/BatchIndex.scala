@@ -51,7 +51,33 @@ private[graft] object BatchIndex {
     * which entries to delete and which staged files to promote, so
     * recovery is idempotent). */
   private[streaming] val Marker = "_compact_journal"
+  private val MarkerTmp = "_compact_journal.tmp"
   private val TmpDir = "_compact_tmp"
+
+  /** Commit the journal ATOMICALLY: write the full line list to a temp
+    * name, then rename into place. A direct create+write could crash
+    * mid-flush and leave a TRUNCATED journal — and since the `D` lines
+    * serialize first, a journal cut between the deletes and the `M`
+    * promotions would make recovery destroy the store's old entries
+    * without ever promoting the staged replacement (rewriteAll's `D`
+    * lines name EVERY seed file and batch partition, so the loss would
+    * be total). The rename is the commit point; [[finishCompact]]
+    * additionally refuses a journal missing its trailing newline
+    * terminator (belt-and-braces against a torn manual copy). */
+  private def commitJournal(
+      fs: FileSystem, root: Path, lines: Seq[String]): Unit = {
+    val tmp = new Path(root, MarkerTmp)
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val marker = new Path(root, Marker)
+    if (fs.exists(marker)) throw new IllegalStateException(
+      s"journal commit: $marker already exists — two maintenance calls " +
+        "are racing on this store (single-writer contract violated)")
+    if (!fs.rename(tmp, marker)) throw new IllegalStateException(
+      s"journal commit: rename $tmp -> $marker failed — store left " +
+        "unmodified; re-run the maintenance call")
+  }
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -184,12 +210,8 @@ private[graft] object BatchIndex {
 
     // commit point: the journal names every mutation; spark part-file
     // and batch=N names never contain spaces, so a line format is safe
-    val out = fs.create(marker, false)
-    try {
-      val text = (deletes.map(d => s"D $d") ++
-        moves.map { case (t, d) => s"M $t $d" }).mkString("", "\n", "\n")
-      out.write(text.getBytes("UTF-8"))
-    } finally out.close()
+    commitJournal(fs, root,
+      deletes.map(d => s"D $d") ++ moves.map { case (t, d) => s"M $t $d" })
     finishCompact(fs, root, marker)
     pruneStamps(spark, dir)
   }
@@ -210,9 +232,19 @@ private[graft] object BatchIndex {
     * and promotion, execute, clear — a crash before the journal
     * leaves the store untouched, one after it is completed by the
     * next maintenance call, and reads refuse loudly in between.
-    * Requires the writing stream stopped or between batches. */
+    * Requires the writing stream stopped or between batches.
+    *
+    * `extraJournal` appends caller-supplied journal lines (executed by
+    * [[finishCompact]] AFTER the promotions) — the purge paths pass an
+    * `F _purge_fence N` line so the fence that marks their tombstones
+    * as physically resolved lands atomically with the swap: once the
+    * journal is committed, either the crash happens before recovery
+    * (reads refuse) or the fence exists alongside the rewritten rows —
+    * there is no window where re-dated rows are visible without the
+    * fence that stops the tombstones re-killing them. */
   private[graft] def rewriteAll(
-      spark: SparkSession, dir: String, dataSchema: StructType)(
+      spark: SparkSession, dir: String, dataSchema: StructType,
+      extraJournal: Seq[String] = Nil)(
       transform: DataFrame => DataFrame): Unit = {
     val root = new Path(dir)
     val fs = fsOf(spark, root)
@@ -236,26 +268,33 @@ private[graft] object BatchIndex {
       f.getPath.getName -> s"seed-$nonce-${f.getPath.getName}")
     val deletes = (seedFiles.map(_.getPath.getName) ++
       batchDirs.map(_.getPath.getName)).toSeq
-    val out = fs.create(marker, false)
-    try {
-      val text = (deletes.map(d => s"D $d") ++
-        moves.map { case (t, d) => s"M $t $d" }).mkString("", "\n", "\n")
-      out.write(text.getBytes("UTF-8"))
-    } finally out.close()
+    commitJournal(fs, root,
+      deletes.map(d => s"D $d") ++
+        moves.map { case (t, d) => s"M $t $d" } ++ extraJournal)
     finishCompact(fs, root, marker)
     pruneStamps(spark, dir)
   }
 
   /** Replay the journal: delete superseded entries, promote staged
-    * files, clear the journal. Every step tolerates having already
-    * happened, so crashed compactions complete on the next call. */
+    * files, write fence files, clear the journal. Every step tolerates
+    * having already happened, so crashed compactions complete on the
+    * next call. Refuses a journal missing its trailing newline — the
+    * committed format always ends with one ([[commitJournal]]), so its
+    * absence means the file was torn (a manual copy, a filesystem that
+    * ignored the rename contract) and replaying a PREFIX of the
+    * mutation list could delete history whose promotion line was cut. */
   private def finishCompact(fs: FileSystem, root: Path, marker: Path): Unit = {
     val in = fs.open(marker)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+    if (!text.endsWith("\n")) throw new IllegalStateException(
+      s"compaction journal $marker lacks its trailing newline terminator — " +
+        "the file is torn (committed journals always end with one); a " +
+        "prefix replay could delete entries whose promotion line was cut. " +
+        "Inspect the journal and the _compact_tmp staging dir by hand.")
     val tmp = new Path(root, TmpDir)
-    lines.foreach { line =>
+    text.split("\n").foreach { line =>
       line.split(" ") match {
         case Array("D", name) =>
           val p = new Path(root, name)
@@ -265,11 +304,19 @@ private[graft] object BatchIndex {
           val dst = new Path(root, to)
           if (fs.exists(src) && !fs.exists(dst)) fs.rename(src, dst)
           else if (fs.exists(src)) fs.delete(src, false) // promoted already
+        case Array("F", name, value) => // fence: idempotent overwrite
+          val out = fs.create(new Path(root, name), true)
+          try out.write(value.getBytes("UTF-8")) finally out.close()
         case _ => // blank line
       }
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
     fs.delete(marker, false)
+    // a leftover journal TEMP file is pre-commit debris from a crashed
+    // attempt (the rename never happened); it must not linger to confuse
+    // a later inspection
+    val markerTmp = new Path(root, MarkerTmp)
+    if (fs.exists(markerTmp)) fs.delete(markerTmp, false)
   }
 
   /** Per-batch admission-time metadata: `dir/_batch_ts/<batchId>` text

@@ -61,9 +61,15 @@ object IncrementalDedup {
     // RE-ADMITTED by a batch after the delete counts as history again
     // (else every later copy of the re-admitted doc would survive).
     // Delete-free stores keep their original plan (existence check).
+    // Tombstone batches at or below the purge fence are skipped: a
+    // completed purge swap already resolved them physically, and
+    // re-applying them against the rewrite's re-dated rows (batch -1)
+    // would re-kill re-admitted fingerprints the purge kept.
     if (!Tombstones.exists(spark, indexDir)) rows
     else Tombstones.maskLatest(rows,
-      Tombstones.maxBatchPerKey(spark, indexDir, seedSchema, beforeBatch),
+      Tombstones.maxBatchPerKey(spark, indexDir, seedSchema, beforeBatch,
+        afterBatch =
+          Tombstones.readFence(spark, indexDir).getOrElse(Long.MinValue)),
       Seq("fp"))
   }
 
@@ -108,16 +114,33 @@ object IncrementalDedup {
     * the masked read (a fingerprint re-admitted after its delete
     * keeps its later rows), via [[BatchIndex.rewriteAll]]'s staging+
     * journal protocol (crash-safe; reads refuse mid-swap), then drop
-    * the tombstone store. Collapses batch fences by design. Requires
-    * the writing stream stopped or between batches. */
+    * the tombstone store. The rewrite's journal also commits a PURGE
+    * FENCE ([[Tombstones.fenceLine]]) recording the newest tombstone
+    * batch resolved, atomically with the swap: a crash between the
+    * completed swap and the tombstone drop leaves masked reads and
+    * purge re-runs skipping the already-resolved batches — without it,
+    * the re-dated survivors (seed batch -1) would flip re-admitted
+    * fingerprints back to dead, and the re-run would destroy them.
+    * Collapses batch fences by design. Requires the writing stream
+    * stopped or between batches. */
   def purgeTombstones(spark: SparkSession, indexDir: String): Unit = {
-    if (!Tombstones.exists(spark, indexDir)) return
-    val dead = Tombstones.maxBatchPerKey(spark, indexDir, seedSchema)
+    if (!Tombstones.exists(spark, indexDir)) {
+      // a crash between the tombstone drop and the fence drop leaves a
+      // satisfied fence behind; retire it here
+      Tombstones.dropFence(spark, indexDir)
+      return
+    }
+    val fence = Tombstones.readFence(spark, indexDir).getOrElse(Long.MinValue)
+    val dead = Tombstones.maxBatchPerKey(spark, indexDir, seedSchema,
+      afterBatch = fence)
     if (!dead.isEmpty) {
-      BatchIndex.rewriteAll(spark, indexDir, seedSchema)(all =>
+      val through = Tombstones.maxTombstoneBatch(spark, indexDir, seedSchema).get
+      BatchIndex.rewriteAll(spark, indexDir, seedSchema,
+        extraJournal = Seq(Tombstones.fenceLine(through)))(all =>
         Tombstones.maskLatest(all, dead, Seq("fp")))
     }
     Tombstones.drop(spark, indexDir)
+    Tombstones.dropFence(spark, indexDir)
   }
 
   /** Fold fingerprint partitions `<= throughBatch` into root-level

@@ -75,9 +75,16 @@ object NearDedupStream {
       spark: SparkSession, indexDir: String, sub: String,
       schema: StructType, beforeBatch: Long): DataFrame = {
     val rows = BatchIndex.read(spark, s"$indexDir/$sub", schema, beforeBatch)
+    // each sub-store carries its OWN purge fence: a crash between the
+    // docs and bands rewrites leaves docs re-dated (fenced — tombstones
+    // <= fence no longer apply there, matching the physical resolution)
+    // while bands still mask the full set; re-applying resolved
+    // tombstones to the re-dated store would re-kill re-ingested ids.
     if (!Tombstones.exists(spark, indexDir)) rows
     else Tombstones.maskLatest(rows,
-      Tombstones.maxBatchPerKey(spark, indexDir, idSchema, beforeBatch),
+      Tombstones.maxBatchPerKey(spark, indexDir, idSchema, beforeBatch,
+        afterBatch = Tombstones.readFence(spark, s"$indexDir/$sub")
+          .getOrElse(Long.MinValue)),
       Seq("id"))
   }
 
@@ -134,18 +141,43 @@ object NearDedupStream {
     * after both rewrites land). A deleted-doc band surviving such a
     * crash window is also semantically harmless: its candidates
     * verify against missing text and fail, which is the purged
-    * outcome. Collapses batch fences by design; requires the writing
+    * outcome. Each rewrite's journal commits that store's PURGE FENCE
+    * atomically with its swap ([[Tombstones.fenceLine]]), so in every
+    * crash window the half-purged pair serves exactly: the swapped
+    * store skips the resolved tombstones (its re-dated rows would
+    * otherwise flip re-ingested ids back to dead), the unswapped one
+    * still masks them, and the re-run completes only the missing
+    * rewrite. Collapses batch fences by design; requires the writing
     * stream stopped or between batches. */
   def purgeTombstones(spark: SparkSession, indexDir: String): Unit = {
-    if (!Tombstones.exists(spark, indexDir)) return
-    val dead = Tombstones.maxBatchPerKey(spark, indexDir, idSchema)
-    if (!dead.isEmpty) {
-      BatchIndex.rewriteAll(spark, s"$indexDir/docs", docsSchema)(all =>
-        Tombstones.maskLatest(all, dead, Seq("id")))
-      BatchIndex.rewriteAll(spark, s"$indexDir/bands", bandsSchema)(all =>
-        Tombstones.maskLatest(all, dead, Seq("id")))
+    if (!Tombstones.exists(spark, indexDir)) {
+      // a crash between the tombstone drop and the fence drops leaves
+      // satisfied fences behind; retire them here
+      Seq("docs", "bands")
+        .foreach(s => Tombstones.dropFence(spark, s"$indexDir/$s"))
+      return
+    }
+    val through = Tombstones.maxTombstoneBatch(spark, indexDir, idSchema)
+    through.foreach { t =>
+      // each rewrite resolves only the tombstone batches ABOVE that
+      // store's own fence and commits the new fence IN its journal
+      // ([[Tombstones.fenceLine]]) — so a re-run after a crash between
+      // the two rewrites skips the store already swapped instead of
+      // re-applying resolved tombstones to its re-dated rows
+      Seq(("docs", docsSchema), ("bands", bandsSchema)).foreach {
+        case (sub, schema) =>
+          val dead = Tombstones.maxBatchPerKey(spark, indexDir, idSchema,
+            afterBatch = Tombstones.readFence(spark, s"$indexDir/$sub")
+              .getOrElse(Long.MinValue))
+          if (!dead.isEmpty)
+            BatchIndex.rewriteAll(spark, s"$indexDir/$sub", schema,
+              extraJournal = Seq(Tombstones.fenceLine(t)))(all =>
+              Tombstones.maskLatest(all, dead, Seq("id")))
+      }
     }
     Tombstones.drop(spark, indexDir)
+    Seq("docs", "bands")
+      .foreach(s => Tombstones.dropFence(spark, s"$indexDir/$s"))
   }
 
   /** Seed the durable index from an already-admitted corpus — the

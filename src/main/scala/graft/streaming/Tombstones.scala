@@ -60,13 +60,76 @@ private[graft] object Tombstones {
     read(spark, storeDir, keySchema, beforeBatch)
       .select(keySchema.fieldNames.map(col).toIndexedSeq: _*).distinct()
 
-  /** Per-key MAX delete batch (fenced) — the batch-ordered face. */
+  /** Per-key MAX delete batch (fenced) — the batch-ordered face.
+    * `afterBatch` drops tombstone batches at or below a PURGE FENCE
+    * ([[readFence]]): those were already physically resolved by a
+    * completed rewrite, and re-applying them would re-kill rows the
+    * purge deliberately kept (re-admissions after the delete, re-dated
+    * to seed batch -1 by the rewrite). */
   def maxBatchPerKey(
       spark: SparkSession, storeDir: String, keySchema: StructType,
-      beforeBatch: Long = Long.MaxValue): DataFrame =
+      beforeBatch: Long = Long.MaxValue,
+      afterBatch: Long = Long.MinValue): DataFrame =
     read(spark, storeDir, keySchema, beforeBatch)
+      .filter(col("batch") > afterBatch)
       .groupBy(keySchema.fieldNames.map(col).toIndexedSeq: _*)
       .agg(max(col("batch")).as("del_batch"))
+
+  /** The newest tombstone batch id present (unfenced) — what a purge
+    * records as its fence value; None when the store holds no rows. */
+  def maxTombstoneBatch(
+      spark: SparkSession, storeDir: String,
+      keySchema: StructType): Option[Long] =
+    read(spark, storeDir, keySchema)
+      .agg(max(col("batch"))).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+
+  // ---- purge fence: a file the purge's journal writes ATOMICALLY with
+  // the store rewrite (BatchIndex.rewriteAll extraJournal -> an
+  // `F _purge_fence N` line), recording the newest tombstone batch the
+  // rewrite resolved. It closes the crash window between a completed
+  // swap and the tombstone-store drop: without it, the rewrite's
+  // re-dating (survivors -> seed batch -1) would flip keys re-admitted
+  // AFTER their delete back below the still-on-disk tombstones — masked
+  // reads would serve them dead, and a purge RE-RUN (the documented
+  // recovery) would permanently destroy them. With the fence, masked
+  // reads and re-runs skip tombstone batches <= fence. The fence lives
+  // in the REWRITTEN store's dir (per-store: the near-dedup pair fences
+  // docs and bands independently, so a crash between the two rewrites
+  // leaves each store reading exactly its own resolution state). Batch
+  // ids must stay monotone across a purge (the shared-clock contract) —
+  // a delete batch re-landed UNDER a dropped fence's value after the
+  // fence was cleared is the one flow this cannot see, and single-writer
+  // maintenance excludes it.
+
+  private val FenceName = "_purge_fence"
+
+  /** The journal line that commits fence value `through` with the swap. */
+  def fenceLine(through: Long): String = s"F $FenceName $through"
+
+  /** The store's purge fence, if a completed purge swap left one. */
+  def readFence(spark: SparkSession, storeDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir, FenceName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      text.toLongOption.orElse(throw new IllegalStateException(
+        s"purge fence $p holds non-numeric content '$text' — refusing to " +
+          "guess which tombstones a crashed purge already resolved"))
+    }
+  }
+
+  /** Remove a store's purge fence (the final step of a completed purge,
+    * after the tombstone store is dropped). */
+  def dropFence(spark: SparkSession, storeDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storeDir, FenceName)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+    ()
+  }
 
   /** Batch-ordered subtraction: keep a store row iff it was never
     * tombstoned OR it was written AFTER its key's newest delete

@@ -219,7 +219,18 @@ object VectorIndexStream {
       renamed(fs, staging, new org.apache.hadoop.fs.Path(root, "batch=-1"))
     }
     // staging gone: the rename promoted it — batch=-1 is the NEW seed;
-    // replaying the deletes here would destroy it (the lost-store bug)
+    // replaying the deletes here would destroy it (the lost-store bug).
+    // `P name` lines (delete `name` under the INDEX root, the cell
+    // dir's parent) execute in BOTH branches, idempotently, BEFORE the
+    // journal clears: purgeTombstones names its tombstone sub-store
+    // this way, so the tombstone drop is atomic with the swap — a
+    // crash can never leave the purged (re-dated) rows visible beside
+    // the tombstones that would re-kill their re-appended ids on the
+    // next read or purge re-run.
+    lines.collect { case l if l.startsWith("P ") => l.stripPrefix("P ") }
+      .foreach { name =>
+        fs.delete(new org.apache.hadoop.fs.Path(root.getParent, name), true)
+      }
     fs.delete(journal, false)
   }
 
@@ -468,7 +479,11 @@ object VectorIndexStream {
     * protocol: a crash before the journal rename leaves the old
     * layout intact (staging is debris), a crash after it is completed
     * by `recoverPendingCompaction` on the next maintenance call, and
-    * reads refuse a journaled store loudly in between. Requires the
+    * reads refuse a journaled store loudly in between. The tombstone
+    * drop rides the journal (`P tombstones`, executed by recovery in
+    * every branch), so no crash can leave the re-dated seed visible
+    * beside tombstones that would flip its re-appended ids back to
+    * dead on the next read or purge re-run. Requires the
     * writing stream stopped or between batches. Payload-agnostic
     * (flat vectors, SQ8 codes, and PQ codes purge identically). */
   def purgeTombstones(
@@ -507,18 +522,23 @@ object VectorIndexStream {
       .parquet(staging.toString)
     val tmp = new org.apache.hadoop.fs.Path(root, JournalTmp)
     val out = fs.create(tmp, true)
+    // the `P tombstones` line makes the tombstone drop part of the
+    // journaled swap: recovery executes it in both branches, so there
+    // is no window where the re-dated seed coexists with tombstones
+    // that would flip its re-appended ids back to dead (and that a
+    // purge re-run would then destroy)
     try out.write(
-      ((s"S $stagingName" +: foldNames.map(n => s"D $n"))
-        .mkString("", "\n", "\n")).getBytes("UTF-8"))
+      ((s"S $stagingName" +: foldNames.map(n => s"D $n")) :+ "P tombstones")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     renamed(fs, tmp, new org.apache.hadoop.fs.Path(root, Journal))
     foldNames.foreach { n =>
       fs.delete(new org.apache.hadoop.fs.Path(root, n), true)
     }
     renamed(fs, staging, new org.apache.hadoop.fs.Path(root, "batch=-1"))
+    fs.delete(tsRoot, true)
     fs.delete(new org.apache.hadoop.fs.Path(root, Journal), false)
     BatchIndex.pruneStamps(spark, s"$indexDir/cells")
-    fs.delete(tsRoot, true)
   }
 
   /** Retention: drop batch partitions admitted before `keepFromBatch`

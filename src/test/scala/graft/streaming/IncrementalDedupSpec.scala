@@ -250,6 +250,86 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!new java.io.File(s"$b/_tombstones").exists())
   }
 
+  test("purge crash AFTER the swap, BEFORE the tombstone drop: the journal-committed fence keeps a re-admitted fingerprint alive") {
+    import spark.implicits._
+    val fpSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.StringType)))
+    // fa is deleted at batch 1 and RE-ADMITTED at batch 2 — the row the
+    // purge deliberately keeps, and exactly the row the pre-fence
+    // protocol would destroy in this crash window (the rewrite re-dates
+    // it to seed batch -1, below the still-on-disk del_batch 1)
+    def build(idx: String): Unit = {
+      Seq("fa", "fb").toDF("fp").write.parquet(idx)
+      IncrementalDedup.deleteBatch(spark, idx,
+        Seq("fa").toDF("fp"), "fp", batchId = 1L)
+      Seq("fa").toDF("fp").write.mode("overwrite").parquet(s"$idx/batch=2")
+      BatchIndex.stampBatch(spark, idx, 2L)
+    }
+    def stored(idx: String): Set[String] =
+      IncrementalDedup.readIndex(spark, idx)
+        .select("fp").collect().map(_.getString(0)).toSet
+
+    // store A: the clean purge — fa's re-admission survives
+    val a = java.nio.file.Files.createTempDirectory("fp_fence_a").toString + "/index"
+    build(a)
+    IncrementalDedup.purgeTombstones(spark, a)
+    assert(stored(a) == Set("fa", "fb"))
+
+    // store B: crash between the completed swap (journal replayed,
+    // fence written by its F line) and the tombstone drop — manufacture
+    // by running EXACTLY the rewrite the purge runs, and stopping
+    val b = java.nio.file.Files.createTempDirectory("fp_fence_b").toString + "/index"
+    build(b)
+    val dead = Tombstones.maxBatchPerKey(spark, b, fpSchema)
+    BatchIndex.rewriteAll(spark, b, fpSchema,
+      extraJournal = Seq(Tombstones.fenceLine(1L)))(all =>
+      Tombstones.maskLatest(all, dead, Seq("fp")))
+    assert(new java.io.File(s"$b/_tombstones").exists())
+    assert(Tombstones.readFence(spark, b) == Some(1L))
+    // mid-window masked read: the fence stops del_batch 1 re-killing
+    // the re-dated (batch -1) re-admission
+    assert(stored(b) == Set("fa", "fb"))
+    // the re-run (the documented recovery) must NOT re-apply the
+    // resolved tombstones — fa survives, tombstones and fence retire
+    IncrementalDedup.purgeTombstones(spark, b)
+    assert(stored(b) == Set("fa", "fb"))
+    assert(!new java.io.File(s"$b/_tombstones").exists())
+    assert(Tombstones.readFence(spark, b).isEmpty)
+    // a fresh delete AFTER the completed purge still applies (the
+    // fence is gone, new tombstone batches are above any old fence)
+    IncrementalDedup.deleteBatch(spark, b,
+      Seq("fb").toDF("fp"), "fp", batchId = 3L)
+    assert(stored(b) == Set("fa"))
+  }
+
+  test("a torn journal (no trailing newline) refuses to replay instead of half-executing its delete list") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fp_torn").toString
+    val idx = s"$dir/index"
+    Seq("fa", "fb").toDF("fp").write.parquet(idx)
+    Seq("fc").toDF("fp").write.mode("overwrite").parquet(s"$idx/batch=0")
+    Seq("fd").toDF("fp").write.mode("overwrite").parquet(s"$idx/batch=1")
+    // a committed journal always ends with a newline (the atomic
+    // tmp+rename write guarantees the full text or nothing) — a
+    // newline-less journal is a torn manual copy whose D lines may be
+    // a prefix: replaying it could delete entries whose M promotion
+    // was cut off. Both replay paths must refuse it.
+    java.nio.file.Files.writeString(
+      new java.io.File(idx, "_compact_journal").toPath,
+      "D batch=0\nM part-x seed-t1-part-x") // no trailing newline
+    val ex = intercept[IllegalStateException] {
+      IncrementalDedup.compactIndex(spark, idx, throughBatch = 0L)
+    }
+    assert(ex.getMessage.contains("trailing newline"), ex.getMessage)
+    // nothing was executed: the store still holds every partition
+    assert(new java.io.File(s"$idx/batch=0").exists())
+    val ex2 = intercept[IllegalStateException] {
+      IncrementalDedup.readIndex(spark, idx).count()
+    }
+    assert(ex2.getMessage.contains("compaction journal"), ex2.getMessage)
+  }
+
   test("deleteStreamTo: each micro-batch tombstones fingerprints under its own batch id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

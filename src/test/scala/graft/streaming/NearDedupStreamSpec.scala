@@ -329,6 +329,92 @@ class NearDedupStreamSpec extends SparkSpec {
     assert(survivors(b) == expected)
   }
 
+  test("purge crash between the rewrites WITH a re-ingested id: the per-store fence keeps the repost alive in both windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val takenDown = "alpha beta gamma delta epsilon zeta eta theta"
+    val kept = "one two three four five six seven eight"
+    val repost = "a brand new reposted document body with words"
+    // id 0 is deleted at tombstone batch 0 and RE-INGESTED at batch 1
+    // (takedown-then-repost under the same id — the flow the delete
+    // path exists to permit); its batch-1 rows are exactly what a
+    // fence-less crash window would flip back to dead and a purge
+    // re-run would then destroy
+    def build(idx: String): Unit = {
+      NearDedupStream.backfillIndex(
+        Seq((0L, takenDown), (1L, kept)).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      NearDedupStream.deleteBatch(spark, idx,
+        Seq(0L).toDF("doc_id"), "doc_id", batchId = 0L)
+      val reposted = Seq((0L, repost)).toDF("id", "text")
+      reposted.write.parquet(s"$idx/docs/batch=1")
+      graft.dedup.Dedup.bandTable(
+          graft.dedup.Dedup.minhashSignature(reposted, "id", "text", 8, 3),
+          "id", 8, 2)
+        .write.parquet(s"$idx/bands/batch=1")
+      BatchIndex.stampBatch(spark, s"$idx/docs", 1L)
+      BatchIndex.stampBatch(spark, s"$idx/bands", 1L)
+    }
+    // a near-copy of the REPOST must drop (its history is alive), a
+    // near-copy of the taken-down text must admit
+    def batch = Seq(
+      (20L, takenDown + " tail"), (21L, repost + " tail")).toDF("doc_id", "text")
+    def survivors(idx: String): Set[Long] =
+      NearDedupStream.nearDedupBatch(batch, idx, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    def docIds(idx: String): Set[(Long, Long)] =
+      NearDedupStream.readDocs(spark, idx)
+        .select("id", "batch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // store A: the clean purge — the repost survives both stores
+    val a = java.nio.file.Files.createTempDirectory("near_fence_a").toString + "/index"
+    build(a)
+    assert(survivors(a) == Set(20L))
+    NearDedupStream.purgeTombstones(spark, a)
+    assert(survivors(a) == Set(20L))
+    assert(spark.read.parquet(s"$a/docs").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 1L))
+
+    // store B: crash after the docs rewrite (journal replayed, fence
+    // committed by its F line) and before the bands rewrite —
+    // manufacture by running EXACTLY the docs step the purge runs
+    val b = java.nio.file.Files.createTempDirectory("near_fence_b").toString + "/index"
+    build(b)
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val dead = Tombstones.maxBatchPerKey(spark, b, idSchema)
+    BatchIndex.rewriteAll(spark, s"$b/docs", docsSchema,
+      extraJournal = Seq(Tombstones.fenceLine(0L)))(all =>
+      Tombstones.maskLatest(all, dead, Seq("id")))
+    assert(new java.io.File(s"$b/_tombstones").exists())
+    assert(Tombstones.readFence(spark, s"$b/docs") == Some(0L))
+    assert(Tombstones.readFence(spark, s"$b/bands").isEmpty)
+    // mid-window: the docs store is re-dated but FENCED (the repost
+    // reads alive at batch -1); the bands store still masks the full
+    // tombstone set batch-ordered (id 0's batch-1 bands revive, its
+    // seed bands stay dead) — and serving equals the clean purge
+    assert(docIds(b) == Set((0L, -1L), (1L, -1L)))
+    assert(survivors(b) == Set(20L))
+    // the re-run completes the bands side WITHOUT re-applying the
+    // resolved tombstones to the re-dated docs store
+    NearDedupStream.purgeTombstones(spark, b)
+    assert(!new java.io.File(s"$b/_tombstones").exists())
+    assert(Tombstones.readFence(spark, s"$b/docs").isEmpty)
+    assert(Tombstones.readFence(spark, s"$b/bands").isEmpty)
+    assert(spark.read.parquet(s"$b/docs").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 1L))
+    assert(spark.read.parquet(s"$b/bands").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 1L))
+    assert(survivors(b) == Set(20L))
+  }
+
   test("compactIndex folds both stores — near-dedup behavior unchanged at every future fence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

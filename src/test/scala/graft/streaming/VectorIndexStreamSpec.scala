@@ -967,6 +967,69 @@ class VectorIndexStreamSpec extends SparkSpec {
       spark, a, q, "vec_id", "embedding", k = 3)) == expected)
   }
 
+  test("purge journal's P line drops the tombstones in BOTH recovery branches — a re-appended id can never be re-killed") {
+    import spark.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val revived = Array.fill(64)(0.25f)
+    // id 11 is deleted at batch 1 and RE-APPENDED at batch 2 — the row
+    // the purge keeps, and the one a crash window that left the
+    // re-dated seed beside live tombstones would destroy on re-run
+    def build(idx: String): Unit = {
+      VectorIndexStream.seedIndex(e, "vec_id", "embedding", idx, nLists = 8)
+      VectorIndexStream.deleteBatch(spark, idx,
+        Seq(11L, 23L).toDF("vec_id"), "vec_id", batchId = 1L)
+      VectorIndexStream.appendBatch(
+        Seq((11L, revived)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", idx, batchId = 2L)
+    }
+    def storedVec(idx: String, id: Long): Seq[Array[Float]] =
+      spark.read.option("basePath", s"$idx/cells").parquet(s"$idx/cells")
+        .filter(col("vec_id") === id).select("embedding")
+        .collect().map(_.getSeq[Float](0).toArray).toSeq
+
+    // clean purge: the revived payload survives, 23 is gone
+    val a = java.nio.file.Files.createTempDirectory("vec_pline_a").toString + "/index"
+    build(a)
+    VectorIndexStream.purgeTombstones(spark, a, "vec_id")
+    assert(storedVec(a, 11L).map(_.toSeq) == Seq(revived.toSeq))
+    assert(storedVec(a, 23L).isEmpty)
+    val expected = topk(VectorIndexStream.topKFromIndex(
+      spark, a, q, "vec_id", "embedding", k = 3))
+
+    // crash window: swap PROMOTED (staging gone), process died before
+    // the journal clear — the P line must still retire the tombstones
+    // on recovery, in the staging-gone branch
+    val b = java.nio.file.Files.createTempDirectory("vec_pline_b").toString + "/index"
+    build(b)
+    VectorIndexStream.purgeTombstones(spark, b, "vec_id")
+    assert(topk(VectorIndexStream.topKFromIndex(
+      spark, b, q, "vec_id", "embedding", k = 3)) == expected)
+    // manufacture the window on the PURGED store: tombstones restored
+    // (as if the crash preceded their delete), journal restored with
+    // its P line, staging absent
+    Seq(11L, 23L).toDF("vec_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$b/tombstones/batch=1")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$b/cells", "_compact_journal").toPath,
+      "S _compact_seed-gone\nD batch=2\nP tombstones\n")
+    // reads refuse mid-window; the next maintenance call recovers:
+    // journal cleared, tombstones dropped, revived row intact
+    intercept[IllegalStateException] {
+      VectorIndexStream.topKFromIndex(
+        spark, b, q, "vec_id", "embedding", k = 3)
+    }
+    VectorIndexStream.purgeTombstones(spark, b, "vec_id")
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$b/tombstones")))
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$b/cells/_compact_journal")))
+    assert(storedVec(b, 11L).map(_.toSeq) == Seq(revived.toSeq))
+    assert(topk(VectorIndexStream.topKFromIndex(
+      spark, b, q, "vec_id", "embedding", k = 3)) == expected)
+  }
+
   test("tombstones order against re-appends: deadIds revives latest-batch-wins, purge keeps the revived payload") {
     val spark2 = spark
     import spark2.implicits._
