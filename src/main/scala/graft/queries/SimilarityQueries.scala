@@ -2266,6 +2266,67 @@ object SimilarityQueries {
                    ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
           FROM CAND)
         SELECT query_id, rank, neighbor_id FROM R
-        WHERE rank <= 3 ORDER BY query_id, rank"""))
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q271_semantic_dedup_deletes",
+      "The delete path composed into SEMANTIC dedup admission (q105 " +
+        "after a takedown, as q261/q262 are for exact fingerprints): " +
+        "the store is seeded from the even-id half, the vec_id % 10 = " +
+        "0 seeds are tombstoned as delete batch 0, then the odd half " +
+        "backfills against the fence. A taken-down document is no " +
+        "longer part of the corpus, so admission subtracts deadIds " +
+        "from the history side exactly as the serving probes do — an " +
+        "odd near-clone of a DELETED seed now ADMITS (1/1/3 revived " +
+        "ids at sf0.001/0.01/0.1 — non-vacuous at every scale), while " +
+        "clones of live seeds still drop. Oracle: q105's SQL verbatim " +
+        "with cross-batch drops restricted to live (vec_id % 10 <> 0) " +
+        "seed participants.",
+      (spark, dir) => {
+        import graft.streaming.VectorIndexStream
+        val e = Tables.table(spark, dir, "embeddings")
+        val idx = QueryScratch.dir("graft_q271_index")
+        VectorIndexStream.seedIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8)
+        VectorIndexStream.deleteBatch(spark, idx,
+          e.filter(col("vec_id") % 10 === 0).select(col("vec_id")),
+          "vec_id", batchId = 0L)
+        graft.streaming.SemanticDedupStream.dedupBatch(
+            e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx,
+            beforeBatch = 1, threshold = 0.45)
+          .select(col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        P AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a
+          JOIN CELL ca ON ca.vec_id = a.vec_id
+          JOIN CELL cb ON cb.cell = ca.cell
+          JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+        B1 AS (SELECT DISTINCT id_b AS vid FROM P
+               WHERE id_a % 2 = 1 AND id_b % 2 = 1),
+        B2 AS (SELECT DISTINCT (CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) AS vid
+               FROM P WHERE (id_a % 2) + (id_b % 2) = 1
+                 AND (CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) % 10 <> 0)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id % 2 = 1
+          AND vec_id NOT IN (SELECT vid FROM B1)
+          AND vec_id NOT IN (SELECT vid FROM B2)
+        ORDER BY vec_id"""))
   )
 }

@@ -34,7 +34,10 @@ import graft.similarity.Similarity
   *  3. cross-batch: survivors join the stored cell rows of ONLY their
   *     own cells (literal-IN static pruning — the batch's cell set is
   *     its probe set), any admitted neighbor at >= threshold drops the
-  *     new doc;
+  *     new doc — admitted means LIVE: tombstoned ids
+  *     ([[VectorIndexStream.deadIds]]) are subtracted from the history
+  *     side first, so a takedown-then-repost admits instead of being
+  *     suppressed by the document it replaces;
   *  4. survivors emit and land in the batch's own cell partitions
   *     ([[VectorIndexStream.appendBatch]]).
   *
@@ -103,7 +106,19 @@ object SemanticDedupStream {
       if (batchCells.isEmpty) lit(false)
       else expr(s"cell IN (${batchCells.mkString(",")})")
     val cellW = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    // tombstoned history must not suppress new admits: a document taken
+    // down (revoked license, deletion request) is no longer part of the
+    // corpus, so a near-clone arriving after the takedown ADMITS — the
+    // same subtraction the serving probes apply via excludeIds, fenced
+    // to the batch's own read horizon so replay resolves identically
+    // ([[VectorIndexStream.deadIds]]'s shared-clock contract; the
+    // broadcast side is the tombstone set, small by contract, and
+    // subtracting BEFORE the cap count keeps dead rows from pruning a
+    // cell that is live-small)
+    val dead = VectorIndexStream.deadIds(
+      spark, indexDir, idCol, Some(beforeBatch))
     val old = VectorIndexStream.readCells(spark, indexDir, beforeBatch, cellFilter)
+      .join(broadcast(dead.select(col(idCol))), Seq(idCol), "left_anti")
       .select(col("cell").cast("long").as("cell"), col(vecCol).as("old_v"))
       .withColumn("_n", count(lit(1)).over(cellW))
       .filter(col("_n") <= maxCell)

@@ -93,4 +93,34 @@ class SemanticDedupStreamSpec extends SparkSpec {
     assert(got == s1 -- b2)
     assert(got != oddIds, "fixture should drop at least one odd doc")
   }
+
+  test("takedown-then-repost: tombstoned history stops suppressing admits, " +
+      "and masked admission == post-purge admission") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sem_dedup_del").toString
+    val idx = s"$dir/index"
+    val seed = Seq((1L, v(0)), (2L, v(1)), (3L, v(2)))
+      .toDF("vec_id", "embedding")
+    VectorIndexStream.seedIndex(seed, "vec_id", "embedding", idx, nLists = 3)
+    // takedown of seed doc 1 lands as delete batch 0
+    VectorIndexStream.deleteBatch(
+      spark, idx, Seq(1L).toDF("vec_id"), "vec_id", batchId = 0L)
+
+    // 31 ~ DELETED seed 1 (must ADMIT — its only neighbor is taken
+    // down), 32 ~ LIVE seed 2 (must still DROP), 33 a new direction
+    val batch = Seq((31L, v(0, 0.01)), (32L, v(1, 0.01)), (33L, v(3)))
+      .toDF("vec_id", "embedding")
+    def admit(): Set[Long] = SemanticDedupStream.dedupBatch(
+        batch, "vec_id", "embedding", idx, beforeBatch = 1, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    val masked = admit()
+    assert(masked == Set(31L, 33L),
+      "clone of the tombstoned seed admits; clone of a live seed drops")
+
+    // physical purge: bytes gone, tombstone store dropped — the same
+    // batch must resolve identically from the rewritten store
+    VectorIndexStream.purgeTombstones(spark, idx, "vec_id")
+    assert(admit() == masked, "masked admission == post-purge admission")
+  }
 }
