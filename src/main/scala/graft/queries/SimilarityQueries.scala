@@ -2327,6 +2327,153 @@ object SimilarityQueries {
         WHERE vec_id % 2 = 1
           AND vec_id NOT IN (SELECT vid FROM B1)
           AND vec_id NOT IN (SELECT vid FROM B2)
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    GraftQuery(
+      "q272_ann_store_sq8_filtered_deletes",
+      "q267's full production serve on the QUANTIZED store — the " +
+        "label IN (2,4,6) predicate AND the resolved dead-id set " +
+        "(vec_id % 10 = 3 tombstoned as delete batch 1) composed into " +
+        "the SQ8 code scan: candidates are allowed-restricted and " +
+        "takedown-subtracted after latest-batch-wins resolution, " +
+        "BEFORE integer-L2 ranking under the pinned grid, so a " +
+        "filtered-or-deleted top hit is replaced by the next-best " +
+        "servable code, never a shortened top-k — and the scan stays " +
+        "4x narrower than flat exactly where the predicate makes scan " +
+        "width matter. Integer distances — hash-exact.",
+      (spark, dir) => {
+        import graft.streaming.VectorIndexStream
+        val e = Tables.table(spark, dir, "embeddings")
+        val idx = QueryScratch.dir("graft_q272_index")
+        VectorIndexStream.seedSq8Index(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8)
+        VectorIndexStream.appendSq8Batch(
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, 0L)
+        VectorIndexStream.deleteBatch(spark, idx,
+          e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+          "vec_id", batchId = 1L)
+        VectorIndexStream.sq8FilteredTopKFromIndex(spark, idx,
+            e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+            allowedIds = e.filter(col("label").isin(2, 4, 6))
+              .select(col("vec_id")),
+            k = 3, nProbe = 2,
+            excludeIds = Some(VectorIndexStream.deadIds(spark, idx, "vec_id")))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELL AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        PROBE AS (
+          SELECT vec_id, cent_id AS cell FROM D
+          WHERE vec_id % 50 = 0
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) <= 2),
+        MM AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(embedding) AS x,
+                       unnest(range(1, len(embedding)+1)) AS i
+                FROM embeddings WHERE vec_id % 2 = 0)
+          GROUP BY i),
+        MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
+        QV AS (
+          SELECT vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(embedding)+1)] AS qv
+          FROM embeddings, MML),
+        P AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                           for i in range(1, len(a.qv)+1)]) AS d
+          FROM QV a
+          JOIN PROBE pq ON pq.vec_id = a.vec_id
+          JOIN CELL cb ON cb.cell = pq.cell
+          JOIN QV b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+            AND eb.label IN (2, 4, 6) AND eb.vec_id % 10 <> 3),
+        R AS (SELECT query_id, neighbor_id, CAST(d AS BIGINT) AS dist,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY d, neighbor_id) AS rank
+              FROM P)
+        SELECT query_id, rank, neighbor_id, dist FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q273_ann_store_pq_filtered_auto",
+      "q266's per-query AUTO probe depth on the PQ store — the " +
+        "sharpest predicate (label = 4) served from m=8 code bytes " +
+        "per candidate: each query's probe prefix widens until its " +
+        "exact SERVABLE (predicate-filtered) candidate count clears " +
+        "the 20 floor — the count pass reads only (id, cell), never " +
+        "codes — then the ADC scan ranks only allowed candidates in " +
+        "the probed cells under the pinned grid + codebook. Cost " +
+        "follows selectivity per query while the scan stays " +
+        "compressed. Integer ADC distances — hash-exact.",
+      (spark, dir) => {
+        import graft.streaming.VectorIndexStream
+        val e = Tables.table(spark, dir, "embeddings")
+        val idx = QueryScratch.dir("graft_q273_index")
+        VectorIndexStream.seedPqIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8, m = 8, dim = 64, kCent = 16)
+        VectorIndexStream.appendPqBatch(
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, 0L)
+        VectorIndexStream.pqFilteredTopKFromIndex(spark, idx,
+            e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+            allowedIds = e.filter(col("label") === 4).select(col("vec_id")),
+            k = 3, minCandidates = 20L)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          GROUP BY e.vec_id, c.cent_id),
+        CELLF AS (
+          SELECT d.vec_id, d.cent_id AS cell FROM D d
+          JOIN embeddings e ON e.vec_id = d.vec_id AND e.label = 4
+          QUALIFY row_number() OVER (PARTITION BY d.vec_id ORDER BY d.l2, d.cent_id) = 1),
+        CNT AS (SELECT cell, count(*) AS cell_n FROM CELLF GROUP BY 1),
+        PR AS (
+          SELECT vec_id, cent_id AS cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) AS r
+          FROM D WHERE vec_id % 50 = 0),
+        CUM AS (
+          SELECT pr.vec_id, pr.cell, pr.r, COALESCE(c.cell_n, 0) AS cell_n,
+                 COALESCE(SUM(COALESCE(c.cell_n, 0)) OVER (PARTITION BY pr.vec_id ORDER BY pr.r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+          FROM PR pr LEFT JOIN CNT c ON c.cell = pr.cell),
+        PROBE AS (SELECT vec_id, cell FROM CUM WHERE prev_cum < 20),
+        """ + pqCte(" WHERE vec_id % 2 = 0") + """,
+        ADC AS (
+          SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
+          FROM CODES c JOIN LUT l ON l.s = c.s AND l.j = c.j
+          JOIN PROBE p ON p.vec_id = l.query_id
+          JOIN CELLF cb ON cb.vec_id = c.vec_id AND cb.cell = p.cell
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2),
+        R AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist, neighbor_id) AS rank
+              FROM ADC)
+        SELECT query_id, rank, neighbor_id, dist FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank"""))
   )
 }

@@ -867,6 +867,71 @@ object VectorIndexStream {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
 
+  /** [[filteredTopKFromIndex]] for the PQ store — the predicate and
+    * takedown list composed into the m-bytes-per-candidate ADC scan:
+    * candidates are `allowedIds`-restricted and `excludeIds`-subtracted
+    * after latest-batch-wins resolution, BEFORE the code explode, so
+    * filtered-out rows never pay the per-subvector join. With
+    * `minCandidates > 0` the probe depth is chosen per query from the
+    * SERVABLE per-cell counts (an (id, cell)-only scan, no codes) —
+    * a sharp predicate probes deep, an unselective one stays at the
+    * nearest cell, and the choice is a deterministic integer function
+    * of the store. */
+  def pqFilteredTopKFromIndex(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, allowedIds: DataFrame, k: Int,
+      nProbe: Int = 1, minCandidates: Long = 0L,
+      beforeBatch: Long = Long.MaxValue,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
+    val art = loadPqArtifacts(spark, indexDir)
+    val allowed = allowedIds
+      .select(col(allowedIds.columns.head).as("__allowed_id")).distinct()
+    val checkedQueries = checkedWidth(
+      queries.select(col(idCol), col(vecCol)), vecCol, art.dim, indexDir)
+    val q = checkedQueries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qc =
+      (if (minCandidates > 0L)
+         Similarity.autoProbeSets(art.cent,
+             filteredCellCounts(spark, indexDir, idCol, beforeBatch,
+               allowed, excludeIds),
+             checkedQueries, idCol, vecCol, minCandidates)
+       else if (nProbe <= 1)
+         Similarity.assignWith(art.cent, q, "query_id", "q_vec")
+       else Similarity.probeCells(art.cent, q, "query_id", "q_vec", nProbe))
+        .select(col("query_id"), col("cell").as("q_cell"))
+    val probedCells = qc.select(col("q_cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cellFilter =
+      if (probedCells.isEmpty) lit(false)
+      else expr(s"cell IN (${probedCells.mkString(",")})")
+    val codes = servedRows(latestPerId(
+        readCells(spark, indexDir, beforeBatch, cellFilter)
+          .select(col(idCol).as("neighbor_id"),
+            col("cell").cast("long").as("cell"), col("codes"), col("batch")),
+        "neighbor_id", Seq("cell", "codes")), "neighbor_id",
+      allowed, excludeIds)
+      .select(col("neighbor_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .select(col("neighbor_id"), col("cell"),
+        col("s").cast("long").as("s"), col("code"))
+    val lut = Similarity.pqLut(checkedQueries, idCol, vecCol, art.codebook,
+        art.m, art.dim, art.mns, art.mxs)
+      .join(qc, Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    codes
+      .join(broadcast(lut),
+        col("s") === col("ls") && col("code") === col("lj") &&
+          col("cell") === col("q_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
   /** Two-stage PQ + exact refine SERVED FROM STREAMED STORES — the
     * streamed face of [[Similarity.pqRefinedTopKFromIndex]] (Faiss
     * IndexRefineFlat over a live index): the ADC shortlist runs
@@ -960,6 +1025,97 @@ object VectorIndexStream {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
 
+  /** [[filteredTopKFromIndex]] for the SQ8 store — the production
+    * request shape (a metadata predicate and a takedown list on every
+    * probe) WITHOUT giving up the 4x-narrower code scan: candidates
+    * are restricted to `allowedIds` and `excludeIds`-subtracted after
+    * latest-batch-wins resolution and before ranking, exactly as the
+    * flat serve, but the scan reads stored SQ8 codes and ranks by
+    * integer L2 under the pinned grid. `minCandidates > 0` switches
+    * to the per-query auto probe depth over SERVABLE (filtered,
+    * takedown-subtracted) per-cell counts — the count pass reads only
+    * the store's (id, cell) columns, never the codes. */
+  def sq8FilteredTopKFromIndex(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, allowedIds: DataFrame, k: Int,
+      nProbe: Int = 1, minCandidates: Long = 0L,
+      beforeBatch: Long = Long.MaxValue,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
+    val art = loadSq8Artifacts(spark, indexDir)
+    val allowed = allowedIds
+      .select(col(allowedIds.columns.head).as("__allowed_id")).distinct()
+    val qBase = checkedWidth(
+      queries.select(col(idCol), col(vecCol)), vecCol, art.mns.length,
+      indexDir)
+    val q = qBase.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val cells0 =
+      if (minCandidates > 0L)
+        Similarity.autoProbeSets(art.cent,
+            filteredCellCounts(spark, indexDir, idCol, beforeBatch,
+              allowed, excludeIds),
+            qBase, idCol, vecCol, minCandidates)
+      else if (nProbe <= 1) Similarity.assignWith(art.cent, q, "query_id", "q_vec")
+      else Similarity.probeCells(art.cent, q, "query_id", "q_vec", nProbe)
+    val qc = cells0.select(col("query_id"), col("cell"),
+      graft.functions.Sq8Quantize.sq8Quantize(
+        col("q_vec").cast("array<float>"), art.mns, art.mxs).as("q_qv"))
+    val probedCells = qc.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cellFilter =
+      if (probedCells.isEmpty) lit(false)
+      else expr(s"cell IN (${probedCells.mkString(",")})")
+    val cc = servedRows(latestPerId(
+        readCells(spark, indexDir, beforeBatch, cellFilter)
+          .select(col(idCol).as("neighbor_id"),
+            col("cell").cast("long").as("cell"), col("qv"), col("batch")),
+        "neighbor_id", Seq("cell", "qv")), "neighbor_id",
+      allowed, excludeIds)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    cc.join(broadcast(qc), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist",
+        graft.functions.IntArrayL2.intArrayL2(col("q_qv"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
+  /** The serve-time admission pipeline every FILTERED probe shares,
+    * applied AFTER latest-batch-wins resolution and BEFORE ranking:
+    * keep only `allowed` ids (broadcast semi-join — the request's
+    * metadata predicate materialized as an id set), then subtract
+    * `excludeIds` (broadcast anti-join — the takedown list,
+    * [[deadIds]]). `allowed` must already be the single-column
+    * `__allowed_id` frame. */
+  private def servedRows(
+      rows: DataFrame, id: String, allowed: DataFrame,
+      excludeIds: Option[DataFrame]): DataFrame = {
+    val kept = rows.join(broadcast(allowed),
+      col(id) === col("__allowed_id"), "left_semi")
+    excludeIds.fold(kept) { ex =>
+      kept.join(broadcast(
+          ex.select(col(ex.columns.head).as(id)).distinct()),
+        Seq(id), "left_anti")
+    }
+  }
+
+  /** Per-cell SERVABLE candidate counts under the request's predicate
+    * and takedown list — the exact floor statistic the auto-probe
+    * choice ranks cell prefixes against. Scans only the store's
+    * (id, cell) columns; a deployment maintaining per-cell metadata
+    * counts as store stats serves it without any scan. */
+  private def filteredCellCounts(
+      spark: SparkSession, indexDir: String, idCol: String,
+      beforeBatch: Long, allowed: DataFrame,
+      excludeIds: Option[DataFrame]): DataFrame =
+    servedRows(latestPerId(
+        readCells(spark, indexDir, beforeBatch)
+          .select(col(idCol), col("cell").cast("long").as("cell"),
+            col("batch")),
+        idCol, Seq("cell")), idCol, allowed, excludeIds)
+      .groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+
   /** One row per stored id for a probe's candidate scan. The store's
     * id contract is global uniqueness across batches, but appends are
     * blind (they read nothing — that is the replay-safety design), so
@@ -1042,28 +1198,14 @@ object VectorIndexStream {
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val allowed = allowedIds
       .select(col(allowedIds.columns.head).as("__allowed_id")).distinct()
-    def served(rows: DataFrame, id: String): DataFrame = {
-      val kept = rows.join(broadcast(allowed),
-        col(id) === col("__allowed_id"), "left_semi")
-      excludeIds.fold(kept) { ex =>
-        kept.join(broadcast(
-            ex.select(col(ex.columns.head).as(id)).distinct()),
-          Seq(id), "left_anti")
-      }
-    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val qc =
-      if (minCandidates > 0L) {
-        val cellCounts = served(latestPerId(
-            readCells(spark, indexDir, beforeBatch)
-              .select(col(idCol), col("cell").cast("long").as("cell"),
-                col("batch")),
-            idCol, Seq("cell")), idCol)
-          .groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
-        Similarity.autoProbeSets(cent, cellCounts, queries, idCol, vecCol,
-            minCandidates)
+      if (minCandidates > 0L)
+        Similarity.autoProbeSets(cent,
+            filteredCellCounts(spark, indexDir, idCol, beforeBatch,
+              allowed, excludeIds),
+            queries, idCol, vecCol, minCandidates)
           .select(col("query_id"), col("q_vec"), col("cell"))
-      }
       else if (nProbe <= 1) Similarity.assignWith(cent, q, "query_id", "q_vec")
       else Similarity.probeCells(cent, q, "query_id", "q_vec", nProbe)
     val probedCells = qc.select(col("cell")).distinct()
@@ -1071,12 +1213,13 @@ object VectorIndexStream {
     val cellFilter =
       if (probedCells.isEmpty) lit(false)
       else expr(s"cell IN (${probedCells.mkString(",")})")
-    val cc = served(latestPerId(
+    val cc = servedRows(latestPerId(
         readCells(spark, indexDir, beforeBatch, cellFilter)
           .select(col(idCol).as("neighbor_id"),
             col("cell").cast("long").as("cell"),
             col(vecCol).as("c_vec"), col("batch")),
-        "neighbor_id", Seq("cell", "c_vec")), "neighbor_id")
+        "neighbor_id", Seq("cell", "c_vec")), "neighbor_id",
+      allowed, excludeIds)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cc.join(broadcast(qc.select(col("query_id"), col("q_vec"), col("cell"))),

@@ -1244,4 +1244,87 @@ class VectorIndexStreamSpec extends SparkSpec {
       assert(parts.toSeq == Seq("batch=0", "batch=1"), parts.toSeq.toString)
     } finally q.stop()
   }
+
+  test("sq8/pqFilteredTopKFromIndex: allowed=all == unfiltered serve, predicate " +
+      "and deletes respected, auto floor fills top-k, pruning retained") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val allIds = e.select(col("vec_id"))
+    val pred = col("label").isin(2, 4, 6)
+    val allowedIds = e.filter(pred).select(col("vec_id"))
+    val allowed = allowedIds.collect().map(_.getLong(0)).toSet
+    def top(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        .sortBy(t => (t._1, t._2))
+
+    val dir = java.nio.file.Files.createTempDirectory("vec_index_qfilt").toString
+    val sq8 = s"$dir/sq8"; val pq = s"$dir/pq"
+    VectorIndexStream.seedSq8Index(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", sq8, nLists = 8)
+    VectorIndexStream.appendSq8Batch(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", sq8, 0L)
+    VectorIndexStream.seedPqIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", pq,
+      nLists = 8, m = 8, dim = 64, kCent = 16)
+    VectorIndexStream.appendPqBatch(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", pq, 0L)
+
+    // allowed = every id, no excludes -> EXACTLY the unfiltered serve
+    // (the admission pipeline must be a pure restriction, never a
+    // re-ranking), at both nProbe depths
+    for (np <- Seq(1, 2)) {
+      assert(top(VectorIndexStream.sq8FilteredTopKFromIndex(
+        spark, sq8, q, "vec_id", "embedding", allIds, k = 3, nProbe = np)) ==
+        top(VectorIndexStream.sq8TopKFromIndex(
+          spark, sq8, q, "vec_id", "embedding", k = 3, nProbe = np)))
+      assert(top(VectorIndexStream.pqFilteredTopKFromIndex(
+        spark, pq, q, "vec_id", "embedding", allIds, k = 3, nProbe = np)) ==
+        top(VectorIndexStream.pqTopKFromIndex(
+          spark, pq, q, "vec_id", "embedding", k = 3, nProbe = np)))
+    }
+
+    // predicate respected + the probe keeps its static cell pruning
+    val servedSq8 = VectorIndexStream.sq8FilteredTopKFromIndex(
+      spark, sq8, q, "vec_id", "embedding", allowedIds, k = 3, nProbe = 2)
+    assert(servedSq8.collect().forall(r => allowed(r.getLong(2))))
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]* IN \\(".r
+      .findFirstIn(servedSq8.queryExecution.executedPlan.toString).isDefined)
+    val servedPq = VectorIndexStream.pqFilteredTopKFromIndex(
+      spark, pq, q, "vec_id", "embedding", allowedIds, k = 3, nProbe = 2)
+    assert(servedPq.collect().forall(r => allowed(r.getLong(2))))
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]* IN \\(".r
+      .findFirstIn(servedPq.queryExecution.executedPlan.toString).isDefined)
+
+    // delete composition: a tombstoned id vanishes from the ranking and
+    // the next-best servable code fills the slot (never a short top-k)
+    val victim = servedSq8.collect().map(_.getLong(2)).head
+    val spark2 = spark
+    import spark2.implicits._
+    VectorIndexStream.deleteBatch(spark, sq8,
+      Seq(victim).toDF("vec_id"), "vec_id", batchId = 1L)
+    val afterDel = VectorIndexStream.sq8FilteredTopKFromIndex(
+      spark, sq8, q, "vec_id", "embedding", allowedIds, k = 3, nProbe = 2,
+      excludeIds = Some(VectorIndexStream.deadIds(spark, sq8, "vec_id")))
+    val rows = afterDel.collect()
+    assert(rows.forall(_.getLong(2) != victim))
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 3))
+
+    // auto floor on the quantized stores: every query serves a full
+    // top-3 of allowed candidates under the sharp predicate
+    val sharpIds = e.filter(col("label") === 4).select(col("vec_id"))
+    val sharpAllowed = sharpIds.collect().map(_.getLong(0)).toSet
+    for (df <- Seq(
+        VectorIndexStream.sq8FilteredTopKFromIndex(
+          spark, sq8, q, "vec_id", "embedding", sharpIds, k = 3,
+          minCandidates = 20L,
+          excludeIds = Some(VectorIndexStream.deadIds(spark, sq8, "vec_id"))),
+        VectorIndexStream.pqFilteredTopKFromIndex(
+          spark, pq, q, "vec_id", "embedding", sharpIds, k = 3,
+          minCandidates = 20L))) {
+      val rs = df.collect()
+      assert(rs.forall(r => sharpAllowed(r.getLong(2))))
+      assert(rs.groupBy(_.getLong(0)).values.forall(_.length == 3))
+    }
+  }
 }
