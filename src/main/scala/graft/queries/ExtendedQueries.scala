@@ -1534,6 +1534,56 @@ object ExtendedQueries {
         FROM S ORDER BY event_type""")),
 
     GraftQuery(
+      "q274_regression_deletes",
+      "EXACT takedown from the regression store — the delete face " +
+        "MomentStore's algebra earns (the postings-stats argument " +
+        "applied to OLS state): moments are associative INTEGER sums " +
+        "of row-pure terms, so subtracting the deleted rows' moments " +
+        "under the same pinned epoch leaves the store bit-identical " +
+        "to never having admitted them. q158's build (seed + even-id " +
+        "merge + odd-id merge), then the event_id % 3 = 0 rows — " +
+        "spanning BOTH merges — are deleted with their before-images; " +
+        "the served slopes must equal q158's SQL over the kept slice, " +
+        "scoring text shared verbatim. The sketch stores " +
+        "(CountMin/HeavyHitters) REFUSE deletes by design: their " +
+        "lossy counters are not invertible, and an API that silently " +
+        "under-corrects is worse than none (spec-asserted).",
+      (spark, dir) => {
+        val store = QueryScratch.dir("graft_q274_moments")
+        val pth = new org.apache.hadoop.fs.Path(store)
+        val fs = pth.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(pth)) fs.delete(pth, true)
+        val e = Tables.table(spark, dir, "events")
+        graft.streaming.MomentStore.seed(spark, store, "2024-01-01 00:00:00")
+        graft.streaming.MomentStore.mergeBatch(
+          e.filter(col("event_id") % 2 === 0), "event_type", "ts", "value", store)
+        graft.streaming.MomentStore.mergeBatch(
+          e.filter(col("event_id") % 2 === 1), "event_type", "ts", "value", store)
+        graft.streaming.MomentStore.deleteBatch(
+          e.filter(col("event_id") % 3 === 0), "event_type", "ts", "value", store)
+        graft.streaming.MomentStore.slopes(spark, store)
+          .withColumnRenamed("grp", "event_type")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH E AS (SELECT event_type,
+                          (epoch_ms(ts) // 1000
+                           - epoch_ms(TIMESTAMP '2024-01-01 00:00:00') // 1000)
+                            // 3600 AS x,
+                          CAST(floor(value * 1000.0) AS BIGINT) AS y
+                   FROM events WHERE event_id % 3 <> 0),
+        S AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*y) AS sxy, sum(x*x) AS sxx
+              FROM E GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+               CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+               CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+               CAST(n*sxx - sx*sx AS BIGINT) AS slope_den,
+               CAST(CAST(n*sxy - sx*sy AS BIGINT) AS DOUBLE) /
+                 CAST(CAST(n*sxx - sx*sx AS BIGINT) AS DOUBLE) AS slope
+        FROM S ORDER BY event_type""")),
+
+    GraftQuery(
       "q159_bloom_pruned_join",
       "Bloom-pruned fact⋈dim join (ScaleJoins.bloomPrunedJoin) — the " +
         "explicit runtime-filter pattern: a Bloom filter built over " +

@@ -107,6 +107,25 @@ object CountMinStream {
     writeVersion(spark, storeDir, v, stored, eps, confidence, sketchSeed)
   }
 
+  /** Deletes are REFUSED — loudly, by design. A Count-Min sketch is
+    * not invertible: each counter is the sum of EVERY colliding
+    * term's count, so subtracting a deleted term's contribution would
+    * also subtract it from every term it collides with, silently
+    * breaking the sketch's one guarantee (estimate >= true count —
+    * under-estimates are exactly what CM promises never to produce).
+    * A delete API that silently under-corrects is worse than none.
+    * Takedowns over sketched corpora re-seed and re-merge the kept
+    * slice instead; stores whose state is exact integer algebra
+    * ([[MomentStore.deleteBatch]], [[PostingsStream]]) subtract for
+    * real. */
+  def deleteBatch(
+      batch: DataFrame, termCol: String, storeDir: String): Unit =
+    throw new UnsupportedOperationException(
+      s"CountMinStream at $storeDir cannot delete: Count-Min counters " +
+        "sum colliding terms, so subtraction under-corrects every " +
+        "collider and silently voids the estimate >= true-count " +
+        "guarantee. Re-seed and re-merge the kept corpus instead.")
+
   /** Streaming writer: one [[mergeBatch]] per micro-batch. The store
     * must be seeded first. Start with `.start()`. */
   def streamTo(

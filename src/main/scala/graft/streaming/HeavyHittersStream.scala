@@ -102,6 +102,26 @@ object HeavyHittersStream {
     writeVersion(spark, storeDir, v, merged.toMap, n + row.getLong(1), capacity)
   }
 
+  /** Deletes are REFUSED — loudly, by design. Misra-Gries is lossy in
+    * one direction: merges DECREMENT counters and evict tokens whose
+    * information is then gone, so the summary cannot know how much of
+    * a deleted token's true count it already discarded — subtraction
+    * would under-correct by an unknowable amount and silently break
+    * the completeness guarantee (every token above N/(capacity+1)
+    * survives in the summary). A delete API that silently
+    * under-corrects is worse than none. Re-seed and re-merge the kept
+    * corpus instead; exact-algebra stores
+    * ([[MomentStore.deleteBatch]], [[PostingsStream]]) subtract for
+    * real. */
+  def deleteBatch(
+      batch: DataFrame, termCol: String, storeDir: String): Unit =
+    throw new UnsupportedOperationException(
+      s"HeavyHittersStream at $storeDir cannot delete: Misra-Gries " +
+        "decrements already discarded the information subtraction " +
+        "would need, so a delete under-corrects by an unknowable " +
+        "amount and silently voids the completeness guarantee. " +
+        "Re-seed and re-merge the kept corpus instead.")
+
   /** Streaming writer: one [[mergeBatch]] per micro-batch. The store
     * must be seeded first. Start with `.start()`. */
   def streamTo(

@@ -75,14 +75,12 @@ object MomentStore {
     VersionedStore.retireOldVersions(spark, storeDir, v)
   }
 
-  /** Fold one micro-batch into the store: derive (x, y) under the
-    * pinned epoch (x = whole hours since epoch, loud on negative;
-    * y = integer value millis), reduce to batch moments, add to the
-    * stored moments, commit as the next version. */
-  def mergeBatch(batch: DataFrame, groupCol: String, tsCol: String,
-      valueCol: String, storeDir: String): Unit = {
-    val spark = batch.sparkSession
-    val (stored, epoch) = read(spark, storeDir)
+  /** The batch's moments under the pinned epoch: (x, y) derived
+    * row-pure (x = whole hours since epoch, loud on negative; y =
+    * integer value millis — both INTEGER, which is what makes merge
+    * AND delete exact), reduced to one group-cardinality frame. */
+  private def batchMoments(batch: DataFrame, groupCol: String,
+      tsCol: String, valueCol: String, epoch: String): DataFrame = {
     val xy = batch
       .select(col(groupCol).as("grp"),
         (unix_timestamp(col(tsCol)) -
@@ -94,18 +92,76 @@ object MomentStore {
             lit(s"MomentStore: row predates the pinned epoch $epoch")))
           .as("x"),
         col("y"))
-    val batchMoments = Regression.moments(xy, "grp", "x", "y")
-    val merged = stored.unionByName(batchMoments)
+    Regression.moments(xy, "grp", "x", "y")
+  }
+
+  private val MomentCols = Seq("n_rows", "sum_x", "sum_y", "sxy", "sxx")
+
+  private def foldInto(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(delta)
       .groupBy(col("grp"))
-      .agg(sum(col("n_rows")).as("n_rows"),
-        sum(col("sum_x")).as("sum_x"), sum(col("sum_y")).as("sum_y"),
-        sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"))
+      .agg(MomentCols.map(c => sum(col(c)).as(c)).head,
+        MomentCols.map(c => sum(col(c)).as(c)).tail: _*)
+
+  /** Fold one micro-batch into the store: derive (x, y) under the
+    * pinned epoch, reduce to batch moments, add to the stored
+    * moments, commit as the next version. */
+  def mergeBatch(batch: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, storeDir: String): Unit = {
+    val spark = batch.sparkSession
+    val (stored, epoch) = read(spark, storeDir)
+    val merged = foldInto(
+        stored, batchMoments(batch, groupCol, tsCol, valueCol, epoch))
       // materialize BEFORE the overwrite: the merged plan reads the
       // version being superseded, and lazy execution inside the write
       // job would race the retire step
       .localCheckpoint(true)
     val v = VersionedStore.committedVersions(spark, storeDir).max + 1
     writeVersion(spark, storeDir, v, merged, epoch)
+  }
+
+  /** EXACT takedown by moment subtraction — the delete face the
+    * store's algebra makes possible: moments are associative INTEGER
+    * sums of row-pure terms, so subtracting the deleted rows' moments
+    * (the same derivation [[mergeBatch]] added them under — pinned
+    * epoch, integer x and y) leaves the store bit-identical to never
+    * having admitted them, the postings-store argument
+    * ([[PostingsStream]]'s stats decrement) applied to regression
+    * state. Contrast the sketch stores, whose lossy counters are NOT
+    * invertible and refuse ([[CountMinStream.deleteBatch]],
+    * [[HeavyHittersStream.deleteBatch]]).
+    *
+    * `batch` must carry the BEFORE-IMAGES of admitted rows (the
+    * standard CDC delete payload): subtraction is only exact against
+    * what was merged. Two violations are structurally detectable and
+    * REFUSED loudly before anything commits — a group's count going
+    * negative, and a fully-deleted group leaving a nonzero moment
+    * remainder (deleted rows that were never admitted). A group whose
+    * rows are all deleted leaves the store (and [[slopes]]) entirely,
+    * indistinguishable from never admitted; earlier committed
+    * versions still serve it ([[slopesAsOf]] — the as-of fence the
+    * delete does not rewrite). */
+  def deleteBatch(batch: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, storeDir: String): Unit = {
+    val spark = batch.sparkSession
+    val (stored, epoch) = read(spark, storeDir)
+    val negated = batchMoments(batch, groupCol, tsCol, valueCol, epoch)
+      .select(col("grp") +: MomentCols.map(c => (-col(c)).as(c)): _*)
+    val remainder = foldInto(stored, negated).localCheckpoint(true)
+    val bad = remainder.filter(col("n_rows") < 0 ||
+        (col("n_rows") === 0 && MomentCols.tail
+          .map(col(_) =!= 0L).reduce(_ || _)))
+      .select(col("grp")).limit(5).collect().map(_.get(0))
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"MomentStore delete at $storeDir names rows never admitted " +
+          s"(groups ${bad.mkString(", ")}: count went negative or a " +
+          "fully-deleted group left a nonzero moment remainder) — " +
+          "deletes must carry before-images of merged rows; nothing " +
+          "was committed")
+    val kept = remainder.filter(col("n_rows") > 0)
+    val v = VersionedStore.committedVersions(spark, storeDir).max + 1
+    writeVersion(spark, storeDir, v, kept, epoch)
   }
 
   /** Serve the fitted slopes from the stored moments (q156's exact

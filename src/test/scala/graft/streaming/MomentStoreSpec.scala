@@ -162,4 +162,73 @@ class MomentStoreSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("exact delete == never admitted; impossible deletes refuse and commit " +
+      "nothing; sketch stores refuse deletes by design") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mom_del").toString
+    val store = s"$dir/store"
+    MomentStore.seed(spark, store, epoch)
+    val first = Seq(("a", ts(0), 0.0), ("a", ts(1), 2.0), ("a", ts(2), 4.0))
+    val second = Seq(("b", ts(1), 3.0), ("b", ts(2), 5.0), ("c", ts(4), 7.0))
+    MomentStore.mergeBatch(
+      first.toDF("grp", "ts", "v"), "grp", "ts", "v", store)
+    MomentStore.mergeBatch(
+      second.toDF("grp", "ts", "v"), "grp", "ts", "v", store)
+    // delete rows spanning both merges, including ALL of group c
+    MomentStore.deleteBatch(
+      Seq(("a", ts(2), 4.0), ("c", ts(4), 7.0)).toDF("grp", "ts", "v"),
+      "grp", "ts", "v", store)
+    val served = MomentStore.slopes(spark, store)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+
+    // bit-identical to a store that NEVER admitted the deleted rows
+    MomentStore.seed(spark, s"$dir/ref", epoch)
+    MomentStore.mergeBatch(
+      (first.take(2) ++ second.take(2)).toDF("grp", "ts", "v"),
+      "grp", "ts", "v", s"$dir/ref")
+    assert(served == MomentStore.slopes(spark, s"$dir/ref")
+      .orderBy("grp").collect().map(_.toSeq).toSeq)
+    // the fully-deleted group left the live serve, but the pinned
+    // pre-delete version still serves it (the as-of fence survives)
+    assert(!served.map(_.head).contains("c"))
+    assert(MomentStore.slopesAsOf(spark, store, 2L)
+      .collect().map(_.getString(0)).toSet == Set("a", "b", "c"))
+
+    // a delete naming rows never admitted refuses BEFORE committing:
+    // (1) unknown group -> count would go negative
+    val unknown = intercept[IllegalStateException] {
+      MomentStore.deleteBatch(
+        Seq(("zzz", ts(1), 1.0)).toDF("grp", "ts", "v"),
+        "grp", "ts", "v", store)
+    }
+    assert(unknown.getMessage.contains("never admitted"), unknown.getMessage)
+    // (2) double-delete of one admitted row -> zero count, nonzero
+    // moment remainder
+    val double = intercept[IllegalStateException] {
+      MomentStore.deleteBatch(
+        Seq(("b", ts(1), 3.0), ("b", ts(1), 3.0)).toDF("grp", "ts", "v"),
+        "grp", "ts", "v", store)
+    }
+    assert(double.getMessage.contains("never admitted"), double.getMessage)
+    // neither refusal committed anything
+    assert(MomentStore.slopes(spark, store)
+      .orderBy("grp").collect().map(_.toSeq).toSeq == served)
+
+    // the lossy sketch stores refuse deletes loudly, naming why
+    CountMinStream.seed(spark, s"$dir/cm", eps = 0.01, confidence = 0.9,
+      sketchSeed = 7)
+    val cm = intercept[UnsupportedOperationException] {
+      CountMinStream.deleteBatch(Seq("hot").toDF("term"), "term", s"$dir/cm")
+    }
+    assert(cm.getMessage.contains("cannot delete") &&
+      cm.getMessage.contains("under-corrects"), cm.getMessage)
+    HeavyHittersStream.seed(spark, s"$dir/hh", capacity = 4)
+    val hh = intercept[UnsupportedOperationException] {
+      HeavyHittersStream.deleteBatch(Seq("x").toDF("term"), "term", s"$dir/hh")
+    }
+    assert(hh.getMessage.contains("cannot delete") &&
+      hh.getMessage.contains("under-corrects"), hh.getMessage)
+  }
 }
