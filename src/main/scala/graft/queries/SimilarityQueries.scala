@@ -299,7 +299,12 @@ object SimilarityQueries {
 
     GraftQuery(
       "q24_embedding_near_dups",
-      "Cosine near-dup pairs (>= 0.45) over embeddings; brute-force ground truth.",
+      "Cosine near-dup pairs (>= 0.45) over embeddings; brute-force " +
+        "ground truth. Threshold margins audited: min |cos - 0.45| = " +
+        "1.1e-3 / 5.5e-4 / 1.06e-4 at sf0.001/0.01/0.1 — the 64-term " +
+        "double dot product's summation-order error is ~1e-12, so no " +
+        "ambient FP reordering can flip a pair (spec-pinned at " +
+        "sf0.001).",
       (spark, dir) => {
         val e = Tables.table(spark, dir, "embeddings")
         Dedup.embeddingNearDups(e, "vec_id", "embedding", threshold = 0.45)

@@ -82,6 +82,22 @@ private[graft] object BatchIndex {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Every history-mutating op runs under the store's single-writer
+    * [[MaintenanceLease]]: acquired-and-released here when the caller
+    * holds none, verified-only when a composite op (a purge spanning
+    * rewrite + tombstone drop, or two sub-stores) passes the holder it
+    * already acquired. */
+  private def withLease[T](spark: SparkSession, dir: String,
+      heldBy: Option[String])(body: => T): T =
+    heldBy match {
+      case Some(h) =>
+        MaintenanceLease.verifyHeld(spark, dir, h); body
+      case None =>
+        val l = MaintenanceLease.acquire(spark, dir,
+          s"maintenance-${java.util.UUID.randomUUID().toString.take(8)}")
+        try body finally MaintenanceLease.release(spark, l)
+    }
+
   private def batchOf(name: String): Option[Long] =
     if (name.startsWith("batch=")) name.drop("batch=".length).toLongOption
     else None
@@ -172,10 +188,11 @@ private[graft] object BatchIndex {
     * assumption as backfill. */
   def compact(
       spark: SparkSession, dir: String, dataSchema: StructType,
-      throughBatch: Long): Unit = {
+      throughBatch: Long, heldBy: Option[String] = None): Unit = {
     val root = new Path(dir)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return
+    withLease(spark, dir, heldBy) {
     val marker = new Path(root, Marker)
     if (fs.exists(marker)) finishCompact(fs, root, marker)
 
@@ -214,6 +231,7 @@ private[graft] object BatchIndex {
       deletes.map(d => s"D $d") ++ moves.map { case (t, d) => s"M $t $d" })
     finishCompact(fs, root, marker)
     pruneStamps(spark, dir)
+    }
   }
 
   /** Rewrite the ENTIRE store — seed files AND every batch partition,
@@ -244,11 +262,12 @@ private[graft] object BatchIndex {
     * fence that stops the tombstones re-killing them. */
   private[graft] def rewriteAll(
       spark: SparkSession, dir: String, dataSchema: StructType,
-      extraJournal: Seq[String] = Nil)(
+      extraJournal: Seq[String] = Nil, heldBy: Option[String] = None)(
       transform: DataFrame => DataFrame): Unit = {
     val root = new Path(dir)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return
+    withLease(spark, dir, heldBy) {
     val marker = new Path(root, Marker)
     if (fs.exists(marker)) finishCompact(fs, root, marker)
     val entries = fs.listStatus(root)
@@ -273,6 +292,7 @@ private[graft] object BatchIndex {
         moves.map { case (t, d) => s"M $t $d" } ++ extraJournal)
     finishCompact(fs, root, marker)
     pruneStamps(spark, dir)
+    }
   }
 
   /** Replay the journal: delete superseded entries, promote staged
@@ -417,10 +437,12 @@ private[graft] object BatchIndex {
     * so no journal is needed. */
   def expire(
       spark: SparkSession, dir: String,
-      keepFromBatch: Long, dropSeed: Boolean = false): Unit = {
+      keepFromBatch: Long, dropSeed: Boolean = false,
+      heldBy: Option[String] = None): Unit = {
     val root = new Path(dir)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return
+    withLease(spark, dir, heldBy) {
     val marker = new Path(root, Marker)
     if (fs.exists(marker)) throw new IllegalStateException(
       s"index dir $dir holds a compaction journal — complete the pending " +
@@ -432,6 +454,7 @@ private[graft] object BatchIndex {
       if (expired) fs.delete(e.getPath, true)
     }
     pruneStamps(spark, dir)
+    }
   }
 
   /** Where [[quarantineOrphans]] parks partitions the checkpoint never
@@ -494,9 +517,11 @@ private[graft] object BatchIndex {
     * nothing is deleted; a destination collision (re-quarantined id)
     * lands under a nonce suffix. */
   private[graft] def quarantineBatches(
-      spark: SparkSession, dir: String, ids: Set[Long]): Seq[Long] = {
+      spark: SparkSession, dir: String, ids: Set[Long],
+      heldBy: Option[String] = None): Seq[Long] = {
     val root = new Path(dir)
     val fs = fsOf(spark, root)
+    withLease(spark, dir, heldBy) {
     if (fs.exists(new Path(root, Marker))) throw new IllegalStateException(
       s"index dir $dir holds a compaction journal — complete the pending " +
         "compact() before quarantining partitions")
@@ -518,6 +543,7 @@ private[graft] object BatchIndex {
     }
     pruneStamps(spark, dir)
     moved
+    }
   }
 
   /** Quarantine every orphan [[verifyStore]] reports: partitions no

@@ -130,17 +130,25 @@ object IncrementalDedup {
       Tombstones.dropFence(spark, indexDir)
       return
     }
-    val fence = Tombstones.readFence(spark, indexDir).getOrElse(Long.MinValue)
-    val dead = Tombstones.maxBatchPerKey(spark, indexDir, seedSchema,
-      afterBatch = fence)
-    if (!dead.isEmpty) {
-      val through = Tombstones.maxTombstoneBatch(spark, indexDir, seedSchema).get
-      BatchIndex.rewriteAll(spark, indexDir, seedSchema,
-        extraJournal = Seq(Tombstones.fenceLine(through)))(all =>
-        Tombstones.maskLatest(all, dead, Seq("fp")))
-    }
-    Tombstones.drop(spark, indexDir)
-    Tombstones.dropFence(spark, indexDir)
+    // ONE lease spans the rewrite AND the tombstone drop: an appender
+    // or rival maintenance pass landing between them would race the
+    // exact window the fence protocol exists to survive
+    val lease = MaintenanceLease.acquire(spark, indexDir,
+      s"purge-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val fence = Tombstones.readFence(spark, indexDir).getOrElse(Long.MinValue)
+      val dead = Tombstones.maxBatchPerKey(spark, indexDir, seedSchema,
+        afterBatch = fence)
+      if (!dead.isEmpty) {
+        val through = Tombstones.maxTombstoneBatch(spark, indexDir, seedSchema).get
+        BatchIndex.rewriteAll(spark, indexDir, seedSchema,
+          extraJournal = Seq(Tombstones.fenceLine(through)),
+          heldBy = Some(lease.holder))(all =>
+          Tombstones.maskLatest(all, dead, Seq("fp")))
+      }
+      Tombstones.drop(spark, indexDir)
+      Tombstones.dropFence(spark, indexDir)
+    } finally MaintenanceLease.release(spark, lease)
   }
 
   /** Fold fingerprint partitions `<= throughBatch` into root-level
@@ -220,6 +228,11 @@ object IncrementalDedup {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // refuse while a maintenance lease is live: the batch fails
+        // before any work, the checkpoint stays uncommitted, and the
+        // batch replays intact once the lease clears
+        MaintenanceLease.refuseIfHeld(
+          batch.sparkSession, indexDir, s"append batch=$batchId")
         val fresh = dedupBatch(batch, indexDir, idCol, textCol, beforeBatch = batchId)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {

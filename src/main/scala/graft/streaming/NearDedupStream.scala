@@ -157,27 +157,39 @@ object NearDedupStream {
         .foreach(s => Tombstones.dropFence(spark, s"$indexDir/$s"))
       return
     }
-    val through = Tombstones.maxTombstoneBatch(spark, indexDir, idSchema)
-    through.foreach { t =>
-      // each rewrite resolves only the tombstone batches ABOVE that
-      // store's own fence and commits the new fence IN its journal
-      // ([[Tombstones.fenceLine]]) — so a re-run after a crash between
-      // the two rewrites skips the store already swapped instead of
-      // re-applying resolved tombstones to its re-dated rows
-      Seq(("docs", docsSchema), ("bands", bandsSchema)).foreach {
-        case (sub, schema) =>
-          val dead = Tombstones.maxBatchPerKey(spark, indexDir, idSchema,
-            afterBatch = Tombstones.readFence(spark, s"$indexDir/$sub")
-              .getOrElse(Long.MinValue))
-          if (!dead.isEmpty)
-            BatchIndex.rewriteAll(spark, s"$indexDir/$sub", schema,
-              extraJournal = Seq(Tombstones.fenceLine(t)))(all =>
-              Tombstones.maskLatest(all, dead, Seq("id")))
+    // ONE holder leases BOTH sub-stores for the whole sequence (two
+    // rewrites + the shared tombstone drop): an appender writes the
+    // docs/bands pair together, so freezing one store alone would
+    // still let a batch land half its rows under the other's swap
+    val holder = s"purge-${java.util.UUID.randomUUID().toString.take(8)}"
+    // the root lease additionally freezes the shared tombstone store
+    // (Tombstones.writeBatch refuses against it)
+    val leases = Seq(indexDir, s"$indexDir/docs", s"$indexDir/bands")
+      .map(d => MaintenanceLease.acquire(spark, d, holder))
+    try {
+      val through = Tombstones.maxTombstoneBatch(spark, indexDir, idSchema)
+      through.foreach { t =>
+        // each rewrite resolves only the tombstone batches ABOVE that
+        // store's own fence and commits the new fence IN its journal
+        // ([[Tombstones.fenceLine]]) — so a re-run after a crash between
+        // the two rewrites skips the store already swapped instead of
+        // re-applying resolved tombstones to its re-dated rows
+        Seq(("docs", docsSchema), ("bands", bandsSchema)).foreach {
+          case (sub, schema) =>
+            val dead = Tombstones.maxBatchPerKey(spark, indexDir, idSchema,
+              afterBatch = Tombstones.readFence(spark, s"$indexDir/$sub")
+                .getOrElse(Long.MinValue))
+            if (!dead.isEmpty)
+              BatchIndex.rewriteAll(spark, s"$indexDir/$sub", schema,
+                extraJournal = Seq(Tombstones.fenceLine(t)),
+                heldBy = Some(holder))(all =>
+                Tombstones.maskLatest(all, dead, Seq("id")))
+        }
       }
-    }
-    Tombstones.drop(spark, indexDir)
-    Seq("docs", "bands")
-      .foreach(s => Tombstones.dropFence(spark, s"$indexDir/$s"))
+      Tombstones.drop(spark, indexDir)
+      Seq("docs", "bands")
+        .foreach(s => Tombstones.dropFence(spark, s"$indexDir/$s"))
+    } finally leases.foreach(MaintenanceLease.release(spark, _))
   }
 
   /** Seed the durable index from an already-admitted corpus — the
@@ -461,6 +473,11 @@ object NearDedupStream {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // refuse while either sub-store is under a maintenance lease:
+        // the batch fails before any work, the checkpoint stays
+        // uncommitted, and it replays intact once the lease clears
+        Seq("docs", "bands").foreach(s => MaintenanceLease.refuseIfHeld(
+          batch.sparkSession, s"$indexDir/$s", s"append batch=$batchId"))
         val core = dedupBatchWithBands(
           batch, indexDir, idCol, textCol, batchId,
           p, q, shingleN, nHashes, rowsPerBand, maxBucket)

@@ -74,10 +74,15 @@ object PostingsStream {
       .write.mode("overwrite").parquet(indexDir)
   }
 
-  /** Ingest one batch (also the numbered-batch backfill entry). */
+  /** Ingest one batch (also the numbered-batch backfill entry).
+    * Refuses while a maintenance lease is live — a partition landing
+    * during a stage-and-swap would be deleted by the journal's replay;
+    * the failed foreachBatch replays intact once the lease clears. */
   def appendBatch(
       docs: DataFrame, idCol: String, textCol: String, indexDir: String,
       batchId: Long): Unit = {
+    MaintenanceLease.refuseIfHeld(
+      docs.sparkSession, indexDir, s"append batch=$batchId")
     TextRetrieval.postings(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
     BatchIndex.stampBatch(docs.sparkSession, indexDir, batchId)
@@ -202,12 +207,18 @@ object PostingsStream {
     * between batches. */
   def purgeTombstones(spark: SparkSession, indexDir: String): Unit = {
     if (!Tombstones.exists(spark, indexDir)) return
-    val dead = liveTombstones(spark, indexDir)
-    if (!dead.isEmpty) {
-      BatchIndex.rewriteAll(spark, indexDir, postingsSchema)(all =>
-        all.join(broadcast(dead), Seq("doc_id"), "left_anti"))
-    }
-    Tombstones.drop(spark, indexDir)
+    // one lease spans the rewrite and the tombstone drop
+    val lease = MaintenanceLease.acquire(spark, indexDir,
+      s"purge-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val dead = liveTombstones(spark, indexDir)
+      if (!dead.isEmpty) {
+        BatchIndex.rewriteAll(spark, indexDir, postingsSchema,
+          heldBy = Some(lease.holder))(all =>
+          all.join(broadcast(dead), Seq("doc_id"), "left_anti"))
+      }
+      Tombstones.drop(spark, indexDir)
+    } finally MaintenanceLease.release(spark, lease)
   }
 
   /** fsck: classify the store's partitions against the writing

@@ -40,6 +40,11 @@ private[graft] object Tombstones {
       spark: SparkSession, storeDir: String, keys: DataFrame,
       batchId: Long): Unit = {
     require(batchId >= 0, s"batchId must be non-negative, got $batchId")
+    // a tombstone landing during a purge's stage-and-swap would be
+    // dropped with the store it arrived too late to mask — refuse and
+    // let the delete stream replay after the lease clears
+    MaintenanceLease.refuseIfHeld(
+      spark, storeDir, s"write tombstone batch=$batchId")
     keys.distinct().coalesce(1)
       .write.mode("overwrite").parquet(s"${dirOf(storeDir)}/batch=$batchId")
     BatchIndex.stampBatch(spark, dirOf(storeDir), batchId)

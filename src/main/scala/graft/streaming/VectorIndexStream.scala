@@ -93,6 +93,8 @@ object VectorIndexStream {
   private def writeCellsWith(
       cent: DataFrame, df: DataFrame, idCol: String, vecCol: String,
       indexDir: String, batchId: Long): Unit = {
+    MaintenanceLease.refuseIfHeld(
+      df.sparkSession, indexDir, s"append batch=$batchId")
     Similarity.assignWith(cent, df.select(col(idCol), col(vecCol)), idCol, vecCol)
       .select(col(idCol), col(vecCol), col("cell"))
       .repartition(col("cell"))
@@ -262,6 +264,9 @@ object VectorIndexStream {
           "compactIndex: folding re-dates rows to the seed's batch -1, " +
           "which would flip batch-ordered delete resolution for " +
           "re-appended ids")
+    val lease = MaintenanceLease.acquire(spark, indexDir,
+      s"compact-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
     recoverPendingCompaction(fs, root)
     val batchDirs = fs.listStatus(root).toSeq
       .filter(_.isDirectory)
@@ -309,6 +314,7 @@ object VectorIndexStream {
     renamed(fs, staging, new org.apache.hadoop.fs.Path(root, "batch=-1"))
     fs.delete(new org.apache.hadoop.fs.Path(root, Journal), false)
     BatchIndex.pruneStamps(spark, s"$indexDir/cells")
+    } finally MaintenanceLease.release(spark, lease)
   }
 
   /** `batch=N` partition-name parse that skips stray non-numeric
@@ -337,6 +343,8 @@ object VectorIndexStream {
       spark: SparkSession, indexDir: String, ids: DataFrame,
       idCol: String, batchId: Long): Unit = {
     require(batchId >= 0, s"batchId must be non-negative, got $batchId")
+    MaintenanceLease.refuseIfHeld(
+      spark, indexDir, s"write tombstone batch=$batchId")
     ids.select(col(idCol)).distinct().coalesce(1)
       .write.mode("overwrite")
       .parquet(s"$indexDir/tombstones/batch=$batchId")
@@ -490,6 +498,9 @@ object VectorIndexStream {
       spark: SparkSession, indexDir: String, idCol: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = MaintenanceLease.acquire(spark, indexDir,
+      s"purge-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
     recoverPendingCompaction(fs, root)
     val tsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
     val delOpt = tombstoneMaxBatch(spark, indexDir, idCol, None)
@@ -539,6 +550,7 @@ object VectorIndexStream {
     fs.delete(tsRoot, true)
     fs.delete(new org.apache.hadoop.fs.Path(root, Journal), false)
     BatchIndex.pruneStamps(spark, s"$indexDir/cells")
+    } finally MaintenanceLease.release(spark, lease)
   }
 
   /** Retention: drop batch partitions admitted before `keepFromBatch`
@@ -560,6 +572,9 @@ object VectorIndexStream {
       throw new IllegalStateException(
         s"$indexDir/cells holds a compaction journal — complete the " +
           "pending compactIndex before expiring history")
+    val lease = MaintenanceLease.acquire(spark, indexDir,
+      s"expire-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
     val parts = fs.listStatus(root).toSeq
       .flatMap(e =>
         if (e.isDirectory) batchIdOf(e.getPath.getName).map(e.getPath -> _)
@@ -575,6 +590,7 @@ object VectorIndexStream {
         "batch, or re-seed a fresh index dir instead")
     parts.foreach { case (p, b) => if (expired(b)) fs.delete(p, true) }
     BatchIndex.pruneStamps(spark, s"$indexDir/cells")
+    } finally MaintenanceLease.release(spark, lease)
   }
 
   /** Time-based [[expireIndex]]: drop batch partitions admitted before
@@ -661,6 +677,8 @@ object VectorIndexStream {
   private def appendSq8(
       art: Sq8Artifacts, df: DataFrame, idCol: String, vecCol: String,
       indexDir: String, batchId: Long): Unit = {
+    MaintenanceLease.refuseIfHeld(
+      df.sparkSession, indexDir, s"append batch=$batchId")
     Similarity.assignWith(art.cent,
         checkedWidth(df.select(col(idCol), col(vecCol)), vecCol,
           art.mns.length, indexDir),
@@ -780,6 +798,8 @@ object VectorIndexStream {
   private def appendPq(
       art: PqArtifacts, df: DataFrame, idCol: String, vecCol: String,
       indexDir: String, batchId: Long): Unit = {
+    MaintenanceLease.refuseIfHeld(
+      df.sparkSession, indexDir, s"append batch=$batchId")
     // one row per id BEFORE encoding: pqEncode's per-(id, subspace)
     // argmin would otherwise blend codes across duplicate-id rows into
     // a vector that corresponds to neither (the flat/SQ8 appends dedup

@@ -160,6 +160,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(11L, 13L))
   }
 
+  test("q24's 0.45 threshold margin clears FP-reorder noise by orders of magnitude") {
+    // the one pair-producing float threshold shared across the dedup
+    // family: no pair may sit close enough to 0.45 for summation-order
+    // noise to flip it between engines or between hot/cold windows.
+    // The worst-case double-summation error of a 64-term dot product
+    // of unit-scale values is ~64 * eps * 64 ~ 1e-12; audited min gaps
+    // are 1.1e-3 (sf0.001) / 5.5e-4 (sf0.01) / 1.06e-4 (sf0.1) —
+    // eight orders of magnitude of headroom at the tightest scale.
+    // This pins the sf0.001 figure; re-audit all three scales in
+    // DuckDB if the driver regenerates testdata.
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val minGap = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(abs(graft.functions.VectorFunctions.cosineSim(
+        col("a.embedding"), col("b.embedding")) - lit(0.45)).as("gap"))
+      .agg(min(col("gap"))).collect()(0).getDouble(0)
+    assert(minGap > 1e-4, s"threshold margin collapsed to $minGap")
+  }
+
   test("embeddingNearDupsBucketed = brute force restricted to shared sign-buckets") {
     val e = graft.Tables.table(spark, sf001, "embeddings")
     val bucketed = Dedup.embeddingNearDupsBucketed(e, "vec_id", "embedding",
