@@ -124,6 +124,44 @@ object Bench {
         shuffleRecords.get(), shuffleBytes.get())
   }
 
+  /** One query's scaling sample: wall seconds at the small and big
+    * scale factors (a 10x data step). `exponent` is the empirical
+    * scaling power log10(big/small) — ~0 for overhead-bound queries,
+    * ~1 for linear work, ~2 for a quadratic blowup. The single-sf
+    * bench cannot see superlinearity (an O(n^2) regression at one SF
+    * hides inside ambient noise); the exponent CURVE can. */
+  private[graft] final case class ScaleStat(smallSec: Double, bigSec: Double) {
+    def ratio: Double = bigSec / smallSec
+    def exponent: Double = math.log10(ratio)
+    def json: String = {
+      def f(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      s"""{"small_sec":${f(smallSec)},"big_sec":${f(bigSec)},""" +
+        s""""ratio":${f(ratio)},"exponent":${f(exponent)}}"""
+    }
+  }
+
+  /** The scale-drift gate: flag queries whose scaling EXPONENT rose by
+    * more than `tol` vs the committed map — a ratio that more than
+    * doubled (tol 0.35 = 2.2x) at the same sf pair means the query's
+    * complexity curve moved, not the host (ambient swing is a
+    * multiplicative constant on BOTH sfs, which the exponent's
+    * difference-of-logs mostly cancels; sub-second small-sf noise is
+    * why the tolerance is wide). Falling exponents never flag —
+    * getting flatter is an improvement. Pure so the gate is unit-
+    * testable: a deliberately quadratic curve must trip it while
+    * q143's pinned superlinear exponent passes unchanged. */
+  private[graft] def scaleDrift(
+      committed: Map[String, Double], now: Map[String, ScaleStat],
+      tol: Double = 0.35): Seq[String] =
+    now.toSeq.sortBy(_._1).flatMap { case (name, s) =>
+      committed.get(name).collect {
+        case old if s.exponent - old > tol =>
+          f"$name: scaling exponent $old%.2f->${s.exponent}%.2f " +
+            f"(x10 data ratio ${s.ratio}%.1f)"
+      }
+    }
+
   private[graft] def planStats(
       qe: org.apache.spark.sql.execution.QueryExecution): PlanStats = {
     import org.apache.spark.sql.execution._
@@ -164,7 +202,8 @@ object Bench {
 
     val planByQuery = scala.collection.mutable.Map.empty[String, PlanStats]
     val jobsByQuery = scala.collection.mutable.Map.empty[String, JobStats]
-    def timeOnce(q: graft.queries.GraftQuery, collectPlan: Boolean): Sample = {
+    def timeOnce(q: graft.queries.GraftQuery, collectPlan: Boolean,
+        dir: String = sfDir): Sample = {
       // job-totals listener brackets the WHOLE query (construction side
       // jobs included); the bus is drained before registration so the
       // previous query's async events can't land in this window, and
@@ -180,7 +219,7 @@ object Bench {
       val startMs = System.currentTimeMillis()
       val t0 = System.nanoTime()
       try {
-        val qe = q.run(spark, sfDir).queryExecution
+        val qe = q.run(spark, dir).queryExecution
         qe.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
         // plan-walk AFTER stopping the clock — driver-side tree walk,
@@ -231,6 +270,68 @@ object Bench {
       // regression against a 3-sample round
       q.name -> (if (ok.nonEmpty) ok((ok.size - 1) / 2) else -1.0)
     }
+
+    // SCALE-CURVE PROBE: re-run the 20 heaviest queries (by this run's
+    // minima) at the sibling SMALL sf and record each one's empirical
+    // scaling exponent beside the plan/job maps. The single-sf bench is
+    // blind to superlinearity — an O(n^2) regression at one sf hides
+    // inside the host's ambient swing, but it CANNOT hide from the
+    // curve: quadratic work moves the 10x-data ratio from ~5 to ~100.
+    // Two interleaved small-sf passes, min taken (same noise posture as
+    // the main passes, cheaper because the small sf is). Full-registry
+    // runs only — smokes stay fast and never write the committed map.
+    val smallDir = sys.env.get("SPARK_GRAFT_SF_SMALL_DIR")
+      .orElse(Option(sfDir.replace("sf0.1", "sf0.01")).filter(_ != sfDir))
+      .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+    val resultMap = results.toMap
+    val scaleStats: Map[String, ScaleStat] =
+      if (registry.size != SparkEntry.registry.size) Map.empty
+      else smallDir match {
+        case None =>
+          System.err.println(
+            "[bench] scale probe skipped: no small-sf sibling directory")
+          Map.empty
+        case Some(sd) =>
+          val heavy = results.filter(_._2 > 0).sortBy(-_._2).take(20)
+            .map(_._1).toSet
+          val hq = registry.filter(q => heavy(q.name))
+          val smallPasses: Seq[Map[String, Sample]] = (1 to 2).map(_ =>
+            hq.map(q =>
+              q.name -> timeOnce(q, collectPlan = false, dir = sd)).toMap)
+          hq.flatMap { q =>
+            val ok = smallPasses.map(_(q.name)).filter(_.ok).map(_.sec)
+            if (ok.isEmpty || ok.min <= 0) None
+            else Some(q.name -> ScaleStat(ok.min, resultMap(q.name)))
+          }.toMap
+      }
+    val scaleDriftMsgs: Seq[String] =
+      if (scaleStats.isEmpty) Nil
+      else {
+        val prev = java.nio.file.Paths.get("BENCH_LOCAL.json")
+        if (!java.nio.file.Files.exists(prev)) Nil
+        else try {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(prev.toFile)
+          if (root.path("sf").asText() != sfDir || !root.has("scale")) Nil
+          else {
+            val old = root.path("scale")
+            val committed = scaleStats.keys.filter(old.has).map(n =>
+              n -> old.path(n).path("exponent").asDouble(Double.NaN))
+              .filterNot(_._2.isNaN).toMap
+            scaleDrift(committed, scaleStats)
+          }
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[bench] scale-drift compare skipped: ${e.getMessage}")
+          Nil
+        }
+      }
+    scaleDriftMsgs.foreach(d => System.err.println(s"[bench] SCALE DRIFT $d"))
+    val scaleMap = scaleStats.toSeq.sortBy(_._1)
+      .map { case (n, s) => "\"" + n + "\":" + s.json }
+      .mkString("{", ",", "}")
+    val scaleDriftJson =
+      scaleDriftMsgs.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     def fmt3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // "q13_customers_without_orders" -> "q13"; names are qNN_-prefixed so
@@ -324,6 +425,7 @@ object Bench {
         s""""median_total":$medTotal,"medians":$medMap,""" +
         s""""npass":$nPass,"plan":$planMap,"job":$jobMap,""" +
         s""""plan_drift":${planDrift.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""scale":$scaleMap,"scale_drift":$scaleDriftJson,""" +
         s""""passes":$passes,"starts":$starts}""" + "\n")
     System.err.println(s"""{"diag":"bench_diag_file","path":"$diagPath"}""")
     System.err.flush()
@@ -360,13 +462,14 @@ object Bench {
           s""""total":$total,"median_total":$medTotal,""" +
           s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""plan_drift":${planDrift.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""scale_drift":$scaleDriftJson,""" +
           s""""queries":$qsFull,"medians":$medMap,"plan":$planMap,""" +
-          s""""job":$jobMap}""" + "\n")
+          s""""job":$jobMap,"scale":$scaleMap}""" + "\n")
     }
     // plan_drift rides the contract line as a COUNT (fixed-size): a
     // nonzero value tells the round reader to open BENCH_LOCAL.json's
     // plan_drift list before trusting any wall-time comparison
-    println(s"""{"metric":"total","unit":"sec","npass":$nPass,"stat":"min","sf":"$sfDir","queries":$qs,"median_total":${fmt3(medTotal)},"plan_drift":${planDrift.size},"failed":$failedJson,"value":${fmt3(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","npass":$nPass,"stat":"min","sf":"$sfDir","queries":$qs,"median_total":${fmt3(medTotal)},"plan_drift":${planDrift.size},"scale_drift":${scaleDriftMsgs.size},"failed":$failedJson,"value":${fmt3(total)}}""")
     System.out.flush()
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -59,4 +59,33 @@ class PlanStatsSpec extends SparkSpec {
     // both the outer scan and the subquery's scan must be visible
     assert(s.scanRows >= 2L * o.count(), s)
   }
+
+  test("scale-drift gate: a deliberately quadratic curve trips it; q143's " +
+      "pinned superlinear exponent and ambient noise pass") {
+    // committed exponents: q143's documented superlinear shuffle
+    // (degree-ordered wedge fan-out, ~1.3 across a 10x data step) and
+    // two ordinary queries
+    val committed = Map(
+      "q143_triangles" -> 1.30,
+      "q1_agg" -> 0.70,
+      "q24_near_dups" -> 1.80)
+    // a query that WAS linear-ish and turned quadratic: the 10x ratio
+    // jumps from ~5 to ~100 (exponent 0.7 -> 2.0) — must flag
+    val quad = Map("q1_agg" -> Bench.ScaleStat(0.10, 10.0))
+    val flagged = Bench.scaleDrift(committed, quad)
+    assert(flagged.size == 1 && flagged.head.startsWith("q1_agg"),
+      flagged.toString)
+    // q143 re-measured at its pinned curve (+ambient wobble under the
+    // 0.35 tolerance) passes; so does a query that got FLATTER; so
+    // does a query with no committed exponent (first appearance)
+    val ok = Map(
+      "q143_triangles" -> Bench.ScaleStat(0.31, 9.3), // exponent ~1.48
+      "q24_near_dups" -> Bench.ScaleStat(0.50, 5.0),  // flatter: 1.0
+      "q_brand_new" -> Bench.ScaleStat(0.01, 10.0))   // no baseline
+    assert(Bench.scaleDrift(committed, ok).isEmpty,
+      Bench.scaleDrift(committed, ok).toString)
+    // exactly at the committed exponent: never flags (strict increase)
+    assert(Bench.scaleDrift(
+      Map("q" -> 1.0), Map("q" -> Bench.ScaleStat(0.1, 1.0))).isEmpty)
+  }
 }
