@@ -1584,6 +1584,59 @@ object ExtendedQueries {
         FROM S ORDER BY event_type""")),
 
     GraftQuery(
+      "q275_maintenance_plan",
+      "WHEN to run store maintenance — the measure half of the " +
+        "lease-guarded maintenance story (StoreMaintenance.plan): a " +
+        "postings store with four streamed batches and a takedown set " +
+        "is gauged (directory pressure, tombstone liability — driver " +
+        "listings plus one key count, never a data scan) and planned " +
+        "under four cap configs. The decision honors the ops' own " +
+        "ordering contracts: dir pressure on a TERMINAL-tombstone " +
+        "store compacts (fold-invariant), the same pressure on a " +
+        "BATCH-ORDERED store resolves to purge (compaction refuses " +
+        "while tombstones exist), liability over cap purges, healthy " +
+        "does nothing. Pure integer decision — hash-exact.",
+      (spark, dir) => {
+        import graft.streaming.{PostingsStream, StoreMaintenance}
+        val d = Tables.table(spark, dir, "documents")
+        val idx = QueryScratch.dir("graft_q275_postings")
+        val pth = new org.apache.hadoop.fs.Path(idx)
+        val fs = pth.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(pth)) fs.delete(pth, true)
+        (0 to 3).foreach(b => PostingsStream.appendBatch(
+          d.filter(col("doc_id") % 4 === b), "doc_id", "text", idx, b.toLong))
+        PostingsStream.deleteBatch(spark, idx,
+          d.filter(col("doc_id") % 10 === 3).select(col("doc_id")),
+          "doc_id", batchId = 4L)
+        val keySchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType)))
+        def p(config: String, dirCap: Long, tombCap: Long,
+            foldSafe: Boolean) =
+          StoreMaintenance.planFrame(spark, config, StoreMaintenance.plan(
+            spark, idx, keySchema, dirCap, tombCap, foldSafe))
+        p("dir_pressure", 2L, Long.MaxValue, foldSafe = true)
+          .unionByName(p("tomb_liability", 100L, 0L, foldSafe = true))
+          .unionByName(p("ordered_store", 2L, Long.MaxValue, foldSafe = false))
+          .unionByName(p("healthy", 100L, Long.MaxValue, foldSafe = true))
+          .orderBy(col("config"))
+      },
+      Some("""
+        WITH T AS (SELECT count(DISTINCT doc_id) AS tk FROM documents
+                   WHERE doc_id % 10 = 3)
+        SELECT config, CAST(0 AS BIGINT) AS n_seed_files,
+               CAST(4 AS BIGINT) AS n_batch_dirs,
+               CAST(3 AS BIGINT) AS max_batch,
+               CAST(tk AS BIGINT) AS tombstone_keys, action,
+               CAST(through AS BIGINT) AS compact_through
+        FROM T, (VALUES ('dir_pressure', 'compact', 2),
+                        ('healthy', 'none', -1),
+                        ('ordered_store', 'purge', -1),
+                        ('tomb_liability', 'purge', -1))
+             AS acts(config, action, through)
+        ORDER BY config""")),
+
+    GraftQuery(
       "q159_bloom_pruned_join",
       "Bloom-pruned fact⋈dim join (ScaleJoins.bloomPrunedJoin) — the " +
         "explicit runtime-filter pattern: a Bloom filter built over " +

@@ -86,17 +86,32 @@ private[graft] object BatchIndex {
     * [[MaintenanceLease]]: acquired-and-released here when the caller
     * holds none, verified-only when a composite op (a purge spanning
     * rewrite + tombstone drop, or two sub-stores) passes the holder it
-    * already acquired. */
+    * already acquired. The body receives the holder name so it can
+    * RENEW at its commit point ([[renewOrAbort]]) — a staging phase
+    * that outran the TTL must abort loudly instead of swapping under
+    * a lease a rival already stole. */
   private def withLease[T](spark: SparkSession, dir: String,
-      heldBy: Option[String])(body: => T): T =
+      heldBy: Option[String])(body: String => T): T =
     heldBy match {
       case Some(h) =>
-        MaintenanceLease.verifyHeld(spark, dir, h); body
+        MaintenanceLease.verifyHeld(spark, dir, h); body(h)
       case None =>
         val l = MaintenanceLease.acquire(spark, dir,
           s"maintenance-${java.util.UUID.randomUUID().toString.take(8)}")
-        try body finally MaintenanceLease.release(spark, l)
+        try body(l.holder) finally MaintenanceLease.release(spark, l)
     }
+
+  /** Re-acquire (extend) `holder`'s lease just before a journal
+    * commit: the staging write is the unbounded phase (at 100 TB it
+    * can outrun any fixed TTL), and if the lease expired mid-staging a
+    * rival may already be rewriting — in which case this throws and
+    * the swap never happens, leaving only the rival's consistent
+    * rewrite instead of two interleaved ones. */
+  private def renewOrAbort(
+      spark: SparkSession, dir: String, holder: String): Unit = {
+    MaintenanceLease.acquire(spark, dir, holder)
+    ()
+  }
 
   private def batchOf(name: String): Option[Long] =
     if (name.startsWith("batch=")) name.drop("batch=".length).toLongOption
@@ -192,7 +207,7 @@ private[graft] object BatchIndex {
     val root = new Path(dir)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return
-    withLease(spark, dir, heldBy) {
+    withLease(spark, dir, heldBy) { holder =>
     val marker = new Path(root, Marker)
     if (fs.exists(marker)) finishCompact(fs, root, marker)
 
@@ -227,6 +242,7 @@ private[graft] object BatchIndex {
 
     // commit point: the journal names every mutation; spark part-file
     // and batch=N names never contain spaces, so a line format is safe
+    renewOrAbort(spark, dir, holder)
     commitJournal(fs, root,
       deletes.map(d => s"D $d") ++ moves.map { case (t, d) => s"M $t $d" })
     finishCompact(fs, root, marker)
@@ -267,7 +283,7 @@ private[graft] object BatchIndex {
     val root = new Path(dir)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return
-    withLease(spark, dir, heldBy) {
+    withLease(spark, dir, heldBy) { holder =>
     val marker = new Path(root, Marker)
     if (fs.exists(marker)) finishCompact(fs, root, marker)
     val entries = fs.listStatus(root)
@@ -287,6 +303,7 @@ private[graft] object BatchIndex {
       f.getPath.getName -> s"seed-$nonce-${f.getPath.getName}")
     val deletes = (seedFiles.map(_.getPath.getName) ++
       batchDirs.map(_.getPath.getName)).toSeq
+    renewOrAbort(spark, dir, holder)
     commitJournal(fs, root,
       deletes.map(d => s"D $d") ++
         moves.map { case (t, d) => s"M $t $d" } ++ extraJournal)
@@ -442,7 +459,7 @@ private[graft] object BatchIndex {
     val root = new Path(dir)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return
-    withLease(spark, dir, heldBy) {
+    withLease(spark, dir, heldBy) { _ =>
     val marker = new Path(root, Marker)
     if (fs.exists(marker)) throw new IllegalStateException(
       s"index dir $dir holds a compaction journal — complete the pending " +
@@ -521,7 +538,7 @@ private[graft] object BatchIndex {
       heldBy: Option[String] = None): Seq[Long] = {
     val root = new Path(dir)
     val fs = fsOf(spark, root)
-    withLease(spark, dir, heldBy) {
+    withLease(spark, dir, heldBy) { _ =>
     if (fs.exists(new Path(root, Marker))) throw new IllegalStateException(
       s"index dir $dir holds a compaction journal — complete the pending " +
         "compact() before quarantining partitions")

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** When to run maintenance — the MEASURE half of the store-maintenance
+  * story ([[MaintenanceLease]] is the safety half, the journaled ops
+  * the apply half). A 100 TB deployment does not run compaction on a
+  * timer: it watches two liabilities and acts when they cross caps —
+  *
+  *  - DIRECTORY PRESSURE: every micro-batch adds a `batch=N` dir, and
+  *    the per-batch listing cost is O(#dirs) — months of 5-minute
+  *    batches mean ~100k directories listed per batch (the small-file
+  *    scale-killer compaction exists to bound);
+  *  - TOMBSTONE LIABILITY: every serving read subtracts the tombstone
+  *    set (a broadcast side that grows with takedowns), and the
+  *    deleted bytes remain on disk until purged — both bounded only by
+  *    running [[IncrementalDedup.purgeTombstones]]-family ops.
+  *
+  * [[plan]] reads both gauges with driver-side listings plus one
+  * tombstone-key count (never a data scan) and emits the ONE action a
+  * maintenance scheduler should take, honoring the ordering contracts
+  * the ops themselves enforce: on a BATCH-ORDERED store
+  * (fingerprint/near-dedup/vector), compaction REFUSES while
+  * tombstones exist (folding re-dates rows below every delete batch),
+  * so directory pressure with any tombstones outstanding resolves to
+  * PURGE — which folds everything into the seed and clears both
+  * gauges at once. On a TERMINAL-tombstone store (postings),
+  * compaction is fold-invariant and may run with tombstones
+  * outstanding. The decision is a pure integer function of the two
+  * gauges — deterministic, oracle-checkable, no timing involved.
+  */
+object StoreMaintenance {
+
+  /** One store's gauges + the planned action.
+    *  - `action`: "none" | "compact" | "purge"
+    *  - `compactThrough`: the fold fence a "compact" action should
+    *    pass (newest batch always stays, the ops' own rule); -1 when
+    *    the action is not "compact". */
+  final case class MaintenancePlan(
+      seedFiles: Long, batchDirs: Long, maxBatch: Long,
+      tombstoneKeys: Long, action: String, compactThrough: Long)
+
+  private def listGauges(
+      spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) (0L, 0L, -1L)
+    else {
+      val entries = fs.listStatus(root)
+      val seeds = entries.count(e =>
+        e.isFile && e.getPath.getName.endsWith(".parquet")).toLong
+      val batches = entries.toSeq.flatMap(e =>
+        if (e.isDirectory && e.getPath.getName.startsWith("batch="))
+          e.getPath.getName.drop("batch=".length).toLongOption
+        else None).filter(_ >= 0)
+      (seeds, batches.size.toLong,
+        if (batches.isEmpty) -1L else batches.max)
+    }
+  }
+
+  private def decide(
+      batchDirs: Long, maxBatch: Long, tombstoneKeys: Long,
+      maxBatchDirs: Long, maxTombstoneKeys: Long,
+      compactSafeWithTombstones: Boolean): (String, Long) = {
+    val dirPressure =
+      batchDirs > maxBatchDirs && maxBatch > 0 // >=2 dirs: newest stays
+    if (tombstoneKeys > maxTombstoneKeys) ("purge", -1L)
+    else if (dirPressure && tombstoneKeys > 0 && !compactSafeWithTombstones)
+      // compaction would refuse (batch-ordered resolution); purge both
+      // clears the liability AND folds the directories
+      ("purge", -1L)
+    else if (dirPressure) ("compact", maxBatch - 1)
+    else ("none", -1L)
+  }
+
+  /** Plan for a [[BatchIndex]]-layout store (fingerprint, postings, or
+    * one near-dedup sub-store). `keySchema` is the tombstone key
+    * schema ([[Tombstones]] layout at `dir/_tombstones`);
+    * `compactSafeWithTombstones` = true only for TERMINAL-tombstone
+    * stores (postings). */
+  def plan(
+      spark: SparkSession, dir: String, keySchema: StructType,
+      maxBatchDirs: Long, maxTombstoneKeys: Long,
+      compactSafeWithTombstones: Boolean = false): MaintenancePlan = {
+    val (seeds, dirs, maxB) = listGauges(spark, dir)
+    val tombs =
+      if (!Tombstones.exists(spark, dir)) 0L
+      else Tombstones.liveKeys(spark, dir, keySchema).count()
+    val (action, through) = decide(dirs, maxB, tombs,
+      maxBatchDirs, maxTombstoneKeys, compactSafeWithTombstones)
+    MaintenancePlan(seeds, dirs, maxB, tombs, action, through)
+  }
+
+  /** Plan for a [[VectorIndexStream]] store: cell batch dirs under
+    * `indexDir/cells`, tombstones under `indexDir/tombstones` (the
+    * vector store's own layout — batch-ordered, so compaction with
+    * tombstones outstanding resolves to purge). The tombstone gauge is
+    * the TERMINAL key count (what purge must resolve), not the
+    * resolved [[VectorIndexStream.deadIds]] — liability is measured
+    * against the stored batches, not the serve-time subtraction. */
+  def planVector(
+      spark: SparkSession, indexDir: String, idCol: String,
+      maxBatchDirs: Long, maxTombstoneKeys: Long): MaintenancePlan = {
+    val (seeds, dirs, maxB) = listGauges(spark, s"$indexDir/cells")
+    val tombs = VectorIndexStream.liveTombstones(spark, indexDir, idCol)
+      .count()
+    val (action, through) = decide(dirs, maxB, tombs,
+      maxBatchDirs, maxTombstoneKeys, compactSafeWithTombstones = false)
+    MaintenancePlan(seeds, dirs, maxB, tombs, action, through)
+  }
+
+  /** The plan as a one-row frame (query-surface convenience). */
+  def planFrame(spark: SparkSession, config: String,
+      p: MaintenancePlan): DataFrame = {
+    import spark.implicits._
+    Seq((config, p.seedFiles, p.batchDirs, p.maxBatch, p.tombstoneKeys,
+      p.action, p.compactThrough))
+      .toDF("config", "n_seed_files", "n_batch_dirs", "max_batch",
+        "tombstone_keys", "action", "compact_through")
+  }
+}
