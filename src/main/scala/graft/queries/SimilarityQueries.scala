@@ -2479,6 +2479,87 @@ object SimilarityQueries {
                        ORDER BY dist, neighbor_id) AS rank
               FROM ADC)
         SELECT query_id, rank, neighbor_id, dist FROM R
-        WHERE rank <= 3 ORDER BY query_id, rank"""))
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q276_quantizer_drift",
+      "Quantizer-drift gauge for the PINNED-artifact stores " +
+        "(occupancyDriftReport): centroids are trained once at seed " +
+        "time, so distribution drift concentrates new batches into " +
+        "fewer cells — probe cost and in-cell variance rise with no " +
+        "per-query symptom until recall is gone. The store seeds from " +
+        "the even half, batch 0 appends the odd half in-distribution, " +
+        "batch 1 appends a DRIFTED copy (coordinates folded positive " +
+        "via abs — one orthant, cells collapse). The report reads " +
+        "only (cell, batch), shares in exact integer millis: batch 0 " +
+        "stays near the seed's max share, batch 1 exceeds 2x and " +
+        "flags reseed_recommended. Assignment rank-gap margins " +
+        ">= 3.6e-6 at every SF (vs ~1e-12 summation error); the " +
+        "decision itself is pure integers — hash-exact.",
+      (spark, dir) => {
+        import graft.streaming.VectorIndexStream
+        val e = Tables.table(spark, dir, "embeddings")
+        val idx = QueryScratch.dir("graft_q276_index")
+        val pth = new org.apache.hadoop.fs.Path(idx)
+        val fs = pth.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(pth)) fs.delete(pth, true)
+        val odds = e.filter(col("vec_id") % 2 === 1)
+        VectorIndexStream.seedIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8)
+        VectorIndexStream.appendBatch(odds, "vec_id", "embedding", idx, 0L)
+        VectorIndexStream.appendBatch(
+          odds.withColumn("embedding",
+            transform(col("embedding"), x => abs(x))),
+          "vec_id", "embedding", idx, 1L)
+        VectorIndexStream.occupancyDriftReport(spark, idx)
+          .orderBy(col("batch"), col("cell"))
+      },
+      Some("""
+        WITH CENT AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        POP AS (
+          SELECT -1 AS batch, vec_id, embedding AS v
+          FROM embeddings WHERE vec_id % 2 = 0
+          UNION ALL
+          SELECT 0, vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+          UNION ALL
+          SELECT 1, vec_id, [abs(x) for x in embedding]
+          FROM embeddings WHERE vec_id % 2 = 1),
+        D AS (
+          SELECT p.batch, p.vec_id, c.cent_id,
+                 SUM(POW(CAST(p.v[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM POP p, CENT c, range(1, 65) i(i)
+          GROUP BY 1, 2, 3),
+        CELL AS (
+          SELECT batch, vec_id, cent_id AS cell FROM D
+          QUALIFY row_number() OVER (PARTITION BY batch, vec_id
+            ORDER BY l2, cent_id) = 1),
+        OCC AS (SELECT batch, cell, count(*) AS n_vectors
+                FROM CELL GROUP BY 1, 2),
+        SH AS (
+          SELECT batch, cell, n_vectors,
+                 (n_vectors * 1000) // SUM(n_vectors)
+                   OVER (PARTITION BY batch) AS cell_share_millis
+          FROM OCC),
+        MX AS (
+          SELECT batch, cell, n_vectors, cell_share_millis,
+                 max(cell_share_millis)
+                   OVER (PARTITION BY batch) AS batch_max_share_millis
+          FROM SH),
+        SEED AS (SELECT max(cell_share_millis) AS seed_max_share_millis
+                 FROM SH WHERE batch = -1)
+        SELECT CAST(m.batch AS BIGINT) AS batch,
+               CAST(m.cell AS BIGINT) AS cell,
+               CAST(m.n_vectors AS BIGINT) AS n_vectors,
+               CAST(m.cell_share_millis AS BIGINT) AS cell_share_millis,
+               CAST(m.batch_max_share_millis AS BIGINT) AS batch_max_share_millis,
+               CAST(s.seed_max_share_millis AS BIGINT) AS seed_max_share_millis,
+               (m.batch <> -1 AND m.batch_max_share_millis * 1000
+                  > s.seed_max_share_millis * 2000) AS reseed_recommended
+        FROM MX m, SEED s
+        ORDER BY batch, cell"""))
   )
 }

@@ -1101,6 +1101,55 @@ object VectorIndexStream {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
 
+  /** Quantizer-drift report — the store-health gauge a PINNED
+    * quantizer needs at 100 TB: centroids (and SQ8 grids / PQ
+    * codebooks) are trained once at seed time, so as the embedding
+    * distribution drifts, new batches concentrate into fewer cells —
+    * probe candidate lists grow (cost), in-cell variance grows
+    * (recall), and neither shows up in any per-query signal until it
+    * is bad. This reads ONLY the store's (cell, batch) columns and
+    * reports, per (batch, cell): the vector count, the cell's share
+    * of its batch in exact integer millis (n*1000 div batch_total),
+    * the batch's max share, the SEED's max share (the pinned
+    * baseline), and `reseed_recommended` — true when the batch's max
+    * share exceeds the seed's by `driftFactorMillis`/1000 (default
+    * 2x). Integer arithmetic throughout: the decision is a
+    * deterministic function of the stored assignments, no float
+    * thresholds to flip. A flagged batch means the pinned quantizer
+    * no longer matches the data — re-seed (re-train centroids/grid/
+    * codebook on fresher data) and re-encode, the standard IVF
+    * re-train trade. Payload-agnostic (flat/SQ8/PQ cells all carry
+    * cell + batch). */
+  def occupancyDriftReport(
+      spark: SparkSession, indexDir: String,
+      driftFactorMillis: Long = 2000L,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val occ = readCells(spark, indexDir, beforeBatch)
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("batch"), lit(-1L)).as("batch"))
+      .groupBy(col("batch"), col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val w = Window.partitionBy(col("batch"))
+    val shares = occ
+      .withColumn("batch_total", sum(col("n_vectors")).over(w))
+      .withColumn("cell_share_millis",
+        expr("n_vectors * 1000 div batch_total"))
+      .withColumn("batch_max_share_millis",
+        max(col("cell_share_millis")).over(w))
+      .drop("batch_total")
+    val seedMax = shares.filter(col("batch") === -1L)
+      .agg(max(col("cell_share_millis")).as("seed_max_share_millis"))
+    shares.crossJoin(broadcast(seedMax))
+      .withColumn("reseed_recommended",
+        coalesce(col("batch") =!= -1L &&
+          col("batch_max_share_millis") * 1000L >
+            col("seed_max_share_millis") * driftFactorMillis,
+          lit(false)))
+      .select(col("batch"), col("cell"), col("n_vectors"),
+        col("cell_share_millis"), col("batch_max_share_millis"),
+        col("seed_max_share_millis"), col("reseed_recommended"))
+  }
+
   /** The serve-time admission pipeline every FILTERED probe shares,
     * applied AFTER latest-batch-wins resolution and BEFORE ranking:
     * keep only `allowed` ids (broadcast semi-join — the request's

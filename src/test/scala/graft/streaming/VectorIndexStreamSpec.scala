@@ -1327,4 +1327,41 @@ class VectorIndexStreamSpec extends SparkSpec {
       assert(rs.groupBy(_.getLong(0)).values.forall(_.length == 3))
     }
   }
+
+  test("occupancyDriftReport: in-distribution batches stay quiet, a drifted " +
+      "batch flags reseed, shares are exact integers") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val odds = e.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("vec_drift").toString
+    val idx = s"$dir/index"
+    VectorIndexStream.seedIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
+    VectorIndexStream.appendBatch(odds, "vec_id", "embedding", idx, 0L)
+    VectorIndexStream.appendBatch(
+      odds.withColumn("embedding", transform(col("embedding"), x => abs(x))),
+      "vec_id", "embedding", idx, 1L)
+
+    val rows = VectorIndexStream.occupancyDriftReport(spark, idx).collect()
+    val byBatch = rows.groupBy(_.getLong(0))
+    // the flag is per BATCH (constant across its cells)
+    def flag(b: Long): Boolean = {
+      val fs = byBatch(b).map(_.getBoolean(6)).distinct
+      assert(fs.length == 1); fs.head
+    }
+    assert(!flag(-1L) && !flag(0L) && flag(1L),
+      rows.map(r => (r.getLong(0), r.getLong(4), r.getBoolean(6))).toSeq.toString)
+    // shares are exact integer millis: each batch's shares sum close to
+    // 1000 (floor division loses at most #cells-1)
+    byBatch.foreach { case (_, rs) =>
+      val s = rs.map(_.getLong(3)).sum
+      assert(s > 1000 - rs.length && s <= 1000, s.toString)
+    }
+    // per-batch vector counts match what was appended
+    assert(byBatch(0L).map(_.getLong(2)).sum == odds.count())
+    assert(byBatch(1L).map(_.getLong(2)).sum == odds.count())
+    // a fence hides the drifted batch from the report entirely
+    val fenced = VectorIndexStream.occupancyDriftReport(spark, idx,
+      beforeBatch = 1L).collect()
+    assert(fenced.map(_.getLong(0)).toSet == Set(-1L, 0L))
+  }
 }
