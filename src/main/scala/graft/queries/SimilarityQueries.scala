@@ -2560,6 +2560,86 @@ object SimilarityQueries {
                (m.batch <> -1 AND m.batch_max_share_millis * 1000
                   > s.seed_max_share_millis * 2000) AS reseed_recommended
         FROM MX m, SEED s
-        ORDER BY batch, cell"""))
+        ORDER BY batch, cell""")),
+
+    GraftQuery(
+      "q277_sq8_range_drift",
+      "RANGE-drift gauge for the SQ8 store (sq8BoundaryReport) — " +
+        "q276's complement: occupancy catches direction drift, this " +
+        "catches magnitude drift. Values escaping the pinned " +
+        "per-dimension ranges clamp to code 0/255; correct for " +
+        "stragglers, silent recall loss when it becomes the norm. " +
+        "The grid pins on the even half, batch 0 appends the odd " +
+        "half in-range (boundary share stays at the seed's own " +
+        "min/max-row baseline), batch 1 appends the same vectors " +
+        "DOUBLED (x+x — exact in IEEE for both engines, no rounding " +
+        "divergence) and half the coordinates escape: boundary share " +
+        "jumps ~20-90x and regrid_recommended flags. Counts over " +
+        "stored codes, integer decision — hash-exact.",
+      (spark, dir) => {
+        import graft.streaming.VectorIndexStream
+        val e = Tables.table(spark, dir, "embeddings")
+        val idx = QueryScratch.dir("graft_q277_index")
+        val pth = new org.apache.hadoop.fs.Path(idx)
+        val fs = pth.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(pth)) fs.delete(pth, true)
+        val odds = e.filter(col("vec_id") % 2 === 1)
+        VectorIndexStream.seedSq8Index(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8)
+        VectorIndexStream.appendSq8Batch(odds, "vec_id", "embedding", idx, 0L)
+        VectorIndexStream.appendSq8Batch(
+          odds.withColumn("embedding",
+            transform(col("embedding"), x => x + x)),
+          "vec_id", "embedding", idx, 1L)
+        VectorIndexStream.sq8BoundaryReport(spark, idx)
+          .orderBy(col("batch"))
+      },
+      Some("""
+        WITH MM AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(embedding) AS x,
+                       unnest(range(1, len(embedding)+1)) AS i
+                FROM embeddings WHERE vec_id % 2 = 0)
+          GROUP BY i),
+        MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
+        POP AS (
+          SELECT -1 AS batch, vec_id, embedding AS v
+          FROM embeddings WHERE vec_id % 2 = 0
+          UNION ALL
+          SELECT 0, vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+          UNION ALL
+          SELECT 1, vec_id, [x + x for x in embedding]
+          FROM embeddings WHERE vec_id % 2 = 1),
+        QV AS (
+          SELECT batch, vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(v[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(v)+1)] AS qv
+          FROM POP, MML),
+        C AS (
+          SELECT batch, count(*) AS n_vectors, SUM(len(qv)) AS n_codes,
+                 SUM(len([x for x in qv if x = 0])) AS n_floor,
+                 SUM(len([x for x in qv if x = 255])) AS n_ceil
+          FROM QV GROUP BY 1),
+        SH AS (
+          SELECT batch, n_vectors, n_codes, n_floor, n_ceil,
+                 ((n_floor + n_ceil) * 1000) // n_codes AS boundary_share_millis
+          FROM C),
+        SEED AS (SELECT boundary_share_millis AS seed_share FROM SH
+                 WHERE batch = -1)
+        SELECT CAST(s.batch AS BIGINT) AS batch,
+               CAST(s.n_vectors AS BIGINT) AS n_vectors,
+               CAST(s.n_codes AS BIGINT) AS n_codes,
+               CAST(s.n_floor AS BIGINT) AS n_floor,
+               CAST(s.n_ceil AS BIGINT) AS n_ceil,
+               CAST(s.boundary_share_millis AS BIGINT) AS boundary_share_millis,
+               CAST(d.seed_share AS BIGINT) AS seed_boundary_share_millis,
+               (s.batch <> -1 AND s.boundary_share_millis * 1000
+                  > d.seed_share * 2000) AS regrid_recommended
+        FROM SH s, SEED d
+        ORDER BY batch"""))
   )
 }

@@ -69,6 +69,7 @@ object BitmapStore {
       batch: DataFrame, groupCol: String, bucketCol: String,
       storeDir: String): Unit = {
     val spark = batch.sparkSession
+    VersionedStore.withWriteLease(spark, storeDir) {
     val stored = read(spark, storeDir)
     val batchMasks = batch
       .select(col(groupCol).as("grp"),
@@ -88,7 +89,26 @@ object BitmapStore {
       .localCheckpoint(true)
     val v = VersionedStore.committedVersions(spark, storeDir).max + 1
     writeVersion(spark, storeDir, v, merged)
+    }
   }
+
+  /** Deletes are REFUSED — loudly, by design. A bitmap mask is an OR
+    * of every admitted row's bucket bit with no multiplicity: the
+    * store cannot know whether a deleted (group, bucket) row was the
+    * ONLY contributor to its bit, so clearing it would silently
+    * under-count every surviving row that shares the bucket — the
+    * same one-way information loss as the sketch stores
+    * ([[CountMinStream.deleteBatch]]). Re-seed and re-merge the kept
+    * rows instead; exact-algebra stores ([[MomentStore.deleteBatch]],
+    * [[PostingsStream]]) subtract for real. */
+  def deleteBatch(
+      batch: DataFrame, groupCol: String, bucketCol: String,
+      storeDir: String): Unit =
+    throw new UnsupportedOperationException(
+      s"BitmapStore at $storeDir cannot delete: a mask bit carries no " +
+        "multiplicity, so clearing it under-corrects every surviving " +
+        "row sharing the bucket. Re-seed and re-merge the kept rows " +
+        "instead.")
 
   /** Serve q190's output shape from the store: per-group rows plus the
     * '*' global rollup (one more OR over the tiny mask table), with

@@ -97,14 +97,16 @@ object CountMinStream {
   def mergeBatch(
       batch: DataFrame, termCol: String, storeDir: String): Unit = {
     val spark = batch.sparkSession
-    val (stored, eps, confidence, sketchSeed) = read(spark, storeDir)
-    val row = batch.agg(count_min_sketch(
-      col(termCol), lit(eps), lit(confidence), lit(sketchSeed)).as("sk"))
-      .collect()(0)
-    val batchSk = CountMinSketch.readFrom(row.getAs[Array[Byte]](0))
-    stored.mergeInPlace(batchSk)
-    val v = VersionedStore.committedVersions(spark, storeDir).max + 1
-    writeVersion(spark, storeDir, v, stored, eps, confidence, sketchSeed)
+    VersionedStore.withWriteLease(spark, storeDir) {
+      val (stored, eps, confidence, sketchSeed) = read(spark, storeDir)
+      val row = batch.agg(count_min_sketch(
+        col(termCol), lit(eps), lit(confidence), lit(sketchSeed)).as("sk"))
+        .collect()(0)
+      val batchSk = CountMinSketch.readFrom(row.getAs[Array[Byte]](0))
+      stored.mergeInPlace(batchSk)
+      val v = VersionedStore.committedVersions(spark, storeDir).max + 1
+      writeVersion(spark, storeDir, v, stored, eps, confidence, sketchSeed)
+    }
   }
 
   /** Deletes are REFUSED — loudly, by design. A Count-Min sketch is

@@ -90,16 +90,18 @@ object HeavyHittersStream {
   def mergeBatch(
       batch: DataFrame, termCol: String, storeDir: String): Unit = {
     val spark = batch.sparkSession
-    val (stored, n, capacity) = read(spark, storeDir)
-    val row = batch.agg(
-      MisraGriesAgg.misraGries(col(termCol), capacity).as("sk"),
-      count(col(termCol)).as("bn")).collect()(0)
-    val batchMap = row.getSeq[Row](0)
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val merged = MisraGriesAgg.mergeSummaries(
-      mutable.HashMap.from(stored), batchMap, capacity)
-    val v = committedVersions(spark, storeDir).max + 1
-    writeVersion(spark, storeDir, v, merged.toMap, n + row.getLong(1), capacity)
+    VersionedStore.withWriteLease(spark, storeDir) {
+      val (stored, n, capacity) = read(spark, storeDir)
+      val row = batch.agg(
+        MisraGriesAgg.misraGries(col(termCol), capacity).as("sk"),
+        count(col(termCol)).as("bn")).collect()(0)
+      val batchMap = row.getSeq[Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val merged = MisraGriesAgg.mergeSummaries(
+        mutable.HashMap.from(stored), batchMap, capacity)
+      val v = committedVersions(spark, storeDir).max + 1
+      writeVersion(spark, storeDir, v, merged.toMap, n + row.getLong(1), capacity)
+    }
   }
 
   /** Deletes are REFUSED — loudly, by design. Misra-Gries is lossy in

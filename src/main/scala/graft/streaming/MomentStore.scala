@@ -109,15 +109,17 @@ object MomentStore {
   def mergeBatch(batch: DataFrame, groupCol: String, tsCol: String,
       valueCol: String, storeDir: String): Unit = {
     val spark = batch.sparkSession
-    val (stored, epoch) = read(spark, storeDir)
-    val merged = foldInto(
-        stored, batchMoments(batch, groupCol, tsCol, valueCol, epoch))
-      // materialize BEFORE the overwrite: the merged plan reads the
-      // version being superseded, and lazy execution inside the write
-      // job would race the retire step
-      .localCheckpoint(true)
-    val v = VersionedStore.committedVersions(spark, storeDir).max + 1
-    writeVersion(spark, storeDir, v, merged, epoch)
+    VersionedStore.withWriteLease(spark, storeDir) {
+      val (stored, epoch) = read(spark, storeDir)
+      val merged = foldInto(
+          stored, batchMoments(batch, groupCol, tsCol, valueCol, epoch))
+        // materialize BEFORE the overwrite: the merged plan reads the
+        // version being superseded, and lazy execution inside the write
+        // job would race the retire step
+        .localCheckpoint(true)
+      val v = VersionedStore.committedVersions(spark, storeDir).max + 1
+      writeVersion(spark, storeDir, v, merged, epoch)
+    }
   }
 
   /** EXACT takedown by moment subtraction — the delete face the
@@ -144,24 +146,26 @@ object MomentStore {
   def deleteBatch(batch: DataFrame, groupCol: String, tsCol: String,
       valueCol: String, storeDir: String): Unit = {
     val spark = batch.sparkSession
-    val (stored, epoch) = read(spark, storeDir)
-    val negated = batchMoments(batch, groupCol, tsCol, valueCol, epoch)
-      .select(col("grp") +: MomentCols.map(c => (-col(c)).as(c)): _*)
-    val remainder = foldInto(stored, negated).localCheckpoint(true)
-    val bad = remainder.filter(col("n_rows") < 0 ||
-        (col("n_rows") === 0 && MomentCols.tail
-          .map(col(_) =!= 0L).reduce(_ || _)))
-      .select(col("grp")).limit(5).collect().map(_.get(0))
-    if (bad.nonEmpty)
-      throw new IllegalStateException(
-        s"MomentStore delete at $storeDir names rows never admitted " +
-          s"(groups ${bad.mkString(", ")}: count went negative or a " +
-          "fully-deleted group left a nonzero moment remainder) — " +
-          "deletes must carry before-images of merged rows; nothing " +
-          "was committed")
-    val kept = remainder.filter(col("n_rows") > 0)
-    val v = VersionedStore.committedVersions(spark, storeDir).max + 1
-    writeVersion(spark, storeDir, v, kept, epoch)
+    VersionedStore.withWriteLease(spark, storeDir) {
+      val (stored, epoch) = read(spark, storeDir)
+      val negated = batchMoments(batch, groupCol, tsCol, valueCol, epoch)
+        .select(col("grp") +: MomentCols.map(c => (-col(c)).as(c)): _*)
+      val remainder = foldInto(stored, negated).localCheckpoint(true)
+      val bad = remainder.filter(col("n_rows") < 0 ||
+          (col("n_rows") === 0 && MomentCols.tail
+            .map(col(_) =!= 0L).reduce(_ || _)))
+        .select(col("grp")).limit(5).collect().map(_.get(0))
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"MomentStore delete at $storeDir names rows never admitted " +
+            s"(groups ${bad.mkString(", ")}: count went negative or a " +
+            "fully-deleted group left a nonzero moment remainder) — " +
+            "deletes must carry before-images of merged rows; nothing " +
+            "was committed")
+      val kept = remainder.filter(col("n_rows") > 0)
+      val v = VersionedStore.committedVersions(spark, storeDir).max + 1
+      writeVersion(spark, storeDir, v, kept, epoch)
+    }
   }
 
   /** Serve the fitted slopes from the stored moments (q156's exact

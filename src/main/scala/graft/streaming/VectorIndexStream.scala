@@ -1150,6 +1150,49 @@ object VectorIndexStream {
         col("seed_max_share_millis"), col("reseed_recommended"))
   }
 
+  /** RANGE-drift gauge for the SQ8 store — [[occupancyDriftReport]]'s
+    * complement: occupancy catches DIRECTION drift (batches
+    * concentrating into fewer cells), this catches MAGNITUDE drift
+    * (values escaping the pinned per-dimension quantization ranges).
+    * An out-of-range coordinate clamps to code 0 or 255 — standard
+    * SQ8 saturation, correct for stragglers, silent recall loss when
+    * it becomes the norm (clamped dimensions stop discriminating).
+    * Reads ONLY the stored codes and reports per batch: vector/code
+    * counts, boundary-code counts (0s and 255s — the seed's own
+    * min/max rows legitimately sit there, which is exactly why the
+    * SEED share is the baseline), the share in exact integer millis,
+    * and `regrid_recommended` when a batch's boundary share exceeds
+    * the seed's by `driftFactorMillis`/1000 (default 2x). A flagged
+    * batch means the pinned grid no longer spans the data — re-seed
+    * (retrain ranges, re-encode), the same trade as the centroid
+    * gauge. Pure integer decision — hash-exact. */
+  def sq8BoundaryReport(
+      spark: SparkSession, indexDir: String,
+      driftFactorMillis: Long = 2000L,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val agg = readCells(spark, indexDir, beforeBatch)
+      .select(coalesce(col("batch"), lit(-1L)).as("batch"),
+        size(col("qv")).cast("long").as("w"),
+        size(filter(col("qv"), x => x === 0L)).cast("long").as("nf"),
+        size(filter(col("qv"), x => x === 255L)).cast("long").as("nc"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("w")).as("n_codes"),
+        sum(col("nf")).as("n_floor"), sum(col("nc")).as("n_ceil"))
+      .withColumn("boundary_share_millis",
+        expr("(n_floor + n_ceil) * 1000 div n_codes"))
+    val seed = agg.filter(col("batch") === -1L)
+      .select(col("boundary_share_millis").as("seed_boundary_share_millis"))
+    agg.crossJoin(broadcast(seed))
+      .withColumn("regrid_recommended",
+        coalesce(col("batch") =!= -1L &&
+          col("boundary_share_millis") * 1000L >
+            col("seed_boundary_share_millis") * driftFactorMillis,
+          lit(false)))
+      .select(col("batch"), col("n_vectors"), col("n_codes"),
+        col("n_floor"), col("n_ceil"), col("boundary_share_millis"),
+        col("seed_boundary_share_millis"), col("regrid_recommended"))
+  }
+
   /** The serve-time admission pipeline every FILTERED probe shares,
     * applied AFTER latest-batch-wins resolution and BEFORE ranking:
     * keep only `allowed` ids (broadcast semi-join — the request's

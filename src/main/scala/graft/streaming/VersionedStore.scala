@@ -54,6 +54,22 @@ private[streaming] object VersionedStore {
     s"$storeDir/v=$v"
   }
 
+  /** Run one version WRITE under the store's single-writer lease. The
+    * version-swap recipe is crash-safe but not concurrency-safe on its
+    * own: two writers racing both resolve `max+1` as their version
+    * number and the slower one silently overwrites the faster one's
+    * directory — an admitted batch vanishes with no error anywhere.
+    * One stream per store is the documented contract; this makes a
+    * violated contract REFUSE loudly ([[MaintenanceLease]], same
+    * steal-after-expiry liveness as the batch=N stores' maintenance)
+    * instead of losing data. Cost: two driver-side fs ops per
+    * micro-batch, noise against the parquet write. */
+  def withWriteLease[T](spark: SparkSession, storeDir: String)(body: => T): T = {
+    val l = MaintenanceLease.acquire(spark, storeDir,
+      s"writer-${java.util.UUID.randomUUID().toString.take(8)}")
+    try body finally MaintenanceLease.release(spark, l)
+  }
+
   /** After committing `v`: delete uncommitted debris immediately and
     * committed predecessors beyond the single grace generation. */
   def retireOldVersions(

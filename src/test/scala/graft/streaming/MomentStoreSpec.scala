@@ -230,5 +230,45 @@ class MomentStoreSpec extends SparkSpec {
     }
     assert(hh.getMessage.contains("cannot delete") &&
       hh.getMessage.contains("under-corrects"), hh.getMessage)
+    val bm = intercept[UnsupportedOperationException] {
+      BitmapStore.deleteBatch(
+        Seq(("g", 1L)).toDF("grp", "bucket"), "grp", "bucket", s"$dir/bm")
+    }
+    assert(bm.getMessage.contains("cannot delete") &&
+      bm.getMessage.contains("under-corrects"), bm.getMessage)
+  }
+
+  test("versioned-store writes hold the single-writer lease: a racing " +
+      "writer refuses instead of silently overwriting a version") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mom_writer").toString
+    val store = s"$dir/store"
+    MomentStore.seed(spark, store, epoch)
+    MomentStore.mergeBatch(
+      Seq(("g", ts(1), 2.0)).toDF("grp", "ts", "v"), "grp", "ts", "v", store)
+    val before = MomentStore.slopes(spark, store)
+      .collect().map(_.toSeq).toSeq
+
+    // a rival writer holds the store (what two streams misconfigured
+    // onto one storeDir look like): the merge refuses loudly and
+    // commits nothing — without the lease both would write v=2 and
+    // one admitted batch would vanish with no error anywhere
+    val rival = MaintenanceLease.acquire(spark, store, "rival-stream")
+    val refused = intercept[IllegalStateException] {
+      MomentStore.mergeBatch(
+        Seq(("g", ts(2), 4.0)).toDF("grp", "ts", "v"), "grp", "ts", "v", store)
+    }
+    assert(refused.getMessage.contains("under maintenance by 'rival"),
+      refused.getMessage)
+    assert(MomentStore.slopes(spark, store)
+      .collect().map(_.toSeq).toSeq == before)
+    MaintenanceLease.release(spark, rival)
+
+    // cleared: the write proceeds and leaves no lease behind
+    MomentStore.mergeBatch(
+      Seq(("g", ts(2), 4.0)).toDF("grp", "ts", "v"), "grp", "ts", "v", store)
+    assert(MomentStore.slopes(spark, store).collect().head.getLong(1) == 2L)
+    assert(!new java.io.File(s"$store/${MaintenanceLease.LeaseFile}").exists())
   }
 }

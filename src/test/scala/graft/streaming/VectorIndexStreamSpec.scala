@@ -1364,4 +1364,29 @@ class VectorIndexStreamSpec extends SparkSpec {
       beforeBatch = 1L).collect()
     assert(fenced.map(_.getLong(0)).toSet == Set(-1L, 0L))
   }
+
+  test("sq8BoundaryReport: in-range batches stay at the seed's boundary " +
+      "baseline, out-of-range values flag regrid") {
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val odds = e.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("vec_clamp").toString
+    val idx = s"$dir/index"
+    VectorIndexStream.seedSq8Index(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
+    VectorIndexStream.appendSq8Batch(odds, "vec_id", "embedding", idx, 0L)
+    VectorIndexStream.appendSq8Batch(
+      odds.withColumn("embedding", transform(col("embedding"), x => x + x)),
+      "vec_id", "embedding", idx, 1L)
+    val rows = VectorIndexStream.sq8BoundaryReport(spark, idx).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the seed's own min/max rows put SOME codes at the boundary —
+    // nonzero baseline, which is the point of baselining on the seed
+    assert(rows(-1L).getLong(3) + rows(-1L).getLong(4) > 0)
+    assert(!rows(-1L).getBoolean(7) && !rows(0L).getBoolean(7))
+    assert(rows(1L).getBoolean(7), rows(1L).toString)
+    // doubled values clamp MUCH harder than the in-range batch
+    assert(rows(1L).getLong(5) > 10L * rows(0L).getLong(5).max(1L))
+    // code counts: every stored vector contributes its full width
+    assert(rows(0L).getLong(2) == odds.count() * 64L)
+  }
 }
