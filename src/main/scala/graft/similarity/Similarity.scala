@@ -454,9 +454,15 @@ object Similarity {
     * report is engine-exact whenever the two rankings are. */
   def recallReport(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
+      // the approx side is <= k*|Q| rows BY CONSTRUCTION (a top-k
+      // result), but its measured size sits near AQE's broadcast
+      // threshold, so without the hint the join strategy — and the
+      // plan-drift gate's exchange counts — flipped between identical
+      // runs (the round-17 sweep caught q95 at exchanges 7<->5);
+      // broadcast() pins the strategy the data shape always wants
       .join(
-        approx.select(col("query_id"), col("neighbor_id"))
-          .withColumn("hit", lit(1)),
+        broadcast(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1))),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"),
