@@ -2640,6 +2640,93 @@ object SimilarityQueries {
                (s.batch <> -1 AND s.boundary_share_millis * 1000
                   > d.seed_share * 2000) AS regrid_recommended
         FROM SH s, SEED d
-        ORDER BY batch"""))
+        ORDER BY batch""")),
+
+    GraftQuery(
+      "q278_quantizer_reseed",
+      "The APPLY half of the drift loop (q276/q277 measure, this " +
+        "acts): q276's drifted store — even-half seed, odd batch 0, " +
+        "abs-folded odd batch 1 (latest-batch-wins: the drifted copy " +
+        "IS each odd id's live vector) — plus a takedown batch, is " +
+        "REBUILT into a fresh store with the quantizer retrained on " +
+        "its own live corpus (tombstones subtracted, the vec_id % 10 " +
+        "= 5 ids gone). Probes of the rebuilt store must equal the " +
+        "inline deterministic IVF over exactly that live corpus under " +
+        "the RETRAINED centroids. Margins: query-assignment gaps >= " +
+        "2.5e-3, live-corpus assignment gaps >= 6.8e-7, top-5 rank " +
+        "gaps >= 1.8e-4 at every SF (vs ~1e-12 summation error).",
+      (spark, dir) => {
+        import graft.streaming.VectorIndexStream
+        val e = Tables.table(spark, dir, "embeddings")
+        val idx = QueryScratch.dir("graft_q278_index")
+        val idx2 = QueryScratch.dir("graft_q278_rebuilt")
+        Seq(idx, idx2).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val odds = e.filter(col("vec_id") % 2 === 1)
+        VectorIndexStream.seedIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8)
+        VectorIndexStream.appendBatch(odds, "vec_id", "embedding", idx, 0L)
+        VectorIndexStream.appendBatch(
+          odds.withColumn("embedding",
+            transform(col("embedding"), x => abs(x))),
+          "vec_id", "embedding", idx, 1L)
+        VectorIndexStream.deleteBatch(spark, idx,
+          e.filter(col("vec_id") % 10 === 5).select(col("vec_id")),
+          "vec_id", batchId = 2L)
+        VectorIndexStream.rebuildIndex(
+          spark, idx, idx2, "vec_id", "embedding", nLists = 8)
+        VectorIndexStream.topKFromIndex(
+            spark, idx2, e.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH LIV AS (
+          SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id % 2 = 0
+          UNION ALL
+          SELECT vec_id, [abs(x) for x in embedding] FROM embeddings
+          WHERE vec_id % 2 = 1 AND vec_id % 10 <> 5),
+        CENT AS (
+          SELECT vec_id AS cent_id, v AS cent_vec FROM LIV
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        DQ AS (
+          SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM embeddings e, CENT c, range(1, 65) i(i)
+          WHERE e.vec_id % 50 = 0 GROUP BY 1, 2),
+        DL AS (
+          SELECT l.vec_id, c.cent_id,
+                 SUM(POW(CAST(l.v[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+          FROM LIV l, CENT c, range(1, 65) i(i)
+          GROUP BY 1, 2),
+        QCELL AS (
+          SELECT vec_id, cent_id AS cell FROM DQ
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        LCELL AS (
+          SELECT vec_id, cent_id AS cell FROM DL
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        CAND AS (
+          SELECT q.vec_id AS query_id, l.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(l.v[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(l.v[i.i] AS DOUBLE) * CAST(l.v[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q
+          JOIN QCELL cq ON cq.vec_id = q.vec_id
+          JOIN LCELL cl ON cl.cell = cq.cell
+          JOIN LIV l ON l.vec_id = cl.vec_id AND l.vec_id <> q.vec_id
+          CROSS JOIN range(1, 65) i(i)
+          WHERE q.vec_id % 50 = 0
+          GROUP BY 1, 2),
+        R AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+          FROM CAND)
+        SELECT query_id, rank, neighbor_id FROM R
+        WHERE rank <= 3 ORDER BY query_id, rank"""))
   )
 }

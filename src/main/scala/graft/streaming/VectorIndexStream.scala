@@ -1150,6 +1150,50 @@ object VectorIndexStream {
         col("seed_max_share_millis"), col("reseed_recommended"))
   }
 
+  /** APPLY half of the quantizer-drift loop
+    * ([[occupancyDriftReport]]/[[sq8BoundaryReport]] measure, this
+    * acts): re-seed a drifted FLAT store into `newIndexDir` with a
+    * quantizer RETRAINED on the store's own LIVE corpus — every id's
+    * latest-batch-wins vector, tombstones subtracted — so the new
+    * centroids span the distribution the store actually holds now,
+    * not the one it held at seed time. The standard IVF re-train
+    * trade: cell ids are NOT comparable across the two stores (they
+    * never are across quantizers), so the rebuild lands in a fresh
+    * directory and serving cuts over atomically by path; the old
+    * store stays intact for as-of reads until retired.
+    *
+    * Flat stores only: the rebuild re-encodes from the stored
+    * full-precision vectors. The quantized stores store CODES — the
+    * original vectors are gone, so a rebuild must re-ingest from the
+    * source corpus (refused loudly here, not approximated by
+    * round-tripping codes: decode-re-encode would bake the OLD grid's
+    * quantization error into the NEW store permanently). */
+  def rebuildIndex(
+      spark: SparkSession, indexDir: String, newIndexDir: String,
+      idCol: String, vecCol: String, nLists: Int = 8,
+      beforeBatch: Long = Long.MaxValue): Unit = {
+    require(newIndexDir != indexDir,
+      "rebuildIndex writes a FRESH store — cell ids are not comparable " +
+        "across quantizers, so rebuilding in place would corrupt every " +
+        "concurrent reader; pass a new directory and cut over by path")
+    val cells = readCells(spark, indexDir, beforeBatch)
+    if (!cells.columns.contains(vecCol))
+      throw new IllegalStateException(
+        s"store at $indexDir holds no '$vecCol' column — a quantized " +
+          "(SQ8/PQ) store stores codes, not vectors; rebuild it by " +
+          "re-ingesting the source corpus (decode-re-encode would bake " +
+          "the old grid's quantization error into the new store)")
+    val live = latestPerId(
+        cells.select(col(idCol), col(vecCol), col("batch")),
+        idCol, Seq(vecCol))
+      .join(broadcast(
+          deadIds(spark, indexDir, idCol, Some(beforeBatch))
+            .select(col(idCol))),
+        Seq(idCol), "left_anti")
+    seedIndex(live.select(col(idCol), col(vecCol)), idCol, vecCol,
+      newIndexDir, nLists)
+  }
+
   /** RANGE-drift gauge for the SQ8 store — [[occupancyDriftReport]]'s
     * complement: occupancy catches DIRECTION drift (batches
     * concentrating into fewer cells), this catches MAGNITUDE drift

@@ -1389,4 +1389,61 @@ class VectorIndexStreamSpec extends SparkSpec {
     // code counts: every stored vector contributes its full width
     assert(rows(0L).getLong(2) == odds.count() * 64L)
   }
+
+  test("rebuildIndex: retrains on the live takedown-subtracted corpus; " +
+      "refuses in-place and quantized rebuilds") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val odds = e.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("vec_rebuild").toString
+    val idx = s"$dir/index"; val idx2 = s"$dir/rebuilt"
+    VectorIndexStream.seedIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
+    VectorIndexStream.appendBatch(odds, "vec_id", "embedding", idx, 0L)
+    VectorIndexStream.appendBatch(
+      odds.withColumn("embedding", transform(col("embedding"), x => abs(x))),
+      "vec_id", "embedding", idx, 1L)
+    VectorIndexStream.deleteBatch(spark, idx,
+      e.filter(col("vec_id") % 10 === 5).select(col("vec_id")),
+      "vec_id", batchId = 2L)
+
+    intercept[IllegalArgumentException] {
+      VectorIndexStream.rebuildIndex(spark, idx, idx, "vec_id", "embedding")
+    }
+    VectorIndexStream.rebuildIndex(spark, idx, idx2, "vec_id", "embedding",
+      nLists = 8)
+    // the rebuilt store holds exactly the live ids: deleted ids gone,
+    // each odd id once (its latest, drifted vector)
+    val rebuilt = VectorIndexStream.readCells(spark, idx2)
+    val ids = rebuilt.select("vec_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length)
+    assert(!ids.exists(_ % 10 == 5))
+    assert(ids.toSet == e.filter(col("vec_id") % 10 =!= 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet)
+    // and it is byte-equivalent (in serving) to seeding fresh from the
+    // live frame by hand: same centroids, same assignments
+    val byHand = s"$dir/byhand"
+    val live = e.filter(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding"))
+      .unionByName(odds.filter(col("vec_id") % 10 =!= 5)
+        .withColumn("embedding", transform(col("embedding"), x => abs(x)))
+        .select(col("vec_id"), col("embedding")))
+    VectorIndexStream.seedIndex(live, "vec_id", "embedding", byHand, nLists = 8)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    def served(d: String) = VectorIndexStream.topKFromIndex(
+        spark, d, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served(idx2) == served(byHand))
+    // the old store is untouched (as-of reads keep working)
+    assert(VectorIndexStream.readCells(spark, idx).count() > rebuilt.count())
+
+    // a quantized store refuses the rebuild (codes, not vectors)
+    val sq8 = s"$dir/sq8"
+    VectorIndexStream.seedSq8Index(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", sq8, nLists = 8)
+    val refused = intercept[IllegalStateException] {
+      VectorIndexStream.rebuildIndex(spark, sq8, s"$dir/sq8b", "vec_id", "embedding")
+    }
+    assert(refused.getMessage.contains("codes, not vectors"), refused.getMessage)
+  }
 }
