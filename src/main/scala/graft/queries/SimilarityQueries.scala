@@ -2727,6 +2727,112 @@ object SimilarityQueries {
                    ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
           FROM CAND)
         SELECT query_id, rank, neighbor_id FROM R
-        WHERE rank <= 3 ORDER BY query_id, rank"""))
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    GraftQuery(
+      "q279_store_cutover",
+      "Atomic serving CUTOVER through a store alias (StorePointer) — " +
+        "how a re-trained store goes live without a request seeing a " +
+        "half-state: the incrementally-grown store (even seed, odd " +
+        "batch 0 — q101's exact build, so its quantizer is pinned on " +
+        "HALF the corpus it now serves) publishes as pointer v1, " +
+        "rebuildIndex retrains on the full live corpus into a fresh " +
+        "store that publishes as v2, and serving resolves by PATH — " +
+        "the live read serves the retrained quantizer (q51's " +
+        "full-corpus centroid set) while the PINNED v1 read, resolved " +
+        "AFTER the cutover, still serves exactly what pre-cutover " +
+        "requests saw. Output is both generations' top-3; each " +
+        "generation's margins are the ones q101 and q51 already pin.",
+      (spark, dir) => {
+        import graft.streaming.{StorePointer, VectorIndexStream}
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val idx = QueryScratch.dir("graft_q279_a")
+        val idx2 = QueryScratch.dir("graft_q279_b")
+        val alias = QueryScratch.dir("graft_q279_alias")
+        Seq(idx, idx2, alias).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val odds = e.filter(col("vec_id") % 2 === 1)
+        VectorIndexStream.seedIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8)
+        VectorIndexStream.appendBatch(odds, "vec_id", "embedding", idx, 0L)
+        StorePointer.publish(spark, alias, idx)
+        VectorIndexStream.rebuildIndex(
+          spark, idx, idx2, "vec_id", "embedding", nLists = 8)
+        StorePointer.publish(spark, alias, idx2)
+        def serve(store: String, ver: Long) =
+          VectorIndexStream.topKFromIndex(
+              spark, store, q, "vec_id", "embedding", k = 3)
+            .withColumn("ptr_version", lit(ver))
+        serve(StorePointer.resolveVersion(spark, alias, 1L), 1L)
+          .unionByName(serve(StorePointer.resolve(spark, alias), 2L))
+          .select(col("ptr_version"), col("query_id"), col("rank"),
+            col("neighbor_id"))
+          .orderBy(col("ptr_version"), col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH L AS (
+          SELECT vec_id, embedding AS v FROM embeddings),
+        C1 AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+               WHERE vec_id % 2 = 0
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        C2 AS (SELECT vec_id AS cent_id, v AS cent_vec FROM L
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        D1 AS (SELECT l.vec_id, c.cent_id,
+                 SUM(POW(CAST(l.v[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+               FROM L l, C1 c, range(1,65) i(i) GROUP BY 1, 2),
+        D2 AS (SELECT l.vec_id, c.cent_id,
+                 SUM(POW(CAST(l.v[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+               FROM L l, C2 c, range(1,65) i(i) GROUP BY 1, 2),
+        LC1 AS (SELECT vec_id, cent_id AS cell FROM D1
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        LC2 AS (SELECT vec_id, cent_id AS cell FROM D2
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        DQ1 AS (SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+                FROM embeddings e, C1 c, range(1,65) i(i)
+                WHERE e.vec_id % 50 = 0 GROUP BY 1, 2),
+        DQ2 AS (SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+                FROM embeddings e, C2 c, range(1,65) i(i)
+                WHERE e.vec_id % 50 = 0 GROUP BY 1, 2),
+        QC1 AS (SELECT vec_id, cent_id AS cell FROM DQ1
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        QC2 AS (SELECT vec_id, cent_id AS cell FROM DQ2
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        CAND AS (
+          SELECT 1 AS ptr_version, q.vec_id AS query_id, l.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(l.v[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(l.v[i.i] AS DOUBLE) * CAST(l.v[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q
+          JOIN QC1 cq ON cq.vec_id = q.vec_id
+          JOIN LC1 cl ON cl.cell = cq.cell
+          JOIN L l ON l.vec_id = cl.vec_id AND l.vec_id <> q.vec_id
+          CROSS JOIN range(1,65) i(i)
+          WHERE q.vec_id % 50 = 0 GROUP BY 1, 2, 3
+          UNION ALL
+          SELECT 2, q.vec_id, l.vec_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(l.v[i.i] AS DOUBLE)),
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)),
+                 SUM(CAST(l.v[i.i] AS DOUBLE) * CAST(l.v[i.i] AS DOUBLE))
+          FROM embeddings q
+          JOIN QC2 cq ON cq.vec_id = q.vec_id
+          JOIN LC2 cl ON cl.cell = cq.cell
+          JOIN L l ON l.vec_id = cl.vec_id AND l.vec_id <> q.vec_id
+          CROSS JOIN range(1,65) i(i)
+          WHERE q.vec_id % 50 = 0 GROUP BY 1, 2, 3),
+        R AS (
+          SELECT ptr_version, query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY ptr_version, query_id
+                   ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rank
+          FROM CAND)
+        SELECT CAST(ptr_version AS BIGINT) AS ptr_version,
+               query_id, rank, neighbor_id FROM R
+        WHERE rank <= 3 ORDER BY ptr_version, query_id, rank"""))
   )
 }

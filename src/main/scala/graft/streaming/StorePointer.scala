@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+
+/** Atomic serving CUTOVER for rebuilt stores — the last piece of the
+  * quantizer re-train loop ([[VectorIndexStream.rebuildIndex]] writes
+  * the fresh store; this is how serving starts reading it without a
+  * single request seeing a half-state). Cell ids are never comparable
+  * across quantizers, so a rebuild can never patch a store in place —
+  * the only safe cutover is by PATH, and the alias is that path's one
+  * mutable cell: a directory of immutable `ptr.v=N` files, each
+  * naming a store directory. Readers [[resolve]] the highest version
+  * (one driver-side listing); [[publish]] writes the next version via
+  * tmp + rename under the single-writer lease (two racing publishers
+  * both computing max+1 would otherwise silently drop one cutover —
+  * the versioned-store hazard, same cure). Pointer files are
+  * immutable once renamed, so a reader that just resolved v=N keeps a
+  * consistent view no matter how many cutovers land after it.
+  *
+  * [[resolveVersion]] pins a PAST generation — "what store served
+  * requests before the re-train?" — refusing unknown/retired versions
+  * loudly, the same as-of contract every store here gives. Retiring a
+  * pointer never deletes the store it names (stores answer as-of
+  * reads until their own retention retires them); it only bounds the
+  * alias directory's listing. */
+object StorePointer {
+
+  private val Prefix = "ptr.v="
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** (version, storeDir) pairs, ascending — one driver listing. */
+  def history(spark: SparkSession, aliasDir: String): Seq[(Long, String)] = {
+    val root = new Path(aliasDir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(e => e.isFile && e.getPath.getName.startsWith(Prefix))
+      .flatMap { e =>
+        e.getPath.getName.drop(Prefix.length).toLongOption.map { v =>
+          val in = fs.open(e.getPath)
+          val text =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          v -> text
+        }
+      }.sortBy(_._1)
+  }
+
+  /** Cut serving over to `storeDir`: the next pointer version lands
+    * atomically (tmp + rename; the rename refuses an existing
+    * destination) under the alias's write lease. Returns the
+    * published version. */
+  def publish(
+      spark: SparkSession, aliasDir: String, storeDir: String): Long =
+    VersionedStore.withWriteLease(spark, aliasDir) {
+      val root = new Path(aliasDir)
+      val fs = fsOf(spark, root)
+      val v = history(spark, aliasDir).lastOption.map(_._1).getOrElse(0L) + 1L
+      val tmp = new Path(root, s"$Prefix$v.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(storeDir.getBytes("UTF-8")) finally out.close()
+      val dst = new Path(root, s"$Prefix$v")
+      if (fs.exists(dst) || !fs.rename(tmp, dst))
+        throw new IllegalStateException(
+          s"alias at $aliasDir: pointer version $v already exists or the " +
+            "rename failed — a racing publish won; re-resolve and retry")
+      v
+    }
+
+  /** The store serving NOW (highest pointer version). */
+  def resolve(spark: SparkSession, aliasDir: String): String = {
+    val h = history(spark, aliasDir)
+    require(h.nonEmpty,
+      s"alias at $aliasDir holds no pointers — publish a store first")
+    h.last._2
+  }
+
+  /** The store that served at pointer version `v` — the pinned read;
+    * a retired or never-published version refuses loudly naming what
+    * IS retained. */
+  def resolveVersion(
+      spark: SparkSession, aliasDir: String, v: Long): String = {
+    val h = history(spark, aliasDir).toMap
+    h.getOrElse(v, throw new IllegalStateException(
+      s"alias at $aliasDir does not retain pointer version $v " +
+        s"(retained: ${h.keys.toSeq.sorted.mkString(", ")}) — retired " +
+        "pointers are gone by design; the stores they named live until " +
+        "their own retention retires them"))
+  }
+
+  /** Drop pointer files older than the newest `keepLast` (the stores
+    * they name are NOT touched). Returns the versions dropped. */
+  def retirePointers(
+      spark: SparkSession, aliasDir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must retain at least the live pointer")
+    VersionedStore.withWriteLease(spark, aliasDir) {
+      val root = new Path(aliasDir)
+      val fs = fsOf(spark, root)
+      val h = history(spark, aliasDir)
+      val drop = h.dropRight(keepLast).map(_._1)
+      drop.foreach(v => fs.delete(new Path(root, s"$Prefix$v"), false))
+      drop
+    }
+  }
+}
