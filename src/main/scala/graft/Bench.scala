@@ -111,7 +111,13 @@ object Bench {
       jobs.incrementAndGet()
     override def onStageCompleted(
         e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-      if (seenStages.add(e.stageInfo.stageId)) {
+      // a FAILED attempt also posts StageCompleted (failureReason set,
+      // metrics partial) — counting it first-wins would permanently
+      // discard the successful retry's full metrics and under-count
+      // the gate nondeterministically; only successful completions
+      // claim a stage id
+      if (e.stageInfo.failureReason.isEmpty &&
+          seenStages.add(e.stageInfo.stageId)) {
         val m = e.stageInfo.taskMetrics
         if (m != null) {
           shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)

@@ -137,17 +137,24 @@ object IncrementalDedup {
       s"purge-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
       val fence = Tombstones.readFence(spark, indexDir).getOrElse(Long.MinValue)
+      // pin the resolution horizon EAGERLY: everything below (the dead
+      // set's read, the journaled fence, the bounded drop) names
+      // batches <= through, so a takedown landing mid-purge survives
+      // unresolved instead of being dropped with the store
+      val through = Tombstones.maxTombstoneBatch(spark, indexDir, seedSchema)
+        .getOrElse(Long.MinValue)
       val dead = Tombstones.maxBatchPerKey(spark, indexDir, seedSchema,
-        afterBatch = fence)
+        beforeBatch = through + 1L, afterBatch = fence)
       if (!dead.isEmpty) {
-        val through = Tombstones.maxTombstoneBatch(spark, indexDir, seedSchema).get
         BatchIndex.rewriteAll(spark, indexDir, seedSchema,
           extraJournal = Seq(Tombstones.fenceLine(through)),
           heldBy = Some(lease.holder))(all =>
           Tombstones.maskLatest(all, dead, Seq("fp")))
       }
-      Tombstones.drop(spark, indexDir)
-      Tombstones.dropFence(spark, indexDir)
+      if (!Tombstones.dropThrough(spark, indexDir, through))
+        Tombstones.dropFence(spark, indexDir)
+      // else: later takedown batches remain — the kept fence makes
+      // masked reads skip the resolved ones; re-run purge to finish
     } finally MaintenanceLease.release(spark, lease)
   }
 

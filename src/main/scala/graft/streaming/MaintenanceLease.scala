@@ -55,8 +55,13 @@ private[graft] object MaintenanceLease {
   private def leasePath(dir: String): Path = new Path(dir, LeaseFile)
 
   /** The lease on disk, live or expired: (holder, expiryMillis). A
-    * torn/unparseable file reads as an expired lease held by
-    * "<corrupt>" — stealable, never silently ignored. */
+    * torn/unparseable file reads as LIVE FOREVER under "<corrupt>" —
+    * the safe direction: it can only arise from a crash (or a
+    * concurrent reader catching a non-atomic renewal write mid-flush),
+    * and treating it as expired would let an appender slip through
+    * during the exact stage-and-swap window the lease freezes.
+    * Appenders refusing transiently just replay their batch; a
+    * PERSISTENTLY torn file is operator territory ([[break]]). */
   private def readLease(fs: FileSystem, p: Path): Option[(String, Long)] =
     if (!fs.exists(p)) None
     else {
@@ -66,7 +71,7 @@ private[graft] object MaintenanceLease {
         finally in.close()
       text.split(" ") match {
         case Array(h, e) if e.toLongOption.isDefined => Some((h, e.toLong))
-        case _ => Some(("<corrupt>", Long.MinValue))
+        case _ => Some(("<corrupt>", Long.MaxValue))
       }
     }
 

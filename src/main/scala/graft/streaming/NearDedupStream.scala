@@ -167,6 +167,11 @@ object NearDedupStream {
     val leases = Seq(indexDir, s"$indexDir/docs", s"$indexDir/bands")
       .map(d => MaintenanceLease.acquire(spark, d, holder))
     try {
+      // the resolution horizon is pinned EAGERLY and bounds both
+      // rewrites' dead reads, the journaled fences, and the drop — a
+      // takedown landing mid-purge survives unresolved (kept batches
+      // keep masking; the kept fences stop the resolved ones from
+      // re-killing re-ingested ids against the re-dated stores)
       val through = Tombstones.maxTombstoneBatch(spark, indexDir, idSchema)
       through.foreach { t =>
         // each rewrite resolves only the tombstone batches ABOVE that
@@ -177,6 +182,7 @@ object NearDedupStream {
         Seq(("docs", docsSchema), ("bands", bandsSchema)).foreach {
           case (sub, schema) =>
             val dead = Tombstones.maxBatchPerKey(spark, indexDir, idSchema,
+              beforeBatch = t + 1L,
               afterBatch = Tombstones.readFence(spark, s"$indexDir/$sub")
                 .getOrElse(Long.MinValue))
             if (!dead.isEmpty)
@@ -186,9 +192,11 @@ object NearDedupStream {
                 Tombstones.maskLatest(all, dead, Seq("id")))
         }
       }
-      Tombstones.drop(spark, indexDir)
-      Seq("docs", "bands")
-        .foreach(s => Tombstones.dropFence(spark, s"$indexDir/$s"))
+      val remaining = Tombstones.dropThrough(
+        spark, indexDir, through.getOrElse(Long.MinValue))
+      if (!remaining)
+        Seq("docs", "bands")
+          .foreach(s => Tombstones.dropFence(spark, s"$indexDir/$s"))
     } finally leases.foreach(MaintenanceLease.release(spark, _))
   }
 

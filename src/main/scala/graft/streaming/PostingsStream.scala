@@ -211,13 +211,20 @@ object PostingsStream {
     val lease = MaintenanceLease.acquire(spark, indexDir,
       s"purge-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      val dead = liveTombstones(spark, indexDir)
+      // pin the resolution horizon eagerly: the dead read and the drop
+      // are both bounded to batches <= through, so a takedown landing
+      // mid-purge survives unresolved (terminal tombstones — the kept
+      // batch simply keeps masking until the next purge)
+      val through = Tombstones.maxTombstoneBatch(
+        spark, indexDir, tombstoneSchema).getOrElse(Long.MinValue)
+      val dead = liveTombstones(spark, indexDir, beforeBatch = through + 1L)
       if (!dead.isEmpty) {
         BatchIndex.rewriteAll(spark, indexDir, postingsSchema,
           heldBy = Some(lease.holder))(all =>
           all.join(broadcast(dead), Seq("doc_id"), "left_anti"))
       }
-      Tombstones.drop(spark, indexDir)
+      Tombstones.dropThrough(spark, indexDir, through)
+      ()
     } finally MaintenanceLease.release(spark, lease)
   }
 

@@ -32,23 +32,35 @@ object StorePointer {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** (version, storeDir) pairs, ascending — one driver listing. */
-  def history(spark: SparkSession, aliasDir: String): Seq[(Long, String)] = {
+  /** Pointer VERSIONS present, ascending — names only, one listing,
+    * no file reads (what resolve/publish actually need; a GET per
+    * retained generation on every serving resolve would be pure
+    * overhead on an object store). */
+  private def listVersions(
+      spark: SparkSession, aliasDir: String): Seq[Long] = {
     val root = new Path(aliasDir)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(e => e.isFile && e.getPath.getName.startsWith(Prefix))
-      .flatMap { e =>
-        e.getPath.getName.drop(Prefix.length).toLongOption.map { v =>
-          val in = fs.open(e.getPath)
-          val text =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-          v -> text
-        }
-      }.sortBy(_._1)
+      .flatMap(e => e.getPath.getName.drop(Prefix.length).toLongOption)
+      .sorted
   }
+
+  private def readPointer(
+      spark: SparkSession, aliasDir: String, v: Long): String = {
+    val p = new Path(aliasDir, s"$Prefix$v")
+    val fs = fsOf(spark, p)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** (version, storeDir) pairs, ascending — the audit view (reads
+    * every retained pointer; serving paths use [[resolve]]). */
+  def history(spark: SparkSession, aliasDir: String): Seq[(Long, String)] =
+    listVersions(spark, aliasDir).map(v =>
+      v -> readPointer(spark, aliasDir, v))
 
   /** Cut serving over to `storeDir`: the next pointer version lands
     * atomically (tmp + rename; the rename refuses an existing
@@ -59,7 +71,7 @@ object StorePointer {
     VersionedStore.withWriteLease(spark, aliasDir) {
       val root = new Path(aliasDir)
       val fs = fsOf(spark, root)
-      val v = history(spark, aliasDir).lastOption.map(_._1).getOrElse(0L) + 1L
+      val v = listVersions(spark, aliasDir).lastOption.getOrElse(0L) + 1L
       val tmp = new Path(root, s"$Prefix$v.tmp")
       val out = fs.create(tmp, true)
       try out.write(storeDir.getBytes("UTF-8")) finally out.close()
@@ -71,25 +83,27 @@ object StorePointer {
       v
     }
 
-  /** The store serving NOW (highest pointer version). */
+  /** The store serving NOW (highest pointer version): one listing,
+    * one read. */
   def resolve(spark: SparkSession, aliasDir: String): String = {
-    val h = history(spark, aliasDir)
-    require(h.nonEmpty,
+    val vs = listVersions(spark, aliasDir)
+    require(vs.nonEmpty,
       s"alias at $aliasDir holds no pointers — publish a store first")
-    h.last._2
+    readPointer(spark, aliasDir, vs.last)
   }
 
-  /** The store that served at pointer version `v` — the pinned read;
-    * a retired or never-published version refuses loudly naming what
-    * IS retained. */
+  /** The store that served at pointer version `v` — the pinned read
+    * (one listing, one read); a retired or never-published version
+    * refuses loudly naming what IS retained. */
   def resolveVersion(
       spark: SparkSession, aliasDir: String, v: Long): String = {
-    val h = history(spark, aliasDir).toMap
-    h.getOrElse(v, throw new IllegalStateException(
+    val vs = listVersions(spark, aliasDir)
+    if (!vs.contains(v)) throw new IllegalStateException(
       s"alias at $aliasDir does not retain pointer version $v " +
-        s"(retained: ${h.keys.toSeq.sorted.mkString(", ")}) — retired " +
-        "pointers are gone by design; the stores they named live until " +
-        "their own retention retires them"))
+        s"(retained: ${vs.mkString(", ")}) — retired pointers are gone " +
+        "by design; the stores they named live until their own " +
+        "retention retires them")
+    readPointer(spark, aliasDir, v)
   }
 
   /** Drop pointer files older than the newest `keepLast` (the stores
@@ -100,8 +114,7 @@ object StorePointer {
     VersionedStore.withWriteLease(spark, aliasDir) {
       val root = new Path(aliasDir)
       val fs = fsOf(spark, root)
-      val h = history(spark, aliasDir)
-      val drop = h.dropRight(keepLast).map(_._1)
+      val drop = listVersions(spark, aliasDir).dropRight(keepLast)
       drop.foreach(v => fs.delete(new Path(root, s"$Prefix$v"), false))
       drop
     }

@@ -155,4 +155,33 @@ private[graft] object Tombstones {
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     ()
   }
+
+  /** Drop only the tombstone batches a completed purge RESOLVED
+    * (`batch <= through`) — never the whole store: a takedown batch
+    * that landed after the purge read its set (a crashed purge's
+    * journal awaiting replay, an expired-lease window) must survive
+    * unresolved rather than be silently destroyed. Returns true when
+    * LATER batches remain — the caller then KEEPS its purge fence
+    * (masked reads skip the resolved batches, apply the later ones —
+    * conservatively: against re-dated rows a kept tombstone re-kills a
+    * same-key re-admission, and takedowns win ties by design; the
+    * next purge resolves them for real) — and drops the now-empty
+    * store (stamps included) otherwise. */
+  def dropThrough(
+      spark: SparkSession, storeDir: String, through: Long): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(dirOf(storeDir))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return false
+    fs.listStatus(root).foreach { e =>
+      if (e.isDirectory && e.getPath.getName.startsWith("batch=") &&
+          e.getPath.getName.stripPrefix("batch=").toLongOption
+            .exists(_ <= through))
+        fs.delete(e.getPath, true)
+    }
+    val remaining = fs.listStatus(root).exists(e =>
+      e.isDirectory && e.getPath.getName.startsWith("batch="))
+    if (!remaining) fs.delete(root, true)
+    else BatchIndex.pruneStamps(spark, root.toString)
+    remaining
+  }
 }

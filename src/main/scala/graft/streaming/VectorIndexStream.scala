@@ -503,14 +503,40 @@ object VectorIndexStream {
     try {
     recoverPendingCompaction(fs, root)
     val tsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    val delOpt = tombstoneMaxBatch(spark, indexDir, idCol, None)
+    if (!fs.exists(tsRoot)) return
+    // the RESOLVED set is pinned by an eager listing: every mutation
+    // below (the del read's fence, the journal's P lines, the live
+    // deletes) names exactly these batches, so a tombstone batch that
+    // lands after this point — a takedown arriving while a crashed
+    // purge's journal awaits replay, or during an expired-lease window
+    // — is never destroyed unresolved. It stays on disk, keeps masking
+    // (conservatively: against re-dated rows a kept tombstone re-kills
+    // a same-key re-admission — takedowns win ties by design, and
+    // false-dead is the safe direction for a takedown system), and the
+    // next purge resolves it for real.
+    val tombNames = fs.listStatus(tsRoot).toSeq
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName).sorted
+    def dropResolvedTombstones(): Unit = {
+      tombNames.foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(tsRoot, n), true))
+      val laterBatches = fs.exists(tsRoot) && fs.listStatus(tsRoot).exists(e =>
+        e.isDirectory && e.getPath.getName.startsWith("batch="))
+      if (!laterBatches) fs.delete(tsRoot, true)
+      else BatchIndex.pruneStamps(spark, tsRoot.toString)
+    }
+    val maxListed = tombNames
+      .flatMap(n => n.stripPrefix("batch=").toLongOption)
+      .maxOption.getOrElse(-1L)
+    val delOpt = tombstoneMaxBatch(spark, indexDir, idCol,
+      Some(maxListed + 1L))
     if (delOpt.isEmpty) return
     val del = delOpt.get
-    if (del.isEmpty) { fs.delete(tsRoot, true); return }
+    if (del.isEmpty) { dropResolvedTombstones(); return }
     val batchDirs = fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .flatMap(s => batchIdOf(s.getPath.getName))
-    if (batchDirs.isEmpty) { fs.delete(tsRoot, true); return }
+    if (batchDirs.isEmpty) { dropResolvedTombstones(); return }
     val foldNames = batchDirs.sorted.map(b => s"batch=$b")
     val all = spark.read.option("basePath", s"$indexDir/cells")
       .parquet(foldNames.map(n => s"$indexDir/cells/$n"): _*)
@@ -533,13 +559,18 @@ object VectorIndexStream {
       .parquet(staging.toString)
     val tmp = new org.apache.hadoop.fs.Path(root, JournalTmp)
     val out = fs.create(tmp, true)
-    // the `P tombstones` line makes the tombstone drop part of the
-    // journaled swap: recovery executes it in both branches, so there
-    // is no window where the re-dated seed coexists with tombstones
-    // that would flip its re-appended ids back to dead (and that a
-    // purge re-run would then destroy)
+    // the per-batch `P tombstones/batch=N` lines make the RESOLVED
+    // tombstone batches' drop part of the journaled swap: recovery
+    // executes them in both branches, so there is no window where the
+    // re-dated seed coexists with the tombstones the rewrite already
+    // executed (which would flip its re-appended ids back to dead, and
+    // a purge re-run would then destroy them). Naming each batch —
+    // never the whole directory — means a takedown batch that lands
+    // AFTER this journal commits survives the replay unresolved
+    // instead of being silently destroyed with the store.
     try out.write(
-      ((s"S $stagingName" +: foldNames.map(n => s"D $n")) :+ "P tombstones")
+      ((s"S $stagingName" +: foldNames.map(n => s"D $n")) ++
+        tombNames.map(n => s"P tombstones/$n"))
         .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     renamed(fs, tmp, new org.apache.hadoop.fs.Path(root, Journal))
@@ -547,7 +578,7 @@ object VectorIndexStream {
       fs.delete(new org.apache.hadoop.fs.Path(root, n), true)
     }
     renamed(fs, staging, new org.apache.hadoop.fs.Path(root, "batch=-1"))
-    fs.delete(tsRoot, true)
+    dropResolvedTombstones()
     fs.delete(new org.apache.hadoop.fs.Path(root, Journal), false)
     BatchIndex.pruneStamps(spark, s"$indexDir/cells")
     } finally MaintenanceLease.release(spark, lease)
@@ -1137,14 +1168,24 @@ object VectorIndexStream {
       .withColumn("batch_max_share_millis",
         max(col("cell_share_millis")).over(w))
       .drop("batch_total")
+    // the aggregate always yields ONE row (null when the seed is gone
+    // — a dropSeed retention), and a null baseline REFUSES at
+    // execution: a gauge silently reporting "no drift" against a
+    // missing baseline is exactly the monitoring failure it exists to
+    // prevent
     val seedMax = shares.filter(col("batch") === -1L)
-      .agg(max(col("cell_share_millis")).as("seed_max_share_millis"))
+      .agg(max(col("cell_share_millis")).as("m"))
+      .select(when(col("m").isNotNull, col("m"))
+        .otherwise(raise_error(lit(
+          s"occupancyDriftReport at $indexDir: the store has no seed " +
+            "partition (batch=-1) — the pinned drift baseline is gone " +
+            "(dropSeed retention?); re-seed before gauging drift")))
+        .as("seed_max_share_millis"))
     shares.crossJoin(broadcast(seedMax))
       .withColumn("reseed_recommended",
-        coalesce(col("batch") =!= -1L &&
+        col("batch") =!= -1L &&
           col("batch_max_share_millis") * 1000L >
-            col("seed_max_share_millis") * driftFactorMillis,
-          lit(false)))
+            col("seed_max_share_millis") * driftFactorMillis)
       .select(col("batch"), col("cell"), col("n_vectors"),
         col("cell_share_millis"), col("batch_max_share_millis"),
         col("seed_max_share_millis"), col("reseed_recommended"))
@@ -1224,14 +1265,22 @@ object VectorIndexStream {
         sum(col("nf")).as("n_floor"), sum(col("nc")).as("n_ceil"))
       .withColumn("boundary_share_millis",
         expr("(n_floor + n_ceil) * 1000 div n_codes"))
-    val seed = agg.filter(col("batch") === -1L)
-      .select(col("boundary_share_millis").as("seed_boundary_share_millis"))
+    // aggregate (never a filter): one row even when the seed is gone,
+    // and the null baseline refuses at execution — same argument as
+    // [[occupancyDriftReport]]'s
+    val seed = agg.agg(max(when(col("batch") === -1L,
+        col("boundary_share_millis"))).as("m"))
+      .select(when(col("m").isNotNull, col("m"))
+        .otherwise(raise_error(lit(
+          s"sq8BoundaryReport at $indexDir: the store has no seed " +
+            "partition (batch=-1) — the pinned range baseline is gone " +
+            "(dropSeed retention?); re-seed before gauging drift")))
+        .as("seed_boundary_share_millis"))
     agg.crossJoin(broadcast(seed))
       .withColumn("regrid_recommended",
-        coalesce(col("batch") =!= -1L &&
+        col("batch") =!= -1L &&
           col("boundary_share_millis") * 1000L >
-            col("seed_boundary_share_millis") * driftFactorMillis,
-          lit(false)))
+            col("seed_boundary_share_millis") * driftFactorMillis)
       .select(col("batch"), col("n_vectors"), col("n_codes"),
         col("n_floor"), col("n_ceil"), col("boundary_share_millis"),
         col("seed_boundary_share_millis"), col("regrid_recommended"))

@@ -1030,6 +1030,84 @@ class VectorIndexStreamSpec extends SparkSpec {
       spark, b, q, "vec_id", "embedding", k = 3)) == expected)
   }
 
+  test("a takedown landing after a purge's journal commit survives the " +
+      "replay unresolved — never silently destroyed") {
+    import spark.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_late_ts").toString
+    val idx = s"$dir/index"
+    VectorIndexStream.seedIndex(e, "vec_id", "embedding", idx, nLists = 8)
+    VectorIndexStream.deleteBatch(spark, idx,
+      Seq(23L).toDF("vec_id"), "vec_id", batchId = 1L)
+    VectorIndexStream.purgeTombstones(spark, idx, "vec_id")
+    // manufacture the crash window AFTER the journal committed — and a
+    // LATE takedown (batch=3) that landed while the purge lay dead:
+    // the journal names only the batch it resolved
+    Seq(23L).toDF("vec_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$idx/tombstones/batch=1")
+    Seq(42L).toDF("vec_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$idx/tombstones/batch=3")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$idx/cells", "_compact_journal").toPath,
+      "S _compact_seed-gone\nP tombstones/batch=1\n")
+    VectorIndexStream.purgeTombstones(spark, idx, "vec_id")
+    // the resolved batch is gone; the late takedown survived AND was
+    // resolved by the re-run purge (42's bytes destroyed)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    val stored = spark.read.option("basePath", s"$idx/cells")
+      .parquet(s"$idx/cells").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!stored.contains(42L) && !stored.contains(23L))
+  }
+
+  test("Tombstones.dropThrough drops only resolved batches; drift reports " +
+      "refuse a store whose seed baseline is gone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ts_bounded").toString
+    val st = s"$dir/store"
+    Seq(Tuple1(1L)).toDF("id").coalesce(1)
+      .write.parquet(s"${Tombstones.dirOf(st)}/batch=0")
+    Seq(Tuple1(2L)).toDF("id").coalesce(1)
+      .write.parquet(s"${Tombstones.dirOf(st)}/batch=1")
+    Seq(Tuple1(3L)).toDF("id").coalesce(1)
+      .write.parquet(s"${Tombstones.dirOf(st)}/batch=3")
+    assert(Tombstones.dropThrough(spark, st, 1L)) // batch=3 remains
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    assert(Tombstones.liveKeys(spark, st, idSchema)
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(!Tombstones.dropThrough(spark, st, 3L)) // store gone
+    assert(!new java.io.File(Tombstones.dirOf(st)).exists())
+
+    // a gauged store whose pinned baseline was retired refuses loudly
+    // instead of reporting "no drift" against nothing
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val flat = s"$dir/flat"; val sq8 = s"$dir/sq8"
+    VectorIndexStream.seedIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", flat, nLists = 8)
+    VectorIndexStream.appendBatch(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", flat, 0L)
+    VectorIndexStream.seedSq8Index(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", sq8, nLists = 8)
+    VectorIndexStream.appendSq8Batch(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", sq8, 0L)
+    Seq(flat, sq8).foreach { idx =>
+      val p = new org.apache.hadoop.fs.Path(s"$idx/cells/batch=-1")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    val occ = intercept[Exception] {
+      VectorIndexStream.occupancyDriftReport(spark, flat).collect()
+    }
+    assert(occ.getMessage.contains("no seed partition"), occ.getMessage)
+    val bnd = intercept[Exception] {
+      VectorIndexStream.sq8BoundaryReport(spark, sq8).collect()
+    }
+    assert(bnd.getMessage.contains("no seed partition"), bnd.getMessage)
+  }
+
   test("tombstones order against re-appends: deadIds revives latest-batch-wins, purge keeps the revived payload") {
     val spark2 = spark
     import spark2.implicits._
