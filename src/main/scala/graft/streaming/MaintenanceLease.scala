@@ -82,22 +82,60 @@ private[graft] object MaintenanceLease {
     finally out.close()
   }
 
+  /** Extend a LIVE own lease in place, atomically: the fresh content
+    * is staged under a nonce name and renamed over the lease file with
+    * `Options.Rename.OVERWRITE` — one filesystem operation, so an
+    * appender's [[refuseIfHeld]] never observes a missing lease
+    * mid-renewal (the gap a rename-away-then-recreate renewal would
+    * open is exactly the stage-and-swap window the lease freezes). A
+    * bare `create(overwrite = true)` would be just as gapless but is a
+    * non-atomic read-then-clobber: if the lease expired in the
+    * microseconds since the caller's read and a rival completed the
+    * steal, the overwrite silently replaces the rival's fresh lease —
+    * with the atomic replace the file deterministically names ONE
+    * holder, and the loser's commit-point [[verifyHeld]] aborts it. */
+  private def replaceLive(spark: SparkSession, dir: String,
+      holder: String, expiresAt: Long): Unit = {
+    val p = leasePath(dir)
+    val fs = fsOf(spark, p)
+    val tmp = new Path(dir,
+      s"$LeaseFile.renew-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(s"$holder $expiresAt".getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Acquire the store's maintenance lease or refuse loudly. A live
     * lease held by someone else throws (naming holder and expiry); an
     * expired one is stolen via the rename race. Re-entrant for the
-    * same holder name: re-acquiring extends the expiry ([[renew]]). */
+    * same holder name while the lease is LIVE: re-acquiring extends
+    * the expiry ([[renew]]). An EXPIRED own lease is NOT silently
+    * re-extended — liveness is lost (a rival may have stolen,
+    * committed, and released in the meantime, and "renewing" would
+    * resurrect a dead lease over state someone else has since
+    * rewritten); it throws, and the pass must abort. */
   def acquire(spark: SparkSession, dir: String, holder: String,
       ttlMs: Long = DefaultTtlMs,
       nowMillis: Long = System.currentTimeMillis()): Lease = {
     val p = leasePath(dir)
     val fs = fsOf(spark, p)
     readLease(fs, p) match {
-      case Some((h, exp)) if h == holder =>
-        // our own (a composite op re-entering its sub-ops): extend
-        val out = fs.create(p, true)
-        try out.write(s"$holder ${nowMillis + ttlMs}".getBytes("UTF-8"))
-        finally out.close()
+      case Some((h, exp)) if h == holder && exp > nowMillis =>
+        // our own, live (a composite op re-entering its sub-ops, or a
+        // renewal between rewrite phases): extend atomically
+        replaceLive(spark, dir, holder, nowMillis + ttlMs)
+        verifyHeld(spark, dir, holder)
         Lease(dir, holder, nowMillis + ttlMs)
+      case Some((h, exp)) if h == holder =>
+        throw new IllegalStateException(
+          s"store at $dir: '$holder's own maintenance lease expired " +
+            s"${nowMillis - exp} ms ago — the TTL was outrun (renew " +
+            "between phases on long rewrites); a rival may already have " +
+            "stolen, committed, and released, so re-extending would " +
+            "resurrect a dead lease over rewritten state; aborting")
       case Some((h, exp)) if exp > nowMillis =>
         throw new IllegalStateException(
           s"store at $dir is under maintenance by '$h' (lease expires in " +
@@ -154,12 +192,36 @@ private[graft] object MaintenanceLease {
   }
 
   /** Release a held lease. Releasing one that was stolen (holder
-    * mismatch) is a no-op — the thief's lease is not ours to delete. */
+    * mismatch) is a no-op — the thief's lease is not ours to delete.
+    * The delete goes through the same winner-takes-all rename the
+    * steal path uses (rename to a nonce, verify the moved content is
+    * OURS, then delete): a bare read-then-delete could remove a
+    * thief's fresh lease that replaced ours between the read and the
+    * delete, silently reopening the append window during the thief's
+    * stage-and-swap. If the moved file turns out to be the thief's,
+    * it is renamed back; if yet another lease landed at the path in
+    * that instant, the thief aborts at its next [[verifyHeld]] — a
+    * loud refusal, never a silent second writer. */
   def release(spark: SparkSession, lease: Lease): Unit = {
     val p = leasePath(lease.dir)
     val fs = fsOf(spark, p)
     readLease(fs, p) match {
-      case Some((h, _)) if h == lease.holder => fs.delete(p, false)
+      case Some((h, _)) if h == lease.holder =>
+        val nonce = new Path(lease.dir,
+          s"$LeaseFile.released-${java.util.UUID.randomUUID().toString.take(8)}")
+        // a failed rename means the file was already moved (a racing
+        // steal in progress) — whatever lands at the path is not ours
+        if (!fs.rename(p, nonce)) return
+        readLease(fs, nonce) match {
+          case Some((h2, _)) if h2 == lease.holder =>
+            fs.delete(nonce, false)
+          case _ =>
+            // we yanked a thief's fresh lease — restore it; if yet
+            // another lease landed at p meanwhile, drop the nonce and
+            // let the thief's verifyHeld refuse loudly
+            if (!fs.rename(nonce, p)) fs.delete(nonce, false)
+        }
+        ()
       case _ => ()
     }
   }

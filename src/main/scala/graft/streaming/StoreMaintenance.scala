@@ -86,9 +86,15 @@ object StoreMaintenance {
       maxBatchDirs: Long, maxTombstoneKeys: Long,
       compactSafeWithTombstones: Boolean = false): MaintenancePlan = {
     val (seeds, dirs, maxB) = listGauges(spark, dir)
+    // fence-filtered like the masked reads: after a crash between a
+    // fence-committed rewrite and the tombstone retirement, batches
+    // <= the fence are already physically resolved — counting them as
+    // outstanding liability would re-plan a purge that is mostly done
+    val fence = Tombstones.readFence(spark, dir).getOrElse(Long.MinValue)
     val tombs =
       if (!Tombstones.exists(spark, dir)) 0L
-      else Tombstones.liveKeys(spark, dir, keySchema).count()
+      else Tombstones.liveKeys(spark, dir, keySchema,
+        afterBatch = fence).count()
     val (action, through) = decide(dirs, maxB, tombs,
       maxBatchDirs, maxTombstoneKeys, compactSafeWithTombstones)
     MaintenancePlan(seeds, dirs, maxB, tombs, action, through)
@@ -120,5 +126,46 @@ object StoreMaintenance {
       p.action, p.compactThrough))
       .toDF("config", "n_seed_files", "n_batch_dirs", "max_batch",
         "tombstone_keys", "action", "compact_through")
+  }
+
+  /** EXECUTE a plan — the apply half of the scheduler step: run the
+    * planned op through the store's OWN entry points (passed as
+    * thunks, since every store family exposes its own compact/purge
+    * signatures — and those entry points already acquire the lease,
+    * journal the rewrite, and recover a crashed predecessor before
+    * doing new work). A store whose op refuses (the ordering
+    * contracts: batch-ordered compaction with tombstones outstanding,
+    * purge-to-empty, non-invertible deletes) surfaces that refusal
+    * UNCHANGED — the scheduler must see the contract violation, not
+    * swallow it and report the loop healthy. Returns the action run. */
+  def applyPlan(p: MaintenancePlan,
+      compact: Long => Unit, purge: () => Unit): String = p.action match {
+    case "compact" => compact(p.compactThrough); "compact"
+    case "purge" => purge(); "purge"
+    case other => other
+  }
+
+  /** ONE scheduler step, gauged on both sides: plan, apply, RE-PLAN —
+    * the loop-termination proof a maintenance scheduler needs (a plan
+    * whose apply does not clear the gauges would re-fire forever).
+    * Output is two rows, `phase` = `1_planned` (the gauges and action
+    * before) and `2_replanned` (after — a healthy loop reads `action =
+    * none` here). Only the DECISION-bearing gauges are exposed
+    * (`n_batch_dirs`/`max_batch`/`tombstone_keys`): the seed-file
+    * count after a rewrite depends on the engine's partition
+    * coalescing, which is a layout detail, not a liability. */
+  def maintainFrame(spark: SparkSession, config: String,
+      planner: () => MaintenancePlan,
+      compact: Long => Unit, purge: () => Unit): DataFrame = {
+    def row(phase: String, p: MaintenancePlan): DataFrame = {
+      import spark.implicits._
+      Seq((config, phase, p.batchDirs, p.maxBatch, p.tombstoneKeys,
+        p.action, p.compactThrough))
+        .toDF("config", "phase", "n_batch_dirs", "max_batch",
+          "tombstone_keys", "action", "compact_through")
+    }
+    val before = planner()
+    applyPlan(before, compact, purge)
+    row("1_planned", before).unionByName(row("2_replanned", planner()))
   }
 }

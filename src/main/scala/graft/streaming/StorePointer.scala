@@ -76,10 +76,15 @@ object StorePointer {
       val out = fs.create(tmp, true)
       try out.write(storeDir.getBytes("UTF-8")) finally out.close()
       val dst = new Path(root, s"$Prefix$v")
-      if (fs.exists(dst) || !fs.rename(tmp, dst))
+      if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+        // the .tmp suffix fails toLongOption so debris is invisible to
+        // resolve/listVersions, but it has no retirement path — clean
+        // it here rather than let failed publishes accumulate files
+        fs.delete(tmp, false)
         throw new IllegalStateException(
           s"alias at $aliasDir: pointer version $v already exists or the " +
             "rename failed — a racing publish won; re-resolve and retry")
+      }
       v
     }
 
@@ -107,7 +112,9 @@ object StorePointer {
   }
 
   /** Drop pointer files older than the newest `keepLast` (the stores
-    * they name are NOT touched). Returns the versions dropped. */
+    * they name are NOT touched), and sweep `.tmp` debris left by a
+    * publish that crashed between staging and rename. Returns the
+    * versions dropped. */
   def retirePointers(
       spark: SparkSession, aliasDir: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "keepLast must retain at least the live pointer")
@@ -116,6 +123,11 @@ object StorePointer {
       val fs = fsOf(spark, root)
       val drop = listVersions(spark, aliasDir).dropRight(keepLast)
       drop.foreach(v => fs.delete(new Path(root, s"$Prefix$v"), false))
+      fs.listStatus(root).foreach { e =>
+        if (e.isFile && e.getPath.getName.startsWith(Prefix) &&
+            e.getPath.getName.endsWith(".tmp"))
+          fs.delete(e.getPath, false)
+      }
       drop
     }
   }

@@ -58,11 +58,16 @@ private[graft] object Tombstones {
       beforeBatch: Long = Long.MaxValue): DataFrame =
     BatchIndex.read(spark, dirOf(storeDir), keySchema, beforeBatch)
 
-  /** The TERMINAL tombstoned-key set (distinct, fenced). */
+  /** The TERMINAL tombstoned-key set (distinct, fenced). `afterBatch`
+    * drops batches at or below a purge fence ([[readFence]]) — those
+    * were already physically resolved by a completed rewrite, the same
+    * exclusion [[maxBatchPerKey]] applies for masked reads. */
   def liveKeys(
       spark: SparkSession, storeDir: String, keySchema: StructType,
-      beforeBatch: Long = Long.MaxValue): DataFrame =
+      beforeBatch: Long = Long.MaxValue,
+      afterBatch: Long = Long.MinValue): DataFrame =
     read(spark, storeDir, keySchema, beforeBatch)
+      .filter(col("batch") > afterBatch)
       .select(keySchema.fieldNames.map(col).toIndexedSeq: _*).distinct()
 
   /** Per-key MAX delete batch (fenced) — the batch-ordered face.

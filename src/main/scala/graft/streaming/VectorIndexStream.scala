@@ -1235,6 +1235,89 @@ object VectorIndexStream {
       newIndexDir, nLists)
   }
 
+  /** The LIVE ids' full-precision vectors re-ingested from the SOURCE
+    * corpus — the quantized-store rebuild path ([[rebuildIndex]]'s
+    * refusal message's own prescription): the store's live id set
+    * (latest-batch-wins survivors minus [[deadIds]]) joins back to the
+    * upstream corpus that still holds the original vectors. A live id
+    * MISSING from the source refuses loudly at execution — a rebuild
+    * silently dropping a vector the old store still serves is exactly
+    * the half-state the cutover protocol exists to prevent. Scale
+    * shape: one (id)-only scan of the store, one key join against the
+    * source (shuffle on the id — the rebuild is an offline op and the
+    * source is the big side), nothing decoded from stored codes. */
+  private def liveCorpusFromSource(
+      spark: SparkSession, indexDir: String, sourceCorpus: DataFrame,
+      idCol: String, vecCol: String, beforeBatch: Long): DataFrame = {
+    require(sourceCorpus.columns.contains(vecCol),
+      s"source corpus must carry the full-precision '$vecCol' column — " +
+        s"got ${sourceCorpus.columns.toSeq}")
+    val liveIds = readCells(spark, indexDir, beforeBatch)
+      .select(col(idCol)).distinct()
+      .join(broadcast(
+          deadIds(spark, indexDir, idCol, Some(beforeBatch))
+            .select(col(idCol))),
+        Seq(idCol), "left_anti")
+    liveIds
+      .join(sourceCorpus.select(col(idCol), col(vecCol)), Seq(idCol), "left")
+      .withColumn(vecCol,
+        when(col(vecCol).isNotNull, col(vecCol))
+          .otherwise(raise_error(concat(
+            lit("rebuild at "), lit(indexDir), lit(": live id "),
+            col(idCol).cast("string"),
+            lit(" is missing from the source corpus — the rebuilt store " +
+              "would silently drop a vector the old store still serves; " +
+              "fix the source feed or tombstone the id first")))))
+  }
+
+  /** Close the quantized-store drift loop for the SQ8 store: when
+    * [[sq8BoundaryReport]] flags `regrid_recommended`, the pinned grid
+    * no longer spans the data — but the store holds CODES, so the
+    * original vectors must be re-ingested from the SOURCE corpus (the
+    * grid cannot be retrained from its own saturated output, and
+    * decode-re-encode would bake the old grid's error into the new
+    * store permanently). This re-reads every live id's full-precision
+    * vector from `sourceCorpus`, retrains centroids AND the
+    * per-dimension ranges on that corpus, and seeds `newIndexDir`
+    * fresh ([[seedSq8Index]]); serving then cuts over atomically via
+    * [[StorePointer.publish]] — cell ids and codes are never
+    * comparable across grids, so a fresh directory + pointer cutover
+    * is the only safe shape, exactly as [[rebuildIndex]]. */
+  def rebuildSq8Index(
+      spark: SparkSession, indexDir: String, newIndexDir: String,
+      sourceCorpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 8, beforeBatch: Long = Long.MaxValue): Unit = {
+    require(newIndexDir != indexDir,
+      "rebuildSq8Index writes a FRESH store — codes are not comparable " +
+        "across grids, so rebuilding in place would corrupt every " +
+        "concurrent reader; pass a new directory and cut over by path")
+    seedSq8Index(
+      liveCorpusFromSource(spark, indexDir, sourceCorpus, idCol, vecCol,
+        beforeBatch).select(col(idCol), col(vecCol)),
+      idCol, vecCol, newIndexDir, nLists)
+  }
+
+  /** [[rebuildSq8Index]] for the PQ store: live ids re-ingested from
+    * the source corpus, centroids + SQ8 grid + PQ codebook ALL
+    * retrained on it, fresh store seeded ([[seedPqIndex]]), cutover by
+    * pointer. Same argument — stored m-byte codes are only decodable
+    * under the codebook that produced them, and a codebook trained on
+    * decoded codes would inherit the old quantization error. */
+  def rebuildPqIndex(
+      spark: SparkSession, indexDir: String, newIndexDir: String,
+      sourceCorpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 8, m: Int = 8, dim: Int = 64, kCent: Int = 16,
+      beforeBatch: Long = Long.MaxValue): Unit = {
+    require(newIndexDir != indexDir,
+      "rebuildPqIndex writes a FRESH store — codes are not comparable " +
+        "across codebooks, so rebuilding in place would corrupt every " +
+        "concurrent reader; pass a new directory and cut over by path")
+    seedPqIndex(
+      liveCorpusFromSource(spark, indexDir, sourceCorpus, idCol, vecCol,
+        beforeBatch).select(col(idCol), col(vecCol)),
+      idCol, vecCol, newIndexDir, nLists, m, dim, kCent)
+  }
+
   /** RANGE-drift gauge for the SQ8 store — [[occupancyDriftReport]]'s
     * complement: occupancy catches DIRECTION drift (batches
     * concentrating into fewer cells), this catches MAGNITUDE drift
@@ -1476,4 +1559,84 @@ object VectorIndexStream {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
+
+  // ---- alias-routed serving: the production entry points. A rebuild
+  // ships as fresh-directory + StorePointer cutover, so a serving call
+  // site holding a RAW store path can silently keep reading the
+  // retired generation after a cutover — the one operational mistake
+  // the alias exists to prevent. These wrappers resolve the alias
+  // (live by default, a PINNED past generation via `version`) and
+  // serve through the corresponding *FromIndex probe; pointer files
+  // are immutable once renamed, so the resolve-then-read pair is
+  // consistent no matter how many cutovers land in between (the
+  // resolved generation keeps serving its own artifacts). One listing
+  // + one small read per serve — noise against the probe itself.
+
+  private def resolved(
+      spark: SparkSession, aliasDir: String, version: Option[Long]): String =
+    version.fold(StorePointer.resolve(spark, aliasDir))(
+      v => StorePointer.resolveVersion(spark, aliasDir, v))
+
+  /** [[topKFromIndex]] routed through a [[StorePointer]] alias. */
+  def topKFromAlias(
+      spark: SparkSession, aliasDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
+      beforeBatch: Long = Long.MaxValue,
+      version: Option[Long] = None): DataFrame =
+    topKFromIndex(spark, resolved(spark, aliasDir, version), queries,
+      idCol, vecCol, k, nProbe, beforeBatch)
+
+  /** [[filteredTopKFromIndex]] routed through an alias. */
+  def filteredTopKFromAlias(
+      spark: SparkSession, aliasDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, allowedIds: DataFrame, k: Int,
+      nProbe: Int = 1, minCandidates: Long = 0L,
+      beforeBatch: Long = Long.MaxValue,
+      excludeIds: Option[DataFrame] = None,
+      version: Option[Long] = None): DataFrame =
+    filteredTopKFromIndex(spark, resolved(spark, aliasDir, version),
+      queries, idCol, vecCol, allowedIds, k, nProbe, minCandidates,
+      beforeBatch, excludeIds)
+
+  /** [[sq8TopKFromIndex]] routed through an alias. */
+  def sq8TopKFromAlias(
+      spark: SparkSession, aliasDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
+      beforeBatch: Long = Long.MaxValue,
+      version: Option[Long] = None): DataFrame =
+    sq8TopKFromIndex(spark, resolved(spark, aliasDir, version), queries,
+      idCol, vecCol, k, nProbe, beforeBatch)
+
+  /** [[sq8FilteredTopKFromIndex]] routed through an alias. */
+  def sq8FilteredTopKFromAlias(
+      spark: SparkSession, aliasDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, allowedIds: DataFrame, k: Int,
+      nProbe: Int = 1, minCandidates: Long = 0L,
+      beforeBatch: Long = Long.MaxValue,
+      excludeIds: Option[DataFrame] = None,
+      version: Option[Long] = None): DataFrame =
+    sq8FilteredTopKFromIndex(spark, resolved(spark, aliasDir, version),
+      queries, idCol, vecCol, allowedIds, k, nProbe, minCandidates,
+      beforeBatch, excludeIds)
+
+  /** [[pqTopKFromIndex]] routed through an alias. */
+  def pqTopKFromAlias(
+      spark: SparkSession, aliasDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
+      beforeBatch: Long = Long.MaxValue,
+      version: Option[Long] = None): DataFrame =
+    pqTopKFromIndex(spark, resolved(spark, aliasDir, version), queries,
+      idCol, vecCol, k, nProbe, beforeBatch)
+
+  /** [[pqFilteredTopKFromIndex]] routed through an alias. */
+  def pqFilteredTopKFromAlias(
+      spark: SparkSession, aliasDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, allowedIds: DataFrame, k: Int,
+      nProbe: Int = 1, minCandidates: Long = 0L,
+      beforeBatch: Long = Long.MaxValue,
+      excludeIds: Option[DataFrame] = None,
+      version: Option[Long] = None): DataFrame =
+    pqFilteredTopKFromIndex(spark, resolved(spark, aliasDir, version),
+      queries, idCol, vecCol, allowedIds, k, nProbe, minCandidates,
+      beforeBatch, excludeIds)
 }

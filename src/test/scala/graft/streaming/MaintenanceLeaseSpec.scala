@@ -124,6 +124,91 @@ class MaintenanceLeaseSpec extends SparkSpec {
     assert(!new java.io.File(s"$idx/${MaintenanceLease.LeaseFile}").exists())
   }
 
+  test("re-acquiring a LIVE own lease extends it atomically; an EXPIRED " +
+      "own lease refuses to resurrect") {
+    val dir = java.nio.file.Files.createTempDirectory("lease_renew").toString
+    val idx = s"$dir/store"
+    new java.io.File(idx).mkdirs()
+    val t0 = 2_000_000L
+    MaintenanceLease.acquire(spark, idx, "composite-op",
+      ttlMs = 100L, nowMillis = t0)
+    // live renewal: the expiry extends, and no rename debris remains
+    val renewed = MaintenanceLease.acquire(spark, idx, "composite-op",
+      ttlMs = 100L, nowMillis = t0 + 50L)
+    assert(renewed.expiresAt == t0 + 150L)
+    // no rename debris beyond the local FS's checksum sidecar
+    assert(new java.io.File(idx).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).toSet ==
+      Set(MaintenanceLease.LeaseFile))
+    // the extension is visible to appenders past the ORIGINAL expiry
+    intercept[IllegalStateException] {
+      MaintenanceLease.refuseIfHeld(spark, idx, "append",
+        nowMillis = t0 + 120L)
+    }
+    // expired own lease: re-extending would resurrect a dead lease over
+    // state a rival may have rewritten since — refuse loudly
+    val dead = intercept[IllegalStateException] {
+      MaintenanceLease.acquire(spark, idx, "composite-op",
+        nowMillis = t0 + 500L)
+    }
+    assert(dead.getMessage.contains("own maintenance lease expired"),
+      dead.getMessage)
+    // the expired file is still stealable by a rival, exactly once
+    val thief = MaintenanceLease.acquire(spark, idx, "rival",
+      nowMillis = t0 + 500L)
+    MaintenanceLease.release(spark, thief)
+    assert(!new java.io.File(s"$idx/${MaintenanceLease.LeaseFile}").exists())
+  }
+
+  test("a stealer acquiring over a crashed compaction replays the pending " +
+      "journal before staging new work") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lease_replay").toString
+    val idx = s"$dir/index"
+    def writeFps(texts: Seq[String], path: String): Unit =
+      texts.toDF("text")
+        .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        .write.mode("overwrite").parquet(path)
+    writeFps(Seq("batch zero"), s"$idx/batch=0")
+    writeFps(Seq("batch one"), s"$idx/batch=1")
+    writeFps(Seq("batch two"), s"$idx/batch=2")
+    val before = IncrementalDedup.readIndex(spark, idx)
+      .select("fp").collect().map(_.getString(0)).sorted.toSeq
+
+    // the crashed pass: batch=0's fold staged, journal committed,
+    // neither deletions nor promotions executed — and its lease left
+    // behind, EXPIRED (the job died mid-swap and its TTL has passed)
+    spark.read.parquet(s"$idx/batch=0")
+      .write.parquet(s"$idx/_compact_tmp")
+    val staged = new java.io.File(s"$idx/_compact_tmp").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName)
+    assert(staged.nonEmpty)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$idx/_compact_journal"),
+      ("D batch=0" +: staged.map(n => s"M $n seed-crash-$n").toSeq)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    MaintenanceLease.acquire(spark, idx, "crashed-compaction",
+      ttlMs = 10L, nowMillis = 1_000L)
+
+    // a SECOND writer's maintenance: acquire steals the expired lease,
+    // and the op replays the crashed journal BEFORE folding batch=1 —
+    // the composition, not just each half alone
+    IncrementalDedup.compactIndex(spark, idx, throughBatch = 1L)
+    assert(!new java.io.File(s"$idx/_compact_journal").exists())
+    assert(!new java.io.File(s"$idx/_compact_tmp").exists())
+    val dirs = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+      .map(_.getName).toSet
+    assert(dirs == Set("batch=2"), dirs.mkString(","))
+    // both the replayed fold and the new fold are read-equivalent
+    val after = IncrementalDedup.readIndex(spark, idx)
+      .select("fp").collect().map(_.getString(0)).sorted.toSeq
+    assert(after == before)
+    // the stolen lease was released by the completing op
+    assert(!new java.io.File(s"$idx/${MaintenanceLease.LeaseFile}").exists())
+  }
+
   test("the vector store's delete and append paths refuse during its " +
       "maintenance window") {
     val spark0 = spark

@@ -92,4 +92,93 @@ class StoreMaintenanceSpec extends SparkSpec {
     assert(cleared.tombstoneKeys == 0L && cleared.batchDirs == 0L &&
       cleared.action == "none", cleared.toString)
   }
+
+  test("the tombstone gauge honors a purge fence: batches a crashed purge " +
+      "already resolved are not re-counted as liability") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("maint_fence").toString
+    val idx = s"$dir/store"
+    val docs = (1L to 20L).map(i => (i, s"document number $i body"))
+      .toDF("doc_id", "text")
+    PostingsStream.appendBatch(docs, "doc_id", "text", idx, 0L)
+    PostingsStream.deleteBatch(spark, idx, Seq(1L, 2L, 3L).toDF("doc_id"),
+      "doc_id", batchId = 1L)
+    PostingsStream.deleteBatch(spark, idx, Seq(4L).toDF("doc_id"),
+      "doc_id", batchId = 2L)
+    // unfenced: all four keys count
+    assert(StoreMaintenance.plan(spark, idx, idSchema, 10L, 10L)
+      .tombstoneKeys == 4L)
+    // a crash between a fence-committed rewrite and dropThrough leaves
+    // resolved batches on disk under a fence — manufacture that state
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx, "_purge_fence"), "1".getBytes("UTF-8"))
+    val fenced = StoreMaintenance.plan(spark, idx, idSchema, 10L, 2L)
+    assert(fenced.tombstoneKeys == 1L, fenced.toString)
+    // the real liability (1 key) is under the cap: no phantom re-purge
+    assert(fenced.action == "none")
+  }
+
+  test("applyPlan runs the planned op through the store's own entry points " +
+      "and surfaces their refusals; maintainFrame re-plans to none") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("maint_apply").toString
+    val idx = s"$dir/postings"
+    val docs = (1L to 40L).map(i => (i, s"document number $i body"))
+      .toDF("doc_id", "text")
+    (0 to 3).foreach(b => PostingsStream.appendBatch(
+      docs.filter(col("doc_id") % 4 === b), "doc_id", "text", idx, b.toLong))
+    PostingsStream.deleteBatch(spark, idx,
+      Seq(3L, 6L, 9L).toDF("doc_id"), "doc_id", batchId = 4L)
+
+    def planner(tombCap: Long) = () =>
+      StoreMaintenance.plan(spark, idx, idSchema, 2L, tombCap,
+        compactSafeWithTombstones = true)
+    val frame = StoreMaintenance.maintainFrame(spark, "purge_loop",
+      planner(0L),
+      t => PostingsStream.compactIndex(spark, idx, t),
+      () => PostingsStream.purgeTombstones(spark, idx))
+      .orderBy(col("phase")).collect()
+    assert(frame.length == 2)
+    assert(frame(0).getAs[String]("phase") == "1_planned" &&
+      frame(0).getAs[String]("action") == "purge" &&
+      frame(0).getAs[Long]("tombstone_keys") == 3L)
+    // the loop terminates: the purge folded the dirs AND cleared the
+    // liability, so the re-plan reads none
+    assert(frame(1).getAs[String]("phase") == "2_replanned" &&
+      frame(1).getAs[String]("action") == "none" &&
+      frame(1).getAs[Long]("tombstone_keys") == 0L &&
+      frame(1).getAs[Long]("n_batch_dirs") == 0L, frame(1).toString)
+    // the purged docs are really gone from serving
+    assert(!PostingsStream.readPostings(spark, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .exists(Set(3L, 6L, 9L)))
+
+    // a hand-built plan whose op the store refuses (batch-ordered
+    // compaction with tombstones outstanding) surfaces the op's OWN
+    // refusal — the scheduler sees the contract violation
+    val fpIdx = s"$dir/fps"
+    def writeFps(texts: Seq[String], path: String): Unit =
+      texts.toDF("text")
+        .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        .write.mode("overwrite").parquet(path)
+    writeFps(Seq("batch zero"), s"$fpIdx/batch=0")
+    writeFps(Seq("batch one"), s"$fpIdx/batch=1")
+    IncrementalDedup.deleteBatch(spark, fpIdx,
+      Seq("zero fp").toDF("f"), "f", batchId = 2L)
+    val bad = StoreMaintenance.MaintenancePlan(0L, 2L, 1L, 1L, "compact", 0L)
+    val refused = intercept[IllegalStateException] {
+      StoreMaintenance.applyPlan(bad,
+        t => IncrementalDedup.compactIndex(spark, fpIdx, t),
+        () => IncrementalDedup.purgeTombstones(spark, fpIdx))
+    }
+    assert(refused.getMessage.contains("purgeTombstones before"),
+      refused.getMessage)
+    // "none" applies nothing and reports itself
+    assert(StoreMaintenance.applyPlan(
+      StoreMaintenance.MaintenancePlan(0L, 1L, 0L, 0L, "none", -1L),
+      _ => fail("compact must not run"), () => fail("purge must not run"))
+      == "none")
+  }
 }

@@ -48,4 +48,67 @@ class StorePointerSpec extends SparkSpec {
       StorePointer.retirePointers(spark, alias, keepLast = 0)
     }
   }
+
+  test("retirePointers sweeps .tmp debris from a publish that crashed " +
+      "between staging and rename") {
+    val dir = java.nio.file.Files.createTempDirectory("store_ptr_tmp").toString
+    val alias = s"$dir/alias"
+    StorePointer.publish(spark, alias, s"$dir/storeA")
+    StorePointer.publish(spark, alias, s"$dir/storeB")
+    // a crashed publish leaves its staged pointer un-renamed; the .tmp
+    // suffix keeps it invisible to resolve, but debris must not
+    // accumulate forever
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(alias, "ptr.v=3.tmp"),
+      s"$dir/storeC".getBytes("UTF-8"))
+    assert(StorePointer.resolve(spark, alias) == s"$dir/storeB")
+    StorePointer.retirePointers(spark, alias, keepLast = 2)
+    val names = new java.io.File(alias).listFiles().map(_.getName).toSet
+    assert(!names.exists(_.endsWith(".tmp")), names.mkString(","))
+    assert(StorePointer.resolve(spark, alias) == s"$dir/storeB")
+  }
+
+  test("alias-routed serving: a pinned resolve keeps serving its own " +
+      "generation while a publish cuts the live read over") {
+    val spark0 = spark
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("store_ptr_serve").toString
+    val idxA = s"$dir/storeA"
+    val idxB = s"$dir/storeB"
+    val alias = s"$dir/alias"
+    VectorIndexStream.seedIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idxA,
+      nLists = 8)
+    StorePointer.publish(spark, alias, idxA)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.orderBy(col("query_id"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val preCutover = rows(VectorIndexStream.topKFromAlias(
+      spark, alias, q, "vec_id", "embedding", k = 3))
+
+    // the cutover: a rebuilt store publishes as v2
+    VectorIndexStream.rebuildIndex(spark, idxA, idxB, "vec_id", "embedding",
+      nLists = 8)
+    StorePointer.publish(spark, alias, idxB)
+
+    // the PINNED v1 read, resolved AFTER the cutover, serves exactly
+    // what pre-cutover requests saw — pointer files are immutable
+    val pinned = rows(VectorIndexStream.topKFromAlias(
+      spark, alias, q, "vec_id", "embedding", k = 3, version = Some(1L)))
+    assert(pinned == preCutover)
+    // the live read serves the new generation's store
+    val live = rows(VectorIndexStream.topKFromAlias(
+      spark, alias, q, "vec_id", "embedding", k = 3))
+    val direct = rows(VectorIndexStream.topKFromIndex(
+      spark, idxB, q, "vec_id", "embedding", k = 3))
+    assert(live == direct)
+    // pinning a never-published generation refuses loudly
+    intercept[IllegalStateException] {
+      VectorIndexStream.topKFromAlias(
+        spark, alias, q, "vec_id", "embedding", k = 3, version = Some(9L))
+    }
+  }
 }

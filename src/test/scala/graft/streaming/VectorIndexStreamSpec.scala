@@ -1524,4 +1524,105 @@ class VectorIndexStreamSpec extends SparkSpec {
     }
     assert(refused.getMessage.contains("codes, not vectors"), refused.getMessage)
   }
+
+  test("rebuildSq8Index: re-ingests the live corpus from the SOURCE, " +
+      "retrains the grid, clears the boundary gauge; missing live ids refuse") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 === 1)
+    val doubledOdds =
+      odds.withColumn("embedding", transform(col("embedding"), x => x + x))
+    val dir = java.nio.file.Files.createTempDirectory("sq8_rebuild").toString
+    val idx = s"$dir/index"; val idx2 = s"$dir/rebuilt"
+    // q277's drift fixture + a takedown: grid pinned on evens, odd
+    // batch 0 in-range, doubled odd batch 1 escapes the grid
+    VectorIndexStream.seedSq8Index(evens, "vec_id", "embedding", idx, nLists = 8)
+    VectorIndexStream.appendSq8Batch(odds, "vec_id", "embedding", idx, 0L)
+    VectorIndexStream.appendSq8Batch(doubledOdds, "vec_id", "embedding", idx, 1L)
+    VectorIndexStream.deleteBatch(spark, idx,
+      e.filter(col("vec_id") % 10 === 5).select(col("vec_id")),
+      "vec_id", batchId = 2L)
+    val drifted = VectorIndexStream.sq8BoundaryReport(spark, idx)
+      .filter(col("batch") === 1L).collect()
+    assert(drifted.length == 1 &&
+      drifted(0).getAs[Boolean]("regrid_recommended"))
+
+    // the source corpus is the upstream truth: evens original, odds at
+    // their latest (doubled) values
+    val source = evens.select(col("vec_id"), col("embedding"))
+      .unionByName(doubledOdds.select(col("vec_id"), col("embedding")))
+    intercept[IllegalArgumentException] {
+      VectorIndexStream.rebuildSq8Index(spark, idx, idx, source,
+        "vec_id", "embedding")
+    }
+    VectorIndexStream.rebuildSq8Index(spark, idx, idx2, source,
+      "vec_id", "embedding", nLists = 8)
+
+    // the rebuilt store holds exactly the live ids, once each
+    val ids = VectorIndexStream.readCells(spark, idx2)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length && !ids.exists(_ % 10 == 5))
+    // serving parity with a by-hand fresh seed over the live corpus
+    val live = source.filter(col("vec_id") % 10 =!= 5)
+    val byHand = s"$dir/byhand"
+    VectorIndexStream.seedSq8Index(live, "vec_id", "embedding", byHand,
+      nLists = 8)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    def served(d: String) = VectorIndexStream.sq8TopKFromIndex(
+        spark, d, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served(idx2) == served(byHand))
+    // the gauge CLEARS: a re-encoded batch of the same drifted
+    // distribution reads at the retrained grid's own baseline
+    VectorIndexStream.appendSq8Batch(live, "vec_id", "embedding", idx2, 0L)
+    val cleared = VectorIndexStream.sq8BoundaryReport(spark, idx2)
+      .filter(col("batch") === 0L).collect()
+    assert(cleared.length == 1 &&
+      !cleared(0).getAs[Boolean]("regrid_recommended"), cleared.mkString)
+
+    // a live id missing from the source refuses loudly at execution —
+    // the rebuild must never silently drop a vector the store serves
+    val ex = intercept[Exception] {
+      VectorIndexStream.rebuildSq8Index(spark, idx, s"$dir/partial",
+        source.filter(col("vec_id") =!= 1L), "vec_id", "embedding")
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(rootMsg(ex).contains("missing from the source corpus"), rootMsg(ex))
+  }
+
+  test("rebuildPqIndex: source re-ingest retrains grid AND codebook; " +
+      "serving parity with a fresh seed over the live corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("pq_rebuild").toString
+    val idx = s"$dir/index"; val idx2 = s"$dir/rebuilt"
+    VectorIndexStream.seedPqIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+      nLists = 8, m = 8, dim = 64, kCent = 16)
+    VectorIndexStream.appendPqBatch(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, 0L)
+    VectorIndexStream.deleteBatch(spark, idx,
+      e.filter(col("vec_id") % 10 === 5).select(col("vec_id")),
+      "vec_id", batchId = 1L)
+    VectorIndexStream.rebuildPqIndex(spark, idx, idx2,
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      nLists = 8, m = 8, dim = 64, kCent = 16)
+    val byHand = s"$dir/byhand"
+    VectorIndexStream.seedPqIndex(
+      e.filter(col("vec_id") % 10 =!= 5), "vec_id", "embedding", byHand,
+      nLists = 8, m = 8, dim = 64, kCent = 16)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    def served(d: String) = VectorIndexStream.pqTopKFromIndex(
+        spark, d, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served(idx2) == served(byHand))
+    // the old store is untouched (as-of generation for pinned reads)
+    assert(VectorIndexStream.readCells(spark, idx).count() >
+      VectorIndexStream.readCells(spark, idx2).count())
+  }
 }
