@@ -1637,6 +1637,69 @@ object ExtendedQueries {
         ORDER BY config""")),
 
     GraftQuery(
+      "q282_maintenance_apply",
+      "The maintenance loop EXECUTED end to end (q275 proves the " +
+        "decision, this proves the loop TERMINATES): one scheduler " +
+        "step — plan, apply through the store's own journaled ops, " +
+        "RE-PLAN — on two postings stores. The purge loop (takedowns " +
+        "over a zero cap) runs purgeTombstones: the rewrite folds " +
+        "every batch dir AND clears the tombstone liability, so the " +
+        "re-plan reads action=none with both gauges at zero. The " +
+        "compact loop (dir pressure, no tombstones) folds through " +
+        "max-1: one batch dir remains (the newest always stays), " +
+        "under the cap, re-plan none. A plan whose apply does NOT " +
+        "clear its gauge would re-fire forever — this pair is the " +
+        "termination proof a 100 TB scheduler needs before it runs " +
+        "unattended. Driver listings + integer decisions — hash-exact.",
+      (spark, dir) => {
+        import graft.streaming.{PostingsStream, StoreMaintenance}
+        val d = Tables.table(spark, dir, "documents")
+        val idxP = QueryScratch.dir("graft_q282_purge")
+        val idxC = QueryScratch.dir("graft_q282_compact")
+        Seq(idxP, idxC).foreach { s =>
+          val p = new org.apache.hadoop.fs.Path(s)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val keySchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType)))
+        def loop(idx: String, config: String, tombCap: Long) = {
+          (0 to 3).foreach(b => PostingsStream.appendBatch(
+            d.filter(col("doc_id") % 4 === b), "doc_id", "text", idx,
+            b.toLong))
+          if (config == "purge_loop")
+            PostingsStream.deleteBatch(spark, idx,
+              d.filter(col("doc_id") % 10 === 3).select(col("doc_id")),
+              "doc_id", batchId = 4L)
+          StoreMaintenance.maintainFrame(spark, config,
+            () => StoreMaintenance.plan(spark, idx, keySchema, 2L, tombCap,
+              compactSafeWithTombstones = true),
+            t => PostingsStream.compactIndex(spark, idx, t),
+            () => PostingsStream.purgeTombstones(spark, idx))
+        }
+        loop(idxP, "purge_loop", tombCap = 0L)
+          .unionByName(loop(idxC, "compact_loop", tombCap = 100L))
+          .orderBy(col("config"), col("phase"))
+      },
+      Some("""
+        WITH T AS (SELECT count(DISTINCT doc_id) AS tk FROM documents
+                   WHERE doc_id % 10 = 3)
+        SELECT config, phase,
+               CAST(dirs AS BIGINT) AS n_batch_dirs,
+               CAST(maxb AS BIGINT) AS max_batch,
+               CAST(CASE WHEN tombs = -1 THEN tk ELSE tombs END AS BIGINT)
+                 AS tombstone_keys,
+               action, CAST(through AS BIGINT) AS compact_through
+        FROM T, (VALUES
+          ('compact_loop', '1_planned',   4,  3,  0, 'compact', 2),
+          ('compact_loop', '2_replanned', 1,  3,  0, 'none',   -1),
+          ('purge_loop',   '1_planned',   4,  3, -1, 'purge',  -1),
+          ('purge_loop',   '2_replanned', 0, -1,  0, 'none',   -1))
+          AS rows(config, phase, dirs, maxb, tombs, action, through)
+        ORDER BY config, phase""")),
+
+    GraftQuery(
       "q159_bloom_pruned_join",
       "Bloom-pruned fact⋈dim join (ScaleJoins.bloomPrunedJoin) — the " +
         "explicit runtime-filter pattern: a Bloom filter built over " +

@@ -2425,7 +2425,12 @@ object SimilarityQueries {
         "codes — then the ADC scan ranks only allowed candidates in " +
         "the probed cells under the pinned grid + codebook. Cost " +
         "follows selectivity per query while the scan stays " +
-        "compressed. Integer ADC distances — hash-exact.",
+        "compressed. Integer ADC distances — hash-exact. Expected " +
+        "scale exponent ~0.12 (0.116 pinned sf0.01->sf0.1): the run " +
+        "is STORE-BUILD-dominated (seeding both quantized stores, " +
+        "training grid + codebook) — fixed cost, not a data term; an " +
+        "exponent drifting toward 0.3+ means the serve path grew a " +
+        "corpus-proportional scan it should not have.",
       (spark, dir) => {
         import graft.streaming.VectorIndexStream
         val e = Tables.table(spark, dir, "embeddings")
@@ -2654,7 +2659,12 @@ object SimilarityQueries {
         "inline deterministic IVF over exactly that live corpus under " +
         "the RETRAINED centroids. Margins: query-assignment gaps >= " +
         "2.5e-3, live-corpus assignment gaps >= 6.8e-7, top-5 rank " +
-        "gaps >= 1.8e-4 at every SF (vs ~1e-12 summation error).",
+        "gaps >= 1.8e-4 at every SF (vs ~1e-12 summation error). " +
+        "Expected scale exponent ~0.11 (0.113 pinned sf0.01->sf0.1): " +
+        "the run is STORE-BUILD-dominated (a full rebuild IS the " +
+        "operator's job — fresh seed + retrain, fixed overhead " +
+        "dwarfing the data term at these SFs); drift toward 0.3+ " +
+        "means the rebuild or serve grew a superlinear stage.",
       (spark, dir) => {
         import graft.streaming.VectorIndexStream
         val e = Tables.table(spark, dir, "embeddings")
@@ -2731,7 +2741,8 @@ object SimilarityQueries {
 
     GraftQuery(
       "q279_store_cutover",
-      "Atomic serving CUTOVER through a store alias (StorePointer) — " +
+      "Atomic serving CUTOVER through a store alias (StorePointer, " +
+        "served via topKFromAlias — no call site holds a raw path) — " +
         "how a re-trained store goes live without a request seeing a " +
         "half-state: the incrementally-grown store (even seed, odd " +
         "batch 0 — q101's exact build, so its quantizer is pinned on " +
@@ -2764,12 +2775,14 @@ object SimilarityQueries {
         VectorIndexStream.rebuildIndex(
           spark, idx, idx2, "vec_id", "embedding", nLists = 8)
         StorePointer.publish(spark, alias, idx2)
-        def serve(store: String, ver: Long) =
-          VectorIndexStream.topKFromIndex(
-              spark, store, q, "vec_id", "embedding", k = 3)
-            .withColumn("ptr_version", lit(ver))
-        serve(StorePointer.resolveVersion(spark, alias, 1L), 1L)
-          .unionByName(serve(StorePointer.resolve(spark, alias), 2L))
+        // ALIAS-ROUTED serving: the call sites hold only the alias —
+        // never a raw store path that could go stale across a cutover
+        def serve(ver: Option[Long], tag: Long) =
+          VectorIndexStream.topKFromAlias(
+              spark, alias, q, "vec_id", "embedding", k = 3, version = ver)
+            .withColumn("ptr_version", lit(tag))
+        serve(Some(1L), 1L)
+          .unionByName(serve(None, 2L))
           .select(col("ptr_version"), col("query_id"), col("rank"),
             col("neighbor_id"))
           .orderBy(col("ptr_version"), col("query_id"), col("rank"))
@@ -2833,6 +2846,401 @@ object SimilarityQueries {
           FROM CAND)
         SELECT CAST(ptr_version AS BIGINT) AS ptr_version,
                query_id, rank, neighbor_id FROM R
-        WHERE rank <= 3 ORDER BY ptr_version, query_id, rank"""))
+        WHERE rank <= 3 ORDER BY ptr_version, query_id, rank""")),
+
+    GraftQuery(
+      "q280_sq8_regrid_rebuild",
+      "CLOSES the quantized-store drift loop (q277 measures, this " +
+        "acts): the drifted SQ8 store — grid pinned on the even half, " +
+        "batch 0 appends the odd half DOUBLED (q277's escape fixture, " +
+        "boundary share ~20-90x the seed's) plus a takedown batch — " +
+        "is rebuilt via rebuildSq8Index, which re-ingests the live " +
+        "ids' FULL-PRECISION vectors from the SOURCE corpus (codes " +
+        "cannot retrain their own grid; decode-re-encode would bake " +
+        "the old grid's error in) and retrains centroids AND ranges " +
+        "on that corpus. Re-encoding the same drifted distribution " +
+        "as a fresh batch of the NEW store then reads at the " +
+        "retrained grid's own baseline: identical counts to its seed, " +
+        "regrid_recommended = false — the gauge that fired on the " +
+        "old store is CLEARED, not silenced. Counts over stored " +
+        "codes, integer decision — hash-exact.",
+      (spark, dir) => {
+        import graft.streaming.VectorIndexStream
+        val e = Tables.table(spark, dir, "embeddings")
+        val idx = QueryScratch.dir("graft_q280_index")
+        val idx2 = QueryScratch.dir("graft_q280_rebuilt")
+        Seq(idx, idx2).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val doubled = e.filter(col("vec_id") % 2 === 1)
+          .withColumn("embedding", transform(col("embedding"), x => x + x))
+        VectorIndexStream.seedSq8Index(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8)
+        VectorIndexStream.appendSq8Batch(doubled, "vec_id", "embedding", idx, 0L)
+        VectorIndexStream.deleteBatch(spark, idx,
+          e.filter(col("vec_id") % 10 === 5).select(col("vec_id")),
+          "vec_id", batchId = 1L)
+        // the upstream truth: evens at their original values, odds at
+        // their latest (doubled) values — the rebuild subtracts the
+        // takedowns itself
+        val source = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(doubled.select(col("vec_id"), col("embedding")))
+        VectorIndexStream.rebuildSq8Index(
+          spark, idx, idx2, source, "vec_id", "embedding", nLists = 8)
+        // the drifted distribution re-encoded under the retrained grid
+        VectorIndexStream.appendSq8Batch(
+          source.filter(col("vec_id") % 10 =!= 5),
+          "vec_id", "embedding", idx2, 0L)
+        VectorIndexStream.sq8BoundaryReport(spark, idx2)
+          .orderBy(col("batch"))
+      },
+      Some("""
+        WITH LIV AS (
+          SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id % 2 = 0
+          UNION ALL
+          SELECT vec_id, [x + x for x in embedding] FROM embeddings
+          WHERE vec_id % 2 = 1 AND vec_id % 10 <> 5),
+        MM AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(v) AS x, unnest(range(1, len(v)+1)) AS i
+                FROM LIV)
+          GROUP BY i),
+        MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
+        QV AS (
+          SELECT vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(v[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(v)+1)] AS qv
+          FROM LIV, MML),
+        C AS (
+          SELECT count(*) AS n_vectors, SUM(len(qv)) AS n_codes,
+                 SUM(len([x for x in qv if x = 0])) AS n_floor,
+                 SUM(len([x for x in qv if x = 255])) AS n_ceil
+          FROM QV),
+        SH AS (SELECT *, ((n_floor + n_ceil) * 1000) // n_codes AS share
+               FROM C)
+        SELECT CAST(b.batch AS BIGINT) AS batch,
+               CAST(s.n_vectors AS BIGINT) AS n_vectors,
+               CAST(s.n_codes AS BIGINT) AS n_codes,
+               CAST(s.n_floor AS BIGINT) AS n_floor,
+               CAST(s.n_ceil AS BIGINT) AS n_ceil,
+               CAST(s.share AS BIGINT) AS boundary_share_millis,
+               CAST(s.share AS BIGINT) AS seed_boundary_share_millis,
+               (b.batch <> -1 AND s.share * 1000 > s.share * 2000)
+                 AS regrid_recommended
+        FROM SH s, (VALUES (-1), (0)) b(batch)
+        ORDER BY batch""")),
+
+    GraftQuery(
+      "q281_alias_served_sq8_rebuild",
+      "The rebuild->cutover->serve flow END TO END through the alias " +
+        "(q280's rebuild + q279's pointer, served by " +
+        "sq8TopKFromAlias): the drifted SQ8 store (even-half grid, " +
+        "doubled odd batch, %10=5 takedowns) publishes as pointer v1, " +
+        "rebuildSq8Index re-ingests the source corpus into a fresh " +
+        "store that publishes as v2, and BOTH generations serve " +
+        "through the alias — the pinned v1 read still ranks the old " +
+        "grid's saturated codes (takedowns un-excluded: plain serve), " +
+        "the live read ranks the retrained grid over the live corpus. " +
+        "No serving call site touches a raw store path. Integer code " +
+        "distances; assignment margins >= 1.0e-4 (doubled odds under " +
+        "the even centroids), >= 1.1e-5 (live corpus under its own), " +
+        ">= 2.5e-3 (queries under the rebuilt centroids) at every SF.",
+      (spark, dir) => {
+        import graft.streaming.{StorePointer, VectorIndexStream}
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val idx = QueryScratch.dir("graft_q281_a")
+        val idx2 = QueryScratch.dir("graft_q281_b")
+        val alias = QueryScratch.dir("graft_q281_alias")
+        Seq(idx, idx2, alias).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val doubled = e.filter(col("vec_id") % 2 === 1)
+          .withColumn("embedding", transform(col("embedding"), x => x + x))
+        VectorIndexStream.seedSq8Index(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8)
+        VectorIndexStream.appendSq8Batch(doubled, "vec_id", "embedding", idx, 0L)
+        VectorIndexStream.deleteBatch(spark, idx,
+          e.filter(col("vec_id") % 10 === 5).select(col("vec_id")),
+          "vec_id", batchId = 1L)
+        StorePointer.publish(spark, alias, idx)
+        val source = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(doubled.select(col("vec_id"), col("embedding")))
+        VectorIndexStream.rebuildSq8Index(
+          spark, idx, idx2, source, "vec_id", "embedding", nLists = 8)
+        StorePointer.publish(spark, alias, idx2)
+        def serve(ver: Option[Long], tag: Long) =
+          VectorIndexStream.sq8TopKFromAlias(
+              spark, alias, q, "vec_id", "embedding", k = 3, version = ver)
+            .withColumn("ptr_version", lit(tag))
+        serve(Some(1L), 1L).unionByName(serve(None, 2L))
+          .select(col("ptr_version"), col("query_id"), col("rank"),
+            col("neighbor_id"), col("dist"))
+          .orderBy(col("ptr_version"), col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH O1 AS (
+          SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id % 2 = 0
+          UNION ALL
+          SELECT vec_id, [x + x for x in embedding] FROM embeddings
+          WHERE vec_id % 2 = 1),
+        LIV AS (SELECT * FROM O1 WHERE vec_id % 10 <> 5),
+        C1 AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+               FROM embeddings WHERE vec_id % 2 = 0
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        C2 AS (SELECT vec_id AS cent_id, v AS cent_vec FROM LIV
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        MM1 AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(embedding) AS x,
+                       unnest(range(1, len(embedding)+1)) AS i
+                FROM embeddings WHERE vec_id % 2 = 0)
+          GROUP BY i),
+        ML1 AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM1),
+        MM2 AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(v) AS x, unnest(range(1, len(v)+1)) AS i
+                FROM LIV)
+          GROUP BY i),
+        ML2 AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM2),
+        D1 AS (SELECT o.vec_id, c.cent_id,
+                 SUM(POW(CAST(o.v[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+               FROM O1 o, C1 c, range(1,65) i(i) GROUP BY 1, 2),
+        LC1 AS (SELECT vec_id, cent_id AS cell FROM D1
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        D2 AS (SELECT l.vec_id, c.cent_id,
+                 SUM(POW(CAST(l.v[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+               FROM LIV l, C2 c, range(1,65) i(i) GROUP BY 1, 2),
+        LC2 AS (SELECT vec_id, cent_id AS cell FROM D2
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        QV1 AS (
+          SELECT vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(v[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(v)+1)] AS qv
+          FROM O1, ML1),
+        QV2 AS (
+          SELECT vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(v[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(v)+1)] AS qv
+          FROM LIV, ML2),
+        QQ1 AS (
+          SELECT e.vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(e.embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(e.embedding)+1)] AS qv
+          FROM embeddings e, ML1 WHERE e.vec_id % 50 = 0),
+        QQ2 AS (
+          SELECT e.vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(e.embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(e.embedding)+1)] AS qv
+          FROM embeddings e, ML2 WHERE e.vec_id % 50 = 0),
+        DQ1 AS (SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+                FROM embeddings e, C1 c, range(1,65) i(i)
+                WHERE e.vec_id % 50 = 0 GROUP BY 1, 2),
+        QC1 AS (SELECT vec_id, cent_id AS cell FROM DQ1
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        DQ2 AS (SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+                FROM embeddings e, C2 c, range(1,65) i(i)
+                WHERE e.vec_id % 50 = 0 GROUP BY 1, 2),
+        QC2 AS (SELECT vec_id, cent_id AS cell FROM DQ2
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        P AS (
+          SELECT 1 AS ptr_version, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                           for i in range(1, len(a.qv)+1)]) AS d
+          FROM QQ1 a
+          JOIN QC1 ca ON ca.vec_id = a.vec_id
+          JOIN LC1 cb ON cb.cell = ca.cell
+          JOIN QV1 b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id
+          UNION ALL
+          SELECT 2, a.vec_id, b.vec_id,
+                 list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                           for i in range(1, len(a.qv)+1)])
+          FROM QQ2 a
+          JOIN QC2 ca ON ca.vec_id = a.vec_id
+          JOIN LC2 cb ON cb.cell = ca.cell
+          JOIN QV2 b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id),
+        R AS (SELECT ptr_version, query_id, neighbor_id,
+                     CAST(d AS BIGINT) AS dist,
+                     row_number() OVER (PARTITION BY ptr_version, query_id
+                       ORDER BY d, neighbor_id) AS rank
+              FROM P)
+        SELECT CAST(ptr_version AS BIGINT) AS ptr_version,
+               query_id, rank, neighbor_id, dist FROM R
+        WHERE rank <= 3 ORDER BY ptr_version, query_id, rank""")),
+
+    GraftQuery(
+      "q283_rebuild_recall_gain",
+      "PROOF the retrain buys recall, not just parity: one corpus " +
+        "(evens original + odd half abs-folded into one orthant), two " +
+        "quantizers — the drifted store's centroids were pinned on " +
+        "the even half before the fold, the rebuilt store's " +
+        "(rebuildIndex) are retrained on the live corpus — probed at " +
+        "EQUAL nProbe=1 against the same brute-force top-3, recall " +
+        "summed as integers. The store contents are IDENTICAL, so the " +
+        "hit-count gap isolates the quantizer: the rebuilt store is " +
+        "strictly higher at every SF (9->11 / 12->14 / 33->34 hits of " +
+        "30/30/120 exact). Rank gaps >= 1.8e-5, assignment gaps >= " +
+        "6.8e-7 at every SF (vs ~1e-12 summation error); the compared " +
+        "counts are integers.",
+      (spark, dir) => {
+        import graft.streaming.VectorIndexStream
+        val e = Tables.table(spark, dir, "embeddings")
+        val idx = QueryScratch.dir("graft_q283_index")
+        val idx2 = QueryScratch.dir("graft_q283_rebuilt")
+        Seq(idx, idx2).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val absOdds = e.filter(col("vec_id") % 2 === 1)
+          .withColumn("embedding", transform(col("embedding"), x => abs(x)))
+        VectorIndexStream.seedIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8)
+        VectorIndexStream.appendBatch(absOdds, "vec_id", "embedding", idx, 0L)
+        VectorIndexStream.rebuildIndex(
+          spark, idx, idx2, "vec_id", "embedding", nLists = 8)
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val live = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(absOdds.select(col("vec_id"), col("embedding")))
+        val exact = Similarity.bruteForceTopK(
+          live, q, "vec_id", "embedding", k = 3)
+        def gain(store: String, tag: String) =
+          Similarity.recallReport(exact,
+              VectorIndexStream.topKFromIndex(
+                spark, store, q, "vec_id", "embedding", k = 3))
+            .agg(count(lit(1)).as("n_queries"),
+              sum(col("n_exact")).cast("long").as("n_exact"),
+              sum(col("n_hit")).cast("long").as("n_hit"))
+            .withColumn("store", lit(tag))
+        gain(idx, "1_drifted").unionByName(gain(idx2, "2_rebuilt"))
+          .withColumn("recall",
+            expr("CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE)"))
+          .select(col("store"), col("n_queries"), col("n_exact"),
+            col("n_hit"), col("recall"))
+          .orderBy(col("store"))
+      },
+      Some("""
+        WITH L AS (
+          SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id % 2 = 0
+          UNION ALL
+          SELECT vec_id, [abs(x) for x in embedding] FROM embeddings
+          WHERE vec_id % 2 = 1),
+        C1 AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+               FROM embeddings WHERE vec_id % 2 = 0
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        C2 AS (SELECT vec_id AS cent_id, v AS cent_vec FROM L
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        EXC AS (
+          SELECT q.vec_id AS query_id, l.vec_id AS neighbor_id,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(l.v[i.i] AS DOUBLE)) AS dot,
+                 SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nq,
+                 SUM(CAST(l.v[i.i] AS DOUBLE) * CAST(l.v[i.i] AS DOUBLE)) AS nc
+          FROM embeddings q JOIN L l ON l.vec_id <> q.vec_id
+          CROSS JOIN range(1, 65) i(i)
+          WHERE q.vec_id % 50 = 0 GROUP BY 1, 2),
+        EXACT AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY dot / sqrt(nq * nc) DESC, neighbor_id) AS rk
+            FROM EXC) WHERE rk <= 3),
+        D1 AS (SELECT l.vec_id, c.cent_id,
+                 SUM(POW(CAST(l.v[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+               FROM L l, C1 c, range(1,65) i(i) GROUP BY 1, 2),
+        LC1 AS (SELECT vec_id, cent_id AS cell FROM D1
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        D2 AS (SELECT l.vec_id, c.cent_id,
+                 SUM(POW(CAST(l.v[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+               FROM L l, C2 c, range(1,65) i(i) GROUP BY 1, 2),
+        LC2 AS (SELECT vec_id, cent_id AS cell FROM D2
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        DQ1 AS (SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+                FROM embeddings e, C1 c, range(1,65) i(i)
+                WHERE e.vec_id % 50 = 0 GROUP BY 1, 2),
+        QC1 AS (SELECT vec_id, cent_id AS cell FROM DQ1
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        DQ2 AS (SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+                FROM embeddings e, C2 c, range(1,65) i(i)
+                WHERE e.vec_id % 50 = 0 GROUP BY 1, 2),
+        QC2 AS (SELECT vec_id, cent_id AS cell FROM DQ2
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        AP1 AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, l.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(l.v[i.i] AS DOUBLE)) /
+                     sqrt(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) *
+                          SUM(CAST(l.v[i.i] AS DOUBLE) * CAST(l.v[i.i] AS DOUBLE))) DESC,
+                     l.vec_id) AS rk
+            FROM embeddings q
+            JOIN QC1 cq ON cq.vec_id = q.vec_id
+            JOIN LC1 cl ON cl.cell = cq.cell
+            JOIN L l ON l.vec_id = cl.vec_id AND l.vec_id <> q.vec_id
+            CROSS JOIN range(1,65) i(i)
+            WHERE q.vec_id % 50 = 0 GROUP BY q.vec_id, l.vec_id)
+          WHERE rk <= 3),
+        AP2 AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, l.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(l.v[i.i] AS DOUBLE)) /
+                     sqrt(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) *
+                          SUM(CAST(l.v[i.i] AS DOUBLE) * CAST(l.v[i.i] AS DOUBLE))) DESC,
+                     l.vec_id) AS rk
+            FROM embeddings q
+            JOIN QC2 cq ON cq.vec_id = q.vec_id
+            JOIN LC2 cl ON cl.cell = cq.cell
+            JOIN L l ON l.vec_id = cl.vec_id AND l.vec_id <> q.vec_id
+            CROSS JOIN range(1,65) i(i)
+            WHERE q.vec_id % 50 = 0 GROUP BY q.vec_id, l.vec_id)
+          WHERE rk <= 3),
+        G AS (
+          SELECT '1_drifted' AS store,
+                 count(DISTINCT e.query_id) AS n_queries,
+                 count(*) AS n_exact,
+                 CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hit
+          FROM EXACT e LEFT JOIN AP1 a
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+          UNION ALL
+          SELECT '2_rebuilt',
+                 count(DISTINCT e.query_id), count(*),
+                 CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT)
+          FROM EXACT e LEFT JOIN AP2 a
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+        SELECT store, CAST(n_queries AS BIGINT) AS n_queries,
+               CAST(n_exact AS BIGINT) AS n_exact, n_hit,
+               CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+        FROM G ORDER BY store"""))
   )
 }
