@@ -101,9 +101,9 @@ object StoreMaintenance {
   }
 
   /** Plan for a [[VectorIndexStream]] store: cell batch dirs under
-    * `indexDir/cells`, tombstones under `indexDir/tombstones` (the
-    * vector store's own layout — batch-ordered, so compaction with
-    * tombstones outstanding resolves to purge). The tombstone gauge is
+    * `indexDir/cells`, tombstones under the shared [[Tombstones]]
+    * layout at `indexDir/_tombstones` (batch-ordered, so compaction
+    * with tombstones outstanding resolves to purge). The tombstone gauge is
     * the TERMINAL key count (what purge must resolve), not the
     * resolved [[VectorIndexStream.deadIds]] — liability is measured
     * against the stored batches, not the serve-time subtraction. */

@@ -6,8 +6,13 @@ import org.apache.spark.sql.types.StructType
 
 /** The ONE tombstone sub-store every batch=N-layout delete path
   * shares ([[PostingsStream]]'s doc deletes, [[IncrementalDedup]]'s
-  * fingerprint deletes, [[NearDedupStream]]'s doc deletes; the vector
-  * store predates this helper and carries the same layout inline).
+  * fingerprint deletes, [[NearDedupStream]]'s doc deletes, and since
+  * round 18 [[VectorIndexStream]]'s id deletes — layout, writes, and
+  * retirement all run through here; the vector store's RESOLUTION
+  * still rides its cells journal's `P` lines instead of the purge
+  * fence, because its tombstone drop is committed atomically WITH the
+  * store swap — the crash window the fence exists to close never
+  * opens there).
   * Tombstoned keys live under `storeDir/_tombstones/batch=N` — the
   * `_` prefix keeps the sub-store invisible to [[BatchIndex.read]]'s
   * listing and stray-directory check AND to Spark partition
@@ -57,6 +62,22 @@ private[graft] object Tombstones {
       spark: SparkSession, storeDir: String, keySchema: StructType,
       beforeBatch: Long = Long.MaxValue): DataFrame =
     BatchIndex.read(spark, dirOf(storeDir), keySchema, beforeBatch)
+
+  /** Schema-INFERRING read for stores whose key type is data-defined
+    * (the vector store's id column may be long or string — the stored
+    * parquet is authoritative): None when the store has never seen a
+    * delete (callers keep delete-free serves on their original plan),
+    * otherwise every tombstone row under the optional fence. Same
+    * fence semantics as [[read]]. */
+  def readInferred(
+      spark: SparkSession, storeDir: String,
+      beforeBatch: Option[Long] = None): Option[DataFrame] =
+    if (!exists(spark, storeDir)) None
+    else {
+      val all = spark.read.option("basePath", dirOf(storeDir))
+        .parquet(dirOf(storeDir))
+      Some(beforeBatch.fold(all)(b => all.filter(col("batch") < b)))
+    }
 
   /** The TERMINAL tombstoned-key set (distinct, fenced). `afterBatch`
     * drops batches at or below a purge fence ([[readFence]]) — those

@@ -258,7 +258,7 @@ object VectorIndexStream {
     // silently flip a re-appended id from alive to dead, so refuse:
     // purge first (purge itself folds, resolving before the batch
     // column is destroyed).
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")))
+    if (Tombstones.exists(spark, indexDir))
       throw new IllegalStateException(
         s"$indexDir holds tombstones — purgeTombstones before " +
           "compactIndex: folding re-dates rows to the seed's batch -1, " +
@@ -327,9 +327,10 @@ object VectorIndexStream {
   /** Tombstone one batch of DELETIONS — ids whose vectors must stop
     * appearing in probe results (user deletion requests, revoked
     * licenses, recalled documents: the delete half of the CDC story
-    * q229 materializes relationally). The tombstone store mirrors the
-    * cell store's `batch=N` layout and stamps admission the same way,
-    * so retention and as-of fences compose unchanged — a probe pinned
+    * q229 materializes relationally). Stored under the shared
+    * [[Tombstones]] layout (`_tombstones/batch=N`, stamped) — the one
+    * protocol every durable store's delete path runs through — so
+    * retention and as-of fences compose unchanged: a probe pinned
     * before the delete batch still sees the vector, the live probe
     * does not. Serving subtracts [[deadIds]] (re-appends resolved
     * latest-batch-wins; [[liveTombstones]] is the raw terminal set)
@@ -341,15 +342,8 @@ object VectorIndexStream {
     * drops expired delete batches with their cell batches. */
   def deleteBatch(
       spark: SparkSession, indexDir: String, ids: DataFrame,
-      idCol: String, batchId: Long): Unit = {
-    require(batchId >= 0, s"batchId must be non-negative, got $batchId")
-    MaintenanceLease.refuseIfHeld(
-      spark, indexDir, s"write tombstone batch=$batchId")
-    ids.select(col(idCol)).distinct().coalesce(1)
-      .write.mode("overwrite")
-      .parquet(s"$indexDir/tombstones/batch=$batchId")
-    BatchIndex.stampBatch(spark, s"$indexDir/tombstones", batchId)
-  }
+      idCol: String, batchId: Long): Unit =
+    Tombstones.writeBatch(spark, indexDir, ids.select(col(idCol)), batchId)
 
   /** The RAW tombstoned-id set — distinct ids over every delete
     * batch; an empty (idCol: idType) frame when the store has never
@@ -372,21 +366,15 @@ object VectorIndexStream {
       spark: SparkSession, indexDir: String, idCol: String,
       beforeBatch: Option[Long] = None,
       idType: org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.LongType): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(idCol, idType))))
-    else {
-      val all = spark.read.option("basePath", s"$indexDir/tombstones")
-        .parquet(s"$indexDir/tombstones")
-      beforeBatch.fold(all)(b => all.filter(col("batch") < b))
-        .select(col(idCol)).distinct()
+        org.apache.spark.sql.types.LongType): DataFrame =
+    Tombstones.readInferred(spark, indexDir, beforeBatch) match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(idCol, idType))))
+      case Some(all) => all.select(col(idCol)).distinct()
     }
-  }
 
   /** Per-id MAX delete batch under an optional fence — None when the
     * store has never seen a delete. The batch-ordered face of the
@@ -394,18 +382,10 @@ object VectorIndexStream {
     * against it). */
   private def tombstoneMaxBatch(
       spark: SparkSession, indexDir: String, idCol: String,
-      beforeBatch: Option[Long]): Option[DataFrame] = {
-    val root = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) None
-    else {
-      val all = spark.read.option("basePath", s"$indexDir/tombstones")
-        .parquet(s"$indexDir/tombstones")
-      Some(beforeBatch.fold(all)(b => all.filter(col("batch") < b))
-        .groupBy(col(idCol))
+      beforeBatch: Option[Long]): Option[DataFrame] =
+    Tombstones.readInferred(spark, indexDir, beforeBatch)
+      .map(_.groupBy(col(idCol))
         .agg(max(col("batch")).as("del_batch")))
-    }
-  }
 
   /** The ids a probe must exclude, resolved LATEST-BATCH-WINS against
     * the cell store: an id is dead iff its newest delete batch is at
@@ -502,7 +482,7 @@ object VectorIndexStream {
       s"purge-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
     recoverPendingCompaction(fs, root)
-    val tsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val tsRoot = new org.apache.hadoop.fs.Path(Tombstones.dirOf(indexDir))
     if (!fs.exists(tsRoot)) return
     // the RESOLVED set is pinned by an eager listing: every mutation
     // below (the del read's fence, the journal's P lines, the live
@@ -517,17 +497,16 @@ object VectorIndexStream {
     val tombNames = fs.listStatus(tsRoot).toSeq
       .filter(e => e.isDirectory && e.getPath.getName.startsWith("batch="))
       .map(_.getPath.getName).sorted
-    def dropResolvedTombstones(): Unit = {
-      tombNames.foreach(n =>
-        fs.delete(new org.apache.hadoop.fs.Path(tsRoot, n), true))
-      val laterBatches = fs.exists(tsRoot) && fs.listStatus(tsRoot).exists(e =>
-        e.isDirectory && e.getPath.getName.startsWith("batch="))
-      if (!laterBatches) fs.delete(tsRoot, true)
-      else BatchIndex.pruneStamps(spark, tsRoot.toString)
-    }
     val maxListed = tombNames
       .flatMap(n => n.stripPrefix("batch=").toLongOption)
       .maxOption.getOrElse(-1L)
+    // retirement is the shared helper's bounded drop: only batches at
+    // or below the pinned horizon fall (the batch clock is monotone,
+    // so listed == resolved here); later arrivals survive unresolved
+    def dropResolvedTombstones(): Unit = {
+      Tombstones.dropThrough(spark, indexDir, maxListed)
+      ()
+    }
     val delOpt = tombstoneMaxBatch(spark, indexDir, idCol,
       Some(maxListed + 1L))
     if (delOpt.isEmpty) return
@@ -559,7 +538,7 @@ object VectorIndexStream {
       .parquet(staging.toString)
     val tmp = new org.apache.hadoop.fs.Path(root, JournalTmp)
     val out = fs.create(tmp, true)
-    // the per-batch `P tombstones/batch=N` lines make the RESOLVED
+    // the per-batch `P _tombstones/batch=N` lines make the RESOLVED
     // tombstone batches' drop part of the journaled swap: recovery
     // executes them in both branches, so there is no window where the
     // re-dated seed coexists with the tombstones the rewrite already
@@ -570,7 +549,7 @@ object VectorIndexStream {
     // instead of being silently destroyed with the store.
     try out.write(
       ((s"S $stagingName" +: foldNames.map(n => s"D $n")) ++
-        tombNames.map(n => s"P tombstones/$n"))
+        tombNames.map(n => s"P _tombstones/$n"))
         .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     renamed(fs, tmp, new org.apache.hadoop.fs.Path(root, Journal))

@@ -877,7 +877,7 @@ class VectorIndexStreamSpec extends SparkSpec {
     // tombstone store is gone and the cells hold ONLY the seed partition
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_tombstones")))
     val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/cells"))
       .filter(_.isDirectory).map(_.getPath.getName).filter(_.startsWith("batch="))
     assert(parts.toSeq == Seq("batch=-1"), parts.toSeq.toString)
@@ -952,7 +952,7 @@ class VectorIndexStreamSpec extends SparkSpec {
     VectorIndexStream.purgeTombstones(spark, b, "vec_id")
     val fs = new org.apache.hadoop.fs.Path(b)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$b/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$b/_tombstones")))
     assert(topk(VectorIndexStream.topKFromIndex(
       spark, b, q, "vec_id", "embedding", k = 3)) == expected)
 
@@ -962,7 +962,7 @@ class VectorIndexStreamSpec extends SparkSpec {
     VectorIndexStream.deleteBatch(spark, a,
       dead.toDF("vec_id"), "vec_id", batchId = 0L)
     VectorIndexStream.purgeTombstones(spark, a, "vec_id")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$a/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$a/_tombstones")))
     assert(topk(VectorIndexStream.topKFromIndex(
       spark, a, q, "vec_id", "embedding", k = 3)) == expected)
   }
@@ -1009,10 +1009,10 @@ class VectorIndexStreamSpec extends SparkSpec {
     // (as if the crash preceded their delete), journal restored with
     // its P line, staging absent
     Seq(11L, 23L).toDF("vec_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"$b/tombstones/batch=1")
+      .write.mode("overwrite").parquet(s"$b/_tombstones/batch=1")
     java.nio.file.Files.writeString(
       new java.io.File(s"$b/cells", "_compact_journal").toPath,
-      "S _compact_seed-gone\nD batch=2\nP tombstones\n")
+      "S _compact_seed-gone\nD batch=2\nP _tombstones\n")
     // reads refuse mid-window; the next maintenance call recovers:
     // journal cleared, tombstones dropped, revived row intact
     intercept[IllegalStateException] {
@@ -1022,7 +1022,7 @@ class VectorIndexStreamSpec extends SparkSpec {
     VectorIndexStream.purgeTombstones(spark, b, "vec_id")
     val fs = new org.apache.hadoop.fs.Path(b)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$b/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$b/_tombstones")))
     assert(!fs.exists(
       new org.apache.hadoop.fs.Path(s"$b/cells/_compact_journal")))
     assert(storedVec(b, 11L).map(_.toSeq) == Seq(revived.toSeq))
@@ -1044,18 +1044,18 @@ class VectorIndexStreamSpec extends SparkSpec {
     // LATE takedown (batch=3) that landed while the purge lay dead:
     // the journal names only the batch it resolved
     Seq(23L).toDF("vec_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"$idx/tombstones/batch=1")
+      .write.mode("overwrite").parquet(s"$idx/_tombstones/batch=1")
     Seq(42L).toDF("vec_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"$idx/tombstones/batch=3")
+      .write.mode("overwrite").parquet(s"$idx/_tombstones/batch=3")
     java.nio.file.Files.writeString(
       new java.io.File(s"$idx/cells", "_compact_journal").toPath,
-      "S _compact_seed-gone\nP tombstones/batch=1\n")
+      "S _compact_seed-gone\nP _tombstones/batch=1\n")
     VectorIndexStream.purgeTombstones(spark, idx, "vec_id")
     // the resolved batch is gone; the late takedown survived AND was
     // resolved by the re-run purge (42's bytes destroyed)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_tombstones")))
     val stored = spark.read.option("basePath", s"$idx/cells")
       .parquet(s"$idx/cells").select("vec_id")
       .collect().map(_.getLong(0)).toSet
@@ -1163,7 +1163,7 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(stored.keySet == ((0L until 20L).toSet - 3L))
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_tombstones")))
   }
 
   test("purgeTombstones refuses to purge the store to nothing; liveTombstones honors idType") {
@@ -1185,7 +1185,7 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("every row"), e.getMessage)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_tombstones")))
     assert(spark.read.option("basePath", s"$idx/cells")
       .parquet(s"$idx/cells").count() == 6L)
 
@@ -1316,7 +1316,7 @@ class VectorIndexStreamSpec extends SparkSpec {
       val fs = new org.apache.hadoop.fs.Path(idx)
         .getFileSystem(spark.sessionState.newHadoopConf())
       val parts = fs.listStatus(
-          new org.apache.hadoop.fs.Path(s"$idx/tombstones"))
+          new org.apache.hadoop.fs.Path(s"$idx/_tombstones"))
         .filter(_.isDirectory).map(_.getPath.getName)
         .filter(_.startsWith("batch=")).sorted
       assert(parts.toSeq == Seq("batch=0", "batch=1"), parts.toSeq.toString)
