@@ -1700,6 +1700,57 @@ object ExtendedQueries {
         ORDER BY config, phase""")),
 
     GraftQuery(
+      "q285_vector_maintenance_loop",
+      "q282's executed maintenance loop on the VECTOR store — the " +
+        "batch-ordered refusal contract driving the decision end to " +
+        "end: directory pressure AND outstanding takedowns plan " +
+        "PURGE, never compact (planVector mirrors compactIndex's " +
+        "refusal — folding would re-date rows below their delete " +
+        "batch), applyPlan runs purgeTombstones through its own " +
+        "lease + journal + fence protocol, and the re-plan reads " +
+        "action=none with every gauge cleared: cell batch dirs folded " +
+        "into the seed, tombstone liability resolved latest-batch-" +
+        "wins and physically dropped. Driver listings + integer " +
+        "decisions — hash-exact.",
+      (spark, dir) => {
+        import graft.streaming.{StoreMaintenance, VectorIndexStream}
+        val e = Tables.table(spark, dir, "embeddings")
+        val idx = QueryScratch.dir("graft_q285_index")
+        val pth = new org.apache.hadoop.fs.Path(idx)
+        val fs = pth.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(pth)) fs.delete(pth, true)
+        VectorIndexStream.seedIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8)
+        VectorIndexStream.appendBatch(
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, 0L)
+        VectorIndexStream.appendBatch(
+          e.filter(col("vec_id") % 4 === 1), "vec_id", "embedding", idx, 1L)
+        VectorIndexStream.deleteBatch(spark, idx,
+          e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+          "vec_id", batchId = 2L)
+        StoreMaintenance.maintainFrame(spark, "vector_loop",
+          () => StoreMaintenance.planVector(spark, idx, "vec_id", 1L, 10L),
+          t => VectorIndexStream.compactIndex(spark, idx, t),
+          () => VectorIndexStream.purgeTombstones(spark, idx, "vec_id"))
+          .orderBy(col("phase"))
+      },
+      Some("""
+        WITH T AS (SELECT count(DISTINCT vec_id) AS tk FROM embeddings
+                   WHERE vec_id % 10 = 3)
+        SELECT 'vector_loop' AS config, phase,
+               CAST(dirs AS BIGINT) AS n_batch_dirs,
+               CAST(maxb AS BIGINT) AS max_batch,
+               CAST(CASE WHEN tombs = -1 THEN tk ELSE tombs END AS BIGINT)
+                 AS tombstone_keys,
+               action, CAST(through AS BIGINT) AS compact_through
+        FROM T, (VALUES
+          ('1_planned',   2,  1, -1, 'purge', -1),
+          ('2_replanned', 0, -1,  0, 'none',  -1))
+          AS rows(phase, dirs, maxb, tombs, action, through)
+        ORDER BY phase""")),
+
+    GraftQuery(
       "q159_bloom_pruned_join",
       "Bloom-pruned fact⋈dim join (ScaleJoins.bloomPrunedJoin) — the " +
         "explicit runtime-filter pattern: a Bloom filter built over " +

@@ -3094,6 +3094,206 @@ object SimilarityQueries {
         WHERE rank <= 3 ORDER BY ptr_version, query_id, rank""")),
 
     GraftQuery(
+      "q284_alias_served_pq_rebuild",
+      "q281 for the PRODUCT-QUANTIZED store — the rebuild loop now " +
+        "covers the full compression matrix: the drifted PQ store " +
+        "(grid + codebook + centroids all pinned on the even half, " +
+        "doubled odd batch saturating the grid, %10=5 takedowns) " +
+        "publishes as pointer v1; rebuildPqIndex re-ingests the " +
+        "source corpus, retrains ALL THREE artifacts on the live " +
+        "corpus, and publishes as v2; both generations serve through " +
+        "pqTopKFromAlias — m=8 code bytes per candidate either way, " +
+        "but v2's codebook spans the distribution the store actually " +
+        "holds. Integer ADC distances and integer code argmins (ties " +
+        "to the lower codebook index) — hash-exact; cell-assignment " +
+        "margins are q281's (>= 1.0e-4 / 1.1e-5 / 2.5e-3 at every SF).",
+      (spark, dir) => {
+        import graft.streaming.{StorePointer, VectorIndexStream}
+        val e = Tables.table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val idx = QueryScratch.dir("graft_q284_a")
+        val idx2 = QueryScratch.dir("graft_q284_b")
+        val alias = QueryScratch.dir("graft_q284_alias")
+        Seq(idx, idx2, alias).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val doubled = e.filter(col("vec_id") % 2 === 1)
+          .withColumn("embedding", transform(col("embedding"), x => x + x))
+        VectorIndexStream.seedPqIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8, m = 8, dim = 64, kCent = 16)
+        VectorIndexStream.appendPqBatch(doubled, "vec_id", "embedding", idx, 0L)
+        VectorIndexStream.deleteBatch(spark, idx,
+          e.filter(col("vec_id") % 10 === 5).select(col("vec_id")),
+          "vec_id", batchId = 1L)
+        StorePointer.publish(spark, alias, idx)
+        val source = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(doubled.select(col("vec_id"), col("embedding")))
+        VectorIndexStream.rebuildPqIndex(
+          spark, idx, idx2, source, "vec_id", "embedding",
+          nLists = 8, m = 8, dim = 64, kCent = 16)
+        StorePointer.publish(spark, alias, idx2)
+        def serve(ver: Option[Long], tag: Long) =
+          VectorIndexStream.pqTopKFromAlias(
+              spark, alias, q, "vec_id", "embedding", k = 3, version = ver)
+            .withColumn("ptr_version", lit(tag))
+        serve(Some(1L), 1L).unionByName(serve(None, 2L))
+          .select(col("ptr_version"), col("query_id"), col("rank"),
+            col("neighbor_id"), col("dist"))
+          .orderBy(col("ptr_version"), col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH O1 AS (
+          SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id % 2 = 0
+          UNION ALL
+          SELECT vec_id, [x + x for x in embedding] FROM embeddings
+          WHERE vec_id % 2 = 1),
+        LIV AS (SELECT * FROM O1 WHERE vec_id % 10 <> 5),
+        C1 AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+               FROM embeddings WHERE vec_id % 2 = 0
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        C2 AS (SELECT vec_id AS cent_id, v AS cent_vec FROM LIV
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        MM1 AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(embedding) AS x,
+                       unnest(range(1, len(embedding)+1)) AS i
+                FROM embeddings WHERE vec_id % 2 = 0)
+          GROUP BY i),
+        ML1 AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM1),
+        MM2 AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(v) AS x, unnest(range(1, len(v)+1)) AS i
+                FROM LIV)
+          GROUP BY i),
+        ML2 AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM2),
+        QV1 AS (
+          SELECT vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(v[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(v)+1)] AS qv
+          FROM O1, ML1),
+        QV2 AS (
+          SELECT vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(v[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(v)+1)] AS qv
+          FROM LIV, ML2),
+        QQ1 AS (
+          SELECT e.vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(e.embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(e.embedding)+1)] AS qv
+          FROM embeddings e, ML1 WHERE e.vec_id % 50 = 0),
+        QQ2 AS (
+          SELECT e.vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(e.embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(e.embedding)+1)] AS qv
+          FROM embeddings e, ML2 WHERE e.vec_id % 50 = 0),
+        CENTS1 AS (
+          SELECT vec_id,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+          FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        CENTS2 AS (
+          SELECT vec_id,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+          FROM LIV
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        SUBC1 AS (
+          SELECT c.j, s.s AS s,
+                 q.qv[CAST(s.s*8+1 AS INTEGER):CAST(s.s*8+8 AS INTEGER)] AS sub
+          FROM CENTS1 c JOIN QV1 q ON q.vec_id = c.vec_id, range(0, 8) s(s)),
+        SUBC2 AS (
+          SELECT c.j, s.s AS s,
+                 q.qv[CAST(s.s*8+1 AS INTEGER):CAST(s.s*8+8 AS INTEGER)] AS sub
+          FROM CENTS2 c JOIN QV2 q ON q.vec_id = c.vec_id, range(0, 8) s(s)),
+        CODES1 AS (
+          SELECT vec_id, s, j FROM (
+            SELECT q.vec_id, sc.s, sc.j,
+                   list_sum([(q.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                             * (q.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                             for i in range(1, 9)]) AS d
+            FROM QV1 q, SUBC1 sc)
+          QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) = 1),
+        CODES2 AS (
+          SELECT vec_id, s, j FROM (
+            SELECT q.vec_id, sc.s, sc.j,
+                   list_sum([(q.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                             * (q.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                             for i in range(1, 9)]) AS d
+            FROM QV2 q, SUBC2 sc)
+          QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) = 1),
+        LUT1 AS (
+          SELECT qq.vec_id AS query_id, sc.s, sc.j,
+                 list_sum([(qq.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                           * (qq.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                           for i in range(1, 9)]) AS d
+          FROM QQ1 qq, SUBC1 sc),
+        LUT2 AS (
+          SELECT qq.vec_id AS query_id, sc.s, sc.j,
+                 list_sum([(qq.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                           * (qq.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                           for i in range(1, 9)]) AS d
+          FROM QQ2 qq, SUBC2 sc),
+        D1 AS (SELECT o.vec_id, c.cent_id,
+                 SUM(POW(CAST(o.v[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+               FROM O1 o, C1 c, range(1,65) i(i) GROUP BY 1, 2),
+        LC1 AS (SELECT vec_id, cent_id AS cell FROM D1
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        D2 AS (SELECT l.vec_id, c.cent_id,
+                 SUM(POW(CAST(l.v[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+               FROM LIV l, C2 c, range(1,65) i(i) GROUP BY 1, 2),
+        LC2 AS (SELECT vec_id, cent_id AS cell FROM D2
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        DQ1 AS (SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+                FROM embeddings e, C1 c, range(1,65) i(i)
+                WHERE e.vec_id % 50 = 0 GROUP BY 1, 2),
+        QC1 AS (SELECT vec_id, cent_id AS cell FROM DQ1
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        DQ2 AS (SELECT e.vec_id, c.cent_id,
+                 SUM(POW(CAST(e.embedding[i.i] AS DOUBLE) - CAST(c.cent_vec[i.i] AS DOUBLE), 2)) AS l2
+                FROM embeddings e, C2 c, range(1,65) i(i)
+                WHERE e.vec_id % 50 = 0 GROUP BY 1, 2),
+        QC2 AS (SELECT vec_id, cent_id AS cell FROM DQ2
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cent_id) = 1),
+        ADC AS (
+          SELECT 1 AS ptr_version, l.query_id, c.vec_id AS neighbor_id,
+                 CAST(SUM(l.d) AS BIGINT) AS dist
+          FROM CODES1 c JOIN LUT1 l ON l.s = c.s AND l.j = c.j
+          JOIN QC1 ca ON ca.vec_id = l.query_id
+          JOIN LC1 cb ON cb.vec_id = c.vec_id AND cb.cell = ca.cell
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2, 3
+          UNION ALL
+          SELECT 2, l.query_id, c.vec_id, CAST(SUM(l.d) AS BIGINT)
+          FROM CODES2 c JOIN LUT2 l ON l.s = c.s AND l.j = c.j
+          JOIN QC2 ca ON ca.vec_id = l.query_id
+          JOIN LC2 cb ON cb.vec_id = c.vec_id AND cb.cell = ca.cell
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2, 3),
+        R AS (SELECT ptr_version, query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY ptr_version, query_id
+                       ORDER BY dist, neighbor_id) AS rank
+              FROM ADC)
+        SELECT CAST(ptr_version AS BIGINT) AS ptr_version,
+               query_id, rank, neighbor_id, dist FROM R
+        WHERE rank <= 3 ORDER BY ptr_version, query_id, rank""")),
+
+    GraftQuery(
       "q283_rebuild_recall_gain",
       "PROOF the retrain buys recall, not just parity: one corpus " +
         "(evens original + odd half abs-folded into one orthant), two " +
