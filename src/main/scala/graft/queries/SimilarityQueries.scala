@@ -3294,6 +3294,112 @@ object SimilarityQueries {
         WHERE rank <= 3 ORDER BY ptr_version, query_id, rank""")),
 
     GraftQuery(
+      "q286_pq_code_drift",
+      "CODE-usage drift gauge for the PQ store (pqCodeUsageReport) — " +
+        "the last payload's measure, completing the matrix: occupancy " +
+        "(q276) catches direction drift, SQ8 boundaries (q277) catch " +
+        "magnitude drift, and this catches DISTRIBUTION COLLAPSE, the " +
+        "failure where a degraded upstream encoder emits constant " +
+        "vectors and every subvector snaps to one codebook entry — " +
+        "ADC stops discriminating with no per-query symptom. Codebook " +
+        "pinned on the even half; batch 0 appends the odd half " +
+        "in-distribution (worst-subspace share stays at the seed's " +
+        "206-288 millis), batch 1 appends ZERO vectors (exact in both " +
+        "engines) and every subspace concentrates to share 1000 — " +
+        "recode_recommended flags, and the remediation is q284's " +
+        "rebuild + cutover. Counts over stored codes, ties to the " +
+        "lower code index — hash-exact.",
+      (spark, dir) => {
+        import graft.streaming.VectorIndexStream
+        val e = Tables.table(spark, dir, "embeddings")
+        val idx = QueryScratch.dir("graft_q286_index")
+        val pth = new org.apache.hadoop.fs.Path(idx)
+        val fs = pth.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(pth)) fs.delete(pth, true)
+        val odds = e.filter(col("vec_id") % 2 === 1)
+        VectorIndexStream.seedPqIndex(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nLists = 8, m = 8, dim = 64, kCent = 16)
+        VectorIndexStream.appendPqBatch(odds, "vec_id", "embedding", idx, 0L)
+        VectorIndexStream.appendPqBatch(
+          odds.withColumn("embedding",
+            transform(col("embedding"), _ => lit(0.0f))),
+          "vec_id", "embedding", idx, 1L)
+        VectorIndexStream.pqCodeUsageReport(spark, idx)
+          .orderBy(col("batch"), col("s"))
+      },
+      Some("""
+        WITH O1 AS (
+          SELECT -1 AS batch, vec_id, embedding AS v FROM embeddings
+          WHERE vec_id % 2 = 0
+          UNION ALL
+          SELECT 0, vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+          UNION ALL
+          SELECT 1, vec_id, [CAST(0.0 AS FLOAT) for x in embedding]
+          FROM embeddings WHERE vec_id % 2 = 1),
+        MM AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(embedding) AS x,
+                       unnest(range(1, len(embedding)+1)) AS i
+                FROM embeddings WHERE vec_id % 2 = 0)
+          GROUP BY i),
+        MML AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM MM),
+        QV AS (
+          SELECT batch, vec_id,
+                 [CAST(least(greatest(coalesce(
+                      floor((CAST(v[i] AS DOUBLE) - mns[i]) * 255.0
+                            / nullif(mxs[i] - mns[i], 0.0)), 0.0),
+                      0.0), 255.0) AS BIGINT)
+                  for i in range(1, len(v)+1)] AS qv
+          FROM O1, MML),
+        CENTS AS (
+          SELECT vec_id,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+          FROM embeddings WHERE vec_id % 2 = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        SUBC AS (
+          SELECT c.j, s.s AS s,
+                 q.qv[CAST(s.s*8+1 AS INTEGER):CAST(s.s*8+8 AS INTEGER)] AS sub
+          FROM CENTS c JOIN QV q ON q.vec_id = c.vec_id AND q.batch = -1,
+               range(0, 8) s(s)),
+        CODES AS (
+          SELECT batch, vec_id, s, j FROM (
+            SELECT q.batch, q.vec_id, sc.s, sc.j,
+                   list_sum([(q.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                             * (q.qv[CAST(sc.s*8+i AS INTEGER)] - sc.sub[i])
+                             for i in range(1, 9)]) AS d
+            FROM QV q, SUBC sc)
+          QUALIFY row_number() OVER (PARTITION BY batch, vec_id, s
+            ORDER BY d, j) = 1),
+        USE AS (SELECT batch, s, j, count(*) AS n FROM CODES GROUP BY 1,2,3),
+        TOP AS (
+          SELECT batch, s, j AS top_code, n,
+                 SUM(n) OVER (PARTITION BY batch, s) AS n_codes
+          FROM USE
+          QUALIFY row_number() OVER (PARTITION BY batch, s
+            ORDER BY n DESC, j) = 1),
+        SH AS (
+          SELECT batch, s, n_codes, top_code,
+                 (n * 1000) // n_codes AS top_share_millis
+          FROM TOP),
+        MX AS (
+          SELECT *, max(top_share_millis) OVER (PARTITION BY batch)
+                      AS batch_max_share_millis
+          FROM SH),
+        SEED AS (SELECT max(top_share_millis) AS seed_max FROM SH
+                 WHERE batch = -1)
+        SELECT CAST(m.batch AS BIGINT) AS batch, CAST(m.s AS BIGINT) AS s,
+               CAST(m.n_codes AS BIGINT) AS n_codes,
+               CAST(m.top_code AS BIGINT) AS top_code,
+               CAST(m.top_share_millis AS BIGINT) AS top_share_millis,
+               CAST(m.batch_max_share_millis AS BIGINT) AS batch_max_share_millis,
+               CAST(d.seed_max AS BIGINT) AS seed_max_share_millis,
+               (m.batch <> -1 AND m.batch_max_share_millis * 1000
+                  > d.seed_max * 2000) AS recode_recommended
+        FROM MX m, SEED d
+        ORDER BY batch, s""")),
+
+    GraftQuery(
       "q283_rebuild_recall_gain",
       "PROOF the retrain buys recall, not just parity: one corpus " +
         "(evens original + odd half abs-folded into one orthant), two " +

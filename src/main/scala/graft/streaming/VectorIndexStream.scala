@@ -1348,6 +1348,68 @@ object VectorIndexStream {
         col("seed_boundary_share_millis"), col("regrid_recommended"))
   }
 
+  /** CODE-usage drift gauge for the PQ store — [[sq8BoundaryReport]]'s
+    * PQ analog, closing the measure side for the last payload:
+    * occupancy catches direction drift, the SQ8 gauge catches
+    * magnitude drift, and this catches DISTRIBUTION COLLAPSE — the
+    * production failure where an upstream encoder degrades and emits
+    * near-constant vectors, every subvector snaps to the one codebook
+    * entry nearest the collapsed point, and ADC distances stop
+    * discriminating (every candidate reads the same code sum) with no
+    * per-query symptom. Reads ONLY the stored m-byte codes and
+    * reports, per (batch, subspace): the vector count, the most-used
+    * code and its usage share in exact integer millis (ties to the
+    * lower code index — deterministic), the batch's worst-subspace
+    * share, the SEED's worst share (the pinned baseline — a healthy
+    * codebook spreads its corpus, so the seed share is low), and
+    * `recode_recommended` when a batch's worst share exceeds the
+    * seed's by `driftFactorMillis`/1000 (default 2x). A flagged batch
+    * means the pinned codebook no longer spans the data — re-ingest
+    * from the source and retrain ([[rebuildPqIndex]] + pointer
+    * cutover, the q284 path). Pure integer decision — hash-exact. */
+  def pqCodeUsageReport(
+      spark: SparkSession, indexDir: String,
+      driftFactorMillis: Long = 2000L,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val use = readCells(spark, indexDir, beforeBatch)
+      .select(coalesce(col("batch"), lit(-1L)).as("batch"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .select(col("batch"), col("s").cast("long").as("s"),
+        col("code").cast("long").as("code"))
+      .groupBy(col("batch"), col("s"), col("code"))
+      .agg(count(lit(1)).as("n"))
+    val wS = Window.partitionBy(col("batch"), col("s"))
+    val top = use
+      .withColumn("n_codes", sum(col("n")).over(wS))
+      .withColumn("rk", row_number().over(
+        wS.orderBy(col("n").desc, col("code"))))
+      .filter(col("rk") === 1)
+      .select(col("batch"), col("s"), col("n_codes"),
+        col("code").as("top_code"),
+        expr("n * 1000 div n_codes").as("top_share_millis"))
+    val shares = top.withColumn("batch_max_share_millis",
+      max(col("top_share_millis")).over(Window.partitionBy(col("batch"))))
+    // aggregate (never a filter): one row even when the seed is gone,
+    // and the null baseline refuses at execution — same argument as
+    // [[occupancyDriftReport]]'s
+    val seedMax = shares.filter(col("batch") === -1L)
+      .agg(max(col("top_share_millis")).as("m"))
+      .select(when(col("m").isNotNull, col("m"))
+        .otherwise(raise_error(lit(
+          s"pqCodeUsageReport at $indexDir: the store has no seed " +
+            "partition (batch=-1) — the pinned codebook baseline is " +
+            "gone (dropSeed retention?); re-seed before gauging drift")))
+        .as("seed_max_share_millis"))
+    shares.crossJoin(broadcast(seedMax))
+      .withColumn("recode_recommended",
+        col("batch") =!= -1L &&
+          col("batch_max_share_millis") * 1000L >
+            col("seed_max_share_millis") * driftFactorMillis)
+      .select(col("batch"), col("s"), col("n_codes"), col("top_code"),
+        col("top_share_millis"), col("batch_max_share_millis"),
+        col("seed_max_share_millis"), col("recode_recommended"))
+  }
+
   /** The serve-time admission pipeline every FILTERED probe shares,
     * applied AFTER latest-batch-wins resolution and BEFORE ranking:
     * keep only `allowed` ids (broadcast semi-join — the request's

@@ -1594,6 +1594,51 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(rootMsg(ex).contains("missing from the source corpus"), rootMsg(ex))
   }
 
+  test("pqCodeUsageReport: in-distribution batches stay at the seed's " +
+      "spread, a collapsed batch concentrates to one code and flags") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val odds = e.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("pq_code_drift").toString
+    val idx = s"$dir/index"
+    VectorIndexStream.seedPqIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+      nLists = 8, m = 8, dim = 64, kCent = 16)
+    VectorIndexStream.appendPqBatch(odds, "vec_id", "embedding", idx, 0L)
+    VectorIndexStream.appendPqBatch(
+      odds.withColumn("embedding",
+        transform(col("embedding"), _ => lit(0.0f))),
+      "vec_id", "embedding", idx, 1L)
+    val rep = VectorIndexStream.pqCodeUsageReport(spark, idx).collect()
+    // 3 batches x m=8 subspaces
+    assert(rep.length == 24, rep.length)
+    val byBatch = rep.groupBy(_.getAs[Long]("batch"))
+    // the seed's own share IS the baseline; the in-distribution batch
+    // stays under the 2x factor
+    assert(byBatch(0L).forall(!_.getAs[Boolean]("recode_recommended")))
+    // the collapsed batch concentrates every subspace to ONE code
+    assert(byBatch(1L).forall(r =>
+      r.getAs[Long]("top_share_millis") == 1000L &&
+        r.getAs[Boolean]("recode_recommended")))
+    // fenced before the collapse: the report never sees batch 1
+    val fenced = VectorIndexStream.pqCodeUsageReport(spark, idx,
+      beforeBatch = 1L).collect()
+    assert(fenced.forall(_.getAs[Long]("batch") <= 0L) &&
+      fenced.forall(!_.getAs[Boolean]("recode_recommended")))
+    // a store whose seed is gone refuses the gauge (no silent "no
+    // drift" against a missing baseline)
+    VectorIndexStream.expireIndex(spark, idx, keepFromBatch = 0L,
+      dropSeed = true)
+    val ex = intercept[Exception] {
+      VectorIndexStream.pqCodeUsageReport(spark, idx).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(rootMsg(ex).contains("no seed partition"), rootMsg(ex))
+  }
+
   test("rebuildPqIndex: source re-ingest retrains grid AND codebook; " +
       "serving parity with a fresh seed over the live corpus") {
     val spark2 = spark
