@@ -3294,6 +3294,72 @@ object SimilarityQueries {
         WHERE rank <= 3 ORDER BY ptr_version, query_id, rank""")),
 
     GraftQuery(
+      "q287_generation_retirement",
+      "The DISK-bound closing of the rebuild loop " +
+        "(StorePointer.retireGenerations): every cutover strands the " +
+        "previous generation, and N retrains without retirement leave " +
+        "N full corpus copies on disk forever. Four pointer " +
+        "generations land on one alias (three stores; the second is " +
+        "REPUBLISHED as v4 — the newest pointer wins, the bytes " +
+        "stay), then retirement to the newest two drops v1 and v2: " +
+        "v1's stranded store is physically deleted under its own " +
+        "maintenance lease (a live writer would refuse the retire " +
+        "loudly before any pointer moves), v2's store survives " +
+        "because the retained v4 still names it. Output is every " +
+        "generation's fate plus the surviving stores' servable id " +
+        "counts — recomputed by the oracle from the corpus splits.",
+      (spark, dir) => {
+        import graft.streaming.{StorePointer, VectorIndexStream}
+        val e = Tables.table(spark, dir, "embeddings")
+        val stores = Seq("graft_q287_a", "graft_q287_b", "graft_q287_c")
+          .map(QueryScratch.dir)
+        val alias = QueryScratch.dir("graft_q287_alias")
+        (stores :+ alias).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        stores.zipWithIndex.foreach { case (s, m) =>
+          VectorIndexStream.seedIndex(
+            e.filter(col("vec_id") % 3 === m), "vec_id", "embedding", s,
+            nLists = 8)
+        }
+        Seq(stores(0), stores(1), stores(2), stores(1))
+          .foreach(s => StorePointer.publish(spark, alias, s))
+        StorePointer.retireGenerations(spark, alias, keepLast = 2)
+        val retained = StorePointer.history(spark, alias).toMap
+        val fates = (1L to 4L).map { v =>
+          val d = Seq(stores(0), stores(1), stores(2), stores(1))(v.toInt - 1)
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          val exists = fs.exists(p)
+          val nIds =
+            if (!exists) 0L
+            else VectorIndexStream.readCells(spark, d)
+              .select(col("vec_id")).distinct().count()
+          (v, d.split('/').last, retained.contains(v), exists, nIds)
+        }
+        import spark.implicits._
+        fates.toDF("version", "store", "retained", "dir_exists", "n_ids")
+          .orderBy(col("version"))
+      },
+      Some("""
+        WITH C AS (SELECT
+          count(*) FILTER (vec_id % 3 = 1) AS nb,
+          count(*) FILTER (vec_id % 3 = 2) AS nc FROM embeddings)
+        SELECT CAST(v.version AS BIGINT) AS version, v.store, v.retained,
+               v.dir_exists,
+               CAST(CASE v.n WHEN 'b' THEN c.nb WHEN 'c' THEN c.nc
+                    ELSE 0 END AS BIGINT) AS n_ids
+        FROM C c, (VALUES
+          (1, 'graft_q287_a', false, false, '0'),
+          (2, 'graft_q287_b', false, true,  'b'),
+          (3, 'graft_q287_c', true,  true,  'c'),
+          (4, 'graft_q287_b', true,  true,  'b'))
+          AS v(version, store, retained, dir_exists, n)
+        ORDER BY version""")),
+
+    GraftQuery(
       "q286_pq_code_drift",
       "CODE-usage drift gauge for the PQ store (pqCodeUsageReport) — " +
         "the last payload's measure, completing the matrix: occupancy " +

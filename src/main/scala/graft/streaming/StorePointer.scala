@@ -111,6 +111,53 @@ object StorePointer {
     readPointer(spark, aliasDir, v)
   }
 
+  /** Retire pointers beyond the newest `keepLast` AND physically
+    * delete the store generations they name — the disk-bound closing
+    * of the rebuild loop: every cutover strands the previous
+    * generation, and without retirement N retrains leave N full
+    * copies of the corpus on disk forever. A dropped pointer's store
+    * survives iff a RETAINED pointer still names it (republishing a
+    * store is legal — the newest pointer wins, the bytes stay). Each
+    * doomed store's own [[MaintenanceLease]] is acquired FIRST — a
+    * generation still being maintained or appended refuses loudly
+    * (and its pointer stays) rather than vanish under its writer;
+    * `keepLast` is the in-flight-reader grace window, the same
+    * posture as the versioned stores' one committed predecessor.
+    * Returns (version, storeDir, deleted) for every dropped pointer —
+    * `deleted = false` means the store was retained by a younger
+    * pointer or already gone. */
+  def retireGenerations(
+      spark: SparkSession, aliasDir: String,
+      keepLast: Int): Seq[(Long, String, Boolean)] = {
+    require(keepLast >= 1, "keepLast must retain at least the live pointer")
+    VersionedStore.withWriteLease(spark, aliasDir) {
+      val root = new Path(aliasDir)
+      val fs = fsOf(spark, root)
+      val hist = history(spark, aliasDir)
+      val keptDirs = hist.takeRight(keepLast).map(_._2).toSet
+      hist.dropRight(keepLast).map { case (v, d) =>
+        val ptr = new Path(root, s"$Prefix$v")
+        if (keptDirs(d)) { fs.delete(ptr, false); (v, d, false) }
+        else {
+          val p = new Path(d)
+          val sfs = fsOf(spark, p)
+          if (!sfs.exists(p)) { fs.delete(ptr, false); (v, d, false) }
+          else {
+            // refuse a live writer BEFORE touching the pointer: on
+            // refusal the alias still names the generation (an orphan
+            // store is recoverable, a dangling pointer is not); the
+            // lease file is destroyed with the store it guards
+            MaintenanceLease.acquire(spark, d,
+              s"retire-${java.util.UUID.randomUUID().toString.take(8)}")
+            fs.delete(ptr, false)
+            sfs.delete(p, true)
+            (v, d, true)
+          }
+        }
+      }
+    }
+  }
+
   /** Drop pointer files older than the newest `keepLast` (the stores
     * they name are NOT touched), and sweep `.tmp` debris left by a
     * publish that crashed between staging and rename. Returns the

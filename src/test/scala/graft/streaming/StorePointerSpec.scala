@@ -68,6 +68,58 @@ class StorePointerSpec extends SparkSpec {
     assert(StorePointer.resolve(spark, alias) == s"$dir/storeB")
   }
 
+  test("retireGenerations deletes stranded generations, keeps republished " +
+      "stores, and refuses a generation under a live writer") {
+    val spark0 = spark
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("store_ptr_gen").toString
+    val alias = s"$dir/alias"
+    def seed(name: String, m: Int): String = {
+      val idx = s"$dir/$name"
+      VectorIndexStream.seedIndex(
+        e.filter(col("vec_id") % 3 === m), "vec_id", "embedding", idx,
+        nLists = 8)
+      idx
+    }
+    val a = seed("storeA", 0); val b = seed("storeB", 1); val c = seed("storeC", 2)
+    StorePointer.publish(spark, alias, a) // v1
+    StorePointer.publish(spark, alias, b) // v2
+    StorePointer.publish(spark, alias, c) // v3
+    StorePointer.publish(spark, alias, b) // v4: B republished
+
+    // a live writer on the doomed generation refuses the whole retire
+    // BEFORE any pointer moves
+    val writer = MaintenanceLease.acquire(spark, a, "live-appender")
+    val refused = intercept[IllegalStateException] {
+      StorePointer.retireGenerations(spark, alias, keepLast = 2)
+    }
+    assert(refused.getMessage.contains("under maintenance"), refused.getMessage)
+    assert(StorePointer.history(spark, alias).map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(new java.io.File(a).exists())
+    MaintenanceLease.release(spark, writer)
+
+    // retire: v1(A) deleted; v2(B) pointer dropped but the store
+    // survives — the retained v4 still names it
+    val out = StorePointer.retireGenerations(spark, alias, keepLast = 2)
+    assert(out == Seq((1L, a, true), (2L, b, false)), out.toString)
+    assert(!new java.io.File(a).exists())
+    assert(new java.io.File(b).exists() && new java.io.File(c).exists())
+    assert(StorePointer.history(spark, alias) == Seq(3L -> c, 4L -> b))
+    // both retained generations still serve
+    val q = e.filter(col("vec_id") % 100 === 0)
+    assert(VectorIndexStream.topKFromAlias(
+      spark, alias, q, "vec_id", "embedding", k = 1).count() > 0)
+    assert(VectorIndexStream.topKFromAlias(
+      spark, alias, q, "vec_id", "embedding", k = 1,
+      version = Some(3L)).count() > 0)
+    // idempotent: nothing left to drop
+    assert(StorePointer.retireGenerations(spark, alias, keepLast = 2).isEmpty)
+    intercept[IllegalArgumentException] {
+      StorePointer.retireGenerations(spark, alias, keepLast = 0)
+    }
+  }
+
   test("alias-routed serving: a pinned resolve keeps serving its own " +
       "generation while a publish cuts the live read over") {
     val spark0 = spark
