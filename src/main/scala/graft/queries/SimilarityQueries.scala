@@ -2863,7 +2863,8 @@ object SimilarityQueries {
         "retrained grid's own baseline: identical counts to its seed, " +
         "regrid_recommended = false — the gauge that fired on the " +
         "old store is CLEARED, not silenced. Counts over stored " +
-        "codes, integer decision — hash-exact.",
+        "codes, integer decision — hash-exact. Expected scale exponent " +
+        "~0.0 (0.002 pinned): two store builds, fixed cost dominates.",
       (spark, dir) => {
         import graft.streaming.VectorIndexStream
         val e = Tables.table(spark, dir, "embeddings")
@@ -2951,7 +2952,9 @@ object SimilarityQueries {
         "No serving call site touches a raw store path. Integer code " +
         "distances; assignment margins >= 1.0e-4 (doubled odds under " +
         "the even centroids), >= 1.1e-5 (live corpus under its own), " +
-        ">= 2.5e-3 (queries under the rebuilt centroids) at every SF.",
+        ">= 2.5e-3 (queries under the rebuilt centroids) at every SF. " +
+        "Expected scale exponent ~0.0 (0.011 pinned): store-build " +
+        "dominated.",
       (spark, dir) => {
         import graft.streaming.{StorePointer, VectorIndexStream}
         val e = Tables.table(spark, dir, "embeddings")
@@ -3106,7 +3109,10 @@ object SimilarityQueries {
         "but v2's codebook spans the distribution the store actually " +
         "holds. Integer ADC distances and integer code argmins (ties " +
         "to the lower codebook index) — hash-exact; cell-assignment " +
-        "margins are q281's (>= 1.0e-4 / 1.1e-5 / 2.5e-3 at every SF).",
+        "margins are q281's (>= 1.0e-4 / 1.1e-5 / 2.5e-3 at every SF). " +
+        "Expected scale exponent ~0.0 (-0.003 pinned): two PQ store " +
+        "builds (grid + codebook training twice) dominate — the " +
+        "heaviest new query BY DESIGN.",
       (spark, dir) => {
         import graft.streaming.{StorePointer, VectorIndexStream}
         val e = Tables.table(spark, dir, "embeddings")
@@ -3374,7 +3380,8 @@ object SimilarityQueries {
         "engines) and every subspace concentrates to share 1000 — " +
         "recode_recommended flags, and the remediation is q284's " +
         "rebuild + cutover. Counts over stored codes, ties to the " +
-        "lower code index — hash-exact.",
+        "lower code index — hash-exact. Expected scale exponent ~0.0 " +
+        "(0.005 pinned): PQ store build dominates.",
       (spark, dir) => {
         import graft.streaming.VectorIndexStream
         val e = Tables.table(spark, dir, "embeddings")
@@ -3478,7 +3485,9 @@ object SimilarityQueries {
         "strictly higher at every SF (9->11 / 12->14 / 33->34 hits of " +
         "30/30/120 exact). Rank gaps >= 1.8e-5, assignment gaps >= " +
         "6.8e-7 at every SF (vs ~1e-12 summation error); the compared " +
-        "counts are integers.",
+        "counts are integers. Expected scale exponent ~0.0 (0.017 " +
+        "pinned): two store builds + one brute-force pass, " +
+        "build-dominated.",
       (spark, dir) => {
         import graft.streaming.VectorIndexStream
         val e = Tables.table(spark, dir, "embeddings")
