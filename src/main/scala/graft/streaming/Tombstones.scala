@@ -63,16 +63,32 @@ private[graft] object Tombstones {
       beforeBatch: Long = Long.MaxValue): DataFrame =
     BatchIndex.read(spark, dirOf(storeDir), keySchema, beforeBatch)
 
+  /** True iff the tombstone sub-store holds at least one `batch=N`
+    * partition. A bare directory-exists check is NOT enough for the
+    * schema-inferring readers: a crashed purge recovered through the
+    * journal's per-batch `P` lines leaves `_tombstones/` holding only
+    * the `_batch_ts` stamp dir, and a parquet read of a data-less
+    * directory crashes on schema inference instead of reading as "no
+    * deletes". */
+  private def hasBatches(spark: SparkSession, storeDir: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(dirOf(storeDir))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(root) && fs.listStatus(root).exists(e =>
+      e.isDirectory && e.getPath.getName.startsWith("batch="))
+  }
+
   /** Schema-INFERRING read for stores whose key type is data-defined
     * (the vector store's id column may be long or string — the stored
     * parquet is authoritative): None when the store has never seen a
-    * delete (callers keep delete-free serves on their original plan),
-    * otherwise every tombstone row under the optional fence. Same
-    * fence semantics as [[read]]. */
+    * delete OR holds no tombstone batches (a recovered crash's
+    * stamps-only debris — see [[hasBatches]]; callers keep delete-free
+    * serves on their original plan either way), otherwise every
+    * tombstone row under the optional fence. Same fence semantics as
+    * [[read]]. */
   def readInferred(
       spark: SparkSession, storeDir: String,
       beforeBatch: Option[Long] = None): Option[DataFrame] =
-    if (!exists(spark, storeDir)) None
+    if (!hasBatches(spark, storeDir)) None
     else {
       val all = spark.read.option("basePath", dirOf(storeDir))
         .parquet(dirOf(storeDir))

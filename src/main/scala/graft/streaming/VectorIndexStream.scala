@@ -509,7 +509,10 @@ object VectorIndexStream {
     }
     val delOpt = tombstoneMaxBatch(spark, indexDir, idCol,
       Some(maxListed + 1L))
-    if (delOpt.isEmpty) return
+    // no tombstone batches to resolve: retire any stamps-only debris a
+    // recovered crash left behind (the journal's per-batch P lines
+    // delete batch dirs but not the sub-store's stamp directory)
+    if (delOpt.isEmpty) { dropResolvedTombstones(); return }
     val del = delOpt.get
     if (del.isEmpty) { dropResolvedTombstones(); return }
     val batchDirs = fs.listStatus(root).toSeq

@@ -1594,6 +1594,40 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(rootMsg(ex).contains("missing from the source corpus"), rootMsg(ex))
   }
 
+  test("a recovered crash's stamps-only tombstone dir reads as NO deletes " +
+      "and the next purge retires the debris") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.Tables.table(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("vec_ts_debris").toString
+    val idx = s"$dir/index"
+    VectorIndexStream.seedIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nLists = 8)
+    VectorIndexStream.deleteBatch(
+      spark, idx, Seq(2L, 4L).toDF("vec_id"), "vec_id", batchId = 0L)
+    assert(VectorIndexStream.deadIds(spark, idx, "vec_id").count() == 2L)
+    // manufacture the post-recovery state: the purge journal's per-batch
+    // P lines deleted every tombstone batch dir, but the sub-store's
+    // stamp directory survived — `_tombstones/` exists with NO data
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_tombstones/batch=0"), true)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_tombstones")))
+    // every reader treats it as a store with no deletes — never a
+    // parquet schema-inference crash
+    assert(VectorIndexStream.deadIds(spark, idx, "vec_id").count() == 0L)
+    assert(VectorIndexStream.liveTombstones(spark, idx, "vec_id").count() == 0L)
+    assert(StoreMaintenance.planVector(spark, idx, "vec_id", 10L, 10L)
+      .tombstoneKeys == 0L)
+    val served = VectorIndexStream.topKFromIndex(spark, idx,
+      e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 1)
+    assert(served.count() > 0)
+    // and the documented recovery — re-run the purge — retires the
+    // debris instead of returning with it in place
+    VectorIndexStream.purgeTombstones(spark, idx, "vec_id")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_tombstones")))
+  }
+
   test("pqCodeUsageReport: in-distribution batches stay at the seed's " +
       "spread, a collapsed batch concentrates to one code and flags") {
     val spark2 = spark
