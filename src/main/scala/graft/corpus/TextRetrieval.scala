@@ -140,11 +140,19 @@ object TextRetrieval {
       excludeSelf: Boolean = false,
       maxPostings: Long = 100000L): DataFrame = {
     val len = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
-    // two global scalars, driver-side like the SQ8 ranges: exact
-    // integer sums, so both engines divide identical operands
-    val g = len.agg(count(lit(1)), sum(col("len"))).collect()(0)
-    val n = g.getLong(0)
-    val avgdl = if (n == 0) 1.0 else g.getLong(1).toDouble / n
+    // the two global scalars (N, avgdl) ride the plan as a broadcast
+    // one-row aggregate instead of a driver-side collect: the collect
+    // was a SECOND full execution of the tf lineage (for the inline
+    // variants, a second corpus tokenize; for the stored variants, a
+    // second store scan) spent deriving two numbers the same pass can
+    // carry. Exact integer sums either way, and the scoring expression
+    // divides the identical IEEE operands (long->double cast, same op
+    // order), so scores are bit-identical.
+    val g = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot_len"))
+      .select(col("n_docs"),
+        when(col("n_docs") === 0L, lit(1.0))
+          .otherwise(col("tot_len").cast("double") /
+            col("n_docs").cast("double")).as("avgdl"))
     // restrict the postings to query vocabulary FIRST (broadcast
     // semi-join): df counted after the restriction is still the true
     // per-term document count — the restriction is by term, not by doc
@@ -157,10 +165,11 @@ object TextRetrieval {
       .join(broadcast(dfT), Seq("term"))
       .join(len, Seq("doc_id"))
       .join(broadcast(qTerms), Seq("term"))
+      .crossJoin(broadcast(g))
       .withColumn("c",
-        log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
           * col("tf") * (lit(k1) + lit(1.0))
-          / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / lit(avgdl))))
+          / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl"))))
     val scored0 = contrib
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("score"))

@@ -298,6 +298,15 @@ object Dedup {
       p: Int = 1, q: Int = 2, shingleN: Int = 3,
       nHashes: Int = 8, rowsPerBand: Int = 2,
       maxBucket: Int = 100000): DataFrame = {
+    // NOTE (r18 measurement): materializing the shingle table once via
+    // localCheckpoint (the streamed batch's posture) was tried and made
+    // every inline caller (q43/q45/q73/q171) 0.8-1.3 s SLOWER at sf0.1:
+    // the shingle pipeline's exchanges are already reused across the
+    // signature and verify branches, so the checkpoint only added a
+    // serial materialization of the full shingle set. The streamed
+    // batch path keeps its checkpoint because it ALSO needs the frame
+    // across separate ACTIONS (per-batch writes), where reuse cannot
+    // help — these are one-action plans. Left as lazy lineage.
     val sig = minhashSignature(df, idCol, textCol, nHashes, shingleN)
     val cand = lshCandidates(sig, idCol, nHashes, rowsPerBand, maxBucket)
     jaccardVerify(df, cand, idCol, textCol, p, q, shingleN)
@@ -469,9 +478,15 @@ object Dedup {
     * Brute force at test SF; sign-bucket prefilter at scale. */
   def embeddingNearDups(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    // the O(n^2) cosine kernel runs in the STREAM side's scan tasks of
+    // the nested-loop join — widen a narrow input so it parallelizes
+    // (no-op at real scale; [[graft.similarity.Similarity.widened]])
+    val a = graft.similarity.Similarity.widened(
+      emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a")))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    // broadcast pinned to the UN-widened side so the widened scan stays
+    // the parallel stream side (and the plan can't flip between runs)
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .filter(VectorFunctions.cosineSim(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
@@ -763,6 +778,12 @@ object Dedup {
         explode(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
       .distinct()
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // NOTE (r18 measurement): materializing this frame once via
+    // localCheckpoint was tried and made q161 ~3x SLOWER at sf0.1 —
+    // exchange reuse already dedups the expensive shuffle across the
+    // three consumer branches, and the eager checkpoint only added a
+    // serial barrier plus block-manager writes of the full set arrays.
+    // Left as lazy lineage deliberately.
     val arr = sh.join(broadcast(df), Seq("sh"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("a"))

@@ -71,3 +71,50 @@ object BloomMightContain {
   def bloomMightContain(c: Column, bf: BloomFilter): Column =
     GraftBridge.column(BloomMightContain(GraftBridge.expression(c), serialize(bf)))
 }
+
+/** [[BloomMightContain]] for LONG keys — the pre-shuffle join filter
+  * (optimization-guide §3.2) for integer-keyed joins: build the sketch
+  * over the small side's key (`DataFrameStatFunctions.bloomFilter` on a
+  * long column inserts via `putLong`; `mightContainLong` is its exact
+  * dual), probe the big side map-side BEFORE its exchange. No false
+  * negatives, so the downstream exact join's result is unchanged —
+  * `fpp` only tunes how many non-matching rows still pay the shuffle.
+  * Composite keys probe as `xxhash64(k1, k2, ...)` built identically
+  * on both sides (a hash collision is just another false positive the
+  * exact join removes). */
+case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_long"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a bigint argument, got ${child.dataType.simpleString}")
+    else if (filterBytes == null || filterBytes.isEmpty)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a non-empty serialized filter")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(filterBytes))
+
+  /** Called from generated code. */
+  def mightContain(v: Long): Boolean = filter.mightContainLong(v)
+
+  override def nullSafeEval(v: Any): Any = mightContain(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomLongExpr", this, classOf[BloomMightContainLong].getName)
+    defineCodeGen(ctx, ev, t => s"$ref.mightContain($t)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomMightContainLong {
+  def bloomMightContainLong(c: Column, bf: BloomFilter): Column =
+    GraftBridge.column(BloomMightContainLong(
+      GraftBridge.expression(c), BloomMightContain.serialize(bf)))
+}

@@ -217,3 +217,208 @@ object IntArrayL2 {
   def intArrayL2(a: Column, b: Column): Column =
     GraftBridge.column(IntArrayL2(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
+
+/** The m PQ codes of one quantized vector as a single codegen'd kernel:
+  * per subspace s, the argmin over the embedded codebook's kCent
+  * centroids of the [[IntArrayL2]] distance between the vector's s-th
+  * subDim-slice and the centroid's pre-quantized `qsub` — strict-less
+  * comparison, so integer-distance ties resolve to the LOWER centroid
+  * index, exactly `min_by(j, (d, j))`. One tight loop instead of an
+  * m x kCent expression tree (m=8, kCent=16 built 128 slice +
+  * distance nodes — past whole-stage codegen's method budget, so the
+  * hot encode path fell back to interpreted evaluation). The codebook
+  * rides `addReferenceObj` like the other static artifacts. */
+case class PqEncodeCodes(
+    child: Expression, codebook: Array[Array[Array[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _)
+          if codebook.nonEmpty && codebook.forall(_.nonEmpty) =>
+        TypeCheckResult.TypeCheckSuccess
+      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a non-empty codebook")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<bigint> input, got ${other.simpleString}")
+    }
+
+  /** Called from generated code. Dimensions beyond the vector's length
+    * are ignored (min-length contract shared with [[IntArrayL2]]). */
+  def encode(qv: ArrayData): ArrayData = {
+    val m = codebook.length
+    val subDim = codebook(0)(0).length
+    val n = qv.numElements()
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val cents = codebook(s)
+      val base = s * subDim
+      var bestD = Long.MaxValue
+      var bestJ = 0L
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var d = 0L
+        var i = 0
+        while (i < subDim && base + i < n) {
+          val diff = qv.getLong(base + i) - c(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; bestJ = j.toLong }
+        j += 1
+      }
+      out(s) = bestJ
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = encode(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncExpr", this, classOf[PqEncodeCodes].getName)
+    defineCodeGen(ctx, ev, x => s"$ref.encode($x)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncodeCodes {
+  def pqEncodeCodes(qv: Column, codebook: Array[Array[Array[Long]]]): Column =
+    GraftBridge.column(PqEncodeCodes(GraftBridge.expression(qv), codebook))
+}
+
+/** The flattened ADC lookup table of one quantized query vector as a
+  * single codegen'd kernel: entry (s * kCent + j) is the
+  * [[IntArrayL2]] distance between the query's s-th subDim-slice and
+  * codebook centroid (s, j) — the same m x kCent integers the
+  * explode-join LUT carried as rows, one array per query row. */
+case class PqLutFlat(
+    child: Expression, codebook: Array[Array[Array[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_lut_flat"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _)
+          if codebook.nonEmpty && codebook.forall(_.nonEmpty) =>
+        TypeCheckResult.TypeCheckSuccess
+      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a non-empty codebook")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<bigint> input, got ${other.simpleString}")
+    }
+
+  /** Called from generated code. */
+  def lut(qv: ArrayData): ArrayData = {
+    val m = codebook.length
+    val kCent = codebook(0).length
+    val subDim = codebook(0)(0).length
+    val n = qv.numElements()
+    val out = new Array[Long](m * kCent)
+    var s = 0
+    while (s < m) {
+      val cents = codebook(s)
+      val base = s * subDim
+      var j = 0
+      while (j < kCent) {
+        val c = cents(j)
+        var d = 0L
+        var i = 0
+        while (i < subDim && base + i < n) {
+          val diff = qv.getLong(base + i) - c(i)
+          d += diff * diff
+          i += 1
+        }
+        out(s * kCent + j) = d
+        j += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = lut(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLutExpr", this, classOf[PqLutFlat].getName)
+    defineCodeGen(ctx, ev, x => s"$ref.lut($x)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqLutFlat {
+  def pqLutFlat(qv: Column, codebook: Array[Array[Array[Long]]]): Column =
+    GraftBridge.column(PqLutFlat(GraftBridge.expression(qv), codebook))
+}
+
+/** The ADC distance of one candidate against one query's flattened LUT
+  * — sum over subspaces of lut[s * kCent + codes[s]] — as a single
+  * codegen'd kernel. Replaces a per-row zip_with + aggregate
+  * higher-order-function pair, which evaluated interpreted (HOFs are
+  * outside whole-stage codegen) and allocated per candidate row on the
+  * serve path's hottest loop. Integer addition in ascending-s order —
+  * exact and identical to the join-then-`sum(d)` formulation. */
+case class PqAdcDistance(left: Expression, right: Expression, kCent: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_distance"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (!ok) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    else if (kCent <= 0) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires kCent > 0, got $kCent")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  /** Called from generated code. */
+  def distance(codes: ArrayData, lut: ArrayData): Long = {
+    val m = codes.numElements()
+    var s = 0
+    var d = 0L
+    while (s < m) {
+      d += lut.getLong(s * kCent + codes.getLong(s).toInt)
+      s += 1
+    }
+    d
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    distance(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcExpr", this, classOf[PqAdcDistance].getName)
+    defineCodeGen(ctx, ev, (x, y) => s"$ref.distance($x, $y)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcDistance {
+  def pqAdcDistance(codes: Column, lut: Column, kCent: Int): Column =
+    GraftBridge.column(PqAdcDistance(
+      GraftBridge.expression(codes), GraftBridge.expression(lut), kCent))
+}

@@ -156,8 +156,23 @@ object Graph {
     // by rank so (v, w) matches the orientation of a closing edge v->w
     val o1 = oriented.select(col("lo").as("u"), col("hi").as("v"), col("rhi").as("rv"))
     val o2 = oriented.select(col("lo").as("u"), col("hi").as("w"), col("rhi").as("rw"))
-    val wedges = o1.join(o2, Seq("u")).filter(col("rv") < col("rw"))
     val closing = oriented.select(col("lo").as("v"), col("hi").as("w"))
+    // Bloom-prefilter the wedge stream BEFORE its (v, w) exchange
+    // (optimization-guide §3.2): wedge fan-out is quadratic in oriented
+    // out-degree while closing edges are only |E|, so most wedges never
+    // close — without the filter every one of them pays the shuffle to
+    // the closing join (44M rows at sf0.1 vs 2.3M edges). The sketch is
+    // built over the closing side's xxhash64(v, w) in one |E| pass off
+    // the checkpoint (the count sizes it exactly), probes map-side
+    // inside the wedge join's codegen span, and can only pass false
+    // POSITIVES — the exact (v, w) join still decides every triangle,
+    // so counts are unchanged by construction.
+    val nEdges = math.max(oriented.count(), 1L)
+    val closingBf = closing.stat.bloomFilter(
+      xxhash64(col("v"), col("w")), nEdges, 0.01)
+    val wedges = o1.join(o2, Seq("u")).filter(col("rv") < col("rw"))
+      .filter(graft.functions.BloomMightContainLong.bloomMightContainLong(
+        xxhash64(col("v"), col("w")), closingBf))
     val tri = wedges.join(closing, Seq("v", "w"))
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,13 +22,31 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Widen a narrow input to the cluster's parallelism — the guard the
+    * broadcast-nested-loop kernels here need: their per-pair distance
+    * math runs IN the stream side's scan tasks, so one small parquet
+    * file (one partition) would put the whole O(|corpus| x |Q|) kernel
+    * on one core. A no-op at real scale, where the scan already has
+    * more partitions than cores (the containmentPairs posture — no
+    * shuffle is ever added on the 100 TB path). Hash-partitioned on
+    * the frame's FIRST column (the id in every caller here): a keyless
+    * round-robin repartition first pays a local sort of its input
+    * (SPARK-23207's retry-determinism guard), which a deterministic
+    * key avoids outright — and unique ids spread evenly. */
+  private[graft] def widened(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par)
+      df.repartition(par, col(df.columns.head)) else df
+  }
+
   /** Exact top-k neighbors per query by cosine (desc), deterministic
     * tie-break on neighbor id. `rank` is BIGINT to match SQL oracles. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val c = widened(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", VectorFunctions.cosineSim(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
@@ -503,7 +521,8 @@ object Similarity {
       k: Int): DataFrame = {
     val (mns, mxs) = sq8Ranges(corpus, vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val c = widened(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
@@ -661,20 +680,32 @@ object Similarity {
   def pqTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, m: Int = 8, dim: Int = 64, kCent: Int = 16): DataFrame = {
-    val subDim = dim / m
     val (mns, mxs) = sq8Ranges(corpus, vecCol)
-    val codebook = pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs)
-    val codes = pqEncode(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
-      "neighbor_id", vecCol, codebook, m, dim, mns, mxs)
-    val lut = pqLut(queries, idCol, vecCol, codebook, m, dim, mns, mxs)
+    val cb = collectedCodebook(
+      pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs), m)
+    // codes and the flattened per-query LUT are single-pass codegen
+    // columns ([[pqCodesColumn]]/[[pqLutFlatColumn]]) and the ADC sum
+    // is one expression per candidate row — the corpus is scanned once
+    // with NO encode shuffle, and the only exchange left is the final
+    // per-query rank window (the previous shape paid the m-way explode
+    // join plus a (query, neighbor) re-aggregation exchange).
+    // The encode+ADC work now rides the SCAN task, so a narrow input
+    // (one small parquet file -> one partition) would run it on one
+    // core — widen to the cluster's parallelism first, a no-op at real
+    // scale where the scan already has more partitions than cores
+    // (the containmentPairs posture).
+    val wide = widened(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)))
+    val codes = wide.select(col("neighbor_id"),
+      pqCodesColumn(graft.functions.Sq8Quantize.sq8Quantize(
+        col(vecCol), mns, mxs), cb, dim).as("codes"))
+    val qflat = queries.select(col(idCol).as("query_id"),
+      pqLutFlatColumn(graft.functions.Sq8Quantize.sq8Quantize(
+        col(vecCol), mns, mxs), cb, dim).as("dflat"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
     codes
-      .join(broadcast(lut), col("s") === col("ls") && col("code") === col("lj"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d")).as("dist"))
+      .join(broadcast(qflat), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist", adcDistColumn(col("codes"), col("dflat"), m, kCent))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
@@ -736,6 +767,66 @@ object Similarity {
       .withColumn("d", graft.functions.IntArrayL2.intArrayL2(col("sub"), col("qsub")))
       .select(col("query_id"), col("s").as("ls"), col("j").as("lj"), col("d"))
   }
+
+  /** The codebook collected driver-side, indexed [s][j] -> qsub — the
+    * bounded m x kCent artifact every PQ kernel embeds as literals.
+    * The codebook frame is either driver-local already ([[pqCodebook]]
+    * builds it from collected sample rows) or a tiny stored table, so
+    * this is one cheap read; requiring contiguous subspace/centroid
+    * ids keeps positional indexing valid (guaranteed by construction,
+    * asserted against hand-built codebooks). */
+  private[graft] def collectedCodebook(
+      codebook: DataFrame, m: Int): Array[Array[Array[Long]]] = {
+    val rows = codebook.select(col("s"), col("j"), col("qsub")).collect()
+    val bySub = rows.groupBy(_.getLong(0))
+    require(bySub.keySet == (0L until m.toLong).toSet,
+      s"codebook must carry subspaces 0..${m - 1}, got ${bySub.keySet}")
+    Array.tabulate(m) { s =>
+      val cents = bySub(s.toLong).sortBy(_.getLong(1))
+      require(cents.map(_.getLong(1)).toSeq == (0L until cents.length.toLong),
+        s"codebook subspace $s must carry contiguous centroid ids 0..k-1")
+      cents.map(_.getSeq[Long](2).toArray)
+    }
+  }
+
+  /** The PQ code vector as ONE codegen'd kernel column over the
+    * quantized vector `qv` — per subspace, the argmin-distance
+    * centroid index with ties to the lower index, packed in subspace
+    * order ([[graft.functions.PqEncodeCodes]]: strict-less keeps the
+    * first minimum, exactly [[pqEncode]]'s `min_by(j, (d, j))`).
+    * Computed without the m-way explode, the broadcast join, or the
+    * two re-aggregation shuffles — the corpus reaches the cell
+    * writer/ranker in a single pass, in one tight codegen'd loop. */
+  private[graft] def pqCodesColumn(
+      qv: Column, cb: Array[Array[Array[Long]]], dim: Int): Column = {
+    require(cb.nonEmpty && cb(0)(0).length == dim / cb.length,
+      s"codebook sub-vector width ${cb.headOption.map(_(0).length)} does " +
+        s"not match dim=$dim / m=${cb.length}")
+    graft.functions.PqEncodeCodes.pqEncodeCodes(qv, cb)
+  }
+
+  /** The per-query ADC lookup table FLATTENED to one array per query
+    * row: entry (s * kCent + j) holds the integer distance from the
+    * query's s-th quantized subvector to codebook centroid j — the
+    * same m x kCent integers as [[pqLut]], as one codegen'd kernel
+    * column ([[graft.functions.PqLutFlat]]; no explode, no join). */
+  private[graft] def pqLutFlatColumn(
+      qv: Column, cb: Array[Array[Array[Long]]], dim: Int): Column = {
+    require(cb.nonEmpty && cb(0)(0).length == dim / cb.length,
+      s"codebook sub-vector width ${cb.headOption.map(_(0).length)} does " +
+        s"not match dim=$dim / m=${cb.length}")
+    graft.functions.PqLutFlat.pqLutFlat(qv, cb)
+  }
+
+  /** The ADC distance for one (query, candidate) row: sum over
+    * subspaces of lutFlat[s * kCent + codes[s]] — integer-exact and
+    * order-independent, so it equals [[pqLut]]-join-then-`sum(d)` bit
+    * for bit while replacing the m-row join output and the
+    * (query, neighbor) re-aggregation exchange with one codegen'd
+    * kernel ([[graft.functions.PqAdcDistance]]). */
+  private[graft] def adcDistColumn(
+      codes: Column, lutFlat: Column, m: Int, kCent: Int): Column =
+    graft.functions.PqAdcDistance.pqAdcDistance(codes, lutFlat, kCent)
 
   /** Top-k from a WRITTEN IVF-Flat index
     * ([[graft.sinks.CorpusSink.writeIvfFlatIndex]]'s layout): query
@@ -891,10 +982,21 @@ object Similarity {
     val codebook = spark.read.parquet(s"$indexPath/codebook")
 
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val cb = collectedCodebook(codebook, m)
+    val kCent = cb(0).length
+    // flattened per-query LUT computed on the probe frame itself
+    // ([[pqLutFlatColumn]]): the ADC sum becomes one expression per
+    // candidate row, so the m-way posexplode of the stored codes and
+    // the (query, neighbor) re-aggregation exchange disappear — the
+    // probed cell directories are scanned once, m bytes per candidate,
+    // straight into the rank window
     val qc =
       (if (nProbe <= 1) assignWith(cent, q, "query_id", "q_vec")
        else probeCells(cent, q, "query_id", "q_vec", nProbe))
-        .select(col("query_id"), col("cell").as("q_cell"))
+        .select(col("query_id"), col("cell").as("q_cell"),
+          pqLutFlatColumn(graft.functions.Sq8Quantize.sq8Quantize(
+            col("q_vec").cast("array<float>"), mns, mxs), cb, dim)
+            .as("dflat"))
     val probedCells = qc.select(col("q_cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     // literal IN over the hive partition column (typed by directory
@@ -906,20 +1008,14 @@ object Similarity {
     val codes = spark.read.parquet(s"$indexPath/codes")
       .filter(cellFilter)
       .select(col(idCol).as("neighbor_id"), col("cell").cast("long").as("cell"),
-        posexplode(col("codes")).as(Seq("s", "code")))
-      .select(col("neighbor_id"), col("cell"),
-        col("s").cast("long").as("s"), col("code"))
-    val lut = pqLut(queries, idCol, vecCol, codebook, m, dim, mns, mxs)
-      .join(qc, Seq("query_id"))
+        col("codes"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
     codes
-      .join(broadcast(lut),
-        col("s") === col("ls") && col("code") === col("lj") &&
-          col("cell") === col("q_cell"))
+      .join(broadcast(qc), col("cell") === col("q_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d")).as("dist"))
+      .withColumn("dist",
+        adcDistColumn(col("codes"), col("dflat"), m, kCent))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
@@ -949,18 +1045,22 @@ object Similarity {
     val mns = rangeRows.map(_.getDouble(1)).toSeq
     val mxs = rangeRows.map(_.getDouble(2)).toSeq
     val codebook = spark.read.parquet(s"$indexPath/codebook")
+    val cb = collectedCodebook(codebook, m)
+    val kCent = cb(0).length
+    // stored code arrays ranked directly against the flattened
+    // per-query LUT (one ADC expression per candidate row) — no
+    // m-way posexplode, no (query, neighbor) re-aggregation exchange
     val codes = spark.read.parquet(s"$indexPath/codes")
-      .select(col(idCol).as("neighbor_id"),
-        posexplode(col("codes")).as(Seq("s", "code")))
-      .select(col("neighbor_id"), col("s").cast("long").as("s"), col("code"))
-    val lut = pqLut(queries, idCol, vecCol, codebook, m, dim, mns, mxs)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val qflat = queries.select(col(idCol).as("query_id"),
+      pqLutFlatColumn(graft.functions.Sq8Quantize.sq8Quantize(
+        col(vecCol), mns, mxs), cb, dim).as("dflat"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
     val shortlist = codes
-      .join(broadcast(lut), col("s") === col("ls") && col("code") === col("lj"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d")).as("dist"))
+      .join(broadcast(qflat), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist",
+        adcDistColumn(col("codes"), col("dflat"), m, kCent))
       .withColumn("rank", row_number().over(wAdc).cast("long"))
       .filter(col("rank") <= rerankR)
       .select(col("query_id"), col("neighbor_id"))
@@ -1001,14 +1101,20 @@ object Similarity {
       nProbe: Int = 1): DataFrame = {
     val cent = ivfCentroids(corpus, idCol, vecCol, nLists)
     val (mns, mxs) = sq8Ranges(corpus, vecCol)
-    val codebook = pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs)
+    val cb = collectedCodebook(
+      pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs), m)
+    // the cell assignment's groupBy is the ONLY corpus exchange left:
+    // codes ride it as a single-pass codegen column instead of the
+    // encode explode + join + two re-aggregation shuffles, and the ADC
+    // distance is one expression per candidate row against the
+    // flattened per-query LUT. Multi-probe still widens only the
+    // broadcast side (one LUT copy per probed cell).
     val cc = assignWith(cent,
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
-      "neighbor_id", "c_vec").select(col("neighbor_id"), col("cell"))
-    // multi-probe widens the LUT by nProbe cells per query (the cell
-    // restriction rides ON the broadcast LUT, so the codes side is
-    // untouched); a neighbor's single cell matches at most one distinct
-    // probe row, so each (s, code) LUT hit stays unique — no dedup.
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        "neighbor_id", "c_vec")
+      .select(col("neighbor_id"), col("cell"),
+        pqCodesColumn(graft.functions.Sq8Quantize.sq8Quantize(
+          col("c_vec"), mns, mxs), cb, dim).as("codes"))
     val qc =
       (if (nProbe <= 1)
          assignWith(cent,
@@ -1017,22 +1123,16 @@ object Similarity {
        else probeCells(cent,
          queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
          "query_id", "q_vec", nProbe))
-        .select(col("query_id"), col("cell").as("q_cell"))
-    val codes = pqEncode(
-        corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
-        "neighbor_id", vecCol, codebook, m, dim, mns, mxs)
-      .join(cc, Seq("neighbor_id"))
-    val lut = pqLut(queries, idCol, vecCol, codebook, m, dim, mns, mxs)
-      .join(qc, Seq("query_id"))
+        .select(col("query_id"), col("cell").as("q_cell"),
+          pqLutFlatColumn(graft.functions.Sq8Quantize.sq8Quantize(
+            col("q_vec"), mns, mxs), cb, dim).as("dflat"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
-    codes
-      .join(broadcast(lut),
-        col("s") === col("ls") && col("code") === col("lj") &&
-          col("cell") === col("q_cell"))
+    cc
+      .join(broadcast(qc), col("cell") === col("q_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d")).as("dist"))
+      .withColumn("dist",
+        adcDistColumn(col("codes"), col("dflat"), m, kCent))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))

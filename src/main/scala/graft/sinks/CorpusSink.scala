@@ -164,9 +164,16 @@ object CorpusSink {
     import graft.similarity.Similarity
     val (mns, mxs) = Similarity.sq8Ranges(corpus, vecCol)
     val codebook = Similarity.pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs)
-    packedCodes(corpus, idCol, vecCol, codebook, m, dim, mns, mxs)
-      .join(Similarity.ivfAssignCells(corpus, idCol, vecCol, nLists)
-        .select(col(idCol), col("cell")), Seq(idCol))
+    val cb = Similarity.collectedCodebook(codebook, m)
+    // codes ride the cell assignment's own per-id exchange as a
+    // single-pass codegen column — the separate encode pipeline and
+    // its join back on the id are gone (one corpus pass, not two)
+    Similarity.ivfAssignCells(corpus, idCol, vecCol, nLists)
+      .select(col(idCol),
+        Similarity.pqCodesColumn(
+          graft.functions.Sq8Quantize.sq8Quantize(col(vecCol), mns, mxs),
+          cb, dim).as("codes"),
+        col("cell"))
       .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
@@ -262,16 +269,24 @@ object CorpusSink {
   }
 
   /** One row per vector with its m codes packed into an array — the
-    * stored form both PQ layouts share. */
+    * stored form both PQ layouts share. The encode is a single-pass
+    * codegen column ([[graft.similarity.Similarity.pqCodesColumn]],
+    * same argmin and tie-break as the explode-join encode) over the
+    * per-id dedup exchange, so the corpus reaches the writer in one
+    * pass instead of paying the m-way explode plus two
+    * re-aggregation shuffles. */
   private def packedCodes(
       corpus: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, m: Int, dim: Int,
-      mns: Seq[Double], mxs: Seq[Double]): DataFrame =
-    graft.similarity.Similarity
-      .pqEncode(corpus, idCol, vecCol, codebook, m, dim, mns, mxs)
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("sc"))
-      .select(col(idCol), expr("transform(sc, x -> x.code)").as("codes"))
+      mns: Seq[Double], mxs: Seq[Double]): DataFrame = {
+    import graft.similarity.Similarity
+    val cb = Similarity.collectedCodebook(codebook, m)
+    corpus.groupBy(col(idCol)).agg(first(col(vecCol)).as(vecCol))
+      .select(col(idCol),
+        Similarity.pqCodesColumn(
+          graft.functions.Sq8Quantize.sq8Quantize(col(vecCol), mns, mxs),
+          cb, dim).as("codes"))
+  }
 
   private def writePqArtifacts(
       corpus: DataFrame, path: String, codebook: DataFrame,

@@ -64,13 +64,20 @@ object VectorIndexStream {
       s"centroids frame must have (cent_id, cent_vec), got ${cent.columns.toSeq}")
     // prune to the contract columns: an extra column riding along
     // (worst case one named like a probe-side alias) would be
-    // persisted into the store and break every later assignWith join
-    cent.select(col("cent_id"), col("cent_vec")).coalesce(1)
+    // persisted into the store and break every later assignWith join.
+    // Collected ONCE driver-side (the nLists x dim table is the store's
+    // own bounded artifact): the write below then persists the local
+    // rows without re-running the centroid pick's corpus scan, and the
+    // seed append reuses the same local frame instead of re-reading the
+    // file it just wrote — one corpus pass and zero artifact re-reads
+    // where the previous shape paid a scan per consumer.
+    val centLocal = localized(cent.select(col("cent_id"), col("cent_vec")))
+    centLocal.coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     import spark.implicits._
     StoreLayout.stamp(Seq(Tuple1(nLists.toLong)).toDF("nLists")).coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/meta")
-    writeCells(corpus, idCol, vecCol, indexDir, -1L)
+    writeCellsWith(centLocal, corpus, idCol, vecCol, indexDir, -1L)
   }
 
   /** Append one batch: assign against the STORED centroids, overwrite
@@ -650,13 +657,19 @@ object VectorIndexStream {
       corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
       nLists: Int = 8): Unit = {
     val spark = corpus.sparkSession
-    val (mns, mxs) = writeCentroidsAndRanges(corpus, idCol, vecCol, indexDir, nLists)
+    val (cent, mns, mxs) =
+      writeCentroidsAndRanges(corpus, idCol, vecCol, indexDir, nLists)
     import spark.implicits._
     StoreLayout.stamp(
         Seq((nLists.toLong, mns.length.toLong)).toDF("nLists", "dim"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/meta")
-    appendSq8(loadSq8Artifacts(spark, indexDir), corpus, idCol, vecCol,
+    // the artifacts just written ARE the store's pinned artifacts —
+    // hand them to the seed append directly instead of re-reading the
+    // three files back (meta + ranges + centroids: three loads saved
+    // per seed; later appends still load from disk, the durability
+    // contract)
+    appendSq8(Sq8Artifacts(cent, mns, mxs), corpus, idCol, vecCol,
       indexDir, -1L)
   }
 
@@ -728,19 +741,24 @@ object VectorIndexStream {
   }
 
   /** Centroids + SQ8 ranges, the pinned artifacts the two quantized
-    * seeds share. Returns the ranges. */
+    * seeds share. Returns the LOCALIZED centroid frame alongside the
+    * ranges so the seed append can reuse them in-memory (one corpus
+    * pass per artifact, zero read-backs — the bytes on disk are
+    * written FROM the same driver-side rows the append consumes). */
   private def writeCentroidsAndRanges(
       corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
-      nLists: Int): (Seq[Double], Seq[Double]) = {
+      nLists: Int): (DataFrame, Seq[Double], Seq[Double]) = {
     val spark = corpus.sparkSession
-    Similarity.ivfCentroids(corpus, idCol, vecCol, nLists).coalesce(1)
+    val cent = localized(
+      Similarity.ivfCentroids(corpus, idCol, vecCol, nLists))
+    cent.coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     val (mns, mxs) = Similarity.sq8Ranges(corpus, vecCol)
     import spark.implicits._
     mns.indices.map(i => (i.toLong, mns(i), mxs(i))).toDF("i", "mn", "mx")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/ranges")
-    (mns, mxs)
+    (cent, mns, mxs)
   }
 
   /** Quantized kernels min-length silently: a vector wider or narrower
@@ -768,9 +786,13 @@ object VectorIndexStream {
       corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
       nLists: Int = 8, m: Int = 8, dim: Int = 64, kCent: Int = 16): Unit = {
     val spark = corpus.sparkSession
-    val (mns, mxs) = writeCentroidsAndRanges(corpus, idCol, vecCol, indexDir, nLists)
-    Similarity.pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs)
-      .coalesce(1)
+    val (cent, mns, mxs) =
+      writeCentroidsAndRanges(corpus, idCol, vecCol, indexDir, nLists)
+    // the codebook frame is already driver-local (pqCodebook collects
+    // its kCent sample rows) — persist it and reuse it directly
+    val codebook =
+      Similarity.pqCodebook(corpus, idCol, vecCol, m, dim, kCent, mns, mxs)
+    codebook.coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
     import spark.implicits._
     StoreLayout.stamp(
@@ -778,8 +800,10 @@ object VectorIndexStream {
           .toDF("nLists", "m", "dim", "kCent"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/meta")
-    appendPq(loadPqArtifacts(spark, indexDir), corpus, idCol, vecCol,
-      indexDir, -1L)
+    // same artifact-reuse argument as [[seedSq8Index]]: four loads
+    // (meta + ranges + centroids + codebook) saved per seed
+    appendPq(PqArtifacts(cent, codebook, m, dim, mns, mxs), corpus,
+      idCol, vecCol, indexDir, -1L)
   }
 
   /** Append one batch to the PQ store: full-precision cell assignment,
@@ -795,7 +819,14 @@ object VectorIndexStream {
 
   private final case class PqArtifacts(
       cent: DataFrame, codebook: DataFrame, m: Int, dim: Int,
-      mns: Seq[Double], mxs: Seq[Double])
+      mns: Seq[Double], mxs: Seq[Double]) {
+    /** The codebook as the driver-side [s][j] -> qsub table the
+      * single-pass encode/LUT kernels embed as literals (the codebook
+      * frame is local, so this is a cheap in-memory pivot). */
+    @transient lazy val cb: Array[Array[Array[Long]]] =
+      Similarity.collectedCodebook(codebook, m)
+    def kCent: Int = cb(0).length
+  }
 
   private def loadPqArtifacts(
       spark: SparkSession, indexDir: String): PqArtifacts = {
@@ -813,23 +844,22 @@ object VectorIndexStream {
       indexDir: String, batchId: Long): Unit = {
     MaintenanceLease.refuseIfHeld(
       df.sparkSession, indexDir, s"append batch=$batchId")
-    // one row per id BEFORE encoding: pqEncode's per-(id, subspace)
-    // argmin would otherwise blend codes across duplicate-id rows into
-    // a vector that corresponds to neither (the flat/SQ8 appends dedup
-    // implicitly through assignWith's groupBy + first)
-    val uniq = checkedWidth(df.select(col(idCol), col(vecCol)), vecCol,
-        art.dim, indexDir)
-      .groupBy(col(idCol))
-      .agg(first(col(vecCol)).as(vecCol))
-    val packed = Similarity
-      .pqEncode(uniq, idCol, vecCol, art.codebook, art.m, art.dim,
-        art.mns, art.mxs)
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("sc"))
-      .select(col(idCol), expr("transform(sc, x -> x.code)").as("codes"))
-    Similarity.assignWith(art.cent, uniq, idCol, vecCol)
-      .select(col(idCol), col("cell"))
-      .join(packed, Seq(idCol))
+    // assignWith's groupBy collapses duplicate-id rows to one (min_by
+    // cell + first vector) BEFORE encoding, and the m code bytes ride
+    // that one exchange as a single-pass codegen column
+    // ([[Similarity.pqCodesColumn]] — identical argmin/tie-break to
+    // the explode-join encode, minus its three extra shuffles): the
+    // batch reaches the cell writer in one pass
+    Similarity.assignWith(art.cent,
+        checkedWidth(df.select(col(idCol), col(vecCol)), vecCol,
+          art.dim, indexDir),
+        idCol, vecCol)
+      .select(col(idCol),
+        Similarity.pqCodesColumn(
+          graft.functions.Sq8Quantize.sq8Quantize(
+            col(vecCol), art.mns, art.mxs),
+          art.cb, art.dim).as("codes"),
+        col("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite")
       .partitionBy("cell")
@@ -865,36 +895,35 @@ object VectorIndexStream {
       queries.select(col(idCol), col(vecCol)), vecCol, art.dim, indexDir)
     val q = checkedQueries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // the flattened per-query ADC LUT rides the probe frame
+    // ([[Similarity.pqLutFlatColumn]]), so the stored code arrays rank
+    // through ONE expression per candidate row — no m-way posexplode
+    // of the scan, no (query, neighbor) re-aggregation exchange
     val qc =
       (if (nProbe <= 1) Similarity.assignWith(art.cent, q, "query_id", "q_vec")
        else Similarity.probeCells(art.cent, q, "query_id", "q_vec", nProbe))
-        .select(col("query_id"), col("cell").as("q_cell"))
+        .select(col("query_id"), col("cell").as("q_cell"),
+          Similarity.pqLutFlatColumn(
+            graft.functions.Sq8Quantize.sq8Quantize(
+              col("q_vec"), art.mns, art.mxs),
+            art.cb, art.dim).as("dflat"))
     val probedCells = qc.select(col("q_cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val cellFilter =
       if (probedCells.isEmpty) lit(false)
       else expr(s"cell IN (${probedCells.mkString(",")})")
     val codes = latestPerId(
-        readCells(spark, indexDir, beforeBatch, cellFilter)
-          .select(col(idCol).as("neighbor_id"),
-            col("cell").cast("long").as("cell"), col("codes"), col("batch")),
-        "neighbor_id", Seq("cell", "codes"))
-      .select(col("neighbor_id"), col("cell"),
-        posexplode(col("codes")).as(Seq("s", "code")))
-      .select(col("neighbor_id"), col("cell"),
-        col("s").cast("long").as("s"), col("code"))
-    val lut = Similarity.pqLut(checkedQueries, idCol, vecCol, art.codebook,
-        art.m, art.dim, art.mns, art.mxs)
-      .join(qc, Seq("query_id"))
+      readCells(spark, indexDir, beforeBatch, cellFilter)
+        .select(col(idCol).as("neighbor_id"),
+          col("cell").cast("long").as("cell"), col("codes"), col("batch")),
+      "neighbor_id", Seq("cell", "codes"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
     codes
-      .join(broadcast(lut),
-        col("s") === col("ls") && col("code") === col("lj") &&
-          col("cell") === col("q_cell"))
+      .join(broadcast(qc), col("cell") === col("q_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d")).as("dist"))
+      .withColumn("dist",
+        Similarity.adcDistColumn(col("codes"), col("dflat"), art.m, art.kCent))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
@@ -923,6 +952,10 @@ object VectorIndexStream {
       queries.select(col(idCol), col(vecCol)), vecCol, art.dim, indexDir)
     val q = checkedQueries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // the flattened per-query ADC LUT rides the probe frame (same
+    // shape as [[pqTopKFromIndex]]): one expression per candidate row,
+    // no posexplode, no re-aggregation exchange — the predicate/
+    // takedown restriction still lands BEFORE any distance work
     val qc =
       (if (minCandidates > 0L)
          Similarity.autoProbeSets(art.cent,
@@ -932,7 +965,11 @@ object VectorIndexStream {
        else if (nProbe <= 1)
          Similarity.assignWith(art.cent, q, "query_id", "q_vec")
        else Similarity.probeCells(art.cent, q, "query_id", "q_vec", nProbe))
-        .select(col("query_id"), col("cell").as("q_cell"))
+        .select(col("query_id"), col("cell").as("q_cell"),
+          Similarity.pqLutFlatColumn(
+            graft.functions.Sq8Quantize.sq8Quantize(
+              col("q_vec"), art.mns, art.mxs),
+            art.cb, art.dim).as("dflat"))
     val probedCells = qc.select(col("q_cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val cellFilter =
@@ -944,22 +981,13 @@ object VectorIndexStream {
             col("cell").cast("long").as("cell"), col("codes"), col("batch")),
         "neighbor_id", Seq("cell", "codes")), "neighbor_id",
       allowed, excludeIds)
-      .select(col("neighbor_id"), col("cell"),
-        posexplode(col("codes")).as(Seq("s", "code")))
-      .select(col("neighbor_id"), col("cell"),
-        col("s").cast("long").as("s"), col("code"))
-    val lut = Similarity.pqLut(checkedQueries, idCol, vecCol, art.codebook,
-        art.m, art.dim, art.mns, art.mxs)
-      .join(qc, Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
     codes
-      .join(broadcast(lut),
-        col("s") === col("ls") && col("code") === col("lj") &&
-          col("cell") === col("q_cell"))
+      .join(broadcast(qc), col("cell") === col("q_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d")).as("dist"))
+      .withColumn("dist",
+        Similarity.adcDistColumn(col("codes"), col("dflat"), art.m, art.kCent))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))

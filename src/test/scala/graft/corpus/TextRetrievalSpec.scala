@@ -83,9 +83,37 @@ class TextRetrievalSpec extends SparkSpec {
       TextRetrieval.hybridRrfTopK(d, "doc_id", "text", queries, "doc_id", "text",
         k = 5, excludeSelf = true)
     ).foreach { df =>
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-      assert(!plan.contains("CartesianProduct"), plan)
+      // the ONE allowed nested-loop shape is the broadcast scalar
+      // attach of the N/avgdl statistics row (crossJoin(broadcast(g)) —
+      // a single-row aggregate build side, the repo-wide scalar-attach
+      // pattern): it multiplies nothing. Any OTHER nested loop — a
+      // data-sized build side — is the accidental-cartesian hazard this
+      // spec exists to reject, so count and inspect rather than ban.
+      // AdaptiveSparkPlanExec is a leaf to collect() — unwrap it so the
+      // traversal sees the actual operator tree
+      val exec = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val bnl = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      assert(bnl.size <= 1, exec.toString)
+      bnl.foreach { j =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          case _ => j.left
+        }
+        // the build side must be the one-row global-statistics aggregate
+        val isScalarAgg = build.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+              if a.groupingExpressions.isEmpty => a
+        }.isDefined
+        assert(isScalarAgg,
+          s"nested-loop build side is not a one-row scalar aggregate:\n$build")
+      }
+      assert(!exec.toString.contains("CartesianProduct"), exec.toString)
     }
   }
 
